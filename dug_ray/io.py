@@ -1,0 +1,144 @@
+"""Document sources: parquet/lance readers + the deterministic spanifier.
+
+The engine's canonical input (BASELINE.json ``input_hint``) is an interleaved
+text+media document table::
+
+    doc_id: string
+    spans:  list<struct<kind:string, text:string, media_ref:string, offset:int32>>
+
+The driver testdata ships a flat ``documents`` table (doc_id:int64, text,
+lang, source, n_chars). ``spanify`` lifts it into the interleaved shape
+deterministically (pure function of each row), standing in for one dbGaP
+data-dictionary file whose ``<variable>`` entries are the text spans
+(reference: ``/root/reference/src/dug/core/parsers/dbgap_parser.py:44-84``)
+with media attachments interleaved:
+
+- text tokens are chunked into windows of ``SPAN_TOKENS`` (=8) words: one
+  text span per chunk, in order;
+- after every 2nd text span a media span is inserted with
+  ``media_ref = media://{doc_id}/{offset}`` (an opaque binary-content
+  pointer; decode is a stubbed actor stage, see stages/multimodal.py);
+- ``offset`` is the global 0-based span index within the doc — the column
+  that carries the per-row invariant **span-sequence equality
+  (kind, text, media_ref, order)** demanded by BASELINE.json.
+
+Derived index arithmetic used throughout the engine and the DuckDB oracles:
+
+- text chunk ``c`` (0-based) sits at global span offset ``c + c//2``;
+- a text span at offset ``o`` is chunk ``c = o - (o+1)//3``;
+- token positions are 1-based over the doc's full whitespace tokenization,
+  so chunk ``c`` covers positions ``c*8+1 .. c*8+len(chunk)`` — identical to
+  DuckDB's ``generate_subscripts(string_split(text,' '),1)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+SPAN_TOKENS = 8          # words per text span
+MEDIA_EVERY = 2          # media span inserted after every 2nd text span
+
+SPAN_STRUCT = pa.struct([
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+])
+
+DOCUMENTS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("lang", pa.string()),
+    ("source", pa.string()),
+    ("spans", pa.list_(SPAN_STRUCT)),
+])
+
+
+def read_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Read the flat driver documents table, pruning columns at the read.
+
+    At 100 TB scale this is ``ray.data.read_lance`` over the interleaved
+    corpus; ``pylance`` is absent in this env so parquet is the storage
+    fallback (SURVEY.md §7.1 note)."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=columns or ["doc_id", "text", "lang", "source"],
+    )
+
+
+def chunk_offsets(n_chunks: int) -> np.ndarray:
+    """Global span offsets of text chunks 0..n_chunks-1 (media interleaved)."""
+    c = np.arange(n_chunks, dtype=np.int32)
+    return c + c // MEDIA_EVERY
+
+
+def _spanify_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized-ish spanifier: one input doc row -> one interleaved-span row.
+
+    Tokenization is a pyarrow kernel; per-doc chunk assembly joins small
+    token slices (O(total tokens), one-shot parse work)."""
+    tokens = pc.split_pattern(batch["text"], " ")
+    toks_np = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    doc_ids = batch["doc_id"].to_pylist()
+
+    spans_col = []
+    for row_idx in range(len(batch)):
+        words = toks_np[row_idx].as_py()
+        n_chunks = (len(words) + SPAN_TOKENS - 1) // SPAN_TOKENS
+        spans = []
+        offset = 0
+        for c in range(n_chunks):
+            chunk_text = " ".join(words[c * SPAN_TOKENS:(c + 1) * SPAN_TOKENS])
+            spans.append({"kind": "text", "text": chunk_text, "media_ref": "", "offset": offset})
+            offset += 1
+            if c % MEDIA_EVERY == MEDIA_EVERY - 1:
+                spans.append({
+                    "kind": "media", "text": "",
+                    "media_ref": f"media://{doc_ids[row_idx]}/{offset}",
+                    "offset": offset,
+                })
+                offset += 1
+        spans_col.append(spans)
+
+    return pa.table({
+        "doc_id": pc.cast(batch["doc_id"], pa.string()),
+        "lang": batch["lang"],
+        "source": batch["source"],
+        "spans": pa.array(spans_col, type=pa.list_(SPAN_STRUCT)),
+    })
+
+
+def spanify(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Flat documents -> interleaved-span documents (input_hint shape)."""
+    return docs.map_batches(_spanify_batch, batch_format="pyarrow")
+
+
+def flatten_spans(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Interleaved docs -> one row per span, fully vectorized via Arrow list
+    flatten (zero row-loop). Output: doc_id, lang, source, kind, text,
+    media_ref, offset."""
+
+    def _flat(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = spans.flatten()
+        return pa.table({
+            "doc_id": pc.take(batch["doc_id"], parent),
+            "lang": pc.take(batch["lang"], parent),
+            "source": pc.take(batch["source"], parent),
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+            "offset": flat.field("offset"),
+        })
+
+    return docs.map_batches(_flat, batch_format="pyarrow")
+
+
+def read_interleaved(sf_dir: str) -> ray.data.Dataset:
+    """The engine's canonical entry: interleaved document Dataset."""
+    return spanify(read_documents(sf_dir))

@@ -1,0 +1,60 @@
+"""Flagship pipeline: documents -> knowledge-graph triple table.
+
+The Ray-Data lifecycle of SURVEY.md §3.4 — the streaming equivalent of
+``dug crawl`` (``/root/reference/src/dug/cli.py:111-118`` ->
+``core/crawler.py:45-107``):
+
+    read -> spanify -> parse (elements) -> NER (mentions, actor pool)
+         -> link+normalize (canonical CURIEs, actor pool)
+         -> canonicalize shuffle (concepts)
+         -> expand vs ontology edges (expansion triples)
+         -> U annotates edges (concept->element)
+         -> sort('subj') -> bucket-partitioned parquet
+
+Each stage is lazy; the streaming executor pipelines them with backpressure.
+Nothing materializes the full corpus: only the concepts table (bounded by
+ontology size) is ever collected.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from dug_ray.io import read_interleaved
+from dug_ray.stages.annotate import annotate_elements
+from dug_ray.stages.canonicalize import build_concepts
+from dug_ray.stages.expand import annotates_edges, expand_concepts
+from dug_ray.stages.link import link_mentions
+from dug_ray.stages.materialize import materialize_graph
+from dug_ray.stages.parse import parse_elements
+
+
+def linked_mentions_ds(sf_dir: str, **kwargs) -> ray.data.Dataset:
+    docs = read_interleaved(sf_dir)
+    elements = parse_elements(docs)
+    mentions = annotate_elements(elements, **kwargs)
+    return link_mentions(mentions)
+
+
+def kg_triples(sf_dir: str) -> ray.data.Dataset:
+    """Full triple set: expansion triples U annotates edges.
+
+    ``linked`` feeds two branches (concepts + annotates edges); branching a
+    lazy Dataset re-executes the shared prefix per consumer, so the linked
+    mention stream is pinned once in the object store. At 100 TB the
+    resumable runner (state/manifest.py) instead checkpoints mentions to
+    parquet per input shard and reads them back — same single-pass property,
+    spill-friendly."""
+    linked = linked_mentions_ds(sf_dir).materialize()
+    concepts = build_concepts(linked)
+    expansion = expand_concepts(concepts)
+    annotates = annotates_edges(linked)
+    return expansion.union(annotates)
+
+
+def run(sf_dir: str, out_dir: str | None = None) -> ray.data.Dataset:
+    triples = kg_triples(sf_dir)
+    if out_dir:
+        materialize_graph(triples, out_dir)
+        return ray.data.read_parquet(out_dir)
+    return triples

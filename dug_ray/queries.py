@@ -1,0 +1,481 @@
+"""Driver-facing query registry: Ray pipelines + their DuckDB oracles.
+
+Every entry implements one operator/pipeline from SURVEY.md §2 as a Ray Data
+pipeline over ``{sf_dir}`` parquet tables, paired with an ANSI-SQL oracle
+that DuckDB runs over the same tables (synthetic ontology tables rendered
+inline as VALUES CTEs by ``ontology.sql_cte``). The driver compares
+row-count + schema + order-insensitive value-hash with columns sorted by
+name — so names and dtypes match exactly on both sides (ints -> int64,
+floats -> float64, strings -> utf8; list outputs are pipe-joined sorted
+strings on both sides).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from dug_ray import ontology
+from dug_ray.io import flatten_spans, read_documents, read_interleaved
+from dug_ray.pipelines import kg
+from dug_ray.shuffle import bucketed_group_apply
+from dug_ray.stages.annotate import annotate_elements
+from dug_ray.stages.canonicalize import build_concepts, element_terms
+from dug_ray.stages.expand import annotates_edges, cast_elements_from_triples, expand_concepts
+from dug_ray.stages.link import link_mentions
+from dug_ray.stages.parse import parse_elements
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+SQL_TOKS = """
+toks AS (
+  SELECT d.doc_id, d.source, d.lang, t.term, t.pos
+  FROM documents d, LATERAL (
+    SELECT unnest(string_split(d.text, ' ')) AS term,
+           generate_subscripts(string_split(d.text, ' '), 1) AS pos) t
+)"""
+
+SQL_CHUNKS = """
+chunks AS (
+  SELECT doc_id, source, lang,
+         CAST(floor((pos - 1) / 8) AS BIGINT) AS chunk,
+         string_agg(term, ' ' ORDER BY pos) AS chunk_text
+  FROM toks
+  GROUP BY doc_id, source, lang, floor((pos - 1) / 8)
+)"""
+
+# linked mentions: threshold >= 0.8, normalizer left join, greenlist rescue,
+# synonym + purl attach — the SQL mirror of stages/annotate.py + link.py
+SQL_LINKED = """
+m AS (
+  SELECT k.doc_id, k.source, k.term, k.pos, l.curie, l.label, l.category, l.score
+  FROM toks k JOIN lexicon l USING (term)
+  WHERE l.score >= 0.8
+),
+syn_agg AS (
+  SELECT curie, string_agg(synonym, '|' ORDER BY synonym) AS synonyms
+  FROM synonyms GROUP BY curie
+),
+linked AS (
+  SELECT m.doc_id, m.source AS collection_id, m.pos AS tok_pos, m.term,
+         m.curie, m.score,
+         COALESCE(n.preferred_curie, m.curie) AS canonical_curie,
+         COALESCE(n.preferred_label, m.label) AS name,
+         COALESCE(n.preferred_type, m.category) AS type,
+         CAST(m.doc_id AS VARCHAR) || '-s' ||
+           CAST(CAST(floor((m.pos - 1) / 8) AS BIGINT)
+                + CAST(floor((m.pos - 1) / 8) AS BIGINT) // 2 AS VARCHAR)
+           AS element_id
+  FROM m LEFT JOIN normalizer n ON m.curie = n.curie
+  WHERE n.preferred_curie IS NOT NULL
+     OR split_part(m.curie, ':', 1) IN (SELECT prefix FROM greenlist)
+),
+linked_full AS (
+  SELECT k.*, COALESCE(s.synonyms, '') AS synonyms,
+         COALESCE(p.base || split_part(k.canonical_curie, ':', 2), '') AS purl
+  FROM linked k
+  LEFT JOIN syn_agg s ON s.curie = k.canonical_curie
+  LEFT JOIN purls p ON p.prefix = split_part(k.canonical_curie, ':', 1)
+)"""
+
+SQL_EXPANSION = """
+present AS (SELECT DISTINCT canonical_curie FROM linked_full),
+expansion AS (
+  SELECT e.subj, e.pred, e.obj, e.obj_name, e.source_query
+  FROM edges e
+  JOIN present c ON e.subj = c.canonical_curie
+  JOIN valid_prefix v ON v.source_query = e.source_query
+                     AND v.prefix = split_part(e.subj, ':', 1)
+  WHERE e.subj NOT IN (SELECT curie FROM redlist)
+)"""
+
+
+def _with(*frags: str) -> str:
+    return "WITH " + ",\n".join(frags)
+
+
+# ---------------------------------------------------------------------------
+# engine-side schema normalization (driver compares dtypes)
+# ---------------------------------------------------------------------------
+
+def _norm(ds: ray.data.Dataset, int_cols: tuple[str, ...] = (),
+          str_to_int: tuple[str, ...] = ()) -> ray.data.Dataset:
+    def cast(batch: pa.Table) -> pa.Table:
+        for c in int_cols:
+            if c in batch.column_names:
+                i = batch.column_names.index(c)
+                batch = batch.set_column(i, c, pc.cast(batch[c], pa.int64()))
+        for c in str_to_int:
+            if c in batch.column_names:
+                i = batch.column_names.index(c)
+                batch = batch.set_column(i, c, pc.cast(batch[c], pa.int64()))
+        return batch
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def q_spans_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Span-sequence invariant: per-doc span counts + text reconstruction.
+
+    The oracle recomputes the counts from the flat table and returns the
+    original text — equality proves (kind, text, media_ref, order)
+    preservation end-to-end (BASELINE.json per-row invariant)."""
+    flat = flatten_spans(read_interleaved(sf_dir))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "offset"], kind="mergesort")
+        g = df.groupby("doc_id", sort=False)
+        out = g.agg(
+            n_spans=("kind", "size"),
+            n_text=("kind", lambda s: int((s == "text").sum())),
+            n_media=("kind", lambda s: int((s == "media").sum())),
+        ).reset_index()
+        texts = (df[df["kind"] == "text"].groupby("doc_id", sort=False)["text"]
+                 .agg(" ".join).rename("text").reset_index())
+        return out.merge(texts, on="doc_id")
+
+    out = bucketed_group_apply(flat, "doc_id", per_bucket, num_buckets=32)
+    return _norm(out, int_cols=("n_spans", "n_text", "n_media"), str_to_int=("doc_id",))
+
+
+SQL_SPANS_ROUNDTRIP = _with(SQL_TOKS) + """,
+tc AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+x AS (SELECT doc_id, CAST(ceil(n_tok / 8.0) AS BIGINT) AS n_text FROM tc)
+SELECT d.doc_id, x.n_text + x.n_text // 2 AS n_spans, x.n_text,
+       x.n_text // 2 AS n_media, d.text
+FROM documents d JOIN x USING (doc_id)"""
+
+
+def q_elements(sf_dir: str) -> ray.data.Dataset:
+    els = parse_elements(read_interleaved(sf_dir))
+    return _norm(els, int_cols=("span_offset", "chunk_idx"), str_to_int=("doc_id",))
+
+
+SQL_ELEMENTS = _with(SQL_TOKS, SQL_CHUNKS) + """
+SELECT CAST(doc_id AS VARCHAR) || '-s' || CAST(chunk + chunk // 2 AS VARCHAR) AS element_id,
+       'var_' || CAST(doc_id AS VARCHAR) || '_' || CAST(chunk + chunk // 2 AS VARCHAR) AS element_name,
+       lower(chunk_text) AS element_desc,
+       'dbgap' AS data_type,
+       source AS collection_id,
+       'study ' || source AS collection_name,
+       'https://example.org/study/' || source || '/variable/' ||
+         CAST(doc_id AS VARCHAR) || '-s' || CAST(chunk + chunk // 2 AS VARCHAR) AS element_action,
+       'https://example.org/study/' || source AS collection_action,
+       doc_id,
+       lang,
+       chunk + chunk // 2 AS span_offset,
+       chunk AS chunk_idx
+FROM chunks"""
+
+
+def q_ner_mentions(sf_dir: str) -> ray.data.Dataset:
+    """NER candidates (pre-threshold, M2-M4)."""
+    ds = annotate_elements(parse_elements(read_interleaved(sf_dir)))
+    ds = ds.select_columns(["doc_id", "element_id", "collection_id", "tok_pos",
+                            "term", "curie", "label", "category", "score"])
+    return _norm(ds, int_cols=("tok_pos",), str_to_int=("doc_id",))
+
+
+SQL_NER_MENTIONS = _with(ontology.sql_cte("lexicon"), SQL_TOKS) + """
+SELECT k.doc_id,
+       CAST(k.doc_id AS VARCHAR) || '-s' ||
+         CAST(CAST(floor((k.pos - 1) / 8) AS BIGINT)
+              + CAST(floor((k.pos - 1) / 8) AS BIGINT) // 2 AS VARCHAR) AS element_id,
+       k.source AS collection_id, k.pos AS tok_pos,
+       k.term, l.curie, l.label, l.category, l.score
+FROM toks k JOIN lexicon l USING (term)"""
+
+
+def q_linked_mentions(sf_dir: str) -> ray.data.Dataset:
+    ds = kg.linked_mentions_ds(sf_dir)
+    ds = ds.select_columns(["doc_id", "element_id", "collection_id", "tok_pos", "term",
+                            "curie", "canonical_curie", "name", "type",
+                            "synonyms", "purl", "score"])
+    return _norm(ds, int_cols=("tok_pos",), str_to_int=("doc_id",))
+
+
+SQL_LINKED_MENTIONS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """
+SELECT doc_id, element_id, collection_id, tok_pos, term, curie,
+       canonical_curie, name, type, synonyms, purl, score
+FROM linked_full"""
+
+
+def q_concepts(sf_dir: str) -> ray.data.Dataset:
+    ds = build_concepts(kg.linked_mentions_ds(sf_dir))
+    return _norm(ds, int_cols=("n_mentions", "n_elements", "first_doc_id", "first_tok_pos"))
+
+
+SQL_CONCEPTS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY canonical_curie
+                               ORDER BY doc_id, tok_pos) AS rn
+  FROM linked_full),
+st AS (
+  SELECT canonical_curie, t FROM (
+    SELECT DISTINCT canonical_curie, term AS t FROM linked_full
+    UNION
+    SELECT DISTINCT l.canonical_curie, s.synonym AS t
+    FROM (SELECT DISTINCT canonical_curie FROM linked_full) l
+    JOIN synonyms s ON s.curie = l.canonical_curie)),
+st_agg AS (SELECT canonical_curie, string_agg(t, '|' ORDER BY t) AS search_terms
+           FROM st GROUP BY canonical_curie),
+ids AS (SELECT canonical_curie, string_agg(c, '|' ORDER BY c) AS identifiers
+        FROM (SELECT DISTINCT canonical_curie, curie AS c FROM linked_full)
+        GROUP BY canonical_curie),
+counts AS (SELECT canonical_curie, count(*) AS n_mentions,
+                  count(DISTINCT element_id) AS n_elements
+           FROM linked_full GROUP BY canonical_curie)
+SELECT r.canonical_curie AS concept_id, r.name, r.type,
+       c.n_mentions, c.n_elements,
+       sa.search_terms, i.identifiers, r.synonyms, r.purl,
+       r.doc_id AS first_doc_id, r.tok_pos AS first_tok_pos
+FROM ranked r
+JOIN counts c USING (canonical_curie)
+JOIN st_agg sa USING (canonical_curie)
+JOIN ids i USING (canonical_curie)
+WHERE r.rn = 1"""
+
+
+def q_element_terms(sf_dir: str) -> ray.data.Dataset:
+    linked = kg.linked_mentions_ds(sf_dir).materialize()
+    concepts = build_concepts(linked)
+    return element_terms(linked, concepts)
+
+
+SQL_ELEMENT_TERMS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY canonical_curie
+                               ORDER BY doc_id, tok_pos) AS rn
+  FROM linked_full),
+st AS (
+  SELECT canonical_curie, t FROM (
+    SELECT DISTINCT canonical_curie, term AS t FROM linked_full
+    UNION
+    SELECT DISTINCT l.canonical_curie, s.synonym AS t
+    FROM (SELECT DISTINCT canonical_curie FROM linked_full) l
+    JOIN synonyms s ON s.curie = l.canonical_curie)),
+cterms AS (
+  SELECT canonical_curie, t FROM st
+  UNION
+  SELECT canonical_curie, name AS t FROM ranked WHERE rn = 1),
+ec AS (SELECT DISTINCT element_id, collection_id, canonical_curie FROM linked_full),
+et AS (SELECT DISTINCT e.element_id, e.collection_id, c.t
+       FROM ec e JOIN cterms c USING (canonical_curie))
+SELECT e.element_id, e.collection_id,
+       (SELECT string_agg(t, '|' ORDER BY t) FROM et x
+        WHERE x.element_id = e.element_id) AS search_terms,
+       (SELECT string_agg(canonical_curie, '|' ORDER BY canonical_curie)
+        FROM ec x WHERE x.element_id = e.element_id) AS concepts
+FROM (SELECT DISTINCT element_id, collection_id FROM ec) e"""
+
+
+def q_expansion_triples(sf_dir: str) -> ray.data.Dataset:
+    linked = kg.linked_mentions_ds(sf_dir)
+    return expand_concepts(build_concepts(linked))
+
+
+SQL_EXPANSION_TRIPLES = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls",
+                     "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + """
+SELECT subj, pred, obj, obj_name, source_query FROM expansion"""
+
+
+def q_annotates_edges(sf_dir: str) -> ray.data.Dataset:
+    return annotates_edges(kg.linked_mentions_ds(sf_dir))
+
+
+SQL_ANNOTATES = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """
+SELECT DISTINCT canonical_curie AS subj, 'dug:annotates' AS pred,
+       element_id AS obj, '' AS obj_name, 'annotation' AS source_query
+FROM linked_full"""
+
+
+def q_kg_triples(sf_dir: str) -> ray.data.Dataset:
+    return kg.kg_triples(sf_dir)
+
+
+SQL_KG_TRIPLES = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls",
+                     "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + """
+SELECT subj, pred, obj, obj_name, source_query FROM expansion
+UNION ALL
+SELECT DISTINCT canonical_curie AS subj, 'dug:annotates' AS pred,
+       element_id AS obj, '' AS obj_name, 'annotation' AS source_query
+FROM linked_full"""
+
+
+def q_cast_elements(sf_dir: str) -> ray.data.Dataset:
+    return cast_elements_from_triples(kg.kg_triples(sf_dir))
+
+
+SQL_CAST_ELEMENTS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls",
+                     "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + """
+SELECT e.obj AS element_id, e.obj_name AS element_name, e.obj_name AS element_desc,
+       'cde' AS data_type, min(e.subj) AS collection_id
+FROM expansion e
+JOIN edges ed ON ed.subj = e.subj AND ed.pred = e.pred AND ed.obj = e.obj
+            AND ed.source_query = e.source_query
+WHERE ed.obj_category = 'biolink:Publication' AND e.obj LIKE 'HEALCDE:%'
+GROUP BY e.obj, e.obj_name"""
+
+
+def q_element_merge(sf_dir: str) -> ray.data.Dataset:
+    """A7/J7: per (element_id, collection_id) sorted-distinct identifier union
+    (the ES upsert-merge of index.py:209-222 as a pure groupby)."""
+    linked = kg.linked_mentions_ds(sf_dir)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["element_id", "collection_id", "canonical_curie"]]
+        out = (df.groupby(["element_id", "collection_id"], as_index=False)
+               .agg(identifiers=("canonical_curie", lambda s: "|".join(sorted(set(s))))))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partial = linked.map_batches(per_batch, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        from dug_ray.stages.canonicalize import _join_distinct
+        out = (df.groupby(["element_id", "collection_id"], as_index=False)
+               .agg(identifiers=("identifiers", _join_distinct)))
+        out["n_identifiers"] = [x.count("|") + 1 if x else 0 for x in out["identifiers"]]
+        return out
+
+    out = bucketed_group_apply(partial, "element_id", merge, num_buckets=32)
+    return _norm(out, int_cols=("n_identifiers",))
+
+
+SQL_ELEMENT_MERGE = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """
+SELECT element_id, collection_id,
+       string_agg(c, '|' ORDER BY c) AS identifiers,
+       count(*) AS n_identifiers
+FROM (SELECT DISTINCT element_id, collection_id, canonical_curie AS c FROM linked_full)
+GROUP BY element_id, collection_id"""
+
+
+def q_topmed_join(sf_dir: str) -> ray.data.Dataset:
+    """J1: element x tag broadcast join on tag_pk = doc_id % 4
+    (topmed_tag_parser.py:73-79 hash join; tags side tiny)."""
+    els = parse_elements(read_interleaved(sf_dir))
+    tags = ontology.tags_df()
+
+    def join(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["element_id", "doc_id"]]
+        df["tag_pk"] = pd.to_numeric(df["doc_id"]) % 4
+        out = df.merge(tags, on="tag_pk", how="inner", sort=False)
+        out["tag_desc"] = out["description"] + ". " + out["instructions"]
+        return pa.Table.from_pandas(
+            out[["element_id", "tag_pk", "title", "tag_desc"]], preserve_index=False)
+
+    return _norm(els.map_batches(join, batch_format="pyarrow"), int_cols=("tag_pk",))
+
+
+SQL_TOPMED_JOIN = _with(ontology.sql_cte("tags"), SQL_TOKS, SQL_CHUNKS) + """
+SELECT CAST(doc_id AS VARCHAR) || '-s' || CAST(chunk + chunk // 2 AS VARCHAR) AS element_id,
+       doc_id % 4 AS tag_pk, t.title,
+       t.description || '. ' || t.instructions AS tag_desc
+FROM chunks c JOIN tags t ON t.tag_pk = c.doc_id % 4"""
+
+
+# --- serving-layer facet aggregates (A8-A12, async_search.py) --------------
+
+def q_facet_source(sf_dir: str) -> ray.data.Dataset:
+    ds = read_documents(sf_dir, columns=["source"])
+    return ds.groupby("source").count().rename_columns({"count()": "n_docs"})
+
+
+SQL_FACET_SOURCE = "SELECT source, count(*) AS n_docs FROM documents GROUP BY source"
+
+
+def q_program_list(sf_dir: str) -> ray.data.Dataset:
+    """A10: per lang, distinct sources + doc count (terms agg + cardinality,
+    async_search.py:568-594 — exact instead of ES-approximate)."""
+    ds = read_documents(sf_dir, columns=["lang", "source"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("lang", as_index=False)
+                .agg(n_sources=("source", "nunique"), n_docs=("source", "size")))
+
+    out = bucketed_group_apply(ds, "lang", per_bucket, num_buckets=8)
+    return _norm(out, int_cols=("n_sources", "n_docs"))
+
+
+SQL_PROGRAM_LIST = ("SELECT lang, count(DISTINCT source) AS n_sources, "
+                    "count(*) AS n_docs FROM documents GROUP BY lang")
+
+
+def q_collections_first(sf_dir: str) -> ray.data.Dataset:
+    """A11: per collection (source), first doc by doc_id + size
+    (terms agg + top_hits 1, async_search.py:477-533)."""
+    ds = read_documents(sf_dir, columns=["doc_id", "source"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("source", as_index=False)
+                .agg(first_doc=("doc_id", "min"), n_docs=("doc_id", "size")))
+
+    out = bucketed_group_apply(ds, "source", per_bucket, num_buckets=8)
+    return _norm(out, int_cols=("first_doc", "n_docs"))
+
+
+SQL_COLLECTIONS_FIRST = ("SELECT source, min(doc_id) AS first_doc, count(*) AS n_docs "
+                         "FROM documents GROUP BY source")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "spans_roundtrip": q_spans_roundtrip,
+    "elements": q_elements,
+    "ner_mentions": q_ner_mentions,
+    "linked_mentions": q_linked_mentions,
+    "concepts": q_concepts,
+    "element_terms": q_element_terms,
+    "expansion_triples": q_expansion_triples,
+    "annotates_edges": q_annotates_edges,
+    "kg_triples": q_kg_triples,
+    "cast_elements": q_cast_elements,
+    "element_merge": q_element_merge,
+    "topmed_join": q_topmed_join,
+    "facet_source": q_facet_source,
+    "program_list": q_program_list,
+    "collections_first": q_collections_first,
+}
+
+ORACLES = {
+    "spans_roundtrip": SQL_SPANS_ROUNDTRIP,
+    "elements": SQL_ELEMENTS,
+    "ner_mentions": SQL_NER_MENTIONS,
+    "linked_mentions": SQL_LINKED_MENTIONS,
+    "concepts": SQL_CONCEPTS,
+    "element_terms": SQL_ELEMENT_TERMS,
+    "expansion_triples": SQL_EXPANSION_TRIPLES,
+    "annotates_edges": SQL_ANNOTATES,
+    "kg_triples": SQL_KG_TRIPLES,
+    "cast_elements": SQL_CAST_ELEMENTS,
+    "element_merge": SQL_ELEMENT_MERGE,
+    "topmed_join": SQL_TOPMED_JOIN,
+    "facet_source": SQL_FACET_SOURCE,
+    "program_list": SQL_PROGRAM_LIST,
+    "collections_first": SQL_COLLECTIONS_FIRST,
+}

@@ -1,0 +1,80 @@
+"""Shuffle helpers: deterministic bucketing + bucketed grouped apply.
+
+``Dataset.groupby(key).map_groups(fn)`` invokes ``fn`` once per *group*; at
+10^5-10^9 distinct keys the per-group Python call dominates wall time. The
+scalable shape used throughout this engine is **bucketed grouped apply**:
+
+1. add a deterministic hash bucket of the key (``crc32 % num_buckets`` —
+   stable across processes, unlike Python ``hash()``; required for resume);
+2. ``groupby('_bucket')`` — the shuffle now moves the same rows but forms
+   only ``num_buckets`` groups;
+3. inside each bucket, run a *vectorized* pandas ``groupby`` over the whole
+   bucket at C speed.
+
+Every row of a key lands in exactly one bucket, so per-key results are exact.
+``num_buckets`` bounds per-task memory to ~``n/num_buckets`` rows — size it
+to the cluster (hundreds-thousands at 100 TB). Hot-key skew inside a bucket
+is handled upstream by per-batch partial aggregation (the combiner), which
+collapses hot keys before the shuffle (SURVEY.md §4 skew row).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+BUCKET_COL = "_bucket"
+
+
+def stable_bucket_array(keys: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    """crc32(key) % num_buckets as an int32 Arrow array."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    vals = keys.to_pylist()
+    out = np.fromiter((zlib.crc32(v.encode()) % num_buckets for v in vals),
+                      dtype=np.int32, count=len(vals))
+    return pa.array(out)
+
+
+def add_bucket(ds: ray.data.Dataset, key: str, num_buckets: int) -> ray.data.Dataset:
+    def _b(batch: pa.Table) -> pa.Table:
+        return batch.append_column(BUCKET_COL, stable_bucket_array(batch[key], num_buckets))
+    return ds.map_batches(_b, batch_format="pyarrow")
+
+
+def bucketed_group_apply(
+    ds: ray.data.Dataset,
+    key: str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Apply ``fn`` (a vectorized whole-partition pandas transform that must
+    itself group by ``key``) to each hash bucket of ``key``.
+
+    ``fn`` sees every row of each key it receives — exact grouped semantics
+    with only ``num_buckets`` Python invocations."""
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = fn(group.drop(columns=[BUCKET_COL]))
+        return out
+
+    bucketed = add_bucket(ds, key, num_buckets)
+    return bucketed.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+
+
+def distinct_rows(ds: ray.data.Dataset, cols: list[str], num_buckets: int = 64) -> ray.data.Dataset:
+    """Exact multi-column distinct: per-batch combiner + bucketed final dedup."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).cast(batch.select(cols).schema)
+
+    partial = ds.map_batches(per_batch, batch_format="pyarrow")
+    return bucketed_group_apply(
+        partial, cols[0], lambda df: df.drop_duplicates(), num_buckets)

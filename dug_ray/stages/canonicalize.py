@@ -1,0 +1,147 @@
+"""Canonicalization shuffle: linked mentions -> concepts Dataset.
+
+The Ray-Data re-expression of dug's concept assembly (SURVEY.md §2.5 A1-A5):
+the reference accumulates a global in-process ``self.concepts`` dict while
+looping elements sequentially (``/root/reference/src/dug/core/crawler.py:
+34,155-166``), with first-writer-wins concept name/desc and per-identifier
+``search_text`` unions (``parsers/_base.py:99-104,116-121``). Here that
+implicit mutable state becomes an explicit **partial+final aggregate**:
+
+1. *partial* (the combiner): inside ``map_batches``, a pandas groupby per
+   batch collapses each batch's mentions to at most one row per canonical
+   CURIE — counts, min (doc_id, tok_pos) ordering key, first-at-min name/
+   type, pipe-joined distinct term/identifier partial sets. This is the
+   skew defense: the hot CURIEs (``MONDO:0004976`` attaches to nearly every
+   document — the north star's "ubiquitous MONDO/HP terms") are reduced
+   ~batch_size-fold *before* any data moves, so the shuffle receives
+   O(#batches x #distinct-curies) tiny rows instead of O(#mentions).
+2. *final*: ``groupby('canonical_curie').map_groups(merge)`` over the small
+   partials — unions the sets, re-resolves first-wins by the global min
+   (doc_id, tok_pos).
+
+Determinism: the reference's "first" is Python arrival order; ours is the
+explicit total order (doc_id, tok_pos) carried from the parse stage
+(SURVEY.md §2.9) — stable across re-runs and block orderings.
+
+Output concept row (the ``DugConcept`` searchable dict,
+``parsers/_base.py:131-143``, with list fields as sorted-distinct
+pipe-joined strings for exact cross-engine comparison):
+``concept_id, name, type, n_mentions, n_elements, search_terms,
+identifiers, synonyms, purl, first_doc_id, first_tok_pos``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from dug_ray import ontology
+
+CONCEPT_COLUMNS = [
+    "concept_id", "name", "type", "n_mentions", "n_elements",
+    "search_terms", "identifiers", "synonyms", "purl",
+    "first_doc_id", "first_tok_pos",
+]
+
+
+def _join_distinct(values) -> str:
+    out = set()
+    for v in values:
+        if v:
+            out.update(v.split("|"))
+    return "|".join(sorted(out))
+
+
+def partial_concepts(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: mentions -> partial concept rows."""
+    df = batch.to_pandas()
+    # doc_id is a string; order on the numeric value for the first-wins key
+    df["_doc_num"] = pd.to_numeric(df["doc_id"])
+    df = df.sort_values(["_doc_num", "tok_pos"], kind="mergesort")
+    g = df.groupby("canonical_curie", sort=False)
+    out = g.agg(
+        name=("name", "first"),
+        type=("type", "first"),
+        synonyms=("synonyms", "first"),
+        purl=("purl", "first"),
+        n_mentions=("curie", "size"),
+        first_doc_id=("_doc_num", "first"),
+        first_tok_pos=("tok_pos", "first"),
+        terms=("term", lambda s: "|".join(sorted(set(s)))),
+        identifiers=("curie", lambda s: "|".join(sorted(set(s)))),
+        elements=("element_id", lambda s: "|".join(sorted(set(s)))),
+    ).reset_index().rename(columns={"canonical_curie": "concept_id"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Final merge of partial concept rows (vectorized per bucket).
+
+    First-wins name/type resolve to the row with the global min
+    (first_doc_id, first_tok_pos) — the deterministic stand-in for the
+    reference's arrival-order dict insert (``crawler.py:155-163``)."""
+    df = df.sort_values(["first_doc_id", "first_tok_pos"], kind="mergesort")
+    g = df.groupby("concept_id", as_index=False, sort=False)
+    out = g.agg(
+        name=("name", "first"),
+        type=("type", "first"),
+        purl=("purl", "first"),
+        n_mentions=("n_mentions", "sum"),
+        first_doc_id=("first_doc_id", "first"),
+        first_tok_pos=("first_tok_pos", "first"),
+        terms=("terms", _join_distinct),
+        identifiers=("identifiers", _join_distinct),
+        synonyms=("synonyms", _join_distinct),
+        elements=("elements", _join_distinct),
+    )
+    # concept search_terms = union over identifiers of search_text + synonyms,
+    # sorted distinct (parsers/_base.py:116-121, A2)
+    out["search_terms"] = [
+        "|".join(sorted(set(t.split("|")) | (set(s.split("|")) if s else set())))
+        for t, s in zip(out["terms"], out["synonyms"])
+    ]
+    out["n_elements"] = [e.count("|") + 1 if e else 0 for e in out["elements"]]
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    return out[CONCEPT_COLUMNS]
+
+
+def build_concepts(linked: ray.data.Dataset, num_buckets: int = 16) -> ray.data.Dataset:
+    """linked mentions -> concepts (partial+final canonicalization shuffle).
+
+    The partial combiner collapses hot CURIEs per batch before the shuffle;
+    the final merge runs vectorized per hash bucket of the concept key
+    (see dug_ray.shuffle for why not per-group map_groups)."""
+    from dug_ray.shuffle import bucketed_group_apply
+    partials = linked.map_batches(partial_concepts, batch_format="pyarrow")
+    return bucketed_group_apply(partials, "concept_id", merge_partials, num_buckets)
+
+
+def element_terms(linked: ray.data.Dataset, concepts: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-element search terms (A4, ``parsers/_base.py:63-78``):
+    union over the element's concepts of concept search_terms + concept name,
+    sorted distinct. The concepts side is bounded by ontology size, so it is
+    collected and broadcast into the mention->element aggregation (at
+    1000x ontology scale this becomes a co-partitioned join on concept_id)."""
+    cmap = {r["concept_id"]: (r["search_terms"], r["name"])
+            for r in concepts.select_columns(["concept_id", "search_terms", "name"]).take_all()}
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["element_id", "collection_id", "canonical_curie"]]
+        terms = df["canonical_curie"].map(
+            lambda c: cmap[c][0] + "|" + cmap[c][1] if c in cmap else "")
+        df = df.assign(_terms=terms)
+        out = (df.groupby(["element_id", "collection_id"], as_index=False)
+                 .agg(search_terms=("_terms", _join_distinct),
+                      concepts=("canonical_curie", lambda s: "|".join(sorted(set(s))))))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partial = linked.map_batches(per_batch, batch_format="pyarrow")
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["element_id", "collection_id"], as_index=False)
+                  .agg(search_terms=("search_terms", _join_distinct),
+                       concepts=("concepts", _join_distinct)))
+
+    from dug_ray.shuffle import bucketed_group_apply
+    return bucketed_group_apply(partial, "element_id", merge_bucket, num_buckets=32)

@@ -1,0 +1,127 @@
+"""End-to-end KG pipeline tests against a pure-Python oracle.
+
+Mirrors the reference's crawler tests (``/root/reference/tests/unit/
+test_crawler.py:23-101``): annotate -> concepts built -> expansion triples,
+with exact-set equality instead of the P/R bound (the bound is for the
+10^12-doc run; at test scale we demand equality)."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from dug_ray import ontology
+from dug_ray.pipelines import kg
+from dug_ray.stages.canonicalize import build_concepts
+from dug_ray.stages.expand import cast_elements_from_triples
+
+
+def python_oracle_mentions(sf_dir):
+    """Pure-Python reimplementation of parse+NER+link over the raw table."""
+    raw = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    lex = {}
+    for term, curie, label, cat, score in ontology.NER_LEXICON:
+        lex.setdefault(term, []).append((curie, label, cat, score))
+    norm = {c: (p, l, t) for c, p, l, t in ontology.NORMALIZER_MAP}
+    green = set(ontology.ONTOLOGY_GREENLIST)
+    rows = []
+    for _, r in raw.iterrows():
+        for pos, w in enumerate(r["text"].split(" "), start=1):
+            for curie, label, cat, score in lex.get(w, []):
+                if score < ontology.LINKER_SCORE_THRESHOLD:
+                    continue
+                pref, plabel, ptype = norm[curie]
+                if pref is None:
+                    if curie.split(":")[0] not in green:
+                        continue
+                    pref, plabel, ptype = curie, label, cat
+                chunk = (pos - 1) // 8
+                offset = chunk + chunk // 2
+                rows.append({
+                    "doc_id": str(r["doc_id"]),
+                    "element_id": f"{r['doc_id']}-s{offset}",
+                    "tok_pos": pos, "term": w, "curie": curie,
+                    "canonical_curie": pref, "name": plabel, "type": ptype,
+                })
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_smoke):
+    return python_oracle_mentions(sf_smoke)
+
+
+@pytest.fixture(scope="module")
+def linked_df(sf_smoke):
+    return kg.linked_mentions_ds(sf_smoke).to_pandas()
+
+
+def test_linked_mentions_exact(linked_df, oracle):
+    got = linked_df[["doc_id", "element_id", "tok_pos", "term", "curie",
+                     "canonical_curie", "name", "type"]].sort_values(
+        ["doc_id", "tok_pos", "curie"]).reset_index(drop=True)
+    want = oracle[got.columns.tolist()].sort_values(
+        ["doc_id", "tok_pos", "curie"]).reset_index(drop=True)
+    got["doc_id"] = got["doc_id"].astype(str)
+    got["tok_pos"] = got["tok_pos"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_dropped_paths(linked_df):
+    # sub-threshold candidate (scan -> UMLS:C004 @0.55) never links
+    assert "UMLS:C004" not in set(linked_df["curie"])
+    assert "HP:0000004" not in set(linked_df["canonical_curie"])
+    # non-greenlist normalization failure dropped
+    assert "XXX:900" not in set(linked_df["curie"])
+    # greenlist rescue keeps PATO with raw id
+    pato = linked_df[linked_df["curie"] == "PATO:0000100"]
+    assert len(pato) > 0
+    assert (pato["canonical_curie"] == "PATO:0000100").all()
+    assert (pato["name"] == "batch quality").all()
+
+
+def test_concept_merge(sf_smoke, oracle):
+    concepts = build_concepts(kg.linked_mentions_ds(sf_smoke)).to_pandas()
+    assert set(concepts["concept_id"]) == set(oracle["canonical_curie"])
+    # MONDO:0000001 merges two raw identifiers (slow + query)
+    m1 = concepts[concepts["concept_id"] == "MONDO:0000001"].iloc[0]
+    assert m1["identifiers"] == "MESH:D003|UMLS:C001"
+    terms = set(m1["search_terms"].split("|"))
+    assert {"slow", "query", "slow fever syn", "query fever syn"} <= terms
+    # first-wins: name/type from the global min (doc_id, tok_pos) mention
+    o = oracle[oracle["canonical_curie"] == "MONDO:0000001"].sort_values(["tok_pos"])
+    o = o.assign(_d=pd.to_numeric(o["doc_id"])).sort_values(["_d", "tok_pos"])
+    assert m1["name"] == o.iloc[0]["name"]
+    assert int(m1["n_mentions"]) == len(o)
+    # per-concept mention counts match the oracle exactly
+    counts = concepts.set_index("concept_id")["n_mentions"].astype(int).to_dict()
+    want = oracle.groupby("canonical_curie").size().to_dict()
+    assert counts == want
+
+
+def test_triples(sf_smoke, oracle):
+    trip = kg.kg_triples(sf_smoke).to_pandas()
+    exp = trip[trip["pred"] != "dug:annotates"]
+    concepts = set(oracle["canonical_curie"])
+    edges = ontology.edges_df()
+    want = set()
+    for _, e in edges.iterrows():
+        if e["subj"] not in concepts:
+            continue
+        if e["subj"] in ontology.TRANQL_EXCLUDE_IDENTIFIERS:
+            continue
+        if e["subj"].split(":")[0] not in ontology.QUERY_VALID_PREFIXES[e["source_query"]]:
+            continue
+        want.add((e["subj"], e["pred"], e["obj"]))
+    assert set(map(tuple, exp[["subj", "pred", "obj"]].values)) == want
+    # annotates edges = distinct (canonical, element) pairs of the oracle
+    ann = trip[trip["pred"] == "dug:annotates"]
+    want_pairs = set(map(tuple, oracle[["canonical_curie", "element_id"]]
+                         .drop_duplicates().values))
+    assert set(map(tuple, ann[["subj", "obj"]].values)) == want_pairs
+
+
+def test_cast_elements(sf_smoke):
+    trip = kg.kg_triples(sf_smoke)
+    cast = cast_elements_from_triples(trip).to_pandas()
+    assert set(cast["element_id"]) == {"HEALCDE:42", "HEALCDE:43", "HEALCDE:44"}
+    assert (cast["data_type"] == "cde").all()

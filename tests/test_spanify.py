@@ -1,0 +1,63 @@
+"""Span-sequence invariant tests (BASELINE.json per-row invariant).
+
+Mirrors the reference's exact-equality parser contracts
+(``/root/reference/tests/integration/test_parsers.py``): the spanifier must
+be a lossless, order-preserving lift of each document, and re-flattening
+must reproduce (kind, text, media_ref, offset) per row.
+"""
+
+import pyarrow.parquet as pq
+
+from dug_ray.io import (MEDIA_EVERY, SPAN_TOKENS, chunk_offsets, flatten_spans,
+                        read_interleaved)
+
+
+def python_oracle_spans(doc_id, text):
+    """Pure-Python oracle for one document's span sequence."""
+    words = text.split(" ")
+    n_chunks = (len(words) + SPAN_TOKENS - 1) // SPAN_TOKENS
+    spans, offset = [], 0
+    for c in range(n_chunks):
+        spans.append(("text", " ".join(words[c * SPAN_TOKENS:(c + 1) * SPAN_TOKENS]), "", offset))
+        offset += 1
+        if c % MEDIA_EVERY == MEDIA_EVERY - 1:
+            spans.append(("media", "", f"media://{doc_id}/{offset}", offset))
+            offset += 1
+    return spans
+
+
+def test_span_sequence_equality(sf_smoke):
+    docs = read_interleaved(sf_smoke)
+    flat = flatten_spans(docs).to_pandas()
+    raw = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+
+    by_doc = {
+        str(did): [tuple(r) for r in g[["kind", "text", "media_ref", "offset"]]
+                   .sort_values("offset").itertuples(index=False)]
+        for did, g in flat.groupby("doc_id")
+    }
+    assert len(by_doc) == len(raw)
+    for _, row in raw.iterrows():
+        expected = python_oracle_spans(row["doc_id"], row["text"])
+        assert by_doc[str(row["doc_id"])] == expected, f"doc {row['doc_id']} span mismatch"
+
+
+def test_text_roundtrip(sf_smoke):
+    """Concatenating text spans in offset order reproduces the document."""
+    flat = flatten_spans(read_interleaved(sf_smoke)).to_pandas()
+    raw = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    texts = (
+        flat[flat["kind"] == "text"]
+        .sort_values(["doc_id", "offset"])
+        .groupby("doc_id")["text"].agg(" ".join)
+    )
+    for _, row in raw.iterrows():
+        assert texts[str(row["doc_id"])] == row["text"]
+
+
+def test_chunk_offset_arithmetic():
+    # chunk c -> offset c + c//2; inverse o - (o+1)//3
+    offs = chunk_offsets(10)
+    assert list(offs) == [0, 1, 3, 4, 6, 7, 9, 10, 12, 13]
+    for c, o in enumerate(offs):
+        assert o - (o + 1) // (MEDIA_EVERY + 1) == c
