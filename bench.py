@@ -1,0 +1,150 @@
+"""Benchmark harness: headline KG pipeline + secondary queries.
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": <dir>, "num_cpus": N,
+   "docs": n, "triples": n, "docs_per_sec": r, "triples_per_sec": r}
+
+Env knobs:
+  GRAFT_SF_DIR     input dir (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS   num_cpus for ray.init (default 32)
+  GRAFT_REPLICATE  amplify the corpus K-fold with distinct shifted doc_ids
+                   so the job is long enough to measure scaling (default 200
+                   -> 1M docs at sf0.1). Deterministic, input unchanged.
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 then 32) on the same input and reports both throughputs plus
+efficiency = (T8/T32)/4 (BASELINE.md protocol; 1.0 = linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("GRAFT_REPLICATE", "200"))
+
+    import ray
+    import ray.data as rd
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import shutil
+
+    from dug_ray.io import spanify
+    from dug_ray.stages.annotate import ner_batch
+    from dug_ray.stages.canonicalize import build_concepts
+    from dug_ray.stages.expand import triples_partial
+    from dug_ray.stages.link import link_batch
+    from dug_ray.stages.materialize import materialize_graph
+    from dug_ray.stages.parse import parse_elements
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    # warm the page cache so scaling runs measure compute, not first disk read
+    with open(doc_path, "rb") as f:
+        f.read()
+
+    def read_docs():
+        """Deterministic K-fold amplification with DISTINCT doc_ids.
+
+        Each block is expanded in place to K shifted copies (doc_id +=
+        k * 10**6), so the amplified corpus behaves like K-times more
+        *distinct* documents — dedup/shuffle volumes scale honestly, unlike
+        replicating identical doc_ids."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        base = rd.read_parquet(doc_path,
+                               columns=["doc_id", "text", "lang", "source"],
+                               override_num_blocks=2 * ncpu)
+
+        def amplify(batch: pa.Table) -> pa.Table:
+            parts = []
+            for k in range(replicate):
+                parts.append(batch.set_column(
+                    batch.column_names.index("doc_id"), "doc_id",
+                    pc.add(batch["doc_id"], k * 10**6)))
+            return pa.concat_tables(parts)
+
+        return base.map_batches(amplify, batch_format="pyarrow", batch_size=None)
+
+    queries: dict[str, float] = {}
+    out_dir = f"/tmp/bench_out/kg_{ncpu}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # headline: full KG construction as ONE streaming pass (read -> spanify
+    # -> parse -> NER -> link -> triple combiner -> bucket scatter) + the
+    # per-bucket compact with exact dedup + sorted partitioned output
+    def linked_ds():
+        els = parse_elements(spanify(read_docs()))
+        return (els.map_batches(ner_batch, batch_format="pyarrow", batch_size=None)
+                .map_batches(link_batch, batch_format="pyarrow", batch_size=None))
+
+    t0 = time.time()
+    materialize_graph(triples_partial(linked_ds()), out_dir, dedup=True)
+    headline = time.time() - t0
+    queries["kg_full"] = round(headline, 3)
+
+    n_docs = 0
+    import duckdb
+    n_docs = duckdb.sql(f"SELECT count(*) FROM read_parquet('{doc_path}')").fetchone()[0] * replicate
+    n_triples = rd.read_parquet(out_dir).count()
+
+    # secondary pipeline: full concepts table (canonicalization shuffle)
+    t0 = time.time()
+    build_concepts(linked_ds()).to_pandas()
+    queries["concepts"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "replicate": replicate,
+        "docs": int(n_docs),
+        "triples": int(n_triples),
+        "docs_per_sec": round(n_docs / headline, 1),
+        "triples_per_sec": round(n_triples / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, "bench.py"], env=env, cwd=os.path.dirname(
+            os.path.abspath(__file__)), capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "sf": lo["sf"],
+        "docs": lo["docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -74,45 +74,72 @@ def chunk_offsets(n_chunks: int) -> np.ndarray:
     return c + c // MEDIA_EVERY
 
 
+def _excl_cumsum(a: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(a) + 1, dtype=np.int64)
+    np.cumsum(a, out=out[1:])
+    return out
+
+
 def _spanify_batch(batch: pa.Table) -> pa.Table:
-    """Vectorized-ish spanifier: one input doc row -> one interleaved-span row.
-
-    Tokenization is a pyarrow kernel; per-doc chunk assembly joins small
-    token slices (O(total tokens), one-shot parse work)."""
+    """Fully vectorized spanifier: one input doc row -> one interleaved-span
+    row. No Python loop over rows/tokens: tokenization, chunk assembly
+    (``binary_join`` over a re-windowed list array) and the media interleave
+    are all Arrow/numpy kernels."""
     tokens = pc.split_pattern(batch["text"], " ")
-    toks_np = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
-    doc_ids = batch["doc_id"].to_pylist()
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    flat = tokens.flatten()
+    n_tok = pc.list_value_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+    ndocs = len(batch)
 
-    spans_col = []
-    for row_idx in range(len(batch)):
-        words = toks_np[row_idx].as_py()
-        n_chunks = (len(words) + SPAN_TOKENS - 1) // SPAN_TOKENS
-        spans = []
-        offset = 0
-        for c in range(n_chunks):
-            chunk_text = " ".join(words[c * SPAN_TOKENS:(c + 1) * SPAN_TOKENS])
-            spans.append({"kind": "text", "text": chunk_text, "media_ref": "", "offset": offset})
-            offset += 1
-            if c % MEDIA_EVERY == MEDIA_EVERY - 1:
-                spans.append({
-                    "kind": "media", "text": "",
-                    "media_ref": f"media://{doc_ids[row_idx]}/{offset}",
-                    "offset": offset,
-                })
-                offset += 1
-        spans_col.append(spans)
+    # --- chunk windows of SPAN_TOKENS tokens per doc -----------------------
+    n_chunks = -(-n_tok // SPAN_TOKENS)  # ceil
+    doc_tok_start = _excl_cumsum(n_tok)
+    chunk_doc = np.repeat(np.arange(ndocs), n_chunks)
+    chunk_local = np.arange(len(chunk_doc)) - np.repeat(_excl_cumsum(n_chunks)[:-1], n_chunks)
+    chunk_starts = doc_tok_start[chunk_doc] + SPAN_TOKENS * chunk_local
+    chunk_offsets_arr = np.append(chunk_starts, doc_tok_start[-1]).astype(np.int64)
+    chunk_list = pa.LargeListArray.from_arrays(pa.array(chunk_offsets_arr), flat)
+    chunk_texts = pc.binary_join(chunk_list, " ")  # one string per text span
+
+    # --- interleave media spans (one after every MEDIA_EVERY text spans) ---
+    n_spans = n_chunks + n_chunks // MEDIA_EVERY
+    span_doc = np.repeat(np.arange(ndocs), n_spans)
+    local = np.arange(len(span_doc)) - np.repeat(_excl_cumsum(n_spans)[:-1], n_spans)
+    is_media = local % (MEDIA_EVERY + 1) == MEDIA_EVERY
+
+    text_col = np.empty(len(local), dtype=object)
+    text_col[~is_media] = chunk_texts.to_numpy(zero_copy_only=False)
+    text_col[is_media] = ""
+
+    doc_id_str = pc.cast(batch["doc_id"], pa.string())
+    doc_ids_np = doc_id_str.to_numpy(zero_copy_only=False)
+    media_ref = np.full(len(local), "", dtype=object)
+    mi = np.flatnonzero(is_media)
+    media_ref[mi] = [f"media://{d}/{o}" for d, o in
+                     zip(doc_ids_np[span_doc[mi]], local[mi])]
+
+    kind = np.where(is_media, "media", "text")
+    struct = pa.StructArray.from_arrays(
+        [pa.array(kind, type=pa.string()),
+         pa.array(text_col, type=pa.string()),
+         pa.array(media_ref, type=pa.string()),
+         pa.array(local, type=pa.int32())],
+        names=["kind", "text", "media_ref", "offset"])
+    spans = pa.ListArray.from_arrays(
+        pa.array(_excl_cumsum(n_spans), type=pa.int32()), struct)
 
     return pa.table({
-        "doc_id": pc.cast(batch["doc_id"], pa.string()),
+        "doc_id": doc_id_str,
         "lang": batch["lang"],
         "source": batch["source"],
-        "spans": pa.array(spans_col, type=pa.list_(SPAN_STRUCT)),
+        "spans": spans,
     })
 
 
 def spanify(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Flat documents -> interleaved-span documents (input_hint shape)."""
-    return docs.map_batches(_spanify_batch, batch_format="pyarrow")
+    return docs.map_batches(_spanify_batch, batch_format="pyarrow", batch_size=None)
 
 
 def flatten_spans(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -136,7 +163,7 @@ def flatten_spans(docs: ray.data.Dataset) -> ray.data.Dataset:
             "offset": flat.field("offset"),
         })
 
-    return docs.map_batches(_flat, batch_format="pyarrow")
+    return docs.map_batches(_flat, batch_format="pyarrow", batch_size=None)
 
 
 def read_interleaved(sf_dir: str) -> ray.data.Dataset:

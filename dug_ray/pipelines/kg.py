@@ -29,9 +29,22 @@ from dug_ray.stages.materialize import materialize_graph
 from dug_ray.stages.parse import parse_elements
 
 
-def linked_mentions_ds(sf_dir: str, **kwargs) -> ray.data.Dataset:
+def linked_mentions_ds(sf_dir: str, stateless: bool = True, **kwargs) -> ray.data.Dataset:
+    """documents -> linked mentions.
+
+    ``stateless=True`` (default) runs NER/link as elastic tasks whose state
+    is a per-worker-process singleton — measured faster than actor pools
+    here because pools re-spawn per execution (~50ms/task driver cost and
+    seconds of actor startup). Pass ``stateless=False`` to exercise the
+    actor-pool path (required when state must come from broadcast refs,
+    e.g. a real model checkpoint)."""
     docs = read_interleaved(sf_dir)
     elements = parse_elements(docs)
+    if stateless:
+        from dug_ray.stages.annotate import ner_batch
+        from dug_ray.stages.link import link_batch
+        mentions = elements.map_batches(ner_batch, batch_format="pyarrow", batch_size=None)
+        return mentions.map_batches(link_batch, batch_format="pyarrow", batch_size=None)
     mentions = annotate_elements(elements, **kwargs)
     return link_mentions(mentions)
 

@@ -114,7 +114,7 @@ def _norm(ds: ray.data.Dataset, int_cols: tuple[str, ...] = (),
                 i = batch.column_names.index(c)
                 batch = batch.set_column(i, c, pc.cast(batch[c], pa.int64()))
         return batch
-    return ds.map_batches(cast, batch_format="pyarrow")
+    return ds.map_batches(cast, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -349,7 +349,7 @@ def q_element_merge(sf_dir: str) -> ray.data.Dataset:
                .agg(identifiers=("canonical_curie", lambda s: "|".join(sorted(set(s))))))
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    partial = linked.map_batches(per_batch, batch_format="pyarrow")
+    partial = linked.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         from dug_ray.stages.canonicalize import _join_distinct
@@ -386,7 +386,7 @@ def q_topmed_join(sf_dir: str) -> ray.data.Dataset:
         return pa.Table.from_pandas(
             out[["element_id", "tag_pk", "title", "tag_desc"]], preserve_index=False)
 
-    return _norm(els.map_batches(join, batch_format="pyarrow"), int_cols=("tag_pk",))
+    return _norm(els.map_batches(join, batch_format="pyarrow", batch_size=None), int_cols=("tag_pk",))
 
 
 SQL_TOPMED_JOIN = _with(ontology.sql_cte("tags"), SQL_TOKS, SQL_CHUNKS) + """

@@ -20,7 +20,6 @@ collapses hot keys before the shuffle (SURVEY.md §4 skew row).
 
 from __future__ import annotations
 
-import zlib
 from typing import Callable
 
 import numpy as np
@@ -33,19 +32,25 @@ BUCKET_COL = "_bucket"
 
 
 def stable_bucket_array(keys: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
-    """crc32(key) % num_buckets as an int32 Arrow array."""
+    """Deterministic hash bucket of a string key as an int32 Arrow array.
+
+    Uses ``pandas.util.hash_array`` (vectorized SipHash with the fixed
+    default key — stable across processes; the env pins the pandas version,
+    which resume depends on). Hashing only the *distinct* values of the
+    batch via dictionary encoding keeps this O(unique) instead of O(rows)."""
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
-    vals = keys.to_pylist()
-    out = np.fromiter((zlib.crc32(v.encode()) % num_buckets for v in vals),
-                      dtype=np.int32, count=len(vals))
-    return pa.array(out)
+    enc = keys.dictionary_encode()
+    dict_hash = pd.util.hash_array(
+        np.asarray(enc.dictionary.to_pylist(), dtype=object)) % num_buckets
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    return pa.array(dict_hash[codes].astype(np.int32))
 
 
 def add_bucket(ds: ray.data.Dataset, key: str, num_buckets: int) -> ray.data.Dataset:
     def _b(batch: pa.Table) -> pa.Table:
         return batch.append_column(BUCKET_COL, stable_bucket_array(batch[key], num_buckets))
-    return ds.map_batches(_b, batch_format="pyarrow")
+    return ds.map_batches(_b, batch_format="pyarrow", batch_size=None)
 
 
 def bucketed_group_apply(
@@ -75,6 +80,6 @@ def distinct_rows(ds: ray.data.Dataset, cols: list[str], num_buckets: int = 64) 
         df = batch.select(cols).to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False).cast(batch.select(cols).schema)
 
-    partial = ds.map_batches(per_batch, batch_format="pyarrow")
+    partial = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
     return bucketed_group_apply(
         partial, cols[0], lambda df: df.drop_duplicates(), num_buckets)

@@ -71,15 +71,25 @@ class DictionaryNER:
         if isinstance(tokens, pa.ChunkedArray):
             tokens = tokens.combine_chunks()
         parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
-        flat = tokens.flatten().to_pandas()
+        flat = tokens.flatten()
         # 0-based position of each token within its span text (robust to any
         # non-zero list-array slice offset: recompute starts from lengths)
         lengths = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
         starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
         pos_in_span = np.arange(len(flat)) - starts[parent]
 
-        tok = pd.DataFrame({"_parent": parent, "_term": flat, "_pos": pos_in_span})
-        hits = tok.merge(self.lexicon, on="_term", how="inner", sort=False)
+        # dictionary-encode the token stream so the lexicon join is a cheap
+        # int-code merge on the (tiny) per-batch vocabulary instead of a
+        # string merge over millions of tokens
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vocab = pd.DataFrame({"_code": np.arange(len(enc.dictionary)),
+                              "_term": enc.dictionary.to_pandas()})
+        lex_codes = vocab.merge(self.lexicon, on="_term", how="inner", sort=False)
+        tok = pd.DataFrame({"_parent": parent, "_code": codes, "_pos": pos_in_span})
+        hits = tok.merge(lex_codes, on="_code", how="inner", sort=False)
         if len(hits) == 0:
             return pa.table({c: pa.array([], type=(pa.int32() if c in ("span_offset", "tok_pos")
                                                   else pa.float64() if c == "score" else pa.string()))
@@ -103,13 +113,43 @@ class DictionaryNER:
         })
 
 
-def annotate_elements(elements: ray.data.Dataset, *, concurrency: int | tuple = (1, 4),
-                      batch_size: int = 4096, lexicon_ref=None) -> ray.data.Dataset:
+_NER_SINGLETON: DictionaryNER | None = None
+
+
+def ner_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task form of the NER stage: state is a per-worker-process
+    singleton (worker processes are reused across tasks, so the lexicon is
+    built once per process — same amortization as an actor, but elastic
+    task scheduling and no pool spin-up per execution). Use the actor-pool
+    form when the state must come from a broadcast object ref."""
+    global _NER_SINGLETON
+    if _NER_SINGLETON is None:
+        _NER_SINGLETON = DictionaryNER()
+    return _NER_SINGLETON(batch)
+
+
+def default_pool_size(frac: float = 1.0) -> int:
+    """Fixed actor-pool size as a fraction of cluster CPUs.
+
+    Fixed (not autoscaling (1, N)): the streaming executor ramps autoscaled
+    pools on backlog *gradually*, which leaves most cores idle for the first
+    tens of seconds — measured <40% utilization on short jobs. All actors
+    start up front; ``frac`` splits the node between pools that run
+    concurrently in one pipeline."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 - before init, fall back
+        ncpu = 8
+    return max(2, int(ncpu * frac))
+
+
+def annotate_elements(elements: ray.data.Dataset, *, concurrency: int | tuple | None = None,
+                      batch_size: int | None = None, lexicon_ref=None) -> ray.data.Dataset:
     """elements -> candidate mentions via the NER actor pool."""
     return elements.map_batches(
         DictionaryNER,
         fn_constructor_kwargs={"lexicon_ref": lexicon_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or default_pool_size(0.6),
     )

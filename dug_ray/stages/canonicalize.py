@@ -54,7 +54,13 @@ def _join_distinct(values) -> str:
 
 
 def partial_concepts(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: mentions -> partial concept rows."""
+    """Per-batch combiner: mentions -> partial concept metadata rows.
+
+    All set logic is C-level (``drop_duplicates`` then per-group joins over
+    the already-unique pairs); element membership is deliberately NOT
+    carried here — a hot concept's element list is unbounded (a single
+    partial string would be GBs at corpus scale), so ``n_elements`` comes
+    from the separate distinct-pair count in ``build_concepts``."""
     df = batch.to_pandas()
     # doc_id is a string; order on the numeric value for the first-wins key
     df["_doc_num"] = pd.to_numeric(df["doc_id"])
@@ -68,10 +74,15 @@ def partial_concepts(batch: pa.Table) -> pa.Table:
         n_mentions=("curie", "size"),
         first_doc_id=("_doc_num", "first"),
         first_tok_pos=("tok_pos", "first"),
-        terms=("term", lambda s: "|".join(sorted(set(s)))),
-        identifiers=("curie", lambda s: "|".join(sorted(set(s)))),
-        elements=("element_id", lambda s: "|".join(sorted(set(s)))),
-    ).reset_index().rename(columns={"canonical_curie": "concept_id"})
+    ).reset_index()
+    terms = (df[["canonical_curie", "term"]].drop_duplicates()
+             .sort_values("term").groupby("canonical_curie")["term"]
+             .agg("|".join).rename("terms"))
+    ids = (df[["canonical_curie", "curie"]].drop_duplicates()
+           .sort_values("curie").groupby("canonical_curie")["curie"]
+           .agg("|".join).rename("identifiers"))
+    out = out.merge(terms, on="canonical_curie").merge(ids, on="canonical_curie")
+    out = out.rename(columns={"canonical_curie": "concept_id"})
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -93,7 +104,6 @@ def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
         terms=("terms", _join_distinct),
         identifiers=("identifiers", _join_distinct),
         synonyms=("synonyms", _join_distinct),
-        elements=("elements", _join_distinct),
     )
     # concept search_terms = union over identifiers of search_text + synonyms,
     # sorted distinct (parsers/_base.py:116-121, A2)
@@ -101,9 +111,28 @@ def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
         "|".join(sorted(set(t.split("|")) | (set(s.split("|")) if s else set())))
         for t, s in zip(out["terms"], out["synonyms"])
     ]
-    out["n_elements"] = [e.count("|") + 1 if e else 0 for e in out["elements"]]
     out["n_mentions"] = out["n_mentions"].astype("int64")
-    return out[CONCEPT_COLUMNS]
+    return out
+
+
+def element_counts(linked: ray.data.Dataset, num_buckets: int = 32) -> ray.data.Dataset:
+    """Exact distinct-(concept, element) counts per concept in one shuffle:
+    per-batch pair dedup (combiner) -> bucket by concept -> per-bucket
+    dedup + size. Output: concept_id, n_elements."""
+    from dug_ray.shuffle import bucketed_group_apply
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["canonical_curie", "element_id"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = linked.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.drop_duplicates().groupby("canonical_curie").size()
+               .rename("n_elements").reset_index())
+        return out.rename(columns={"canonical_curie": "concept_id"})
+
+    return bucketed_group_apply(pairs, "canonical_curie", per_bucket, num_buckets)
 
 
 def build_concepts(linked: ray.data.Dataset, num_buckets: int = 16) -> ray.data.Dataset:
@@ -111,10 +140,20 @@ def build_concepts(linked: ray.data.Dataset, num_buckets: int = 16) -> ray.data.
 
     The partial combiner collapses hot CURIEs per batch before the shuffle;
     the final merge runs vectorized per hash bucket of the concept key
-    (see dug_ray.shuffle for why not per-group map_groups)."""
+    (see dug_ray.shuffle for why not per-group map_groups). ``n_elements``
+    joins in from the distinct-pair count; the counts table is bounded by
+    ontology size, so it is collected and broadcast into the final map."""
     from dug_ray.shuffle import bucketed_group_apply
-    partials = linked.map_batches(partial_concepts, batch_format="pyarrow")
-    return bucketed_group_apply(partials, "concept_id", merge_partials, num_buckets)
+    partials = linked.map_batches(partial_concepts, batch_format="pyarrow", batch_size=None)
+    meta = bucketed_group_apply(partials, "concept_id", merge_partials, num_buckets)
+    counts = {r["concept_id"]: r["n_elements"] for r in element_counts(linked).take_all()}
+
+    def attach(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_elements"] = df["concept_id"].map(counts).fillna(0).astype("int64")
+        return pa.Table.from_pandas(df[CONCEPT_COLUMNS], preserve_index=False)
+
+    return meta.map_batches(attach, batch_format="pyarrow", batch_size=None)
 
 
 def element_terms(linked: ray.data.Dataset, concepts: ray.data.Dataset) -> ray.data.Dataset:
@@ -136,7 +175,7 @@ def element_terms(linked: ray.data.Dataset, concepts: ray.data.Dataset) -> ray.d
                       concepts=("canonical_curie", lambda s: "|".join(sorted(set(s))))))
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    partial = linked.map_batches(per_batch, batch_format="pyarrow")
+    partial = linked.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return (df.groupby(["element_id", "collection_id"], as_index=False)

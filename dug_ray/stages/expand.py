@@ -63,6 +63,14 @@ def _valid_edges() -> pd.DataFrame:
     return e.reset_index(drop=True)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _valid_edges_cached() -> pd.DataFrame:
+    return _valid_edges()
+
+
 def expand_concepts(concepts: ray.data.Dataset, edges_ref=None) -> ray.data.Dataset:
     """concepts -> expansion triples (broadcast join on canonical CURIE)."""
 
@@ -78,6 +86,91 @@ def expand_concepts(concepts: ray.data.Dataset, edges_ref=None) -> ray.data.Data
             return pa.Table.from_pandas(out, preserve_index=False).cast(TRIPLE_SCHEMA)
 
     return concepts.map_batches(Expander, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def expand_partial(linked: ray.data.Dataset, edges_ref=None) -> ray.data.Dataset:
+    """Expansion triples straight off the mention stream (combiner form).
+
+    Per batch: unique canonical CURIEs -> broadcast edge merge. The same
+    concept appearing in many batches re-emits its (few) edges; exact
+    dedup happens in the ``materialize_graph(dedup=True)`` subject-bucket
+    shuffle — so the headline pipeline pays ZERO extra exchange for
+    expansion (vs. building the full concepts table first)."""
+
+    class Expander:
+        def __init__(self):
+            self.edges = ray.get(edges_ref) if edges_ref is not None else _valid_edges()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            uniq = pc.unique(batch["canonical_curie"]).to_pandas()
+            hit = self.edges[self.edges["subj"].isin(set(uniq))]
+            out = hit[["subj", "pred", "obj", "obj_name", "source_query"]]
+            return pa.Table.from_pandas(out, preserve_index=False).cast(TRIPLE_SCHEMA)
+
+    return linked.map_batches(Expander, batch_format="pyarrow", batch_size=None,
+                              concurrency=(1, 2))
+
+
+def triples_partial(linked: ray.data.Dataset, edges_ref=None) -> ray.data.Dataset:
+    """One-pass combiner: linked mentions -> (annotates pairs U expansion
+    triples), emitted per batch in a single stage.
+
+    This keeps the headline pipeline a SINGLE streaming pass — no
+    ``materialize()`` of the mention table and no branch re-execution; the
+    only exchange left is the scatter/compact of materialize_graph, where
+    cross-batch duplicates are exactly deduped. Projects to the two needed
+    columns before building triples, so nothing wider than (subj, obj)
+    moves."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        # stateless task (elastic); the edge table is tiny here and cached
+        # per worker process — at real KG scale this becomes an actor pool
+        # holding the broadcast edge table (edges_ref)
+        edges = ray.get(edges_ref) if edges_ref is not None else _valid_edges_cached()
+        df = batch.select(["canonical_curie", "element_id"]).to_pandas().drop_duplicates()
+        n = len(df)
+        # dictionary-encode the low-cardinality columns: they are shuffle
+        # payload; codes move ~10x fewer bytes than repeated strings
+        ann = pa.table({
+            "subj": pa.array(df["canonical_curie"], type=pa.string()).dictionary_encode(),
+            "pred": pa.nulls(n, pa.string()).fill_null("dug:annotates").dictionary_encode(),
+            "obj": pa.array(df["element_id"], type=pa.string()),
+            "obj_name": pa.nulls(n, pa.string()).fill_null("").dictionary_encode(),
+            "source_query": pa.nulls(n, pa.string()).fill_null("annotation").dictionary_encode(),
+        })
+        uniq = set(df["canonical_curie"].unique())
+        hit = edges[edges["subj"].isin(uniq)]
+        exp = pa.table({
+            "subj": pa.array(hit["subj"], type=pa.string()).dictionary_encode(),
+            "pred": pa.array(hit["pred"], type=pa.string()).dictionary_encode(),
+            "obj": pa.array(hit["obj"], type=pa.string()),
+            "obj_name": pa.array(hit["obj_name"], type=pa.string()).dictionary_encode(),
+            "source_query": pa.array(hit["source_query"], type=pa.string()).dictionary_encode(),
+        })
+        return pa.concat_tables([exp, ann], promote_options="default")
+
+    return linked.map_batches(emit, batch_format="pyarrow", batch_size=None)
+
+
+def annotates_partial(linked: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-batch-distinct annotates triples (the combiner only).
+
+    May contain cross-batch duplicates of a (concept, element) pair; exact
+    global dedup is fused into the subject-bucket shuffle of
+    ``materialize_graph(dedup=True)`` — one exchange instead of two."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["canonical_curie", "element_id"]].drop_duplicates()
+        n = len(df)
+        return pa.table({
+            "subj": pa.array(df["canonical_curie"], type=pa.string()),
+            "pred": pa.nulls(n, pa.string()).fill_null("dug:annotates"),
+            "obj": pa.array(df["element_id"], type=pa.string()),
+            "obj_name": pa.nulls(n, pa.string()).fill_null(""),
+            "source_query": pa.nulls(n, pa.string()).fill_null("annotation"),
+        })
+
+    return linked.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
 
 def annotates_edges(linked: ray.data.Dataset) -> ray.data.Dataset:
@@ -101,7 +194,7 @@ def annotates_edges(linked: ray.data.Dataset) -> ray.data.Dataset:
             "source_query": pa.nulls(n, pa.string()).fill_null("annotation"),
         })
 
-    return pairs.map_batches(to_triples, batch_format="pyarrow")
+    return pairs.map_batches(to_triples, batch_format="pyarrow", batch_size=None)
 
 
 def cast_elements_from_triples(triples: ray.data.Dataset,
@@ -127,7 +220,7 @@ def cast_elements_from_triples(triples: ray.data.Dataset,
         })
 
     # distinct across blocks: same HEALCDE obj may arrive from many concepts
-    casted = triples.map_batches(per_batch, batch_format="pyarrow")
+    casted = triples.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
     def dedup(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values("collection_id", kind="mergesort").head(1)

@@ -57,33 +57,40 @@ class LinkNormalize:
                  threshold: float = ontology.LINKER_SCORE_THRESHOLD,
                  greenlist: list[str] | None = None):
         norm = ray.get(normalizer_ref) if normalizer_ref is not None else ontology.normalizer_df()
-        self.normalizer = norm
-        self.synonyms = ray.get(synonyms_ref) if synonyms_ref is not None else _synonyms_joined()
+        synonyms = ray.get(synonyms_ref) if synonyms_ref is not None else _synonyms_joined()
         self.threshold = threshold
-        self.greenlist = set(ontology.ONTOLOGY_GREENLIST if greenlist is None else greenlist)
-        self.purl_map = ontology.PURL_MAP
+        greenset = set(ontology.ONTOLOGY_GREENLIST if greenlist is None else greenlist)
+        # The whole normalize+rescue+synonym+purl chain is a static function
+        # of the raw CURIE (given the broadcast tables), so it is resolved
+        # ONCE here into a composite lookup — one hash merge per batch
+        # instead of two string merges + per-row maps. The NER label/category
+        # feed the rescue path, so the composite is keyed on (curie, label,
+        # category) tuples taken from the lexicon (the only producers).
+        syn_map = dict(zip(synonyms["curie"], synonyms["synonyms"]))
+        rows = []
+        lex = ontology.lexicon_df().drop_duplicates(subset=["curie"])
+        norm_map = {r["curie"]: r for _, r in norm.iterrows()}
+        for _, lrow in lex.iterrows():
+            curie = lrow["curie"]
+            n = norm_map.get(curie)
+            if n is not None and isinstance(n["preferred_curie"], str):
+                canonical, name, typ = n["preferred_curie"], n["preferred_label"], n["preferred_type"]
+            elif curie.partition(":")[0] in greenset:
+                canonical, name, typ = curie, lrow["label"], lrow["category"]
+            else:
+                continue  # normalization failure outside greenlist -> dropped
+            rows.append({
+                "curie": curie, "canonical_curie": canonical, "name": name,
+                "type": typ, "synonyms": syn_map.get(canonical, ""),
+                "purl": ontology.purl_for(canonical),
+            })
+        self.resolved = pd.DataFrame(rows)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        batch = batch.filter(pc.greater_equal(batch["score"], self.threshold))
         df = batch.to_pandas()
-        # M6 threshold filter
-        df = df[df["score"] >= self.threshold]
-        # J3 normalization merge
-        df = df.merge(self.normalizer, on="curie", how="left", sort=False)
-        prefix = df["curie"].str.partition(":")[0]
-        rescued = df["preferred_curie"].isna() & prefix.isin(self.greenlist)
-        df = df[df["preferred_curie"].notna() | rescued].copy()
-        failed = df["preferred_curie"].isna()
-        df["canonical_curie"] = df["preferred_curie"].where(~failed, df["curie"])
-        df["name"] = df["preferred_label"].where(~failed, df["label"])
-        df["type"] = df["preferred_type"].where(~failed, df["category"])
-        # J4 synonym merge (on canonical id)
-        df = df.merge(self.synonyms, left_on="canonical_curie", right_on="curie",
-                      how="left", sort=False, suffixes=("", "_syn"))
-        df["synonyms"] = df["synonyms"].fillna("")
-        # M11 PURL from canonical prefix
-        can_prefix = df["canonical_curie"].str.partition(":")
-        bases = can_prefix[0].map(self.purl_map)
-        df["purl"] = (bases + can_prefix[2]).where(bases.notna(), "")
+        df = df.merge(self.resolved, on="curie", how="inner", sort=False)
         out = df[LINKED_COLUMNS]
         return pa.Table.from_pandas(out, preserve_index=False).cast(pa.schema([
             ("doc_id", pa.string()), ("element_id", pa.string()),
@@ -96,13 +103,25 @@ class LinkNormalize:
         ]))
 
 
-def link_mentions(mentions: ray.data.Dataset, *, concurrency: int | tuple = (1, 4),
-                  batch_size: int = 8192, **actor_kwargs) -> ray.data.Dataset:
+_LINK_SINGLETON: LinkNormalize | None = None
+
+
+def link_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task form of the linker (see annotate.ner_batch)."""
+    global _LINK_SINGLETON
+    if _LINK_SINGLETON is None:
+        _LINK_SINGLETON = LinkNormalize()
+    return _LINK_SINGLETON(batch)
+
+
+def link_mentions(mentions: ray.data.Dataset, *, concurrency: int | tuple | None = None,
+                  batch_size: int | None = None, **actor_kwargs) -> ray.data.Dataset:
     """candidate mentions -> linked (canonicalized) mentions."""
+    from dug_ray.stages.annotate import default_pool_size
     return mentions.map_batches(
         LinkNormalize,
         fn_constructor_kwargs=actor_kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or default_pool_size(0.35),
     )

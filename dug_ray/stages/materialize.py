@@ -2,38 +2,119 @@
 
 Replaces dug's three Elasticsearch indices (``/root/reference/src/dug/core/
 index.py:55-246``, SURVEY.md §2.1 S18) with the north star's serving layer:
-a **sorted triple table partitioned by canonical subject**. ``ds.sort('subj')``
-is the range-partition shuffle; the write emits one parquet directory per
-subject hash bucket so that (a) a reader can prune to a subject's bucket and
-(b) a killed run resumes per-bucket (see state/manifest.py).
+a **sorted triple table partitioned by canonical subject**, written by a
+two-phase scatter/compact exchange with a per-bucket lineage manifest so
+that (a) a reader can prune to a subject's bucket and (b) a killed run
+resumes per-bucket without recomputing completed fragments (see
+state/manifest.py).
 """
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
-import pyarrow.compute as pc
+import ray
 import ray.data
 
 
-def add_subj_bucket(triples: ray.data.Dataset, num_buckets: int = 16) -> ray.data.Dataset:
-    """Stable hash bucket of the subject CURIE (not Python hash(): must be
-    deterministic across processes for resume)."""
+def add_subj_bucket(triples: ray.data.Dataset, num_buckets: int = 16,
+                    salt: int = 1) -> ray.data.Dataset:
+    """Stable partition key: ``hash(subj) % num_buckets`` hot-key-salted by
+    ``hash(obj) % salt`` (north-star skew handling: a ubiquitous concept's
+    triples split into ``salt`` independently processable partitions; a
+    subject lookup scans its bucket's ``salt`` files). Deterministic across
+    processes (see shuffle.stable_bucket_array) — required for resume.
+    Exact dedup is preserved: duplicate triples share subj AND obj, hence
+    the same salted key."""
+    from dug_ray.shuffle import stable_bucket_array
 
     def _bucket(batch: pa.Table) -> pa.Table:
-        import zlib
         import numpy as np
-        subs = batch["subj"].to_pylist()
-        b = np.fromiter((zlib.crc32(s.encode()) % num_buckets for s in subs),
-                        dtype=np.int32, count=len(subs))
-        return batch.append_column("subj_bucket", pa.array(b))
+        b = stable_bucket_array(batch["subj"], num_buckets).to_numpy(zero_copy_only=False)
+        if salt > 1:
+            s = stable_bucket_array(batch["obj"], salt).to_numpy(zero_copy_only=False)
+            key = b.astype(np.int64) * salt + s
+        else:
+            key = b.astype(np.int64)
+        return batch.append_column("subj_bucket", pa.array(key.astype(np.int32)))
 
-    return triples.map_batches(_bucket, batch_format="pyarrow")
+    return triples.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
 
 
 def materialize_graph(triples: ray.data.Dataset, out_dir: str,
-                      num_buckets: int = 16) -> str:
-    """Sort by subj and write hive-partitioned by subject bucket."""
-    bucketed = add_subj_bucket(triples, num_buckets)
-    bucketed.sort(["subj", "pred", "obj"]).write_parquet(
-        out_dir, partition_cols=["subj_bucket"])
+                      num_buckets: int = 64, dedup: bool = True,
+                      resume: bool = True, salt: int = 8) -> str:
+    """Subject-partitioned, within-partition-sorted triple table.
+
+    One ``groupby(subj_bucket)`` exchange through the (shm-backed) object
+    store; each group task exact-dedups (duplicates of a triple share subj
+    AND obj, hence the same salted partition), sorts by (subj, pred, obj)
+    and atomically writes its ``part-{bucket}.parquet`` + a manifest entry
+    (state/manifest.py). The salted key (see add_subj_bucket) splits hot
+    subjects across ``salt`` partitions — the skew defense the north star
+    calls out for ubiquitous concepts.
+
+    Resume: partitions in the manifest are filtered OUT of the shuffle (a
+    broadcast anti-filter) and their files are never rewritten — a killed
+    run redoes upstream compute for pending partitions only. (Avoiding
+    upstream recompute entirely is the input-shard runner's job, which
+    checkpoints linked mentions per shard.) A global cross-bucket order is
+    not needed: the serving contract (north star) is "partitioned by
+    canonical subject, sorted" — readers prune to a subject's bucket and
+    merge its ``salt`` sorted files."""
+    import pandas as pd
+
+    from dug_ray.state.manifest import PartitionManifest, atomic_write_parquet
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = PartitionManifest(out_dir)
+    done = manifest.completed_buckets() if resume else set()
+    n_parts = num_buckets * salt
+
+    bucketed = add_subj_bucket(triples, num_buckets, salt=salt)
+    if done:
+        done_list = sorted(done)
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            mask = pc.invert(pc.is_in(batch["subj_bucket"],
+                                      value_set=pa.array(done_list, pa.int32())))
+            return batch.filter(mask)
+
+        bucketed = bucketed.map_batches(drop_done, batch_format="pyarrow", batch_size=None)
+
+    def write_partition(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["subj_bucket"].iloc[0])
+        df = df.drop(columns=["subj_bucket"])
+        # dictionary-encoded shuffle columns arrive as pandas categoricals
+        # whose sort order is insertion order — re-type for a true
+        # lexicographic (subj, pred, obj) sort
+        for c in df.columns:
+            if isinstance(df[c].dtype, pd.CategoricalDtype):
+                df[c] = df[c].astype(object)
+        if dedup:
+            df = df.drop_duplicates(subset=["subj", "pred", "obj"])
+        df = df.sort_values(["subj", "pred", "obj"], kind="mergesort")
+        final = os.path.join(out_dir, f"part-{b:05d}.parquet")
+        # side-effect write is idempotent: tmp-file + rename; a task retry
+        # simply replaces the file with identical content
+        atomic_write_parquet(pa.Table.from_pandas(df, preserve_index=False), final)
+        return pd.DataFrame([{"bucket": b, "rows": len(df), "path": final}])
+
+    stats = (bucketed.groupby("subj_bucket")
+             .map_groups(write_partition, batch_format="pandas")
+             .to_pandas())
+    items = [(int(r["bucket"]), int(r["rows"]), r["path"]) for _, r in stats.iterrows()]
+    # partitions with no rows at all: mark done so resume skips them too
+    seen = {i[0] for i in items} | done
+    items += [(b, 0, "") for b in range(n_parts) if b not in seen]
+    manifest.mark_done_many(items)
     return out_dir
+
+
+def read_graph(out_dir: str) -> ray.data.Dataset:
+    """Read the materialized triple table (final parts only)."""
+    import glob
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    return ray.data.read_parquet(parts)

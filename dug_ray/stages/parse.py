@@ -79,4 +79,4 @@ def parse_elements(docs: ray.data.Dataset, data_type: str = "dbgap") -> ray.data
         raise ValueError(f"unknown parser brand {data_type!r}")
     flat = flatten_spans(docs)
     return flat.map_batches(
-        lambda b: elements_from_spans(b, data_type), batch_format="pyarrow")
+        lambda b: elements_from_spans(b, data_type), batch_format="pyarrow", batch_size=None)
