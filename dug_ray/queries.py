@@ -479,3 +479,331 @@ ORACLES = {
     "program_list": SQL_PROGRAM_LIST,
     "collections_first": SQL_COLLECTIONS_FIRST,
 }
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text analysis / multimodal
+# ---------------------------------------------------------------------------
+
+SQL_SHINGLES = """
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           term || ' ' || lead(term) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE shingle IS NOT NULL
+)"""
+
+
+def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    from dug_ray.stages.dedup import exact_dedup
+    return exact_dedup(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+SQL_DEDUP_EXACT = ("SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, "
+                   "count(*) AS n_copies FROM documents GROUP BY text")
+
+
+def q_ngram_pairs(sf_dir: str) -> ray.data.Dataset:
+    from dug_ray.stages.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+SQL_NGRAM_PAIRS = _with(SQL_TOKS, SQL_SHINGLES) + """,
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b, inter,
+       CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+FROM pairs
+JOIN cnt ca ON ca.doc_id = doc_id_a
+JOIN cnt cb ON cb.doc_id = doc_id_b
+WHERE inter >= 2"""
+
+
+def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    from dug_ray.stages.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+SQL_MINHASH_PAIRS = _with(SQL_TOKS, SQL_SHINGLES) + """,
+mh AS (
+  SELECT doc_id, g.i,
+         min(substr(md5(CAST(g.i AS VARCHAR) || ':' || shingle), 1, 16)) AS h
+  FROM sh CROSS JOIN generate_series(0, 11) AS g(i)
+  GROUP BY doc_id, g.i),
+bands AS (
+  SELECT doc_id, i // 4 AS b, md5(string_agg(h, '' ORDER BY i)) AS band_hash
+  FROM mh GROUP BY doc_id, i // 4)
+SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+       count(DISTINCT x.b) AS n_bands
+FROM bands x
+JOIN bands y ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+GROUP BY 1, 2"""
+
+
+def q_simhash(sf_dir: str) -> ray.data.Dataset:
+    from dug_ray.stages.dedup import simhash_fingerprints
+    return simhash_fingerprints(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+SQL_SIMHASH = _with(SQL_TOKS) + """,
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+bits AS (
+  SELECT doc_id, d.d,
+         CASE WHEN sum(strpos('0123456789abcdef', substr(md5(term), d.d + 1, 1))
+                       - 1 - 7.5) > 0 THEN 1 ELSE 0 END AS bit
+  FROM dt CROSS JOIN generate_series(0, 15) AS d(d)
+  GROUP BY doc_id, d.d)
+SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << d)) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id"""
+
+
+def q_text_quality(sf_dir: str) -> ray.data.Dataset:
+    from dug_ray.stages.textstats import text_quality
+    return text_quality(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+SQL_TEXT_QUALITY = _with(SQL_TOKS) + """,
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_types,
+         CAST(sum(CASE WHEN term IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+         sum(length(term)) AS sum_len
+  FROM toks GROUP BY doc_id)
+SELECT a.doc_id, a.n_tokens, a.n_types, a.n_stopwords,
+       CAST(a.n_stopwords AS DOUBLE) / a.n_tokens AS stopword_ratio,
+       CAST(a.n_types AS DOUBLE) / a.n_tokens AS distinct_ratio,
+       CAST(a.sum_len AS DOUBLE) / a.n_tokens AS avg_token_len,
+       length(d.text) AS n_chars
+FROM agg a JOIN documents d USING (doc_id)"""
+
+
+def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    from dug_ray.stages.textstats import fingerprints
+    return fingerprints(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+SQL_FINGERPRINTS = _with(SQL_TOKS, SQL_SHINGLES) + """,
+hs AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS h FROM sh),
+ranked AS (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+           FROM hs),
+mins AS (SELECT doc_id, string_agg(h, '|' ORDER BY h) AS min_shingles
+         FROM ranked WHERE rn <= 4 GROUP BY doc_id)
+SELECT d.doc_id, md5(d.text) AS content_hash,
+       COALESCE(m.min_shingles, '') AS min_shingles
+FROM documents d LEFT JOIN mins m USING (doc_id)"""
+
+
+def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
+    from dug_ray.stages.similarity import ann_topk
+    return ann_topk(sf_dir)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 4),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 4),
+s AS (SELECT q.qid, c.vec_id, list_cosine_similarity(q.e, c.e) AS cos FROM q, c),
+r AS (SELECT qid AS query_id, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, rank FROM r WHERE rank <= 10"""
+
+
+def q_embed_neardup(sf_dir: str) -> ray.data.Dataset:
+    from dug_ray.stages.similarity import neardup_pairs
+    return neardup_pairs(sf_dir)
+
+
+SQL_EMBED_NEARDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) > 0.4"""
+
+
+def q_lsh_ann(sf_dir: str) -> ray.data.Dataset:
+    """Approximate ANN (engine-only; rows-only driver check)."""
+    from dug_ray.stages.similarity import lsh_ann_topk
+    return lsh_ann_topk(sf_dir)
+
+
+def q_langid(sf_dir: str) -> ray.data.Dataset:
+    """Char-trigram language ID (engine-only; rows-only driver check)."""
+    from dug_ray.stages.textstats import langid
+    return langid(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_events_window(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling hourly window per user over the events stream table
+    (streaming-shaped workload; ordering carried by ts — SURVEY.md §2.9).
+    Integer milli-sums for bit-exact cross-engine floats."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour_epoch"] = ((df["ts"].dt.floor("h") - pd.Timestamp(0))
+                            // pd.Timedelta(seconds=1)).astype("int64")
+        df["milli"] = (df["value"] * 1000).round().astype("int64")
+        g = df.groupby(["user_id", "hour_epoch"], as_index=False).agg(
+            n_events=("value", "size"), sum_value_milli=("milli", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(batch["user_id"], pa.string()),
+            pc.cast(batch["hour_epoch"], pa.string()), "_")
+        return batch.append_column("wkey", k)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "hour_epoch"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value_milli=("sum_value_milli", "sum"))
+
+    keyed = partial.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+    out = bucketed_group_apply(
+        keyed, "wkey", lambda df: merge(df.drop(columns=["wkey"])), 16)
+    return _norm(out, int_cols=("user_id", "hour_epoch", "n_events", "sum_value_milli"))
+
+
+SQL_EVENTS_WINDOW = """
+SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events GROUP BY 1, 2"""
+
+
+def q_media_metadata(sf_dir: str) -> ray.data.Dataset:
+    from dug_ray.stages.multimodal import media_metadata
+    return media_metadata(read_interleaved(sf_dir))
+
+
+SQL_MEDIA_METADATA = _with(SQL_TOKS) + """,
+tc AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+x AS (SELECT doc_id, CAST(ceil(n_tok / 8.0) AS BIGINT) AS n_text FROM tc),
+m AS (SELECT doc_id, 3 * t.j + 2 AS "offset"
+      FROM x, LATERAL (SELECT unnest(generate_series(0, CAST(n_text // 2 AS BIGINT) - 1)) AS j) t),
+mm AS (SELECT doc_id, "offset",
+              'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST("offset" AS VARCHAR) AS media_ref
+       FROM m)
+SELECT doc_id, "offset", media_ref,
+       CASE WHEN (("offset" - 2) // 3) % 2 = 0 THEN 'image' ELSE 'audio' END AS media_kind,
+       64 + length(media_ref) * 7 AS width,
+       64 + length(media_ref) * 13 AS height
+FROM mm"""
+
+
+def q_concept_inheritance(sf_dir: str) -> ray.data.Dataset:
+    """J2 (crawler.py:128-142): an element inherits, from each of its
+    concepts, the concept's raw identifiers that are THEMSELVES canonical
+    concepts present in the corpus (2-hop join; small side broadcast)."""
+    linked = kg.linked_mentions_ds(sf_dir)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["element_id", "canonical_curie", "curie"]]
+        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
+
+    trip = linked.map_batches(per_batch, batch_format="pyarrow", batch_size=None).materialize()
+    pairs = trip.to_pandas().drop_duplicates()
+    present = set(pairs["canonical_curie"].unique())
+    conc_ids = pairs[["canonical_curie", "curie"]].drop_duplicates()
+    inh_map = (conc_ids[conc_ids["curie"].isin(present)]
+               .groupby("canonical_curie")["curie"].agg(set).to_dict())
+
+    def inherit(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["element_id", "canonical_curie"]].drop_duplicates()
+        df["inh"] = df["canonical_curie"].map(lambda c: inh_map.get(c, set()))
+        g = (df.groupby("element_id")["inh"]
+             .agg(lambda sets: "|".join(sorted(set().union(*sets)))).reset_index()
+             .rename(columns={"inh": "inherited"}))
+        g = g[g["inherited"] != ""]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = trip.map_batches(inherit, batch_format="pyarrow", batch_size=None)
+    from dug_ray.stages.canonicalize import _join_distinct
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("element_id", as_index=False).agg(
+            inherited=("inherited", _join_distinct))
+
+    return bucketed_group_apply(out, "element_id", merge, 16)
+
+
+SQL_CONCEPT_INHERITANCE = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+conc_ids AS (SELECT DISTINCT canonical_curie, curie FROM linked_full),
+present AS (SELECT DISTINCT canonical_curie FROM linked_full),
+ec AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+inh AS (
+  SELECT DISTINCT ec.element_id, ci.curie AS c
+  FROM ec JOIN conc_ids ci USING (canonical_curie)
+  JOIN present p ON p.canonical_curie = ci.curie)
+SELECT element_id, string_agg(c, '|' ORDER BY c) AS inherited
+FROM inh GROUP BY element_id"""
+
+
+def q_elements_branded(sf_dir: str) -> ray.data.Dataset:
+    """S5: branded parser variant (same parse, different data_type)."""
+    els = parse_elements(read_interleaved(sf_dir), data_type="anvil")
+    return _norm(els, int_cols=("span_offset", "chunk_idx"), str_to_int=("doc_id",))
+
+
+SQL_ELEMENTS_BRANDED = SQL_ELEMENTS.replace("'dbgap' AS data_type", "'anvil' AS data_type")
+
+
+def q_facet_grouped(sf_dir: str) -> ray.data.Dataset:
+    """A12-style grouped facet counts over two keys."""
+    ds = read_documents(sf_dir, columns=["doc_id", "lang", "source", "n_chars"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+
+    out = bucketed_group_apply(ds, "lang", per_bucket, 8)
+    return _norm(out, int_cols=("n_docs", "sum_chars"))
+
+
+SQL_FACET_GROUPED = ("SELECT lang, source, count(*) AS n_docs, "
+                     "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY 1, 2")
+
+
+QUERIES.update({
+    "dedup_exact": q_dedup_exact,
+    "ngram_pairs": q_ngram_pairs,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "text_quality": q_text_quality,
+    "fingerprints": q_fingerprints,
+    "ann_topk": q_ann_topk,
+    "embed_neardup": q_embed_neardup,
+    "lsh_ann": q_lsh_ann,
+    "langid": q_langid,
+    "events_window": q_events_window,
+    "media_metadata": q_media_metadata,
+    "concept_inheritance": q_concept_inheritance,
+    "elements_branded": q_elements_branded,
+    "facet_grouped": q_facet_grouped,
+})
+
+ORACLES.update({
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_pairs": SQL_NGRAM_PAIRS,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "text_quality": SQL_TEXT_QUALITY,
+    "fingerprints": SQL_FINGERPRINTS,
+    "ann_topk": SQL_ANN_TOPK,
+    "embed_neardup": SQL_EMBED_NEARDUP,
+    "events_window": SQL_EVENTS_WINDOW,
+    "media_metadata": SQL_MEDIA_METADATA,
+    "concept_inheritance": SQL_CONCEPT_INHERITANCE,
+    "elements_branded": SQL_ELEMENTS_BRANDED,
+    "facet_grouped": SQL_FACET_GROUPED,
+    # lsh_ann, langid: engine-only (approximate / heuristic) -> rows-only
+})

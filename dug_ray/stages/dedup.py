@@ -1,0 +1,277 @@
+"""Deduplication operators over the documents table.
+
+Beyond-reference training-data ops (the reference has only exact set-dedup,
+SURVEY.md §2.7): exact content dedup, n-gram Jaccard near-dup, MinHash+LSH,
+and SimHash fingerprints. All deterministic (md5-based hashes) so each has
+an exact DuckDB oracle; all shaped as per-batch combiner -> bucketed
+exchange so they scale (see dug_ray.shuffle).
+
+Scale notes per op:
+- exact: hash-partition by content hash; only (hash, doc_id) pairs move.
+- jaccard: the shingle->doc inverted explode is the big intermediate; at
+  corpus scale you bound it by dropping ultra-common shingles (stop-shingle
+  cut) before the pair join — here the 31-word vocabulary keeps it small.
+- minhash-lsh: k=12 signatures, 3 bands x 4 rows; only (band, band_hash,
+  doc_id) rows shuffle — O(docs x bands), independent of document length.
+- simhash: one 16-bit fingerprint per doc (md5-digit hyperplanes); pairs
+  within hamming <= 3 via bucketing on fingerprint minus each single bit
+  (exactly covers distance<=2; distance 3 found via band trick omitted —
+  documented approximation, the oracle mirrors the same candidate rule).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from dug_ray.shuffle import bucketed_group_apply
+
+SHINGLE_N = 3
+MINHASH_K = 12
+LSH_BANDS = 3
+LSH_ROWS = 4  # MINHASH_K == LSH_BANDS * LSH_ROWS
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-partition + per-group min)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Group identical texts: keep min doc_id, count copies.
+
+    Only (content_hash, doc_id) moves through the shuffle — never the text."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        df["content_hash"] = [_md5(t) for t in df["text"]]
+        g = df.groupby("content_hash", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("content_hash", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("n_copies", "sum"))
+
+    out = bucketed_group_apply(partial, "content_hash", merge, num_buckets=32)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "content_hash": batch["content_hash"],
+            "n_copies": pc.cast(batch["n_copies"], pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles (shared by jaccard + minhash)
+# ---------------------------------------------------------------------------
+
+def _shingle_df(batch: pa.Table) -> pd.DataFrame:
+    """doc_id x distinct word-3-gram shingles, vectorized."""
+    import pyarrow.compute as pc
+    tokens = pc.split_pattern(batch["text"], " ")
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    flat = tokens.flatten().to_numpy(zero_copy_only=False)
+    # shingle i = tokens[i..i+2] within the same doc
+    n = len(flat)
+    if n < SHINGLE_N:
+        return pd.DataFrame(columns=["doc_id", "shingle"])
+    ok = parent[: n - SHINGLE_N + 1] == parent[SHINGLE_N - 1:]
+    idx = np.flatnonzero(ok)
+    doc_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sh = pd.DataFrame({
+        "doc_id": doc_np[parent[idx]],
+        "shingle": [" ".join(flat[i:i + SHINGLE_N]) for i in idx],
+    })
+    return sh.drop_duplicates()
+
+
+def shingles(docs: ray.data.Dataset) -> ray.data.Dataset:
+    def per_batch(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_shingle_df(batch), preserve_index=False)
+    return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+
+def _pairs_from_inverted(sh: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    """(doc, shingle) -> co-occurrence pairs with intersection counts.
+
+    Bucketed by shingle: pairs are generated per bucket (a pair can appear
+    in several buckets — one per shared shingle's bucket — so a final
+    per-pair sum over the first doc id completes the count)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="shingle", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return (m.groupby(["doc_id_a", "doc_id_b"], as_index=False)
+                .agg(inter=("shingle", "size")))
+
+    per_shingle = bucketed_group_apply(sh, "shingle", per_bucket, num_buckets)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_id_a", "doc_id_b"], as_index=False).agg(
+            inter=("inter", "sum"))
+
+    # bucket on the composite pair key via a string column
+    def add_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        k = pc.binary_join_element_wise(
+            pc.cast(batch["doc_id_a"], pa.string()), pc.cast(batch["doc_id_b"], pa.string()), "_")
+        return batch.append_column("pair_key", k)
+
+    keyed = per_shingle.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+    return bucketed_group_apply(
+        keyed, "pair_key", lambda df: merge(df.drop(columns=["pair_key"])), num_buckets)
+
+
+def ngram_jaccard_pairs(docs: ray.data.Dataset, min_inter: int = 2) -> ray.data.Dataset:
+    """Near-dup candidate pairs sharing >= min_inter word-3-grams, with the
+    exact Jaccard similarity of their shingle sets."""
+    sh = shingles(docs).materialize()
+    counts = {int(r["doc_id"]): int(r["n"]) for r in
+              sh.groupby("doc_id").count().rename_columns({"count()": "n"}).take_all()}
+    pairs = _pairs_from_inverted(sh)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["inter"] >= min_inter]
+        na = df["doc_id_a"].map(counts)
+        nb = df["doc_id_b"].map(counts)
+        jac = df["inter"] / (na + nb - df["inter"])
+        return pa.table({
+            "doc_id_a": pa.array(df["doc_id_a"], pa.int64()),
+            "doc_id_b": pa.array(df["doc_id_b"], pa.int64()),
+            "inter": pa.array(df["inter"], pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        })
+
+    return pairs.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_sig(shingle_set: list[str]) -> list[str]:
+    """k md5-minima over seeded shingle hashes (hex prefixes — order on the
+    hex string matches DuckDB's min() on the same substring)."""
+    return [min(_md5(f"{i}:{s}")[:16] for s in shingle_set) for i in range(MINHASH_K)]
+
+
+def minhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """One row per doc: doc_id, h0..h{k-1} minhash hex signatures."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        sh = _shingle_df(batch)
+        rows = []
+        for doc_id, grp in sh.groupby("doc_id"):
+            sig = _minhash_sig(list(grp["shingle"]))
+            rows.append({"doc_id": int(doc_id), **{f"h{i}": sig[i] for i in range(MINHASH_K)}})
+        out = pd.DataFrame(rows) if rows else pd.DataFrame(
+            columns=["doc_id"] + [f"h{i}" for i in range(MINHASH_K)])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+
+def minhash_lsh_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """LSH candidate pairs: docs sharing any band (band_hash = md5 of the
+    band's concatenated minhashes). Output distinct (doc_id_a < doc_id_b,
+    n_bands shared)."""
+    sigs = minhash_signatures(docs)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = []
+        for b in range(LSH_BANDS):
+            cols = [f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+            bh = df[cols].agg("".join, axis=1).map(_md5)
+            out.append(pd.DataFrame({
+                "doc_id": df["doc_id"], "band": b, "band_hash": bh}))
+        return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
+
+    banded = sigs.map_batches(bands, batch_format="pyarrow", batch_size=None)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on=["band", "band_hash"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return (m.groupby(["doc_id_a", "doc_id_b"], as_index=False)
+                .agg(n_bands=("band", "nunique")))
+
+    pairs = bucketed_group_apply(banded, "band_hash", per_bucket, num_buckets=32)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_id_a", "doc_id_b"], as_index=False).agg(
+            n_bands=("n_bands", "sum"))
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        k = pc.binary_join_element_wise(
+            pc.cast(batch["doc_id_a"], pa.string()), pc.cast(batch["doc_id_b"], pa.string()), "_")
+        return batch.append_column("pair_key", k)
+
+    keyed = pairs.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+    out = bucketed_group_apply(
+        keyed, "pair_key", lambda df: merge(df.drop(columns=["pair_key"])), 32)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id_a": pc.cast(batch["doc_id_a"], pa.int64()),
+            "doc_id_b": pc.cast(batch["doc_id_b"], pa.int64()),
+            "n_bands": pc.cast(batch["n_bands"], pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """16-bit simhash per doc: bit d = sign of sum over DISTINCT tokens of
+    (hex_digit_d(md5(token)) - 7.5). Deterministic and SQL-mirrorable
+    (DuckDB: strpos('0123456789abcdef', substr(md5(t), d+1, 1)) - 1)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        flat = tokens.flatten().to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"p": parent, "t": flat}).drop_duplicates()
+        # digit matrix for the distinct tokens only
+        uniq = df["t"].unique()
+        digits = np.array([[int(c, 16) for c in _md5(t)[:SIMHASH_BITS]] for t in uniq],
+                          dtype=np.float64) - 7.5
+        tok_idx = pd.Series(np.arange(len(uniq)), index=uniq)
+        contrib = digits[tok_idx[df["t"]].to_numpy()]
+        sums = np.zeros((len(batch), SIMHASH_BITS))
+        np.add.at(sums, df["p"].to_numpy(), contrib)
+        bits = (sums > 0).astype(np.int64)
+        fp = (bits << np.arange(SIMHASH_BITS)).sum(axis=1)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "simhash": pa.array(fp, pa.int64()),
+        })
+
+    return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)

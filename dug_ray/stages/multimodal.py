@@ -1,0 +1,100 @@
+"""Multimodal span handling: media columns as opaque refs + typed metadata.
+
+The interleaved document table carries media spans (``kind='media'``,
+``media_ref`` an opaque pointer — the stand-in for a binary payload
+column). Real decode libraries (PIL/librosa/av) are absent in this
+container, so the DECODE step is a clearly-marked stub
+(``NotImplementedError``) / deterministic fake, while all the Ray-side
+plumbing — schema, actor signature, batch sizing, output layout — is real
+and tested:
+
+- ``media_metadata``: actor-pool ``map_batches`` stage that "probes" each
+  media ref and emits typed metadata (kind, width, height) — the
+  deterministic fake derives dimensions from the ref string, mirrored
+  exactly by the SQL oracle;
+- ``decode_media``: the real-decode entry point; raises NotImplementedError
+  unless ``fake=True``, in which case it emits a deterministic byte
+  payload of the probed size (small batches — binary payloads are why
+  ``batch_size`` must stay low on this stage at real scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from dug_ray.io import flatten_spans
+
+
+def media_spans(docs: ray.data.Dataset) -> ray.data.Dataset:
+    flat = flatten_spans(docs)
+    return flat.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], "media"))
+        .select(["doc_id", "offset", "media_ref"]),
+        batch_format="pyarrow", batch_size=None)
+
+
+class MediaProbe:
+    """Actor-pool metadata prober (state: the codec registry — faked)."""
+
+    def __init__(self):
+        self.codecs = {"image": "fake-png", "audio": "fake-wav"}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref")
+        offs = pc.cast(batch["offset"], pa.int64())
+        reflen = pc.cast(pc.utf8_length(refs), pa.int64())
+        # deterministic fake probe (SQL-mirrorable): dimensions from the ref
+        # string length; kind alternates by media ordinal ((offset-2)/3)
+        ordinal = pc.divide(pc.subtract(offs, 2), 3)
+        is_image = pc.equal(pc.bit_wise_and(ordinal, 1), 0)
+        width = pc.add(64, pc.multiply(reflen, 7))
+        height = pc.add(64, pc.multiply(reflen, 13))
+        kind = pc.if_else(is_image, pa.scalar("image"), pa.scalar("audio"))
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "offset": offs,
+            "media_ref": refs,
+            "media_kind": kind,
+            "width": width,
+            "height": height,
+        })
+
+
+def media_metadata(docs: ray.data.Dataset, concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
+    return media_spans(docs).map_batches(
+        MediaProbe, batch_format="pyarrow", batch_size=None, concurrency=concurrency)
+
+
+class MediaDecoder:
+    """Actor-pool decode stage. REAL decode is stubbed (no image/audio libs
+    in this container); ``fake=True`` emits deterministic byte payloads so
+    the plumbing (binary column, small batches, actor pool) is exercised."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "media decode requires image/audio codecs not present in this "
+                "environment; construct with fake=True for the deterministic stub")
+        refs = batch.column("media_ref").to_pylist()
+        payloads = [bytes((len(r) * 7 + i) % 256 for i in range(64)) for r in refs]
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "offset": pc.cast(batch["offset"], pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        })
+
+
+def decode_media(docs: ray.data.Dataset, fake: bool = False,
+                 batch_size: int = 256, concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
+    """Binary payloads need SMALL batches (batch x concurrency must fit the
+    worker heap) — 256 here vs whole-block for scalar stages."""
+    return media_spans(docs).map_batches(
+        MediaDecoder, fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)

@@ -1,0 +1,170 @@
+"""Similarity search over the embeddings table (list<float> vectors).
+
+Beyond-reference ops for training-data pipelines:
+
+- ``ann_topk``: brute-force cosine top-k — the scale pattern is a broadcast
+  query matrix (``ray.put`` once) with a numpy matmul per streamed batch,
+  plus a per-batch partial top-k (combiner) so only
+  O(batches x queries x k) candidate rows ever leave the workers.
+- ``lsh_ann_topk``: the scale path — random-hyperplane LSH buckets
+  restrict each query to candidates sharing a code (documented recall
+  trade-off; deterministic seeded planes).
+- ``neardup_pairs``: all pairs above a cosine threshold via blocked
+  matmul of streamed batches against the broadcast matrix.
+
+Float determinism: all math in float64 (embeddings are float32 in parquet;
+upcast is exact) so ranking matches DuckDB's ``list_cosine_similarity`` on
+``DOUBLE[]`` up to summation-order ulps; ties broken by vec_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // len(batch)
+    return flat.reshape(len(batch), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def read_embeddings(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+def ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10) -> ray.data.Dataset:
+    """Top-k cosine neighbors among vec_id >= n_queries for each query
+    vector (vec_id < n_queries). Output: query_id, vec_id, rank."""
+    emb = read_embeddings(sf_dir)
+    # small side: collect the query vectors once, broadcast via ray.put
+    q_df = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q_df = q_df.sort_values("vec_id")
+    qm = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in q_df["embedding"]]))
+    q_ids = q_df["vec_id"].to_numpy()
+    q_ref = ray.put((q_ids, qm))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids, qmat = ray.get(q_ref)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = vid >= n_queries
+        if not mask.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        m = _normalize(_matrix(batch)[mask])
+        vid = vid[mask]
+        sims = qmat @ m.T  # (q, n)
+        rows = []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            # partial top-k per batch (combiner): argpartition then exact sort
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            for j in idx:
+                rows.append((int(ids[qi]), int(vid[j]), float(sims[qi, j])))
+        out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cos"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = emb.map_batches(partial_topk, batch_format="pyarrow", batch_size=None)
+    # final: tiny (queries x k x batches) — exact top-k with (cos desc,
+    # vec_id asc) tie-break, computed driver-side
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "cos", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
+    return ray.data.from_pandas(df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"}))
+
+
+def neardup_pairs(sf_dir: str, threshold: float = 0.4) -> ray.data.Dataset:
+    """All embedding pairs with cosine > threshold (vec_id_a < vec_id_b).
+
+    Blocked brute force: the full normalized matrix is broadcast once
+    (``ray.put``) and each streamed batch multiplies against it — at
+    billion-vector scale the broadcast side becomes IVF/LSH bucket files
+    and each batch joins only its buckets (see lsh_ann_topk)."""
+    emb = read_embeddings(sf_dir)
+    all_df = emb.to_pandas().sort_values("vec_id")
+    am = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in all_df["embedding"]]))
+    a_ids = all_df["vec_id"].to_numpy()
+    ref = ray.put((a_ids, am))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids_all, mat_all = ray.get(ref)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(batch))
+        sims = m @ mat_all.T
+        bi, bj = np.nonzero(sims > threshold)
+        ia, ib = vid[bi], ids_all[bj]
+        keep = ia < ib
+        return pa.table({
+            "vec_id_a": pa.array(ia[keep], pa.int64()),
+            "vec_id_b": pa.array(ib[keep], pa.int64()),
+        })
+
+    return emb.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+
+def lsh_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
+                 n_planes: int = 6, seed: int = 42) -> ray.data.Dataset:
+    """LSH-bucketed approximate top-k: random-hyperplane codes (seeded,
+    deterministic) bucket the corpus; each query searches only its bucket
+    plus hamming-1 neighbor buckets. Engine-only (approximate — no SQL
+    oracle; the driver records a rows-only check)."""
+    emb = read_embeddings(sf_dir)
+    q_df = emb.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    dim = len(q_df["embedding"].iloc[0])
+    planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
+    qm = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in q_df["embedding"]]))
+    q_codes = (qm @ planes > 0).astype(np.int64) @ (1 << np.arange(n_planes))
+    # target codes per query: own bucket + hamming-1 neighbors
+    targets = [ {int(c)} | {int(c) ^ (1 << b) for b in range(n_planes)}
+                for c in q_codes ]
+    q_ref = ray.put((q_df["vec_id"].to_numpy(), qm, targets, planes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, qmat, tgt, pl = ray.get(q_ref)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = vid >= n_queries
+        if not mask.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        m = _normalize(_matrix(batch)[mask])
+        vid = vid[mask]
+        codes = (m @ pl > 0).astype(np.int64) @ (1 << np.arange(pl.shape[1]))
+        rows = []
+        for qi in range(qmat.shape[0]):
+            cand = np.isin(codes, list(tgt[qi]))
+            if not cand.any():
+                continue
+            sims = qmat[qi] @ m[cand].T
+            cv = vid[cand]
+            kk = min(k, len(cv))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            rows.extend((int(ids[qi]), int(cv[j]), float(sims[j])) for j in idx)
+        out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cos"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = emb.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    df = partials.to_pandas()
+    if len(df) == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            columns=["query_id", "vec_id", "rank"]).astype("int64"))
+    df = df.sort_values(["query_id", "cos", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
+    return ray.data.from_pandas(df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"}))

@@ -1,0 +1,125 @@
+"""Text analysis operators: quality scoring, token counts, language ID,
+document fingerprinting.
+
+Beyond-reference training-data ops. Quality metrics / token counts /
+fingerprints are exact-deterministic with DuckDB oracles; language ID is a
+real char-trigram classifier (engine-only, rows-only oracle — the synthetic
+corpus shares one vocabulary across langs, so its predictions are
+uninformative but the op is fully functional).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+STOPWORDS = ("the", "a")
+
+
+def text_quality(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc quality metrics, fully vectorized with Arrow kernels:
+    n_tokens (whitespace), n_types (distinct tokens), stopword counts and
+    ratio, distinct_ratio, avg_token_len, n_chars. Ratios are double
+    divisions of int counts — bit-exact against the SQL oracle."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        n_tok = pc.list_value_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        flat = tokens.flatten()
+        flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=pa.array(list(STOPWORDS))) \
+            .to_numpy(zero_copy_only=False)
+        n = len(batch)
+        sum_len = np.zeros(n, dtype=np.int64)
+        np.add.at(sum_len, parent, flat_len)
+        n_stop = np.zeros(n, dtype=np.int64)
+        np.add.at(n_stop, parent, is_stop.astype(np.int64))
+        # distinct tokens per doc
+        df = pd.DataFrame({"p": parent, "t": flat.to_numpy(zero_copy_only=False)})
+        n_types = df.drop_duplicates().groupby("p").size()
+        n_types_arr = np.zeros(n, dtype=np.int64)
+        n_types_arr[n_types.index.to_numpy()] = n_types.to_numpy()
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_tokens": pa.array(n_tok),
+            "n_types": pa.array(n_types_arr),
+            "n_stopwords": pa.array(n_stop),
+            "stopword_ratio": pa.array(n_stop / n_tok, pa.float64()),
+            "distinct_ratio": pa.array(n_types_arr / n_tok, pa.float64()),
+            "avg_token_len": pa.array(sum_len / n_tok, pa.float64()),
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+        })
+
+    return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+
+def fingerprints(docs: ray.data.Dataset, k: int = 4) -> ray.data.Dataset:
+    """Document fingerprints: full-content md5 + winnowing-style min-k of
+    word-3-gram shingle hashes (pipe-joined sorted hex prefixes)."""
+    from dug_ray.stages.dedup import _md5, _shingle_df
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        content = [_md5(t) for t in df["text"]]
+        sh = _shingle_df(batch)
+        sh["h"] = [_md5(s)[:16] for s in sh["shingle"]]
+        mink = (sh.sort_values("h").groupby("doc_id")["h"]
+                .agg(lambda s: "|".join(s.head(k))))
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"], pa.int64()),
+            "content_hash": pa.array(content, pa.string()),
+            "min_shingles": pa.array(df["doc_id"].map(mink).fillna(""), pa.string()),
+        })
+
+    return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+
+# char-trigram profiles for a real (if tiny) language-ID heuristic
+_LANG_PROFILES = {
+    "en": ["the", "and", "ing", "ion", "ent"],
+    "fr": ["les", "ent", "de ", "ion", "que"],
+    "es": ["de ", "la ", "os ", "ión", "que"],
+    "de": ["der", "ein", "ich", "sch", "und"],
+    "zh": ["de ", "shi", "zho", "ng ", "ian"],
+}
+
+
+class LangId:
+    """Actor-pool language identifier: char-trigram profile scoring.
+
+    State (compiled profile tables) built once per actor (__init__)."""
+
+    def __init__(self):
+        self.profiles = {lang: set(tris) for lang, tris in _LANG_PROFILES.items()}
+        self.langs = sorted(self.profiles)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds, scores = [], []
+        for t in texts:
+            tris = {t[i:i + 3] for i in range(len(t) - 2)}
+            best_lang, best = self.langs[0], -1.0
+            for lang in self.langs:
+                s = len(tris & self.profiles[lang])
+                if s > best:
+                    best_lang, best = lang, s
+            preds.append(best_lang)
+            scores.append(float(best))
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "pred_lang": pa.array(preds, pa.string()),
+            "lang_score": pa.array(scores, pa.float64()),
+        })
+
+
+def langid(docs: ray.data.Dataset, concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
+    return docs.map_batches(LangId, batch_format="pyarrow", batch_size=None,
+                            concurrency=concurrency)

@@ -1,0 +1,121 @@
+"""Training-data operator tests: dedup family, similarity, text stats,
+multimodal plumbing. Small in-memory fixtures + pure-Python oracles
+(the SQL-oracle equivalence is covered by selfcheck/driver; these tests
+pin semantics the SQL can't express — stub behavior, approximations)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+
+def docs_ds(rows):
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup_groups():
+    from dug_ray.stages.dedup import exact_dedup
+    ds = docs_ds([
+        {"doc_id": 3, "text": "a b c"},
+        {"doc_id": 1, "text": "a b c"},
+        {"doc_id": 2, "text": "x y z"},
+    ])
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["n_copies"]) == [2, 1]
+
+
+def test_minhash_identical_docs_collide_all_bands():
+    from dug_ray.stages.dedup import LSH_BANDS, minhash_lsh_pairs
+    ds = docs_ds([
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 3, "text": "completely different words entirely here now ok yes"},
+    ])
+    out = minhash_lsh_pairs(ds).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["doc_id_a"], out.iloc[0]["doc_id_b"]) == (1, 2)
+    assert out.iloc[0]["n_bands"] == LSH_BANDS
+
+
+def test_simhash_identical_equal():
+    from dug_ray.stages.dedup import simhash_fingerprints
+    ds = docs_ds([
+        {"doc_id": 1, "text": "alpha beta gamma delta"},
+        {"doc_id": 2, "text": "alpha beta gamma delta"},
+        {"doc_id": 3, "text": "zeta eta theta iota"},
+    ])
+    out = simhash_fingerprints(ds).to_pandas().set_index("doc_id")["simhash"]
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert 0 <= out[3] < 2 ** 16
+
+
+def test_ngram_jaccard_exact_values():
+    from dug_ray.stages.dedup import ngram_jaccard_pairs
+    # doc1/doc2 share the 4-word prefix -> 2 common 3-shingles
+    ds = docs_ds([
+        {"doc_id": 1, "text": "a b c d e"},
+        {"doc_id": 2, "text": "a b c d x"},
+        {"doc_id": 3, "text": "p q r s t"},
+    ])
+    out = ngram_jaccard_pairs(ds).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["doc_id_a"], r["doc_id_b"], r["inter"]) == (1, 2, 2)
+    assert r["jaccard"] == pytest.approx(2 / 4)
+
+
+def test_ann_topk_matches_numpy(sf_smoke):
+    from dug_ray.stages.similarity import ann_topk
+    out = ann_topk(sf_smoke, n_queries=2, k=5).to_pandas()
+    emb = pq.read_table(f"{sf_smoke}/embeddings.parquet").to_pandas()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qid in (0, 1):
+        sims = m[emb["vec_id"] == qid][0] @ m[emb["vec_id"] >= 2].T
+        ids = emb[emb["vec_id"] >= 2]["vec_id"].to_numpy()
+        order = sorted(zip(-sims, ids))[:5]
+        want = [int(i) for _, i in order]
+        got = list(out[out["query_id"] == qid].sort_values("rank")["vec_id"])
+        assert got == want
+
+
+def test_lsh_ann_recall(sf_smoke):
+    """LSH ANN must recall a decent fraction of the true top-k."""
+    from dug_ray.stages.similarity import ann_topk, lsh_ann_topk
+    exact = ann_topk(sf_smoke).to_pandas()
+    approx = lsh_ann_topk(sf_smoke).to_pandas()
+    inter = len(set(map(tuple, exact[["query_id", "vec_id"]].values))
+                & set(map(tuple, approx[["query_id", "vec_id"]].values)))
+    assert inter >= 0.2 * len(exact)  # bucketed search: partial recall by design
+
+
+def test_media_decode_stub(sf_smoke):
+    from dug_ray.io import read_interleaved
+    from dug_ray.stages.multimodal import MediaDecoder, decode_media
+    import pyarrow as pa
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(fake=False)(pa.table({
+            "doc_id": ["1"], "offset": [2], "media_ref": ["media://1/2"]}))
+    out = decode_media(read_interleaved(sf_smoke), fake=True).to_pandas()
+    assert len(out) > 0
+    assert (out["n_bytes"] == 64).all()
+    assert isinstance(out["payload"].iloc[0], bytes)
+
+
+def test_langid_valid(sf_smoke):
+    from dug_ray.io import read_documents
+    from dug_ray.stages.textstats import langid
+    out = langid(read_documents(sf_smoke, columns=["doc_id", "text"])).to_pandas()
+    assert len(out) == 500
+    assert set(out["pred_lang"]) <= {"en", "fr", "es", "de", "zh"}
+
+
+def test_events_window_totals(sf_smoke):
+    from dug_ray import queries
+    out = queries.q_events_window(sf_smoke).to_pandas()
+    raw = pq.read_table(f"{sf_smoke}/events.parquet").to_pandas()
+    assert out["n_events"].sum() == len(raw)
+    assert out["sum_value_milli"].sum() == int((raw["value"] * 1000).round().sum())
