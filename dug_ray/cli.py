@@ -1,0 +1,106 @@
+"""CLI mirroring the reference's entry points (SURVEY.md §3.1-3.2):
+
+    python -m dug_ray.cli crawl  <sf_dir> -o /tmp/out [-p dbgap] [--resumable]
+    python -m dug_ray.cli search <sf_dir> -q "merge hash" [-k 20]
+    python -m dug_ray.cli query  <sf_dir> -n kg_triples
+
+``dug crawl`` (``/root/reference/src/dug/cli.py:111-118``) becomes the
+streaming KG construction run with the sorted subject-partitioned triple
+table as its sink; ``dug search`` (``cli.py:121-129``) becomes a token-match
+top-k over the elements Dataset. This module OWNS a Ray session (guarded),
+unlike the library/__ray_entry__ code."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_crawl(args) -> int:
+    _ensure_ray(args.num_cpus)
+    if args.resumable:
+        from dug_ray.state.runner import output_triples, run_resumable
+        run_resumable(args.sf_dir, args.out)
+        n = output_triples(args.out).count()
+    else:
+        from dug_ray import registry
+        from dug_ray.io import read_interleaved
+        from dug_ray.stages.annotate import ner_batch
+        from dug_ray.stages.expand import triples_partial
+        from dug_ray.stages.link import link_batch
+        from dug_ray.stages.materialize import materialize_graph, read_graph
+        parser = registry.get_parser(args.parser)
+        els = parser(read_interleaved(args.sf_dir))
+        linked = (els.map_batches(ner_batch, batch_format="pyarrow", batch_size=None)
+                  .map_batches(link_batch, batch_format="pyarrow", batch_size=None))
+        materialize_graph(triples_partial(linked), args.out, dedup=True)
+        n = read_graph(args.out).count()
+    print(json.dumps({"out": args.out, "triples": int(n)}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from dug_ray.pipelines.search import search_elements
+    df = search_elements(args.sf_dir, args.query, k=args.k).to_pandas()
+    print(df.to_string(index=False))
+    return 0
+
+
+def cmd_query(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from dug_ray import queries
+    result = queries.QUERIES[args.name](args.sf_dir)
+    df = result.to_pandas() if hasattr(result, "to_pandas") else result
+    print(df.head(args.k).to_string(index=False))
+    print(f"-- {len(df)} rows")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="dug_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="documents -> sorted triple table")
+    c.add_argument("sf_dir")
+    c.add_argument("-o", "--out", required=True)
+    c.add_argument("-p", "--parser", default="dbgap")
+    c.add_argument("--resumable", action="store_true")
+    c.set_defaults(fn=cmd_crawl)
+
+    s = sub.add_parser("search", help="token-match top-k over elements")
+    s.add_argument("sf_dir")
+    s.add_argument("-q", "--query", required=True)
+    s.add_argument("-k", type=int, default=20)
+    s.set_defaults(fn=cmd_search)
+
+    q = sub.add_parser("query", help="run a registered pipeline by name")
+    q.add_argument("sf_dir")
+    q.add_argument("-n", "--name", required=True)
+    q.add_argument("-k", type=int, default=20)
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

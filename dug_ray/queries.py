@@ -807,3 +807,76 @@ ORACLES.update({
     "facet_grouped": SQL_FACET_GROUPED,
     # lsh_ann, langid: engine-only (approximate / heuristic) -> rows-only
 })
+
+
+# ---------------------------------------------------------------------------
+# failure metrics (M12) + serving search (O2)
+# ---------------------------------------------------------------------------
+
+def q_anno_fails(sf_dir: str) -> ray.data.Dataset:
+    """Elements with zero NER candidates (anno_fails stream, M12)."""
+    from dug_ray.stages.metrics import annotation_failures
+    return annotation_failures(parse_elements(read_interleaved(sf_dir)))
+
+
+SQL_ANNO_FAILS = _with(ontology.sql_cte("lexicon"), SQL_TOKS, SQL_CHUNKS) + """,
+hits AS (
+  SELECT doc_id, CAST(floor((pos - 1) / 8) AS BIGINT) AS chunk, count(*) AS c
+  FROM toks JOIN lexicon USING (term) GROUP BY 1, 2)
+SELECT CAST(ch.doc_id AS VARCHAR) || '-s' || CAST(ch.chunk + ch.chunk // 2 AS VARCHAR) AS element_id,
+       lower(ch.chunk_text) AS element_desc
+FROM chunks ch LEFT JOIN hits h ON h.doc_id = ch.doc_id AND h.chunk = ch.chunk
+WHERE h.c IS NULL"""
+
+
+def q_norm_fails(sf_dir: str) -> ray.data.Dataset:
+    """Per-CURIE dropped-by-normalization counts (norm_fails stream, M12)."""
+    from dug_ray.stages.metrics import normalization_failures
+    els = parse_elements(read_interleaved(sf_dir))
+    return normalization_failures(annotate_elements(els))
+
+
+SQL_NORM_FAILS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "greenlist"), SQL_TOKS) + """
+SELECT l.curie, count(*) AS n_dropped
+FROM toks k JOIN lexicon l USING (term)
+LEFT JOIN normalizer n ON n.curie = l.curie
+WHERE l.score >= 0.8 AND n.preferred_curie IS NULL
+  AND split_part(l.curie, ':', 1) NOT IN (SELECT prefix FROM greenlist)
+GROUP BY l.curie"""
+
+
+SEARCH_QUERY = "merge hash vector"
+
+
+def q_search_elements(sf_dir: str) -> ray.data.Dataset:
+    """O2 serving search: token-match top-20 (score desc, element_id asc)."""
+    from dug_ray.pipelines.search import search_elements
+    return search_elements(sf_dir, SEARCH_QUERY, k=20)
+
+
+SQL_SEARCH_ELEMENTS = _with(SQL_TOKS) + """,
+scored AS (
+  SELECT CAST(doc_id AS VARCHAR) || '-s' ||
+         CAST(CAST(floor((pos - 1) / 8) AS BIGINT)
+              + CAST(floor((pos - 1) / 8) AS BIGINT) // 2 AS VARCHAR) AS element_id,
+         CAST(count(DISTINCT term) AS BIGINT) AS score
+  FROM toks WHERE term IN ('merge', 'hash', 'vector')
+  GROUP BY 1),
+ranked AS (
+  SELECT element_id, score,
+         row_number() OVER (ORDER BY score DESC, element_id) AS rank
+  FROM scored)
+SELECT element_id, score, rank FROM ranked WHERE rank <= 20"""
+
+
+QUERIES.update({
+    "anno_fails": q_anno_fails,
+    "norm_fails": q_norm_fails,
+    "search_elements": q_search_elements,
+})
+ORACLES.update({
+    "anno_fails": SQL_ANNO_FAILS,
+    "norm_fails": SQL_NORM_FAILS,
+    "search_elements": SQL_SEARCH_ELEMENTS,
+})

@@ -1,0 +1,59 @@
+"""Registry (§2.10) + metrics (M12) + search (O2) behavior tests."""
+
+import pytest
+
+
+def test_registry_lookup_and_error():
+    from dug_ray import registry
+    assert "dbgap" in registry.parser_names()
+    assert "anvil" in registry.parser_names()
+    with pytest.raises(KeyError, match="Cannot find parser"):
+        registry.get_parser("nope")
+    assert callable(registry.get_annotator("dictionary-ner"))
+
+
+def test_custom_parser_registration(sf_smoke):
+    from dug_ray import registry
+    from dug_ray.stages.parse import parse_elements
+
+    @registry.register_parser("custom-test")
+    def custom(docs):
+        return parse_elements(docs, data_type="dbgap")
+
+    from dug_ray.io import read_interleaved
+    out = registry.get_parser("custom-test")(read_interleaved(sf_smoke))
+    assert out.count() > 0
+
+
+def test_annotation_failures_complement(sf_smoke):
+    """fails + elements-with-mentions partition the element set."""
+    from dug_ray.io import read_interleaved
+    from dug_ray.stages.annotate import annotate_elements
+    from dug_ray.stages.metrics import annotation_failures
+    from dug_ray.stages.parse import parse_elements
+    els = parse_elements(read_interleaved(sf_smoke))
+    n_elements = els.count()
+    fails = set(annotation_failures(els).to_pandas()["element_id"])
+    with_mentions = set(annotate_elements(els).to_pandas()["element_id"].unique())
+    assert fails.isdisjoint(with_mentions)
+    assert len(fails) + len(with_mentions) == n_elements
+
+
+def test_norm_fails_is_xxx_only(sf_smoke):
+    from dug_ray.io import read_interleaved
+    from dug_ray.stages.annotate import annotate_elements
+    from dug_ray.stages.metrics import normalization_failures
+    from dug_ray.stages.parse import parse_elements
+    out = normalization_failures(
+        annotate_elements(parse_elements(read_interleaved(sf_smoke)))).to_pandas()
+    assert list(out["curie"]) == ["XXX:900"]
+    assert out["n_dropped"].iloc[0] > 0
+
+
+def test_search_rank_contract(sf_smoke):
+    from dug_ray.pipelines.search import search_elements
+    df = search_elements(sf_smoke, "merge hash vector", k=10).to_pandas()
+    assert len(df) == 10
+    assert list(df["rank"]) == list(range(1, 11))
+    # ranking is (score desc, element_id asc)
+    assert (df["score"].diff().dropna() <= 0).all()

@@ -1,0 +1,65 @@
+"""Kill-and-resume correctness (BASELINE.md protocol step 5).
+
+A run killed mid-stage-1 must, on restart, skip completed shards (their
+checkpoint files untouched) and produce a final triple set identical to an
+uninterrupted run."""
+
+import os
+import shutil
+
+import pytest
+
+
+def triple_set(ds):
+    df = ds.to_pandas()
+    return set(map(tuple, df[["subj", "pred", "obj"]].astype(str).values))
+
+
+def test_kill_and_resume(sf_smoke, tmp_path):
+    from dug_ray.state.runner import output_triples, run_resumable
+
+    clean_dir = str(tmp_path / "clean")
+    resume_dir = str(tmp_path / "resumed")
+
+    # uninterrupted reference run
+    run_resumable(sf_smoke, clean_dir, num_shards=4)
+    want = triple_set(output_triples(clean_dir))
+    assert len(want) > 0
+
+    # crash after 2 of 4 shards
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_resumable(sf_smoke, resume_dir, num_shards=4, stop_after_shards=2)
+    done_files = {
+        f: os.path.getmtime(os.path.join(resume_dir, "stage1", f))
+        for f in os.listdir(os.path.join(resume_dir, "stage1"))
+        if f.endswith(".parquet")
+    }
+    assert len(done_files) == 2
+
+    # restart: completed shards must not be recomputed (mtimes unchanged)
+    run_resumable(sf_smoke, resume_dir, num_shards=4)
+    for f, mtime in done_files.items():
+        assert os.path.getmtime(os.path.join(resume_dir, "stage1", f)) == mtime
+
+    got = triple_set(output_triples(resume_dir))
+    assert got == want
+
+
+def test_materialize_partition_resume(sf_smoke, tmp_path):
+    """Completed output partitions are skipped on a second materialize."""
+    from dug_ray.pipelines import kg
+    from dug_ray.stages.materialize import materialize_graph, read_graph
+    from dug_ray.state.manifest import PartitionManifest
+
+    out = str(tmp_path / "kg")
+    materialize_graph(kg.kg_triples(sf_smoke), out)
+    n1 = read_graph(out).count()
+    manifest = PartitionManifest(out)
+    assert len(manifest.completed_buckets()) == 512
+
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in parts}
+    materialize_graph(kg.kg_triples(sf_smoke), out)
+    assert read_graph(out).count() == n1
+    for f, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f)) == t
