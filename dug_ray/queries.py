@@ -880,3 +880,95 @@ ORACLES.update({
     "norm_fails": SQL_NORM_FAILS,
     "search_elements": SQL_SEARCH_ELEMENTS,
 })
+
+
+# ---------------------------------------------------------------------------
+# TRAPI answer semantics (M18/A6) + TOPMed tag concepts (S7)
+# ---------------------------------------------------------------------------
+
+def q_kg_answers(sf_dir: str) -> ray.data.Dataset:
+    """QueryKG answer extraction + dedup (M18 ``tranql.py:21-61``, A6
+    ``parsers/_base.py:106-110``): one answer per (concept, query shape),
+    answer_id = joined sorted node ids + query name; objs and obj names
+    aggregated sorted-distinct (the optional_terms feed, A3)."""
+    trips = expand_concepts(build_concepts(kg.linked_mentions_ds(sf_dir)))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.sort_values("obj")
+             .groupby(["subj", "source_query"], as_index=False)
+             .agg(objs=("obj", lambda s: "|".join(sorted(set(s)))),
+                  obj_names=("obj_name", lambda s: "|".join(sorted(set(s)))),
+                  n_edges=("obj", "size")))
+        g["answer_id"] = g["objs"].str.replace("|", "_", regex=False) + "_" + g["source_query"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = trips.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # concepts (hence their expansion triples) are unique per batch
+        # stream here; the groupby below is the exact dedup by answer_id
+        return df.drop_duplicates(subset=["answer_id"])
+
+    out = bucketed_group_apply(out, "subj", merge, 8)
+    return _norm(out, int_cols=("n_edges",))
+
+
+SQL_KG_ANSWERS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls",
+                     "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + """,
+ans AS (
+  SELECT subj, source_query,
+         string_agg(DISTINCT obj, '|' ORDER BY obj) AS objs,
+         string_agg(DISTINCT obj_name, '|' ORDER BY obj_name) AS obj_names,
+         count(*) AS n_edges
+  FROM expansion GROUP BY subj, source_query)
+SELECT subj, source_query, objs, obj_names, n_edges,
+       replace(objs, '|', '_') || '_' || source_query AS answer_id
+FROM ans"""
+
+
+def q_topmed_concepts(sf_dir: str) -> ray.data.Dataset:
+    """S7 tag->concept emission (``topmed_tag_parser.py:35-49``): one
+    DugConcept per tag (id TOPMED.TAG:{pk}, desc = description + '. ' +
+    instructions, ml_ready_desc = description), with member-element counts
+    from the J1 join on tag_pk = doc_id % 4."""
+    els = parse_elements(read_interleaved(sf_dir))
+    tags = ontology.tags_df()
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["element_id", "doc_id"]]
+        df["tag_pk"] = pd.to_numeric(df["doc_id"]) % 4
+        g = df.groupby("tag_pk", as_index=False).agg(n_elements=("element_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = els.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+    counts = partial.to_pandas().groupby("tag_pk", as_index=False).agg(
+        n_elements=("n_elements", "sum"))
+    out = tags.merge(counts, on="tag_pk", how="left").fillna({"n_elements": 0})
+    out["concept_id"] = "TOPMED.TAG:" + out["tag_pk"].astype(str)
+    out["concept_desc"] = out["description"] + ". " + out["instructions"]
+    out = out.rename(columns={"title": "name", "description": "ml_ready_desc"})
+    out = out[["concept_id", "name", "concept_desc", "ml_ready_desc", "n_elements"]]
+    return ray.data.from_pandas(out.astype({"n_elements": "int64"}))
+
+
+SQL_TOPMED_CONCEPTS = _with(ontology.sql_cte("tags"), SQL_TOKS, SQL_CHUNKS) + """,
+cnt AS (SELECT doc_id % 4 AS tag_pk, count(*) AS n_elements FROM chunks GROUP BY 1)
+SELECT 'TOPMED.TAG:' || CAST(t.tag_pk AS VARCHAR) AS concept_id,
+       t.title AS name,
+       t.description || '. ' || t.instructions AS concept_desc,
+       t.description AS ml_ready_desc,
+       COALESCE(c.n_elements, 0) AS n_elements
+FROM tags t LEFT JOIN cnt c ON c.tag_pk = t.tag_pk"""
+
+
+QUERIES.update({
+    "kg_answers": q_kg_answers,
+    "topmed_concepts": q_topmed_concepts,
+})
+ORACLES.update({
+    "kg_answers": SQL_KG_ANSWERS,
+    "topmed_concepts": SQL_TOPMED_CONCEPTS,
+})

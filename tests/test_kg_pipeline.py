@@ -125,3 +125,23 @@ def test_cast_elements(sf_smoke):
     cast = cast_elements_from_triples(trip).to_pandas()
     assert set(cast["element_id"]) == {"HEALCDE:42", "HEALCDE:43", "HEALCDE:44"}
     assert (cast["data_type"] == "cde").all()
+
+
+def test_preprocess_debreviator():
+    """M2: ordered substring replacement before tokenization
+    (monarch_annotator.py:155-172; default dict config.py:35-40)."""
+    import pyarrow as pa
+    from dug_ray.stages.annotate import DictionaryNER, preprocess_text
+    col = pa.array(["bmi high", "a_b"])
+    out = preprocess_text(col, {"bmi": "body mass index", "_": " "})
+    assert out.to_pylist() == ["body mass index high", "a b"]
+    # NER with a preprocessor that rewrites a term into a lexicon hit
+    ner = DictionaryNER(preprocessor={"zzz": "merge"})
+    batch = pa.table({
+        "element_id": ["1-s0"], "doc_id": ["1"], "collection_id": ["src0"],
+        "span_offset": pa.array([0], pa.int32()), "chunk_idx": pa.array([0], pa.int32()),
+        "element_desc": ["zzz table"],
+    })
+    hits = ner(batch)
+    assert hits.num_rows == 1
+    assert hits.column("curie").to_pylist() == ["MESH:D001"]
