@@ -162,6 +162,7 @@ SQL_ELEMENTS = _with(SQL_TOKS, SQL_CHUNKS) + """
 SELECT CAST(doc_id AS VARCHAR) || '-s' || CAST(chunk + chunk // 2 AS VARCHAR) AS element_id,
        'var_' || CAST(doc_id AS VARCHAR) || '_' || CAST(chunk + chunk // 2 AS VARCHAR) AS element_name,
        lower(chunk_text) AS element_desc,
+       lower(chunk_text) AS ml_ready_desc,
        'dbgap' AS data_type,
        source AS collection_id,
        'study ' || source AS collection_name,
@@ -971,4 +972,75 @@ QUERIES.update({
 ORACLES.update({
     "kg_answers": SQL_KG_ANSWERS,
     "topmed_concepts": SQL_TOPMED_CONCEPTS,
+})
+
+
+# ---------------------------------------------------------------------------
+# concept optional_terms (A3) + deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+def q_concept_optional_terms(sf_dir: str) -> ray.data.Dataset:
+    """A3 (``parsers/_base.py:123-129``): concept optional_terms = sorted
+    distinct union over the concept's KG answers of answer-node names."""
+    trips = expand_concepts(build_concepts(kg.linked_mentions_ds(sf_dir)))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby("subj", as_index=False)
+             .agg(optional_terms=("obj_name", lambda s: "|".join(sorted(set(s)))),
+                  n_answers=("source_query", "nunique")))
+        return pa.Table.from_pandas(
+            g.rename(columns={"subj": "concept_id"}), preserve_index=False)
+
+    out = trips.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        from dug_ray.stages.canonicalize import _join_distinct
+        return df.groupby("concept_id", as_index=False).agg(
+            optional_terms=("optional_terms", _join_distinct),
+            n_answers=("n_answers", "sum"))
+
+    return _norm(bucketed_group_apply(out, "concept_id", merge, 8),
+                 int_cols=("n_answers",))
+
+
+SQL_CONCEPT_OPTIONAL_TERMS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls",
+                     "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + """
+SELECT subj AS concept_id,
+       string_agg(DISTINCT obj_name, '|' ORDER BY obj_name) AS optional_terms,
+       count(DISTINCT source_query) AS n_answers
+FROM expansion GROUP BY subj"""
+
+
+def q_doc_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic 10% corpus sample by content-independent hash bucket
+    (md5(doc_id) — reproducible across runs/engines, unlike random_sample;
+    the standard training-data holdout split)."""
+    ds = read_documents(sf_dir, columns=["doc_id", "source"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import hashlib
+        ids = batch.column("doc_id").to_pylist()
+        keep = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10 == 0
+                for i in ids]
+        return batch.filter(pa.array(keep))
+
+    out = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+    return _norm(out, int_cols=("doc_id",))
+
+
+SQL_DOC_SAMPLE = """
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0"""
+
+
+QUERIES.update({
+    "concept_optional_terms": q_concept_optional_terms,
+    "doc_sample": q_doc_sample,
+})
+ORACLES.update({
+    "concept_optional_terms": SQL_CONCEPT_OPTIONAL_TERMS,
+    "doc_sample": SQL_DOC_SAMPLE,
 })

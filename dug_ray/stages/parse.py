@@ -52,10 +52,13 @@ def elements_from_spans(flat: pa.Table, data_type: str = "dbgap") -> pa.Table:
     offset = pc.cast(t["offset"], pa.int64())
     chunk_idx = pc.subtract(
         offset, pc.divide(pc.add(offset, 1), MEDIA_EVERY + 1))
+    desc = pc.utf8_lower(t["text"])
     return pa.table({
         "element_id": element_id,
         "element_name": _concat(pa.scalar("var_"), doc_id, pa.scalar("_"), offset_s),
-        "element_desc": pc.utf8_lower(t["text"]),
+        "element_desc": desc,
+        # copy of desc used as annotation input (parsers/_base.py:24)
+        "ml_ready_desc": desc,
         "data_type": pa.nulls(len(t), pa.string()).fill_null(data_type),
         "collection_id": source,
         "collection_name": _concat(pa.scalar("study "), source),
