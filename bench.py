@@ -117,6 +117,14 @@ def run_bench() -> dict:
         build_concepts(concepts_linked).to_pandas()
         queries["concepts_20x"] = round(time.time() - t0, 3)
 
+        # training-data op families at base sf (unamplified, single runs)
+        from dug_ray import queries as q
+        for name in ("dedup_exact", "minhash_pairs", "ann_topk", "text_quality",
+                     "simhash", "search_elements"):
+            t0 = time.time()
+            q.QUERIES[name](sf_dir).count()
+            queries[name] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "kg_pipeline_sec",

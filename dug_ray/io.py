@@ -59,13 +59,19 @@ DOCUMENTS_SCHEMA = pa.schema([
 def read_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Read the flat driver documents table, pruning columns at the read.
 
-    At 100 TB scale this is ``ray.data.read_lance`` over the interleaved
-    corpus; ``pylance`` is absent in this env so parquet is the storage
-    fallback (SURVEY.md §7.1 note)."""
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=columns or ["doc_id", "text", "lang", "source"],
-    )
+    Storage shim (SURVEY.md §7.1): if a ``documents.lance`` dataset exists
+    and ``ray.data.read_lance`` is importable (pylance installed), read
+    Lance — the north-rule storage format at 10^12-doc scale; otherwise
+    fall back to parquet (this env ships no pylance)."""
+    import os
+    cols = columns or ["doc_id", "text", "lang", "source"]
+    lance_path = f"{sf_dir}/documents.lance"
+    if os.path.isdir(lance_path) and hasattr(ray.data, "read_lance"):
+        try:
+            return ray.data.read_lance(lance_path, columns=cols)
+        except ImportError:
+            pass
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
 
 
 def chunk_offsets(n_chunks: int) -> np.ndarray:

@@ -99,13 +99,15 @@ def materialize_graph(triples: ray.data.Dataset, out_dir: str,
         final = os.path.join(out_dir, f"part-{b:05d}.parquet")
         # side-effect write is idempotent: tmp-file + rename; a task retry
         # simply replaces the file with identical content
-        atomic_write_parquet(pa.Table.from_pandas(df, preserve_index=False), final)
-        return pd.DataFrame([{"bucket": b, "rows": len(df), "path": final}])
+        fp = atomic_write_parquet(pa.Table.from_pandas(df, preserve_index=False), final)
+        return pd.DataFrame([{"bucket": b, "rows": len(df), "path": final,
+                              "fingerprint": fp}])
 
     stats = (bucketed.groupby("subj_bucket")
              .map_groups(write_partition, batch_format="pandas")
              .to_pandas())
-    items = [(int(r["bucket"]), int(r["rows"]), r["path"]) for _, r in stats.iterrows()]
+    items = [(int(r["bucket"]), int(r["rows"]), r["path"], r["fingerprint"])
+             for _, r in stats.iterrows()]
     # partitions with no rows at all: mark done so resume skips them too
     seen = {i[0] for i in items} | done
     items += [(b, 0, "") for b in range(n_parts) if b not in seen]
@@ -118,3 +120,26 @@ def read_graph(out_dir: str) -> ray.data.Dataset:
     import glob
     parts = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
     return ray.data.read_parquet(parts)
+
+
+def subject_lookup(out_dir: str, subj: str, num_buckets: int = 64,
+                   salt: int = 8):
+    """Serving-path point lookup: prune to the subject's ``salt`` partition
+    files (the north-star read contract — a reader never scans the table).
+    Returns a pyarrow Table of the subject's triples in (pred, obj) order."""
+    import pyarrow.compute as pcc
+    import pyarrow.parquet as pq
+
+    from dug_ray.shuffle import stable_bucket_array
+    b = stable_bucket_array(pa.array([subj]), num_buckets)[0].as_py()
+    tables = []
+    for s in range(salt):
+        path = os.path.join(out_dir, f"part-{b * salt + s:05d}.parquet")
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            tables.append(t.filter(pcc.equal(t["subj"], subj)))
+    if not tables:
+        return pa.table({c: pa.array([], pa.string())
+                         for c in ["subj", "pred", "obj", "obj_name", "source_query"]})
+    out = pa.concat_tables(tables)
+    return out.sort_by([("pred", "ascending"), ("obj", "ascending")])

@@ -63,12 +63,20 @@ class PartitionManifest:
         os.rename(tmp, self.path)
 
 
-def atomic_write_parquet(table, final_path: str) -> None:
-    """Write a pyarrow table to ``final_path`` via tmp-file + rename."""
+def atomic_write_parquet(table, final_path: str) -> str:
+    """Write a pyarrow table to ``final_path`` via tmp-file + rename.
+    Returns the md5 fingerprint of the written bytes (lineage metric)."""
+    import hashlib
+
     import pyarrow.parquet as pq
     d = os.path.dirname(final_path)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".parquet.tmp")
     os.close(fd)
     pq.write_table(table, tmp)
+    h = hashlib.md5()
+    with open(tmp, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
     os.rename(tmp, final_path)
+    return h.hexdigest()

@@ -75,8 +75,8 @@ def run_resumable(sf_dir: str, out_dir: str, num_shards: int = 8,
             .iter_batches(batch_size=None, batch_format="pyarrow"),
             promote_options="default")
         path = os.path.join(stage1_dir, f"shard-{s:05d}.parquet")
-        atomic_write_parquet(table, path)
-        manifest.mark_done(s, table.num_rows, path)
+        fp = atomic_write_parquet(table, path)
+        manifest.mark_done(s, table.num_rows, path, fp)
 
     triples = ray.data.read_parquet(
         [os.path.join(stage1_dir, f"shard-{s:05d}.parquet") for s in range(num_shards)])

@@ -63,3 +63,34 @@ def test_materialize_partition_resume(sf_smoke, tmp_path):
     assert read_graph(out).count() == n1
     for f, t in mtimes.items():
         assert os.path.getmtime(os.path.join(out, f)) == t
+
+
+def test_subject_lookup_pruned(sf_smoke, tmp_path):
+    """Serving read path: bucket-pruned point lookup returns exactly the
+    subject's triples, sorted by (pred, obj)."""
+    from dug_ray.pipelines import kg
+    from dug_ray.stages.materialize import materialize_graph, subject_lookup
+
+    out = str(tmp_path / "kg")
+    materialize_graph(kg.kg_triples(sf_smoke), out)
+    full = kg.kg_triples(sf_smoke).to_pandas()
+    for subj in ["MONDO:0005148", "MONDO:0004976", "NOPE:123"]:
+        t = subject_lookup(out, subj).to_pandas()
+        want = full[full["subj"] == subj]
+        assert len(t) == len(want)
+        assert set(map(tuple, t[["pred", "obj"]].values)) == \
+            set(map(tuple, want[["pred", "obj"]].values))
+        assert list(t["pred"]) == sorted(t["pred"])  # ordered scan
+
+
+def test_manifest_fingerprints(sf_smoke, tmp_path):
+    from dug_ray.pipelines import kg
+    from dug_ray.stages.materialize import materialize_graph
+    from dug_ray.state.manifest import PartitionManifest
+
+    out = str(tmp_path / "kg")
+    materialize_graph(kg.kg_triples(sf_smoke), out)
+    entries = PartitionManifest(out).load()
+    nonempty = [v for v in entries.values() if v["rows"] > 0]
+    assert nonempty
+    assert all(len(v["fingerprint"]) == 32 for v in nonempty)
