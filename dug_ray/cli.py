@@ -60,6 +60,14 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from dug_ray.pipelines.export import export_searchable
+    counts = export_searchable(args.sf_dir, args.out)
+    print(json.dumps({"out": args.out, **counts}))
+    return 0
+
+
 def cmd_query(args) -> int:
     _ensure_ray(args.num_cpus)
     from dug_ray import queries
@@ -87,6 +95,11 @@ def main(argv=None) -> int:
     s.add_argument("-q", "--query", required=True)
     s.add_argument("-k", type=int, default=20)
     s.set_defaults(fn=cmd_search)
+
+    ix = sub.add_parser("index", help="export searchable element/concept/kg datasets")
+    ix.add_argument("sf_dir")
+    ix.add_argument("-o", "--out", required=True)
+    ix.set_defaults(fn=cmd_index)
 
     q = sub.add_parser("query", help="run a registered pipeline by name")
     q.add_argument("sf_dir")
