@@ -1044,3 +1044,70 @@ ORACLES.update({
     "concept_optional_terms": SQL_CONCEPT_OPTIONAL_TERMS,
     "doc_sample": SQL_DOC_SAMPLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# sliding + session windows; IVF ANN
+# ---------------------------------------------------------------------------
+
+def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
+    from dug_ray.stages.windows import sliding_window
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    return _norm(sliding_window(ds),
+                 int_cols=("user_id", "window_start", "n_events", "sum_value_milli"))
+
+
+SQL_EVENTS_SLIDING = """
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                  CAST(round(value * 1000, 0) AS BIGINT) AS milli
+           FROM events),
+w AS (SELECT user_id,
+             (sec - kk.k * 1800) // 3600 * 3600 + kk.k * 1800 AS window_start,
+             milli
+      FROM e CROSS JOIN generate_series(0, 1) AS kk(k))
+SELECT user_id, window_start, count(*) AS n_events,
+       CAST(sum(milli) AS BIGINT) AS sum_value_milli
+FROM w GROUP BY 1, 2"""
+
+
+def q_events_session(sf_dir: str) -> ray.data.Dataset:
+    from dug_ray.stages.windows import session_window
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return _norm(session_window(ds),
+                 int_cols=("user_id", "session", "session_start", "n_events",
+                           "duration_sec"))
+
+
+SQL_EVENTS_SESSION = """
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+x AS (SELECT user_id, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+y AS (SELECT user_id, sec,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                            ROWS UNBOUNDED PRECEDING) - 1 AS session
+      FROM x)
+SELECT user_id, CAST(session AS BIGINT) AS session,
+       min(sec) AS session_start, count(*) AS n_events,
+       max(sec) - min(sec) AS duration_sec
+FROM y GROUP BY user_id, session"""
+
+
+def q_ivf_ann(sf_dir: str) -> ray.data.Dataset:
+    """IVF-bucketed approximate ANN (engine-only; rows-only driver check)."""
+    from dug_ray.stages.similarity import ivf_ann_topk
+    return ivf_ann_topk(sf_dir)
+
+
+QUERIES.update({
+    "events_sliding": q_events_sliding,
+    "events_session": q_events_session,
+    "ivf_ann": q_ivf_ann,
+})
+ORACLES.update({
+    "events_sliding": SQL_EVENTS_SLIDING,
+    "events_session": SQL_EVENTS_SESSION,
+})

@@ -168,3 +168,68 @@ def lsh_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
     df["rank"] = df.groupby("query_id").cumcount() + 1
     df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
     return ray.data.from_pandas(df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"}))
+
+
+def ivf_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
+                 n_centroids: int = 8, nprobe: int = 2, iters: int = 3) -> ray.data.Dataset:
+    """IVF approximate top-k: deterministic Lloyd-iterated centroids (seeded
+    from fixed vec_ids) partition the corpus; each query probes only its
+    ``nprobe`` nearest centroid buckets. The scale path alternative to
+    lsh_ann_topk: centroids are trained on a sample, broadcast, and
+    assignment happens per streamed batch. Engine-only (approximate;
+    rows-only driver check + recall test)."""
+    emb = read_embeddings(sf_dir)
+    all_df = emb.to_pandas().sort_values("vec_id")
+    m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in all_df["embedding"]]))
+    ids = all_df["vec_id"].to_numpy()
+    qmask = ids < n_queries
+    qm, q_ids = m[qmask], ids[qmask]
+    cm, c_ids = m[~qmask], ids[~qmask]
+
+    # deterministic k-means: seeds = first n_centroids corpus vectors
+    cents = cm[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(cm @ cents.T, axis=1)
+        for c in range(n_centroids):
+            sel = cm[assign == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+        cents = _normalize(cents)
+    assign = np.argmax(cm @ cents.T, axis=1)
+    ref = ray.put((cents, q_ids, qm))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cc, qids, qmat = ray.get(ref)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = vid >= n_queries
+        if not mask.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        mm = _normalize(_matrix(batch)[mask])
+        vv = vid[mask]
+        a = np.argmax(mm @ cc.T, axis=1)
+        rows = []
+        for qi in range(qmat.shape[0]):
+            probe = np.argsort(-(qmat[qi] @ cc.T))[:nprobe]
+            cand = np.isin(a, probe)
+            if not cand.any():
+                continue
+            sims = qmat[qi] @ mm[cand].T
+            cv = vv[cand]
+            kk = min(k, len(cv))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            rows.extend((int(qids[qi]), int(cv[j]), float(sims[j])) for j in idx)
+        out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cos"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = emb.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    df = partials.to_pandas()
+    if len(df) == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            columns=["query_id", "vec_id", "rank"]).astype("int64"))
+    df = df.sort_values(["query_id", "cos", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
+    return ray.data.from_pandas(df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"}))

@@ -1,0 +1,101 @@
+"""Windowed aggregates over the events stream table.
+
+Ray Data has no event-time windowing; per the streaming-shaped pattern the
+input is treated as a partitioned log — partition by key, order by ts
+inside each partition (the ordering assumption; SURVEY.md §2.9). Three
+window shapes:
+
+- tumbling (queries.q_events_window): GROUP BY floor(ts / size)
+- sliding (here): window size 1h, hop 30min — each event contributes to
+  exactly size/hop = 2 windows, implemented as a vectorized explode
+  (no self-join);
+- session (here): per-user sessions split at >30min gaps — a per-key
+  sorted cumulative-sum of gap indicators inside the user's hash bucket
+  (exact: a user's events all land in one bucket).
+
+Float sums use integer millis for bit-exact oracle comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from dug_ray.shuffle import bucketed_group_apply
+
+HOUR = 3600
+HOP = 1800
+SESSION_GAP = 1800
+
+
+def _epoch_seconds(ts: pd.Series) -> pd.Series:
+    return ((ts - pd.Timestamp(0)) // pd.Timedelta(seconds=1)).astype("int64")
+
+
+def sliding_window(events: ray.data.Dataset) -> ray.data.Dataset:
+    """1h windows hopping every 30min: (user_id, window_start, n_events,
+    sum_value_milli). Each event explodes to its size/hop windows."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        sec = _epoch_seconds(df["ts"])
+        milli = (df["value"] * 1000).round().astype("int64")
+        frames = []
+        for k in range(HOUR // HOP):
+            ws = (sec - k * HOP) // HOUR * HOUR + k * HOP
+            frames.append(pd.DataFrame({
+                "user_id": df["user_id"], "window_start": ws, "milli": milli}))
+        x = pd.concat(frames)
+        g = x.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("milli", "size"), sum_value_milli=("milli", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = events.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(batch["user_id"], pa.string()),
+            pc.cast(batch["window_start"], pa.string()), "_")
+        return batch.append_column("wkey", k)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value_milli=("sum_value_milli", "sum"))
+
+    keyed = partial.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+    return bucketed_group_apply(
+        keyed, "wkey", lambda df: merge(df.drop(columns=["wkey"])), 16)
+
+
+def session_window(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Gap-based sessions (>30min gap splits): per (user_id, session):
+    session_start, n_events, duration_sec. Exact via per-user bucketing."""
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["user_id", "ts"]]
+        df["sec"] = _epoch_seconds(df["ts"])
+        return pa.Table.from_pandas(df[["user_id", "sec"]], preserve_index=False)
+
+    rows = events.map_batches(to_rows, batch_format="pyarrow", batch_size=None)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("ukey", pc.cast(batch["user_id"], pa.string()))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "sec"], kind="mergesort")
+        gap = (df["sec"].diff() > SESSION_GAP) | (df["user_id"] != df["user_id"].shift())
+        df["session"] = np.cumsum(gap.to_numpy()) - 1
+        g = df.groupby(["user_id", "session"], as_index=False).agg(
+            session_start=("sec", "min"), session_end=("sec", "max"),
+            n_events=("sec", "size"))
+        g["duration_sec"] = g["session_end"] - g["session_start"]
+        # session index relative within user (0-based, by start time)
+        g["session"] = g.groupby("user_id").cumcount()
+        return g[["user_id", "session", "session_start", "n_events", "duration_sec"]]
+
+    keyed = rows.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+    return bucketed_group_apply(
+        keyed, "ukey", lambda df: per_bucket(df.drop(columns=["ukey"])), 16)

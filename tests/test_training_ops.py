@@ -119,3 +119,33 @@ def test_events_window_totals(sf_smoke):
     raw = pq.read_table(f"{sf_smoke}/events.parquet").to_pandas()
     assert out["n_events"].sum() == len(raw)
     assert out["sum_value_milli"].sum() == int((raw["value"] * 1000).round().sum())
+
+
+def test_ivf_ann_recall(sf_smoke):
+    from dug_ray.stages.similarity import ann_topk, ivf_ann_topk
+    exact = ann_topk(sf_smoke).to_pandas()
+    approx = ivf_ann_topk(sf_smoke).to_pandas()
+    inter = len(set(map(tuple, exact[["query_id", "vec_id"]].values))
+                & set(map(tuple, approx[["query_id", "vec_id"]].values)))
+    assert inter >= 0.3 * len(exact)  # nprobe=2/8 buckets: partial recall by design
+
+
+def test_sliding_window_totals(sf_smoke):
+    """Every event lands in exactly HOUR/HOP windows."""
+    import pyarrow.parquet as pq
+    from dug_ray import queries
+    out = queries.q_events_sliding(sf_smoke).to_pandas()
+    raw = pq.read_table(f"{sf_smoke}/events.parquet").to_pandas()
+    assert out["n_events"].sum() == 2 * len(raw)
+
+
+def test_session_window_sanity(sf_smoke):
+    import pyarrow.parquet as pq
+    from dug_ray import queries
+    out = queries.q_events_session(sf_smoke).to_pandas()
+    raw = pq.read_table(f"{sf_smoke}/events.parquet").to_pandas()
+    assert out["n_events"].sum() == len(raw)
+    assert (out["duration_sec"] >= 0).all()
+    # sessions are 0-based consecutive per user
+    for _, g in out.groupby("user_id"):
+        assert sorted(g["session"]) == list(range(len(g)))
