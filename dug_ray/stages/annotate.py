@@ -140,7 +140,10 @@ def default_pool_size(frac: float = 1.0) -> int:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # noqa: BLE001 - before init, fall back
         ncpu = 8
-    return max(2, int(ncpu * frac))
+    # floor of 1, not 2: on tiny clusters two pools flooring at 2 would
+    # reserve every CPU and starve the read/write tasks (observed deadlock
+    # at num_cpus=4)
+    return max(1, int(ncpu * frac))
 
 
 def annotate_elements(elements: ray.data.Dataset, *, concurrency: int | tuple | None = None,

@@ -88,39 +88,17 @@ def expand_concepts(concepts: ray.data.Dataset, edges_ref=None) -> ray.data.Data
     return concepts.map_batches(Expander, batch_format="pyarrow", concurrency=(1, 2))
 
 
-def expand_partial(linked: ray.data.Dataset, edges_ref=None) -> ray.data.Dataset:
-    """Expansion triples straight off the mention stream (combiner form).
-
-    Per batch: unique canonical CURIEs -> broadcast edge merge. The same
-    concept appearing in many batches re-emits its (few) edges; exact
-    dedup happens in the ``materialize_graph(dedup=True)`` subject-bucket
-    shuffle — so the headline pipeline pays ZERO extra exchange for
-    expansion (vs. building the full concepts table first)."""
-
-    class Expander:
-        def __init__(self):
-            self.edges = ray.get(edges_ref) if edges_ref is not None else _valid_edges()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            uniq = pc.unique(batch["canonical_curie"]).to_pandas()
-            hit = self.edges[self.edges["subj"].isin(set(uniq))]
-            out = hit[["subj", "pred", "obj", "obj_name", "source_query"]]
-            return pa.Table.from_pandas(out, preserve_index=False).cast(TRIPLE_SCHEMA)
-
-    return linked.map_batches(Expander, batch_format="pyarrow", batch_size=None,
-                              concurrency=(1, 2))
-
-
 def triples_partial(linked: ray.data.Dataset, edges_ref=None) -> ray.data.Dataset:
     """One-pass combiner: linked mentions -> (annotates pairs U expansion
     triples), emitted per batch in a single stage.
 
     This keeps the headline pipeline a SINGLE streaming pass — no
     ``materialize()`` of the mention table and no branch re-execution; the
-    only exchange left is the scatter/compact of materialize_graph, where
-    cross-batch duplicates are exactly deduped. Projects to the two needed
-    columns before building triples, so nothing wider than (subj, obj)
-    moves."""
+    only exchange left is the salted subject-bucket groupby of
+    ``materialize_graph(dedup=True)``, where cross-batch duplicates are
+    exactly deduped. Projects to the two needed columns before building
+    triples; low-cardinality columns are dictionary-encoded (shuffle moves
+    codes, not repeated strings)."""
 
     def emit(batch: pa.Table) -> pa.Table:
         # stateless task (elastic); the edge table is tiny here and cached
@@ -129,8 +107,6 @@ def triples_partial(linked: ray.data.Dataset, edges_ref=None) -> ray.data.Datase
         edges = ray.get(edges_ref) if edges_ref is not None else _valid_edges_cached()
         df = batch.select(["canonical_curie", "element_id"]).to_pandas().drop_duplicates()
         n = len(df)
-        # dictionary-encode the low-cardinality columns: they are shuffle
-        # payload; codes move ~10x fewer bytes than repeated strings
         ann = pa.table({
             "subj": pa.array(df["canonical_curie"], type=pa.string()).dictionary_encode(),
             "pred": pa.nulls(n, pa.string()).fill_null("dug:annotates").dictionary_encode(),

@@ -145,3 +145,14 @@ def test_preprocess_debreviator():
     hits = ner(batch)
     assert hits.num_rows == 1
     assert hits.column("curie").to_pylist() == ["MESH:D001"]
+
+
+def test_actor_pool_path_equivalent(sf_smoke, linked_df):
+    """The actor-pool stage form (broadcast-ref state) produces the same
+    linked mentions as the stateless default."""
+    pooled = kg.linked_mentions_ds(sf_smoke, stateless=False,
+                                   concurrency=1).to_pandas()
+    key = ["element_id", "tok_pos", "curie"]
+    a = pooled[key].sort_values(key).reset_index(drop=True)
+    b = linked_df[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
