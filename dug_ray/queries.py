@@ -1111,3 +1111,157 @@ ORACLES.update({
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,
 })
+
+
+# ---------------------------------------------------------------------------
+# analytics over the TPC-H-ish tables (engine generality: partitioned hash
+# join + wide aggregations with integer-cent sums for bit-exact floats)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """Q1-style pricing summary: lineitem grouped by (returnflag,
+    linestatus); money in integer cents (order-independent sums)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["qty"] = (df["l_quantity"] * 100).round().astype("int64")
+        df["price_c"] = (df["l_extendedprice"] * 100).round().astype("int64")
+        df["disc_bp"] = (df["l_discount"] * 10000).round().astype("int64")
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_base_price_cents=("price_c", "sum"),
+            sum_disc_bp=("disc_bp", "sum"), count_order=("qty", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(batch["l_returnflag"], batch["l_linestatus"], "_")
+        return batch.append_column("gkey", k)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_price_cents=("sum_base_price_cents", "sum"),
+            sum_disc_bp=("sum_disc_bp", "sum"),
+            count_order=("count_order", "sum"))
+
+    keyed = partial.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+    out = bucketed_group_apply(keyed, "gkey", lambda df: merge(df.drop(columns=["gkey"])), 4)
+    return _norm(out, int_cols=("sum_qty", "sum_base_price_cents", "sum_disc_bp",
+                                "count_order"))
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
+       count(*) AS count_order
+FROM lineitem GROUP BY 1, 2"""
+
+
+def q_order_revenue_join(sf_dir: str) -> ray.data.Dataset:
+    """Q3-style: orders |><| lineitem via the PARTITIONED HASH JOIN (both
+    sides large, neither broadcast) -> revenue cents per order, top 10."""
+    from dug_ray.shuffle import hash_join
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rev_c"] = ((df["l_extendedprice"] * (1 - df["l_discount"])) * 100) \
+            .round().astype("int64")
+        return pa.Table.from_pandas(df[["l_orderkey", "rev_c"]], preserve_index=False)
+
+    li_c = li.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li_c, orders, "l_orderkey", "o_orderkey")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_orderkey", "o_orderpriority"], as_index=False).agg(
+            revenue_cents=("rev_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # per-batch partial sums (hash_join co-locates an order's rows, but a
+    # block split could straddle one) + exact driver-side final regroup of
+    # the small partials
+    agg = joined.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+    df = (agg.to_pandas()
+          .groupby(["l_orderkey", "o_orderpriority"], as_index=False)
+          .agg(revenue_cents=("revenue_cents", "sum"))
+          .sort_values(["revenue_cents", "l_orderkey"], ascending=[False, True])
+          .head(10))
+    df = df.reset_index(drop=True)
+    df["rank"] = df.index + 1
+    return ray.data.from_pandas(df.astype({
+        "l_orderkey": "int64", "revenue_cents": "int64", "rank": "int64"}))
+
+
+SQL_ORDER_REVENUE = """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS rev_c
+  FROM lineitem),
+agg AS (
+  SELECT r.l_orderkey, o.o_orderpriority,
+         CAST(sum(rev_c) AS BIGINT) AS revenue_cents
+  FROM rev r JOIN orders o ON o.o_orderkey = r.l_orderkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY revenue_cents DESC, l_orderkey) AS rank
+  FROM agg)
+SELECT l_orderkey, o_orderpriority, revenue_cents, rank
+FROM ranked WHERE rank <= 10"""
+
+
+def q_doc_event_join(sf_dir: str) -> ray.data.Dataset:
+    """documents |><| events on doc_id = user_id (partitioned hash join):
+    events per document language."""
+    from dug_ray.shuffle import hash_join
+    docs = read_documents(sf_dir, columns=["doc_id", "lang"])
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    joined = hash_join(docs, ev, "doc_id", "user_id")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["lang", "event_type"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = joined.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(batch["lang"], batch["event_type"], "_")
+        return batch.append_column("gkey", k)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "event_type"], as_index=False).agg(n=("n", "sum"))
+
+    keyed = partial.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+    out = bucketed_group_apply(keyed, "gkey", lambda df: merge(df.drop(columns=["gkey"])), 4)
+    return _norm(out, int_cols=("n",))
+
+
+SQL_DOC_EVENT_JOIN = """
+SELECT d.lang, e.event_type, count(*) AS n
+FROM documents d JOIN events e ON e.user_id = d.doc_id
+GROUP BY 1, 2"""
+
+
+QUERIES.update({
+    "pricing_summary": q_pricing_summary,
+    "order_revenue_join": q_order_revenue_join,
+    "doc_event_join": q_doc_event_join,
+})
+ORACLES.update({
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "order_revenue_join": SQL_ORDER_REVENUE,
+    "doc_event_join": SQL_DOC_EVENT_JOIN,
+})

@@ -83,3 +83,55 @@ def distinct_rows(ds: ray.data.Dataset, cols: list[str], num_buckets: int = 64) 
     partial = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
     return bucketed_group_apply(
         partial, cols[0], lambda df: df.drop_duplicates(), num_buckets)
+
+
+def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              left_key: str, right_key: str,
+              num_buckets: int = 32) -> ray.data.Dataset:
+    """Partitioned hash join for two LARGE sides (neither is broadcast).
+
+    The portable Ray Data pattern (no reliance on a Dataset.join API):
+    tag each side, bucket both on the join key's stable hash, union, and
+    merge matching buckets pairwise inside the bucketed grouped apply —
+    each bucket task sees every row of its keys from BOTH sides, so the
+    join is exact. ``num_buckets`` bounds per-task memory; salt hot keys
+    upstream if one key dominates (same combiner discipline as the KG
+    canonicalization shuffle)."""
+
+    def tag(side: str, key: str):
+        def _t(batch: pa.Table) -> pa.Table:
+            b = batch.append_column("_side", pa.nulls(len(batch), pa.string()).fill_null(side))
+            if key != "_jk":
+                b = b.append_column("_jk", pc.cast(b[key], pa.string()))
+            return b
+        return _t
+
+    lt = left.map_batches(tag("l", left_key), batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag("r", right_key), batch_format="pyarrow", batch_size=None)
+
+    lsch, rsch = left.schema(), right.schema()
+    lcols, rcols = list(lsch.names), list(rsch.names)
+    types = {**dict(zip(rsch.names, rsch.types)), **dict(zip(lsch.names, lsch.types))}
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        li = df[df["_side"] == "l"][lcols + ["_jk"]]
+        ri = df[df["_side"] == "r"][rcols + ["_jk"]]
+        out = li.merge(ri, on="_jk", how="inner", sort=False)
+        return out.drop(columns=["_jk"])
+
+    # union requires matching schemas: widen each side to the column union
+    # with TYPED nulls for the other side's fields
+    all_cols = list(dict.fromkeys(lcols + rcols))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        out = {}
+        for c in all_cols:
+            out[c] = batch[c] if c in batch.column_names \
+                else pa.nulls(len(batch), types[c])
+        out["_jk"] = batch["_jk"]
+        out["_side"] = batch["_side"]
+        return pa.table(out)
+
+    u = (lt.map_batches(widen, batch_format="pyarrow", batch_size=None)
+         .union(rt.map_batches(widen, batch_format="pyarrow", batch_size=None)))
+    return bucketed_group_apply(u, "_jk", per_bucket, num_buckets)
