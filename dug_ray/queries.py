@@ -1172,9 +1172,14 @@ def q_order_revenue_join(sf_dir: str) -> ray.data.Dataset:
                                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def to_cents(batch: pa.Table) -> pa.Table:
+        # round price->cents and discount->basis points SEPARATELY (both are
+        # exact decimals, never .5 ties) then multiply in integer space —
+        # rounding price*(1-disc) directly hits half-even-vs-half-away
+        # divergence between pandas and DuckDB on exact-.5 products
         df = batch.to_pandas()
-        df["rev_c"] = ((df["l_extendedprice"] * (1 - df["l_discount"])) * 100) \
-            .round().astype("int64")
+        price_c = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (df["l_discount"] * 10000).round().astype("int64")
+        df["rev_c"] = price_c * (10000 - disc_bp)
         return pa.Table.from_pandas(df[["l_orderkey", "rev_c"]], preserve_index=False)
 
     li_c = li.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
@@ -1206,7 +1211,8 @@ def q_order_revenue_join(sf_dir: str) -> ray.data.Dataset:
 SQL_ORDER_REVENUE = """
 WITH rev AS (
   SELECT l_orderkey,
-         CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS rev_c
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)) AS rev_c
   FROM lineitem),
 agg AS (
   SELECT r.l_orderkey, o.o_orderpriority,
