@@ -1271,3 +1271,66 @@ ORACLES.update({
     "order_revenue_join": SQL_ORDER_REVENUE,
     "doc_event_join": SQL_DOC_EVENT_JOIN,
 })
+
+
+# ---------------------------------------------------------------------------
+# per-collection top terms (TF ranking) + HLL sketch
+# ---------------------------------------------------------------------------
+
+def q_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Top-5 terms per source by frequency (ties by term asc) — the
+    TF-ranking serving aggregate."""
+    flat = flatten_spans(read_interleaved(sf_dir))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], "text"))
+        tokens = pc.split_pattern(t["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        src = t.column("source").to_pylist()
+        df = pd.DataFrame({
+            "source": [src[p] for p in parent],
+            "term": tokens.flatten().to_pylist(),
+        })
+        g = df.groupby(["source", "term"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = flat.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "term"], as_index=False).agg(n=("n", "sum"))
+        g = g.sort_values(["source", "n", "term"], ascending=[True, False, True],
+                          kind="mergesort")
+        g["rank"] = g.groupby("source").cumcount() + 1
+        return g[g["rank"] <= 5]
+
+    out = bucketed_group_apply(partial, "source", merge, 8)
+    return _norm(out, int_cols=("n", "rank"))
+
+
+SQL_TOP_TERMS = _with(SQL_TOKS) + """,
+tf AS (SELECT source, term, count(*) AS n FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT source, term, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rank
+  FROM tf)
+SELECT source, term, n, rank FROM ranked WHERE rank <= 5"""
+
+
+def q_hll_distinct(sf_dir: str):
+    """HLL approximate distinct tokens per source (sketch combiner +
+    register merge; engine-only, rows-only driver check + accuracy test)."""
+    from dug_ray.stages.sketch import hll_distinct_tokens
+    return hll_distinct_tokens(
+        read_documents(sf_dir, columns=["doc_id", "text", "source"]), by="source")
+
+
+QUERIES.update({
+    "top_terms": q_top_terms,
+    "hll_distinct": q_hll_distinct,
+})
+ORACLES.update({
+    "top_terms": SQL_TOP_TERMS,
+})

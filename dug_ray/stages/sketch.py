@@ -1,0 +1,95 @@
+"""Mergeable sketches: HyperLogLog distinct counting.
+
+The custom-operator class the round brief calls out (a sketch Ray Data
+lacks): per-batch partial sketches (one serialized register array per
+batch — the combiner), merged associatively in a tiny final stage.
+Deterministic (md5-based hashing), so estimates are reproducible run to
+run; accuracy ~1.04/sqrt(2^p).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+P = 10          # 2^10 = 1024 registers -> ~3% standard error
+M = 1 << P
+
+
+def _alpha(m: int) -> float:
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _hash64(values) -> np.ndarray:
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big") for v in values),
+        dtype=np.uint64, count=len(values))
+
+
+def _registers(values) -> np.ndarray:
+    """HLL register array for an iterable of strings."""
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - P)).astype(np.int64)
+    rest = h << np.uint64(P)
+    # rank = leading zeros of the remaining 64-P bits + 1
+    lz = np.zeros(len(h), dtype=np.int64)
+    mask = np.uint64(1 << 63)
+    rest_work = rest.copy()
+    for _ in range(64 - P + 1):
+        zero = (rest_work & mask) == 0
+        lz += zero
+        rest_work = rest_work << np.uint64(1)
+        if not zero.any():
+            break
+    rank = np.minimum(lz, 64 - P) + 1
+    regs = np.zeros(M, dtype=np.int8)
+    np.maximum.at(regs, idx, rank.astype(np.int8))
+    return regs
+
+
+def estimate(regs: np.ndarray) -> float:
+    m = float(M)
+    e = _alpha(M) * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)  # small-range correction
+    return float(e)
+
+
+def hll_distinct_tokens(docs: ray.data.Dataset, by: str | None = None) -> pd.DataFrame:
+    """Approximate distinct token count, optionally grouped by a column.
+
+    Per-batch partial sketches -> associative register max-merge. The
+    merged state is O(groups x 1KB) regardless of corpus size — the
+    defining property of a sketch pipeline."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        if by is None:
+            groups = {"_all": tokens.flatten().to_pylist()}
+        else:
+            parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+            keys = batch.column(by).to_pylist()
+            flat = tokens.flatten().to_pylist()
+            groups = {}
+            for p, t in zip(parent, flat):
+                groups.setdefault(keys[p], []).append(t)
+        rows = [{"key": k, "regs": _registers(sorted(set(v))).tobytes()}
+                for k, v in groups.items()]
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    partial = docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+    merged: dict[str, np.ndarray] = {}
+    for b in partial.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for k, r in zip(b.column("key").to_pylist(), b.column("regs").to_pylist()):
+            regs = np.frombuffer(r, dtype=np.int8)
+            merged[k] = np.maximum(merged.get(k, np.zeros(M, np.int8)), regs)
+    return pd.DataFrame(
+        [{"key": k, "approx_distinct": estimate(v)} for k, v in sorted(merged.items())])

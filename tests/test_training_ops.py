@@ -149,3 +149,18 @@ def test_session_window_sanity(sf_smoke):
     # sessions are 0-based consecutive per user
     for _, g in out.groupby("user_id"):
         assert sorted(g["session"]) == list(range(len(g)))
+
+
+def test_hll_accuracy(sf_smoke):
+    """HLL estimate within 10% of the exact distinct-token count (only 31
+    distinct tokens -> small-range correction path)."""
+    import duckdb
+    from dug_ray.io import read_documents
+    from dug_ray.stages.sketch import hll_distinct_tokens
+    est = hll_distinct_tokens(
+        read_documents(sf_smoke, columns=["doc_id", "text", "source"]))
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT term) FROM (SELECT unnest(string_split(text,' ')) "
+        f"AS term FROM read_parquet('{sf_smoke}/documents.parquet'))").fetchone()[0]
+    got = float(est["approx_distinct"].iloc[0])
+    assert abs(got - exact) / exact < 0.1
