@@ -1334,3 +1334,50 @@ QUERIES.update({
 ORACLES.update({
     "top_terms": SQL_TOP_TERMS,
 })
+
+
+def q_faceted_search(sf_dir: str) -> ray.data.Dataset:
+    """A12 faceted search (``server.py:132-303``): with the active filter
+    set {lang='en', source='src0'}, each facet's counts are computed with
+    all OTHER filters applied (so a facet shows what selecting each of its
+    values would yield). Output: (facet, key, n), count desc then key asc
+    rank per facet (``server.py:277-294`` sort contract)."""
+    ds = read_documents(sf_dir, columns=["doc_id", "lang", "source"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        lang_counts = (df[df["source"] == "src0"].groupby("lang").size()
+                       .rename("n").reset_index().rename(columns={"lang": "key"}))
+        lang_counts["facet"] = "lang"
+        src_counts = (df[df["lang"] == "en"].groupby("source").size()
+                      .rename("n").reset_index().rename(columns={"source": "key"}))
+        src_counts["facet"] = "source"
+        out = pd.concat([lang_counts, src_counts])[["facet", "key", "n"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partial = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["facet", "key"], as_index=False).agg(n=("n", "sum"))
+        g = g.sort_values(["facet", "n", "key"], ascending=[True, False, True],
+                          kind="mergesort")
+        g["rank"] = g.groupby("facet").cumcount() + 1
+        return g
+
+    out = bucketed_group_apply(partial, "facet", merge, 2)
+    return _norm(out, int_cols=("n", "rank"))
+
+
+SQL_FACETED_SEARCH = """
+WITH l AS (SELECT 'lang' AS facet, lang AS key, count(*) AS n
+           FROM documents WHERE source = 'src0' GROUP BY lang),
+s AS (SELECT 'source' AS facet, source AS key, count(*) AS n
+      FROM documents WHERE lang = 'en' GROUP BY source),
+u AS (SELECT * FROM l UNION ALL SELECT * FROM s)
+SELECT facet, key, n,
+       row_number() OVER (PARTITION BY facet ORDER BY n DESC, key) AS rank
+FROM u"""
+
+
+QUERIES["faceted_search"] = q_faceted_search
+ORACLES["faceted_search"] = SQL_FACETED_SEARCH
