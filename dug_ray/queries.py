@@ -1381,3 +1381,103 @@ FROM u"""
 
 QUERIES["faceted_search"] = q_faceted_search
 ORACLES["faceted_search"] = SQL_FACETED_SEARCH
+
+
+def q_events_running(sf_dir: str) -> ray.data.Dataset:
+    """Per-user running count + running milli-sum in (ts, event_id) order —
+    the ordered-per-key incremental-state pattern (at streaming scale this
+    state lives in one actor per key-hash bucket fed in ts order; batch
+    form: per-user-bucket sort + cumulative sums)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "value"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["sec"] = ((df["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)).astype("int64")
+        df["milli"] = (df["value"] * 1000).round().astype("int64")
+        return pa.Table.from_pandas(
+            df[["event_id", "user_id", "sec", "milli"]], preserve_index=False)
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow", batch_size=None)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("ukey", pc.cast(batch["user_id"], pa.string()))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "sec", "event_id"], kind="mergesort")
+        df["running_n"] = df.groupby("user_id").cumcount() + 1
+        df["running_milli"] = df.groupby("user_id")["milli"].cumsum()
+        return df[["event_id", "user_id", "sec", "running_n", "running_milli"]]
+
+    keyed = rows.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+    out = bucketed_group_apply(
+        keyed, "ukey", lambda df: per_bucket(df.drop(columns=["ukey"])), 16)
+    return _norm(out, int_cols=("event_id", "user_id", "sec", "running_n",
+                                "running_milli"))
+
+
+SQL_EVENTS_RUNNING = """
+WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                  CAST(round(value * 1000, 0) AS BIGINT) AS milli
+           FROM events)
+SELECT event_id, user_id, sec,
+       CAST(row_number() OVER w AS BIGINT) AS running_n,
+       CAST(sum(milli) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_milli
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)"""
+
+
+def q_urgent_lineitems(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast SEMI-join: lineitems of '1-URGENT' orders — the key set is
+    collected once (bounded: keys of one priority class), broadcast via
+    ray.put, and applied as a vectorized membership filter; at key-set
+    scale beyond memory this becomes a Bloom-filter prefilter + exact
+    hash_join. Output: per returnflag, qty-cent sums over the semi-joined
+    rows."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+    import numpy as np
+    keys = set(orders.filter(expr="o_orderpriority == '1-URGENT'")
+               .to_pandas()["o_orderkey"])
+    key_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_returnflag", "l_quantity"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        karr = ray.get(key_ref)
+        ok = np.isin(batch.column("l_orderkey").to_numpy(zero_copy_only=False), karr)
+        t = batch.filter(pa.array(ok))
+        df = t.to_pandas()
+        df["qty"] = (df["l_quantity"] * 100).round().astype("int64")
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            n_items=("qty", "size"), sum_qty=("qty", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = li.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_returnflag", as_index=False).agg(
+            n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum"))
+
+    out = bucketed_group_apply(partial, "l_returnflag", merge, 2)
+    return _norm(out, int_cols=("n_items", "sum_qty"))
+
+
+SQL_URGENT_LINEITEMS = """
+SELECT l_returnflag, count(*) AS n_items,
+       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag"""
+
+
+QUERIES.update({
+    "events_running": q_events_running,
+    "urgent_lineitems": q_urgent_lineitems,
+})
+ORACLES.update({
+    "events_running": SQL_EVENTS_RUNNING,
+    "urgent_lineitems": SQL_URGENT_LINEITEMS,
+})
