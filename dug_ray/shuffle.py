@@ -109,9 +109,20 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     lt = left.map_batches(tag("l", left_key), batch_format="pyarrow", batch_size=None)
     rt = right.map_batches(tag("r", right_key), batch_format="pyarrow", batch_size=None)
 
+    def _arrow_type(t):
+        # pandas-backed datasets report numpy dtypes, parquet-backed report
+        # Arrow types — normalize (object dtype -> string)
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            return pa.string()
+
     lsch, rsch = left.schema(), right.schema()
     lcols, rcols = list(lsch.names), list(rsch.names)
-    types = {**dict(zip(rsch.names, rsch.types)), **dict(zip(lsch.names, lsch.types))}
+    types = {c: _arrow_type(t) for c, t in
+             list(zip(rsch.names, rsch.types)) + list(zip(lsch.names, lsch.types))}
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         li = df[df["_side"] == "l"][lcols + ["_jk"]]

@@ -164,3 +164,23 @@ def test_hll_accuracy(sf_smoke):
         f"AS term FROM read_parquet('{sf_smoke}/documents.parquet'))").fetchone()[0]
     got = float(est["approx_distinct"].iloc[0])
     assert abs(got - exact) / exact < 0.1
+
+
+def test_hash_join_edges():
+    """Partitioned hash join: unmatched keys drop, empty side yields empty,
+    dtypes survive the typed-null widening."""
+    from dug_ray.shuffle import hash_join
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3], "lv": [10.5, 20.5, 30.5]}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"r": [2, 3, 3, 9], "rv": ["a", "b", "c", "d"]}))
+    out = hash_join(left, right, "k", "r").to_pandas().sort_values(
+        ["k", "rv"]).reset_index(drop=True)
+    assert list(out["k"]) == [2, 3, 3]
+    assert list(out["rv"]) == ["a", "b", "c"]
+    assert out["lv"].dtype == "float64"
+
+    empty = ray.data.from_pandas(pd.DataFrame({"r": pd.Series([], dtype="int64"),
+                                               "rv": pd.Series([], dtype="object")}))
+    out2 = hash_join(left, empty, "k", "r").to_pandas()
+    assert len(out2) == 0
