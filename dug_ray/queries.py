@@ -1481,3 +1481,41 @@ ORACLES.update({
     "events_running": SQL_EVENTS_RUNNING,
     "urgent_lineitems": SQL_URGENT_LINEITEMS,
 })
+
+
+def q_segment_order_stats(sf_dir: str) -> ray.data.Dataset:
+    """customer |><| orders (partitioned hash join) -> per market segment:
+    order count + totalprice cents."""
+    from dug_ray.shuffle import hash_join
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    joined = hash_join(cust, orders, "c_custkey", "o_custkey")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["price_c"] = (df["o_totalprice"] * 100).round().astype("int64")
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("price_c", "size"), total_cents=("price_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = joined.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+
+    out = bucketed_group_apply(partial, "c_mktsegment", merge, 2)
+    return _norm(out, int_cols=("n_orders", "total_cents"))
+
+
+SQL_SEGMENT_ORDER_STATS = """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment"""
+
+
+QUERIES["segment_order_stats"] = q_segment_order_stats
+ORACLES["segment_order_stats"] = SQL_SEGMENT_ORDER_STATS
