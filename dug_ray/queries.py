@@ -1519,3 +1519,88 @@ GROUP BY c.c_mktsegment"""
 
 QUERIES["segment_order_stats"] = q_segment_order_stats
 ORACLES["segment_order_stats"] = SQL_SEGMENT_ORDER_STATS
+
+
+def q_region_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """supplier -> nation -> region rollup via two broadcast dimension
+    joins (the snowflake small-side pattern): per region, supplier count +
+    acctbal cents."""
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim_ref = ray.put(dim[["n_nationkey", "r_name"]])
+
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        d = ray.get(dim_ref)
+        df = batch.to_pandas().merge(d, left_on="s_nationkey",
+                                     right_on="n_nationkey", how="inner")
+        df["bal_c"] = (df["s_acctbal"] * 100).round().astype("int64")
+        g = df.groupby("r_name", as_index=False).agg(
+            n_suppliers=("s_suppkey", "size"), acctbal_cents=("bal_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = sup.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("r_name", as_index=False).agg(
+            n_suppliers=("n_suppliers", "sum"), acctbal_cents=("acctbal_cents", "sum"))
+
+    out = bucketed_group_apply(partial, "r_name", merge, 2)
+    return _norm(out, int_cols=("n_suppliers", "acctbal_cents"))
+
+
+SQL_REGION_SUPPLIERS = """
+SELECT r.r_name, count(*) AS n_suppliers,
+       CAST(sum(CAST(round(s.s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name"""
+
+
+def q_part_brand_stats(sf_dir: str) -> ray.data.Dataset:
+    """part grouped by brand: count, avg size (exact int math), retail
+    cents."""
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_brand", "p_size", "p_retailprice"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["price_c"] = (df["p_retailprice"] * 100).round().astype("int64")
+        g = df.groupby("p_brand", as_index=False).agg(
+            n_parts=("p_size", "size"), sum_size=("p_size", "sum"),
+            retail_cents=("price_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", as_index=False).agg(
+            n_parts=("n_parts", "sum"), sum_size=("sum_size", "sum"),
+            retail_cents=("retail_cents", "sum"))
+        g["avg_size"] = g["sum_size"] / g["n_parts"]
+        return g
+
+    out = bucketed_group_apply(partial, "p_brand", merge, 2)
+    return _norm(out, int_cols=("n_parts", "sum_size", "retail_cents"))
+
+
+SQL_PART_BRAND_STATS = """
+SELECT p_brand, count(*) AS n_parts,
+       CAST(sum(p_size) AS BIGINT) AS sum_size,
+       CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS retail_cents,
+       CAST(sum(p_size) AS DOUBLE) / count(*) AS avg_size
+FROM part GROUP BY p_brand"""
+
+
+QUERIES.update({
+    "region_suppliers": q_region_suppliers,
+    "part_brand_stats": q_part_brand_stats,
+})
+ORACLES.update({
+    "region_suppliers": SQL_REGION_SUPPLIERS,
+    "part_brand_stats": SQL_PART_BRAND_STATS,
+})
