@@ -96,7 +96,8 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     each bucket task sees every row of its keys from BOTH sides, so the
     join is exact. ``num_buckets`` bounds per-task memory; salt hot keys
     upstream if one key dominates (same combiner discipline as the KG
-    canonicalization shuffle)."""
+    canonicalization shuffle). Quirk: a fully-empty result Dataset loses
+    its column schema (Ray pandas-block behavior) — guard consumers."""
 
     def tag(side: str, key: str):
         def _t(batch: pa.Table) -> pa.Table:
