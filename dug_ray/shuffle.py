@@ -4,8 +4,9 @@
 10^5-10^9 distinct keys the per-group Python call dominates wall time. The
 scalable shape used throughout this engine is **bucketed grouped apply**:
 
-1. add a deterministic hash bucket of the key (``crc32 % num_buckets`` —
-   stable across processes, unlike Python ``hash()``; required for resume);
+1. add a deterministic hash bucket of the key (vectorized SipHash %
+   num_buckets — stable across processes, unlike Python ``hash()``;
+   required for resume);
 2. ``groupby('_bucket')`` — the shuffle now moves the same rows but forms
    only ``num_buckets`` groups;
 3. inside each bucket, run a *vectorized* pandas ``groupby`` over the whole
