@@ -1604,3 +1604,42 @@ ORACLES.update({
     "region_suppliers": SQL_REGION_SUPPLIERS,
     "part_brand_stats": SQL_PART_BRAND_STATS,
 })
+
+
+def q_radx_elements(sf_dir: str) -> ray.data.Dataset:
+    """S14 RADx-style elements (``radx_parser.py:15-57``): one element per
+    (record x study) carrying a free-form ``metadata`` dict
+    (``parsers/_base.py:27`` — only RADx sets it). Serialized as a
+    deterministic sorted-key JSON string (the searchable-dict nested-object
+    contract)."""
+    ds = read_documents(sf_dir, columns=["doc_id", "lang", "source"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        doc_id = pc.cast(batch["doc_id"], pa.string())
+        meta = pc.binary_join_element_wise(
+            pa.nulls(len(batch), pa.string()).fill_null('{"lang": "'),
+            batch["lang"],
+            pa.nulls(len(batch), pa.string()).fill_null('", "source": "'),
+            batch["source"],
+            pa.nulls(len(batch), pa.string()).fill_null('"}'),
+            "")
+        return pa.table({
+            "element_id": pc.binary_join_element_wise(doc_id, pa.scalar("-radx"), ""),
+            "data_type": pa.nulls(len(batch), pa.string()).fill_null("radx"),
+            "collection_id": batch["source"],
+            "metadata": meta,
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+
+SQL_RADX_ELEMENTS = """
+SELECT CAST(doc_id AS VARCHAR) || '-radx' AS element_id,
+       'radx' AS data_type,
+       source AS collection_id,
+       '{"lang": "' || lang || '", "source": "' || source || '"}' AS metadata
+FROM documents"""
+
+
+QUERIES["radx_elements"] = q_radx_elements
+ORACLES["radx_elements"] = SQL_RADX_ELEMENTS
