@@ -207,8 +207,30 @@ def _hw_capacity_ratio() -> float:
     return totals[32] / totals[8]
 
 
+def run_query_timings() -> dict:
+    """Time every registered query at sf0.01 (round-over-round tracker)."""
+    import ray
+    ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from dug_ray import queries as q
+    sf = os.environ.get("GRAFT_QUERY_SF", "/root/testdata/sf0.01")
+    out = {}
+    for name, fn in q.QUERIES.items():
+        t0 = time.time()
+        r = fn(sf)
+        import pandas as pd
+        n = len(r) if isinstance(r, pd.DataFrame) else r.count()
+        out[name] = {"sec": round(time.time() - t0, 3), "rows": int(n)}
+    ray.shutdown()
+    return {"metric": "query_timings", "sf": sf, "queries": out}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--queries" in sys.argv:
+        print(json.dumps(run_query_timings()))
     else:
         print(json.dumps(run_bench()))
