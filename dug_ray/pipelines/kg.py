@@ -49,6 +49,22 @@ def linked_mentions_ds(sf_dir: str, stateless: bool = True, **kwargs) -> ray.dat
     return link_mentions(mentions)
 
 
+_LINKED_CACHE: dict[str, ray.data.Dataset] = {}
+
+
+def linked_mentions_cached(sf_dir: str) -> ray.data.Dataset:
+    """Materialized linked mentions, memoized per sf_dir for the session.
+
+    The driver's correctness gate runs dozens of queries against one
+    sf_dir in one Ray session; the linked stream is their common prefix.
+    Materializing it once (object-store pinned; small at correctness
+    scales) removes the repeated NER/link recompute. Benchmarks build
+    their own streams and never use this cache."""
+    if sf_dir not in _LINKED_CACHE:
+        _LINKED_CACHE[sf_dir] = linked_mentions_ds(sf_dir).materialize()
+    return _LINKED_CACHE[sf_dir]
+
+
 def kg_triples(sf_dir: str) -> ray.data.Dataset:
     """Full triple set: expansion triples U annotates edges.
 
@@ -58,7 +74,7 @@ def kg_triples(sf_dir: str) -> ray.data.Dataset:
     resumable runner (state/manifest.py) instead checkpoints mentions to
     parquet per input shard and reads them back — same single-pass property,
     spill-friendly."""
-    linked = linked_mentions_ds(sf_dir).materialize()
+    linked = linked_mentions_cached(sf_dir)
     concepts = build_concepts(linked)
     expansion = expand_concepts(concepts)
     annotates = annotates_edges(linked)

@@ -195,7 +195,7 @@ FROM toks k JOIN lexicon l USING (term)"""
 
 
 def q_linked_mentions(sf_dir: str) -> ray.data.Dataset:
-    ds = kg.linked_mentions_ds(sf_dir)
+    ds = kg.linked_mentions_cached(sf_dir)
     ds = ds.select_columns(["doc_id", "element_id", "collection_id", "tok_pos", "term",
                             "curie", "canonical_curie", "name", "type",
                             "synonyms", "purl", "score"])
@@ -211,7 +211,7 @@ FROM linked_full"""
 
 
 def q_concepts(sf_dir: str) -> ray.data.Dataset:
-    ds = build_concepts(kg.linked_mentions_ds(sf_dir))
+    ds = build_concepts(kg.linked_mentions_cached(sf_dir))
     return _norm(ds, int_cols=("n_mentions", "n_elements", "first_doc_id", "first_tok_pos"))
 
 
@@ -249,7 +249,7 @@ WHERE r.rn = 1"""
 
 
 def q_element_terms(sf_dir: str) -> ray.data.Dataset:
-    linked = kg.linked_mentions_ds(sf_dir).materialize()
+    linked = kg.linked_mentions_cached(sf_dir)
     concepts = build_concepts(linked)
     return element_terms(linked, concepts)
 
@@ -284,7 +284,7 @@ FROM (SELECT DISTINCT element_id, collection_id FROM ec) e"""
 
 
 def q_expansion_triples(sf_dir: str) -> ray.data.Dataset:
-    linked = kg.linked_mentions_ds(sf_dir)
+    linked = kg.linked_mentions_cached(sf_dir)
     return expand_concepts(build_concepts(linked))
 
 
@@ -296,7 +296,7 @@ SELECT subj, pred, obj, obj_name, source_query FROM expansion"""
 
 
 def q_annotates_edges(sf_dir: str) -> ray.data.Dataset:
-    return annotates_edges(kg.linked_mentions_ds(sf_dir))
+    return annotates_edges(kg.linked_mentions_cached(sf_dir))
 
 
 SQL_ANNOTATES = _with(
@@ -342,7 +342,7 @@ GROUP BY e.obj, e.obj_name"""
 def q_element_merge(sf_dir: str) -> ray.data.Dataset:
     """A7/J7: per (element_id, collection_id) sorted-distinct identifier union
     (the ES upsert-merge of index.py:209-222 as a pure groupby)."""
-    linked = kg.linked_mentions_ds(sf_dir)
+    linked = kg.linked_mentions_cached(sf_dir)
 
     def per_batch(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()[["element_id", "collection_id", "canonical_curie"]]
@@ -703,7 +703,7 @@ def q_concept_inheritance(sf_dir: str) -> ray.data.Dataset:
     """J2 (crawler.py:128-142): an element inherits, from each of its
     concepts, the concept's raw identifiers that are THEMSELVES canonical
     concepts present in the corpus (2-hop join; small side broadcast)."""
-    linked = kg.linked_mentions_ds(sf_dir)
+    linked = kg.linked_mentions_cached(sf_dir)
 
     def per_batch(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()[["element_id", "canonical_curie", "curie"]]
@@ -892,7 +892,7 @@ def q_kg_answers(sf_dir: str) -> ray.data.Dataset:
     ``parsers/_base.py:106-110``): one answer per (concept, query shape),
     answer_id = joined sorted node ids + query name; objs and obj names
     aggregated sorted-distinct (the optional_terms feed, A3)."""
-    trips = expand_concepts(build_concepts(kg.linked_mentions_ds(sf_dir)))
+    trips = expand_concepts(build_concepts(kg.linked_mentions_cached(sf_dir)))
 
     def per_batch(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -982,7 +982,7 @@ ORACLES.update({
 def q_concept_optional_terms(sf_dir: str) -> ray.data.Dataset:
     """A3 (``parsers/_base.py:123-129``): concept optional_terms = sorted
     distinct union over the concept's KG answers of answer-node names."""
-    trips = expand_concepts(build_concepts(kg.linked_mentions_ds(sf_dir)))
+    trips = expand_concepts(build_concepts(kg.linked_mentions_cached(sf_dir)))
 
     def per_batch(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
