@@ -71,6 +71,9 @@ def cmd_index(args) -> int:
 def cmd_query(args) -> int:
     _ensure_ray(args.num_cpus)
     from dug_ray import queries
+    if args.name not in queries.QUERIES:
+        raise KeyError(f"unknown query '{args.name}'; available: "
+                       + ", ".join(sorted(queries.QUERIES)))
     result = queries.QUERIES[args.name](args.sf_dir)
     df = result.to_pandas() if hasattr(result, "to_pandas") else result
     print(df.head(args.k).to_string(index=False))
@@ -108,10 +111,18 @@ def main(argv=None) -> int:
     q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
-    rc = args.fn(args)
-    import ray
-    if ray.is_initialized():
-        ray.shutdown()
+    try:
+        rc = args.fn(args)
+    except KeyError as e:
+        print(f"error: {e.args[0] if e.args else e}", file=sys.stderr)
+        rc = 2
+    except FileNotFoundError as e:
+        print(f"error: input not found: {e}", file=sys.stderr)
+        rc = 2
+    finally:
+        import ray
+        if ray.is_initialized():
+            ray.shutdown()
     return rc
 
 
