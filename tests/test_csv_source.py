@@ -1,0 +1,63 @@
+"""TOPMed CSV source tests (S8): real tab-delimited file through
+ray.data.read_csv, exact-count + field contracts in the style of the
+reference integration tests (``test_parsers.py:68-75``: 62 rows -> 62
+elements)."""
+
+import pandas as pd
+
+from dug_ray.sources.csv_source import CSV_COLUMNS, csv_elements, read_variables_csv
+
+
+def make_csv(tmp_path, n=7) -> str:
+    rows = []
+    for i in range(n):
+        rows.append({
+            "tag_pk": i % 3,
+            "tag_title": f"tag {i % 3}",
+            "variable_phv": f"phv{i:08d}.v1",
+            "variable_full_accession": f"phv{i:08d}.v1.p1",
+            "dataset_full_accession": f"pht{i:06d}.v1.p1",
+            "study_full_accession": "phs000001.v1.p1",
+            "study_name": "Test Study",
+            "study_phs": "phs000001",
+            "study_version": "v1",
+            "created": "2020-01-01", "modified": "2020-06-01",
+            "variable_name": f"VAR_{i}",
+            "variable_description": f"Merge Rate Of Subject {i}",
+        })
+    path = str(tmp_path / "variables.csv")
+    pd.DataFrame(rows)[CSV_COLUMNS].to_csv(path, sep="\t", index=False)
+    return path
+
+
+def test_csv_elements_exact(tmp_path):
+    path = make_csv(tmp_path, n=7)
+    out = csv_elements(read_variables_csv(path)).to_pandas()
+    assert len(out) == 7
+    r = out[out["element_id"] == "phv00000003.v1.p1"].iloc[0]
+    assert r["element_name"] == "VAR_3"
+    assert r["element_desc"] == "merge rate of subject 3"  # lowercased
+    assert r["data_type"] == "topmed"
+    assert r["collection_id"] == "phs000001.v1.p1"
+    assert r["element_action"] == (
+        "https://www.ncbi.nlm.nih.gov/projects/gap/cgi-bin/variable.cgi"
+        "?study_id=phs000001.v1.p1&phv=phv00000003.v1")
+    assert r["tag_pk"] == 0
+
+
+def test_csv_elements_feed_ner(tmp_path):
+    """CSV-sourced elements flow through the same NER stage ('merge' hits)."""
+    from dug_ray.stages.annotate import DictionaryNER
+    import pyarrow as pa
+    path = make_csv(tmp_path, n=4)
+    els = csv_elements(read_variables_csv(path)).to_pandas()
+    batch = pa.table({
+        "element_id": els["element_id"], "doc_id": els["element_id"],
+        "collection_id": els["collection_id"],
+        "span_offset": pa.array([0] * len(els), pa.int32()),
+        "chunk_idx": pa.array([0] * len(els), pa.int32()),
+        "element_desc": els["element_desc"],
+    })
+    hits = DictionaryNER()(batch)
+    assert hits.num_rows == 4  # one 'merge' mention per row
+    assert set(hits.column("curie").to_pylist()) == {"MESH:D001"}

@@ -156,3 +156,32 @@ def test_actor_pool_path_equivalent(sf_smoke, linked_df):
     a = pooled[key].sort_values(key).reset_index(drop=True)
     b = linked_df[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_kg_answers_oracle(sf_smoke, oracle):
+    """A6/M18 answer dedup vs the python oracle's expansion set."""
+    from dug_ray import queries
+    ans = queries.q_kg_answers(sf_smoke).to_pandas()
+    concepts = set(oracle["canonical_curie"])
+    edges = ontology.edges_df()
+    want = {}
+    for _, e in edges.iterrows():
+        if (e["subj"] in concepts
+                and e["subj"] not in ontology.TRANQL_EXCLUDE_IDENTIFIERS
+                and e["subj"].split(":")[0]
+                in ontology.QUERY_VALID_PREFIXES[e["source_query"]]):
+            want.setdefault((e["subj"], e["source_query"]), set()).add(e["obj"])
+    got = {(r["subj"], r["source_query"]): set(r["objs"].split("|"))
+           for _, r in ans.iterrows()}
+    assert got == want
+    # answer_id dedup contract: joined sorted node ids + query name
+    for _, r in ans.iterrows():
+        assert r["answer_id"] == r["objs"].replace("|", "_") + "_" + r["source_query"]
+
+
+def test_export_searchable(sf_smoke, tmp_path):
+    from dug_ray.pipelines.export import export_searchable
+    counts = export_searchable(sf_smoke, str(tmp_path / "idx"))
+    assert counts["concepts"] == 12
+    assert counts["elements"] > 3000
+    assert counts["kg"] == 14
