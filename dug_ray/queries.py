@@ -893,23 +893,29 @@ def q_kg_answers(sf_dir: str) -> ray.data.Dataset:
     answer_id = joined sorted node ids + query name; objs and obj names
     aggregated sorted-distinct (the optional_terms feed, A3)."""
     trips = expand_concepts(build_concepts(kg.linked_mentions_cached(sf_dir)))
+    from dug_ray.stages.canonicalize import _join_distinct
 
     def per_batch(batch: pa.Table) -> pa.Table:
+        # partial per (subj, source_query); a subject's triples may straddle
+        # blocks (Ray splits oversized map_batches outputs), so the partials
+        # must merge ASSOCIATIVELY: sorted-distinct pipe-joins + summed
+        # counts, with answer_id computed only after the final merge
         df = batch.to_pandas()
-        g = (df.sort_values("obj")
-             .groupby(["subj", "source_query"], as_index=False)
+        g = (df.groupby(["subj", "source_query"], as_index=False)
              .agg(objs=("obj", lambda s: "|".join(sorted(set(s)))),
                   obj_names=("obj_name", lambda s: "|".join(sorted(set(s)))),
                   n_edges=("obj", "size")))
-        g["answer_id"] = g["objs"].str.replace("|", "_", regex=False) + "_" + g["source_query"]
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = trips.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        # concepts (hence their expansion triples) are unique per batch
-        # stream here; the groupby below is the exact dedup by answer_id
-        return df.drop_duplicates(subset=["answer_id"])
+        g = df.groupby(["subj", "source_query"], as_index=False).agg(
+            objs=("objs", _join_distinct),
+            obj_names=("obj_names", _join_distinct),
+            n_edges=("n_edges", "sum"))
+        g["answer_id"] = g["objs"].str.replace("|", "_", regex=False) + "_" + g["source_query"]
+        return g
 
     out = bucketed_group_apply(out, "subj", merge, 8)
     return _norm(out, int_cols=("n_edges",))
@@ -985,10 +991,13 @@ def q_concept_optional_terms(sf_dir: str) -> ray.data.Dataset:
     trips = expand_concepts(build_concepts(kg.linked_mentions_cached(sf_dir)))
 
     def per_batch(batch: pa.Table) -> pa.Table:
+        # associative partials: carry the distinct source_query SET (as a
+        # sorted pipe-join) rather than a per-batch nunique, which would
+        # double-count a query shape whose triples straddle blocks
         df = batch.to_pandas()
         g = (df.groupby("subj", as_index=False)
              .agg(optional_terms=("obj_name", lambda s: "|".join(sorted(set(s)))),
-                  n_answers=("source_query", "nunique")))
+                  queries=("source_query", lambda s: "|".join(sorted(set(s))))))
         return pa.Table.from_pandas(
             g.rename(columns={"subj": "concept_id"}), preserve_index=False)
 
@@ -996,9 +1005,11 @@ def q_concept_optional_terms(sf_dir: str) -> ray.data.Dataset:
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         from dug_ray.stages.canonicalize import _join_distinct
-        return df.groupby("concept_id", as_index=False).agg(
+        g = df.groupby("concept_id", as_index=False).agg(
             optional_terms=("optional_terms", _join_distinct),
-            n_answers=("n_answers", "sum"))
+            queries=("queries", _join_distinct))
+        g["n_answers"] = g["queries"].map(lambda q: q.count("|") + 1 if q else 0)
+        return g.drop(columns=["queries"])
 
     return _norm(bucketed_group_apply(out, "concept_id", merge, 8),
                  int_cols=("n_answers",))

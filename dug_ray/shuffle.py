@@ -38,14 +38,22 @@ def stable_bucket_array(keys: pa.ChunkedArray | pa.Array, num_buckets: int) -> p
     Uses ``pandas.util.hash_array`` (vectorized SipHash with the fixed
     default key — stable across processes; the env pins the pandas version,
     which resume depends on). Hashing only the *distinct* values of the
-    batch via dictionary encoding keeps this O(unique) instead of O(rows)."""
+    batch via dictionary encoding keeps this O(unique) instead of O(rows).
+
+    Null keys all route to bucket 0 (documented semantics: nulls form one
+    group; a downstream grouped apply sees them together and can decide)."""
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
     enc = keys.dictionary_encode()
     dict_hash = pd.util.hash_array(
         np.asarray(enc.dictionary.to_pylist(), dtype=object)) % num_buckets
-    codes = enc.indices.to_numpy(zero_copy_only=False)
-    return pa.array(dict_hash[codes].astype(np.int32))
+    codes = enc.indices
+    if codes.null_count:
+        # null keys encode as null indices; -1 fancy-indexes the appended slot
+        codes = pc.fill_null(codes, -1)
+        dict_hash = np.append(dict_hash, 0)
+    codes_np = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.array(dict_hash[codes_np].astype(np.int32))
 
 
 def add_bucket(ds: ray.data.Dataset, key: str, num_buckets: int) -> ray.data.Dataset:
@@ -98,7 +106,12 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     join is exact. ``num_buckets`` bounds per-task memory; salt hot keys
     upstream if one key dominates (same combiner discipline as the KG
     canonicalization shuffle). Quirk: a fully-empty result Dataset loses
-    its column schema (Ray pandas-block behavior) — guard consumers."""
+    its column schema (Ray pandas-block behavior) — guard consumers.
+
+    Column names on the two sides must be fully disjoint (including the
+    key columns — they are both kept in the output): pandas would silently
+    suffix shared names to _x/_y inside the bucket merge and the widened
+    union would mix both sides' values under one type. Rejected up front."""
 
     def tag(side: str, key: str):
         def _t(batch: pa.Table) -> pa.Table:
@@ -123,6 +136,11 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     lsch, rsch = left.schema(), right.schema()
     lcols, rcols = list(lsch.names), list(rsch.names)
+    shared = set(lcols) & set(rcols)
+    if shared:
+        raise ValueError(
+            f"hash_join requires disjoint column names on the two sides; "
+            f"shared: {sorted(shared)} — rename one side before joining")
     types = {c: _arrow_type(t) for c, t in
              list(zip(rsch.names, rsch.types)) + list(zip(lsch.names, lsch.types))}
 

@@ -184,3 +184,30 @@ def test_hash_join_edges():
                                                "rv": pd.Series([], dtype="object")}))
     out2 = hash_join(left, empty, "k", "r").to_pandas()
     assert len(out2) == 0
+
+
+def test_bucket_null_keys_and_join_collision_guard():
+    """stable_bucket_array routes null keys to bucket 0 instead of crashing;
+    hash_join rejects shared non-key column names up front (they would be
+    silently suffixed to _x/_y inside the bucket merge otherwise)."""
+    import pyarrow as pa
+    import pytest
+
+    from dug_ray.shuffle import bucketed_group_apply, hash_join, stable_bucket_array
+
+    b = stable_bucket_array(pa.array(["x", None, "y", None]), 8)
+    assert b[1].as_py() == 0 and b[3].as_py() == 0
+    assert stable_bucket_array(pa.array([None, None], pa.string()), 8).to_pylist() == [0, 0]
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": ["a", None, "a", None],
+                                            "v": [1, 2, 3, 4]}))
+    out = bucketed_group_apply(
+        ds, "k", lambda df: df.groupby("k", as_index=False, dropna=False)
+        .agg(s=("v", "sum")), 4).to_pandas()
+    got = {(None if pd.isna(r["k"]) else r["k"]): r["s"] for _, r in out.iterrows()}
+    assert got == {"a": 4, None: 6}
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1], "shared": [1]}))
+    right = ray.data.from_pandas(pd.DataFrame({"r": [1], "shared": [2]}))
+    with pytest.raises(ValueError, match="disjoint"):
+        hash_join(left, right, "k", "r")
