@@ -37,6 +37,11 @@ def csv_elements(ds: ray.data.Dataset, data_type: str = "topmed") -> ray.data.Da
         n = len(batch)
         acc = batch["variable_full_accession"]
         study = batch["study_full_accession"]
+        # dbGaP &phv= carries the bare numeric accession: the reference takes
+        # id.split('.')[0].split('phv')[1] (topmed_csv_parser.py:44 +
+        # utils.py:30-32) — version suffix and 'phv' prefix stripped, leading
+        # zeros kept
+        phv_num = pc.replace_substring_regex(acc, r"^phv|\..*$", "")
         return pa.table({
             "element_id": acc,
             "element_name": batch["variable_name"],
@@ -48,7 +53,7 @@ def csv_elements(ds: ray.data.Dataset, data_type: str = "topmed") -> ray.data.Da
             "element_action": pc.binary_join_element_wise(
                 pa.nulls(n, pa.string()).fill_null(
                     "https://www.ncbi.nlm.nih.gov/projects/gap/cgi-bin/variable.cgi?study_id="),
-                study, pa.scalar("&phv="), batch["variable_phv"], ""),
+                study, pa.scalar("&phv="), phv_num, ""),
             "collection_action": pc.binary_join_element_wise(
                 pa.nulls(n, pa.string()).fill_null(
                     "https://www.ncbi.nlm.nih.gov/projects/gap/cgi-bin/study.cgi?study_id="),

@@ -100,6 +100,9 @@ def materialize_graph(triples: ray.data.Dataset, out_dir: str,
         # side-effect write is idempotent: tmp-file + rename; a task retry
         # simply replaces the file with identical content
         fp = atomic_write_parquet(pa.Table.from_pandas(df, preserve_index=False), final)
+        # per-bucket sidecar marker: a crash mid-materialize resumes past
+        # this bucket (the end-of-run manifest rewrite compacts these away)
+        PartitionManifest(out_dir).mark_done_sidecar(b, len(df), final, fp)
         return pd.DataFrame([{"bucket": b, "rows": len(df), "path": final,
                               "fingerprint": fp}])
 

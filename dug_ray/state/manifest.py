@@ -30,10 +30,38 @@ class PartitionManifest:
         self.path = os.path.join(out_dir, "_manifest.json")
 
     def load(self) -> dict[str, dict]:
-        if not os.path.exists(self.path):
-            return {}
-        with open(self.path) as f:
-            return json.load(f)
+        """Main manifest merged with any per-bucket sidecar markers.
+
+        Sidecars are written by the bucket tasks themselves (one atomic file
+        per bucket — no shared-file race), so a run killed mid-materialize
+        still resumes past every bucket that finished; the end-of-run
+        ``mark_done_many`` folds them into the main manifest and compacts
+        them away."""
+        import glob
+        entries: dict[str, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                entries = json.load(f)
+        for sc in glob.glob(os.path.join(self.out_dir, "_done-*.json")):
+            bucket = os.path.basename(sc)[len("_done-"):-len(".json")]
+            if str(int(bucket)) not in entries:
+                try:
+                    with open(sc) as f:
+                        entries[str(int(bucket))] = json.load(f)
+                except (json.JSONDecodeError, OSError):
+                    pass  # torn sidecar from a kill: treat bucket as pending
+        return entries
+
+    def mark_done_sidecar(self, bucket: int, rows: int, path: str,
+                          fingerprint: str = "") -> None:
+        """Per-bucket completion marker written by the worker task right
+        after its atomic partition write (tmp + rename; idempotent on task
+        retry)."""
+        fd, tmp = tempfile.mkstemp(dir=self.out_dir, suffix=".done.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"status": "done", "rows": rows, "path": path,
+                       "fingerprint": fingerprint}, f)
+        os.rename(tmp, os.path.join(self.out_dir, f"_done-{bucket:05d}.json"))
 
     def completed_buckets(self) -> set[int]:
         return {int(k) for k, v in self.load().items() if v.get("status") == "done"}
@@ -54,6 +82,13 @@ class PartitionManifest:
                 "fingerprint": fingerprint,
             }
         self._write(entries)
+        # compact: every sidecar is now folded into the main manifest
+        import glob
+        for sc in glob.glob(os.path.join(self.out_dir, "_done-*.json")):
+            try:
+                os.unlink(sc)
+            except OSError:
+                pass
 
     def _write(self, entries: dict) -> None:
         os.makedirs(self.out_dir, exist_ok=True)

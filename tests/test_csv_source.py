@@ -41,7 +41,7 @@ def test_csv_elements_exact(tmp_path):
     assert r["collection_id"] == "phs000001.v1.p1"
     assert r["element_action"] == (
         "https://www.ncbi.nlm.nih.gov/projects/gap/cgi-bin/variable.cgi"
-        "?study_id=phs000001.v1.p1&phv=phv00000003.v1")
+        "?study_id=phs000001.v1.p1&phv=00000003")  # prefix/version stripped, zeros kept
     assert r["tag_pk"] == 0
 
 

@@ -94,3 +94,38 @@ def test_manifest_fingerprints(sf_smoke, tmp_path):
     nonempty = [v for v in entries.values() if v["rows"] > 0]
     assert nonempty
     assert all(len(v["fingerprint"]) == 32 for v in nonempty)
+
+
+def test_materialize_midrun_crash_saves_buckets(sf_smoke, tmp_path):
+    """Per-bucket sidecar markers: if the run dies BEFORE the end-of-run
+    manifest rewrite, buckets that completed are still seen as done on
+    restart (their files untouched), and a finished run compacts the
+    sidecars into the main manifest."""
+    import glob
+
+    from dug_ray.pipelines import kg
+    from dug_ray.stages.materialize import materialize_graph, read_graph
+    from dug_ray.state.manifest import PartitionManifest
+
+    out = str(tmp_path / "kg")
+    materialize_graph(kg.kg_triples(sf_smoke), out)
+    want = read_graph(out).count()
+
+    # simulate a crash just before mark_done_many: keep the partition files
+    # and sidecars, delete the main manifest, re-create sidecars for half
+    # the written buckets (as if the rest hadn't finished)
+    manifest = PartitionManifest(out)
+    entries = {k: v for k, v in manifest.load().items() if v["rows"] > 0}
+    os.unlink(manifest.path)
+    kept = sorted(entries, key=int)[: len(entries) // 2]
+    for k in kept:
+        v = entries[k]
+        manifest.mark_done_sidecar(int(k), v["rows"], v["path"], v["fingerprint"])
+    assert manifest.completed_buckets() == {int(k) for k in kept}
+
+    mtimes = {k: os.path.getmtime(entries[k]["path"]) for k in kept}
+    materialize_graph(kg.kg_triples(sf_smoke), out)
+    assert read_graph(out).count() == want
+    for k in kept:  # completed buckets were not rewritten
+        assert os.path.getmtime(entries[k]["path"]) == mtimes[k]
+    assert glob.glob(os.path.join(out, "_done-*.json")) == []  # compacted
