@@ -704,28 +704,32 @@ def q_concept_inheritance(sf_dir: str) -> ray.data.Dataset:
     concepts, the concept's raw identifiers that are THEMSELVES canonical
     concepts present in the corpus (2-hop join; small side broadcast)."""
     linked = kg.linked_mentions_cached(sf_dir)
+    from dug_ray.shuffle import distinct_rows
 
-    def per_batch(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()[["element_id", "canonical_curie", "curie"]]
-        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
-
-    trip = linked.map_batches(per_batch, batch_format="pyarrow", batch_size=None).materialize()
-    pairs = trip.to_pandas().drop_duplicates()
-    present = set(pairs["canonical_curie"].unique())
-    conc_ids = pairs[["canonical_curie", "curie"]].drop_duplicates()
+    # the inheritance map (canonical concept -> raw CURIEs that are
+    # themselves canonical in the corpus) is ONTOLOGY-bounded: derive it
+    # from the distinct (canonical_curie, curie) table — an exact bucketed
+    # dedup whose result is O(lexicon), the only thing pulled to the driver
+    conc_ids = distinct_rows(
+        linked, ["canonical_curie", "curie"], num_buckets=8).to_pandas()
+    present = set(conc_ids["canonical_curie"].unique())
     inh_map = (conc_ids[conc_ids["curie"].isin(present)]
-               .groupby("canonical_curie")["curie"].agg(set).to_dict())
+               .groupby("canonical_curie")["curie"]
+               .agg(lambda s: sorted(set(s))).to_dict())
 
+    # the O(elements) side streams: per-batch distinct pairs -> partial
+    # pipe-joined inherited sets -> associative bucketed merge by element
     def inherit(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()[["element_id", "canonical_curie"]].drop_duplicates()
-        df["inh"] = df["canonical_curie"].map(lambda c: inh_map.get(c, set()))
-        g = (df.groupby("element_id")["inh"]
-             .agg(lambda sets: "|".join(sorted(set().union(*sets)))).reset_index()
-             .rename(columns={"inh": "inherited"}))
+        df["inh"] = df["canonical_curie"].map(
+            lambda c: "|".join(inh_map.get(c, ())))
+        g = (df.groupby("element_id", as_index=False)
+             .agg(inherited=("inh", lambda s: "|".join(sorted(
+                 set().union(*(v.split("|") for v in s if v)))))))
         g = g[g["inherited"] != ""]
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = trip.map_batches(inherit, batch_format="pyarrow", batch_size=None)
+    out = linked.map_batches(inherit, batch_format="pyarrow", batch_size=None)
     from dug_ray.stages.canonicalize import _join_distinct
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -1439,34 +1443,29 @@ FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)"""
 
 
 def q_urgent_lineitems(sf_dir: str) -> ray.data.Dataset:
-    """Broadcast SEMI-join: lineitems of '1-URGENT' orders — the key set is
-    collected once (bounded: keys of one priority class), broadcast via
-    ray.put, and applied as a vectorized membership filter; at key-set
-    scale beyond memory this becomes a Bloom-filter prefilter + exact
-    hash_join. Output: per returnflag, qty-cent sums over the semi-joined
-    rows."""
+    """SEMI-join via the partitioned ``hash_join`` — no unbounded key-set
+    collect: the filtered orders side (keys of one priority class — still
+    O(orders/5) at TPC-H scale) streams into the bucketed exchange, where
+    each bucket task semi-joins its lineitem rows against its order keys.
+    Orderkeys are unique in orders, so inner join == semi join exactly.
+    Output: per returnflag, qty-cent sums over the semi-joined rows."""
+    from dug_ray.shuffle import hash_join
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_orderpriority"])
-    import numpy as np
-    keys = set(orders.filter(expr="o_orderpriority == '1-URGENT'")
-               .to_pandas()["o_orderkey"])
-    key_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+    urgent = orders.filter(expr="o_orderpriority == '1-URGENT'")
 
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_returnflag", "l_quantity"])
+    joined = hash_join(urgent, li, "o_orderkey", "l_orderkey")
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        import numpy as np
-        karr = ray.get(key_ref)
-        ok = np.isin(batch.column("l_orderkey").to_numpy(zero_copy_only=False), karr)
-        t = batch.filter(pa.array(ok))
-        df = t.to_pandas()
+        df = batch.to_pandas()
         df["qty"] = (df["l_quantity"] * 100).round().astype("int64")
         g = df.groupby("l_returnflag", as_index=False).agg(
             n_items=("qty", "size"), sum_qty=("qty", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partial = li.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+    partial = joined.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("l_returnflag", as_index=False).agg(

@@ -102,13 +102,21 @@ def _shingle_df(batch: pa.Table) -> pd.DataFrame:
 
 
 def shingles(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, shingle, n_sh) inverted index. ``n_sh`` = the doc's distinct
+    shingle count, carried on every row so downstream pair scoring never
+    needs a driver-side per-doc lookup (a doc's text is one row, so the
+    count is complete within the batch)."""
     def per_batch(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(_shingle_df(batch), preserve_index=False)
+        df = _shingle_df(batch)
+        df["n_sh"] = df.groupby("doc_id")["shingle"].transform("size")
+        return pa.Table.from_pandas(df, preserve_index=False)
     return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
 
 def _pairs_from_inverted(sh: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
-    """(doc, shingle) -> co-occurrence pairs with intersection counts.
+    """(doc, shingle, n_sh) -> co-occurrence pairs with intersection counts
+    and both docs' shingle-set sizes (``n_a``/``n_b``, ridden along from the
+    index rows — no driver-side count dict).
 
     Bucketed by shingle: pairs are generated per bucket (a pair can appear
     in several buckets — one per shared shingle's bucket — so a final
@@ -118,13 +126,14 @@ def _pairs_from_inverted(sh: ray.data.Dataset, num_buckets: int = 64) -> ray.dat
         m = df.merge(df, on="shingle", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         return (m.groupby(["doc_id_a", "doc_id_b"], as_index=False)
-                .agg(inter=("shingle", "size")))
+                .agg(inter=("shingle", "size"),
+                     n_a=("n_sh_a", "first"), n_b=("n_sh_b", "first")))
 
     per_shingle = bucketed_group_apply(sh, "shingle", per_bucket, num_buckets)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["doc_id_a", "doc_id_b"], as_index=False).agg(
-            inter=("inter", "sum"))
+            inter=("inter", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first"))
 
     # bucket on the composite pair key via a string column
     def add_key(batch: pa.Table) -> pa.Table:
@@ -140,18 +149,17 @@ def _pairs_from_inverted(sh: ray.data.Dataset, num_buckets: int = 64) -> ray.dat
 
 def ngram_jaccard_pairs(docs: ray.data.Dataset, min_inter: int = 2) -> ray.data.Dataset:
     """Near-dup candidate pairs sharing >= min_inter word-3-grams, with the
-    exact Jaccard similarity of their shingle sets."""
-    sh = shingles(docs).materialize()
-    counts = {int(r["doc_id"]): int(r["n"]) for r in
-              sh.groupby("doc_id").count().rename_columns({"count()": "n"}).take_all()}
-    pairs = _pairs_from_inverted(sh)
+    exact Jaccard similarity of their shingle sets.
+
+    Fully streamed: the per-doc shingle-set sizes ride along on the inverted
+    index rows (see ``shingles``), so no materialize() of the explode and no
+    O(corpus) driver-side count dict."""
+    pairs = _pairs_from_inverted(shingles(docs))
 
     def fin(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df[df["inter"] >= min_inter]
-        na = df["doc_id_a"].map(counts)
-        nb = df["doc_id_b"].map(counts)
-        jac = df["inter"] / (na + nb - df["inter"])
+        jac = df["inter"] / (df["n_a"] + df["n_b"] - df["inter"])
         return pa.table({
             "doc_id_a": pa.array(df["doc_id_a"], pa.int64()),
             "doc_id_b": pa.array(df["doc_id_b"], pa.int64()),

@@ -195,10 +195,13 @@ def cast_elements_from_triples(triples: ray.data.Dataset,
             "collection_id": pa.array(hit["subj"], type=pa.string()),
         })
 
-    # distinct across blocks: same HEALCDE obj may arrive from many concepts
+    # distinct across blocks: same HEALCDE obj may arrive from many concepts;
+    # bucketed grouped apply (not per-key map_groups — shuffle.py discipline)
+    from dug_ray.shuffle import bucketed_group_apply
     casted = triples.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
-    def dedup(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values("collection_id", kind="mergesort").head(1)
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["element_id", "collection_id"], kind="mergesort")
+                .drop_duplicates(subset=["element_id"], keep="first"))
 
-    return casted.groupby("element_id").map_groups(dedup, batch_format="pandas")
+    return bucketed_group_apply(casted, "element_id", dedup, num_buckets=8)

@@ -88,14 +88,87 @@ def ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10) -> ray.data.Dataset:
     return ray.data.from_pandas(df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"}))
 
 
-def neardup_pairs(sf_dir: str, threshold: float = 0.4) -> ray.data.Dataset:
+def neardup_pairs(sf_dir: str, threshold: float = 0.4, n_blocks: int = 4,
+                  mode: str = "blocked") -> ray.data.Dataset:
     """All embedding pairs with cosine > threshold (vec_id_a < vec_id_b).
+    EXACT (no candidate pruning) in both modes.
 
-    Blocked brute force: the full normalized matrix is broadcast once
-    (``ray.put``) and each streamed batch multiplies against it — at
-    billion-vector scale the broadcast side becomes IVF/LSH bucket files
-    and each batch joins only its buckets (see lsh_ann_topk)."""
+    ``mode="blocked"`` (default, the scale path): vectors are hashed into
+    ``n_blocks`` blocks by vec_id and each row is replicated to the
+    ``n_blocks`` block-PAIR groups containing its block; each group task
+    holds exactly two blocks and emits their cross (or within-block) pairs.
+    Nothing is ever collected to the driver: shuffle volume is
+    O(N x n_blocks) embedding rows, per-task memory is two blocks — size
+    ``n_blocks ~ sqrt(N / block_capacity)`` at corpus scale. A pair lands in
+    exactly one group (its sorted block pair), so the output is exact and
+    duplicate-free.
+
+    ``mode="broadcast"`` (opt-in oracle mode for small corpora): the full
+    normalized matrix is broadcast once via ``ray.put`` and each streamed
+    batch matmuls against it."""
     emb = read_embeddings(sf_dir)
+    if mode == "broadcast":
+        return _neardup_pairs_broadcast(emb, threshold)
+
+    from dug_ray.shuffle import bucketed_group_apply
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        blk = (vid % n_blocks).astype(np.int64)
+        tables = []
+        for other in range(n_blocks):
+            lo, hi = np.minimum(blk, other), np.maximum(blk, other)
+            key = pa.array([f"{a}_{b}" for a, b in zip(lo, hi)], pa.string())
+            tables.append(batch.append_column("blk", pa.array(blk))
+                          .append_column("pair_key", key))
+        return pa.concat_tables(tables)
+
+    rep = emb.map_batches(replicate, batch_format="pyarrow", batch_size=None)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, g in df.groupby("pair_key", sort=False):
+            i, j = map(int, key.split("_"))
+            gi = g[g["blk"] == i].drop_duplicates(subset=["vec_id"])
+            gj = g[g["blk"] == j].drop_duplicates(subset=["vec_id"])
+            if not len(gi) or not len(gj):
+                continue
+            mi = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                      for v in gi["embedding"]]))
+            vi = gi["vec_id"].to_numpy()
+            if i == j:
+                # within-block: the matrix is symmetric, keep one triangle
+                sims = mi @ mi.T
+                bi, bj = np.nonzero(sims > threshold)
+                ia, ib = vi[bi], vi[bj]
+                keep = ia < ib
+                ia, ib = ia[keep], ib[keep]
+            else:
+                # cross-block: each unordered pair appears once — orient it
+                # by id (block number order says nothing about id order)
+                mj = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                          for v in gj["embedding"]]))
+                vj = gj["vec_id"].to_numpy()
+                sims = mi @ mj.T
+                bi, bj = np.nonzero(sims > threshold)
+                ia, ib = (np.minimum(vi[bi], vj[bj]), np.maximum(vi[bi], vj[bj]))
+            outs.append(pd.DataFrame({"vec_id_a": ia, "vec_id_b": ib}))
+        if not outs:
+            return pd.DataFrame({"vec_id_a": pd.Series([], dtype="int64"),
+                                 "vec_id_b": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    out = bucketed_group_apply(rep, "pair_key", per_bucket,
+                               num_buckets=n_blocks * (n_blocks + 1) // 2)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id_a": pc.cast(batch["vec_id_a"], pa.int64()),
+                         "vec_id_b": pc.cast(batch["vec_id_b"], pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def _neardup_pairs_broadcast(emb: ray.data.Dataset, threshold: float) -> ray.data.Dataset:
     all_df = emb.to_pandas().sort_values("vec_id")
     am = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in all_df["embedding"]]))
     a_ids = all_df["vec_id"].to_numpy()
@@ -171,22 +244,25 @@ def lsh_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
 
 
 def ivf_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
-                 n_centroids: int = 8, nprobe: int = 2, iters: int = 3) -> ray.data.Dataset:
-    """IVF approximate top-k: deterministic Lloyd-iterated centroids (seeded
-    from fixed vec_ids) partition the corpus; each query probes only its
-    ``nprobe`` nearest centroid buckets. The scale path alternative to
-    lsh_ann_topk: centroids are trained on a sample, broadcast, and
+                 n_centroids: int = 8, nprobe: int = 2, iters: int = 3,
+                 train_sample: int = 4096) -> ray.data.Dataset:
+    """IVF approximate top-k: deterministic Lloyd-iterated centroids
+    partition the corpus; each query probes only its ``nprobe`` nearest
+    centroid buckets. The scale path alternative to lsh_ann_topk: centroids
+    are trained on a BOUNDED deterministic sample (``limit(train_sample)``,
+    file order — never the full corpus on the driver), broadcast once, and
     assignment happens per streamed batch. Engine-only (approximate;
     rows-only driver check + recall test)."""
     emb = read_embeddings(sf_dir)
-    all_df = emb.to_pandas().sort_values("vec_id")
-    m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in all_df["embedding"]]))
-    ids = all_df["vec_id"].to_numpy()
-    qmask = ids < n_queries
-    qm, q_ids = m[qmask], ids[qmask]
-    cm, c_ids = m[~qmask], ids[~qmask]
+    # small sides on the driver: the query matrix and a bounded train sample
+    q_df = emb.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    qm = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in q_df["embedding"]]))
+    q_ids = q_df["vec_id"].to_numpy()
+    tr = emb.limit(train_sample).to_pandas()
+    tr = tr[tr["vec_id"] >= n_queries].sort_values("vec_id")
+    cm = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in tr["embedding"]]))
 
-    # deterministic k-means: seeds = first n_centroids corpus vectors
+    # deterministic k-means over the sample: seeds = its first n_centroids
     cents = cm[:n_centroids].copy()
     for _ in range(iters):
         assign = np.argmax(cm @ cents.T, axis=1)
@@ -195,7 +271,6 @@ def ivf_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
             if len(sel):
                 cents[c] = sel.mean(axis=0)
         cents = _normalize(cents)
-    assign = np.argmax(cm @ cents.T, axis=1)
     ref = ray.put((cents, q_ids, qm))
 
     def partial(batch: pa.Table) -> pa.Table:
