@@ -148,6 +148,58 @@ def spanify(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(_spanify_batch, batch_format="pyarrow", batch_size=None)
 
 
+OVERLAP_PADDING = 5      # tokens of context shared between adjacent windows
+
+
+def _overlapping_windows_batch(batch: pa.Table, window: int, padding: int) -> pa.Table:
+    """One row per overlapping token window (fully vectorized: the window
+    token indices are one gather over the flat token array; no row loop)."""
+    stride = window - padding
+    tokens = pc.split_pattern(batch["text"], " ")
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    flat = tokens.flatten()
+    n_tok = pc.list_value_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_tok_start = _excl_cumsum(n_tok)
+
+    # windows per doc: 1 if the text fits, else enough strides to cover it
+    n_win = np.where(n_tok <= window, 1,
+                     -(-(n_tok - window) // stride) + 1).astype(np.int64)
+    win_doc = np.repeat(np.arange(len(batch)), n_win)
+    win_local = np.arange(len(win_doc)) - np.repeat(_excl_cumsum(n_win)[:-1], n_win)
+    win_start = win_local * stride                       # 0-based within doc
+    win_len = np.minimum(window, n_tok[win_doc] - win_start)
+
+    # gather: global token index of every (window, position-in-window)
+    tok_idx = (np.repeat(doc_tok_start[win_doc] + win_start, win_len)
+               + np.arange(win_len.sum())
+               - np.repeat(_excl_cumsum(win_len)[:-1], win_len))
+    taken = flat.take(pa.array(tok_idx))
+    win_list = pa.LargeListArray.from_arrays(pa.array(_excl_cumsum(win_len)), taken)
+
+    return pa.table({
+        "doc_id": pc.take(pc.cast(batch["doc_id"], pa.string()), pa.array(win_doc)),
+        "win_idx": pa.array(win_local, pa.int64()),
+        "start_pos": pa.array(win_start + 1, pa.int64()),   # 1-based token pos
+        "text": pc.binary_join(win_list, " "),
+    })
+
+
+def overlapping_windows(docs: ray.data.Dataset, window: int = SPAN_TOKENS,
+                        padding: int = OVERLAP_PADDING) -> ray.data.Dataset:
+    """M3 overlap fidelity: the reference's long-text splitter slides a
+    window that re-reads the previous ``padding_words`` (=5) tokens so a
+    mention straddling a window boundary is still seen whole by the
+    annotator (``monarch_annotator.py:85-111``). Disjoint ``spanify`` chunks
+    are the interleaved-span contract; THIS operator is the NER-side chunk
+    stream: windows of ``window`` tokens advancing by ``window - padding``,
+    every token covered, adjacent windows sharing ``padding`` tokens.
+    Output: doc_id, win_idx, start_pos (1-based first-token position), text."""
+    def per_batch(batch: pa.Table) -> pa.Table:
+        return _overlapping_windows_batch(batch, window, padding)
+    return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+
 def flatten_spans(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Interleaved docs -> one row per span, fully vectorized via Arrow list
     flatten (zero row-loop). Output: doc_id, lang, source, kind, text,

@@ -633,9 +633,40 @@ def q_lsh_ann(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_langid(sf_dir: str) -> ray.data.Dataset:
-    """Char-trigram language ID (engine-only; rows-only driver check)."""
+    """Char-trigram language ID. The classifier is deterministic (distinct
+    doc trigrams intersected with static profiles, argmax with alphabetical
+    tie-break), so it gets a FULL SQL oracle — the profile tables render as
+    a VALUES CTE."""
     from dug_ray.stages.textstats import langid
     return langid(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+def _langid_profiles_cte() -> str:
+    from dug_ray.stages.textstats import _LANG_PROFILES
+    vals = ", ".join(f"('{lang}', '{tri}')"
+                     for lang in sorted(_LANG_PROFILES)
+                     for tri in _LANG_PROFILES[lang])
+    return f"profiles(lang, tri) AS (VALUES {vals})"
+
+
+SQL_LANGID = ("WITH " + _langid_profiles_cte() + """,
+tris AS (
+  SELECT DISTINCT doc_id, substr(text, i, 3) AS tri
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i) t),
+scores AS (
+  SELECT d.doc_id, l.lang, count(p.tri) AS s
+  FROM documents d
+  CROSS JOIN (SELECT DISTINCT lang FROM profiles) l
+  LEFT JOIN tris tr ON tr.doc_id = d.doc_id
+  LEFT JOIN profiles p ON p.lang = l.lang AND p.tri = tr.tri
+  GROUP BY d.doc_id, l.lang),
+ranked AS (
+  SELECT doc_id, lang, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+  FROM scores)
+SELECT doc_id, lang AS pred_lang, CAST(s AS DOUBLE) AS lang_score
+FROM ranked WHERE rn = 1""")
 
 
 def q_events_window(sf_dir: str) -> ray.data.Dataset:
@@ -810,7 +841,8 @@ ORACLES.update({
     "concept_inheritance": SQL_CONCEPT_INHERITANCE,
     "elements_branded": SQL_ELEMENTS_BRANDED,
     "facet_grouped": SQL_FACET_GROUPED,
-    # lsh_ann, langid: engine-only (approximate / heuristic) -> rows-only
+    "langid": SQL_LANGID,
+    # lsh_ann: engine-only (approximate) -> rows-only
 })
 
 
@@ -1336,18 +1368,46 @@ SELECT source, term, n, rank FROM ranked WHERE rank <= 5"""
 
 def q_hll_distinct(sf_dir: str):
     """HLL approximate distinct tokens per source (sketch combiner +
-    register merge; engine-only, rows-only driver check + accuracy test)."""
+    register merge; engine-only, rows-only driver check + accuracy test —
+    the float estimate's 2^-r summation is order-sensitive across engines;
+    the register STATE is oracle-checked by ``hll_registers``)."""
     from dug_ray.stages.sketch import hll_distinct_tokens
     return hll_distinct_tokens(
         read_documents(sf_dir, columns=["doc_id", "text", "source"]), by="source")
 
 
+def q_hll_registers(sf_dir: str):
+    """Exact merged-sketch state per source: nonzero register count, rank
+    sum and an (idx, rank) digest — integer-only, hence a full hash-match
+    oracle for the HLL pipeline (md5 bridge: DuckDB md5 == hashlib md5)."""
+    from dug_ray.stages.sketch import hll_register_summary
+    return hll_register_summary(
+        read_documents(sf_dir, columns=["doc_id", "text", "source"]), by="source")
+
+
+SQL_HLL_REGISTERS = _with(SQL_TOKS) + """,
+d AS (SELECT DISTINCT source, term FROM toks),
+h AS (SELECT source, CAST(('0x' || substr(md5(term), 1, 16)) AS UBIGINT) AS hv FROM d),
+rk AS (SELECT source, CAST(hv >> 54 AS BIGINT) AS idx,
+              CASE WHEN (hv & 18014398509481983) = 0 THEN 55
+                   ELSE 55 - length(bin(hv & 18014398509481983)) END AS rnk
+       FROM h),
+regs AS (SELECT source, idx, max(rnk) AS rnk FROM rk GROUP BY source, idx)
+SELECT source AS key, CAST(count(*) AS BIGINT) AS n_regs,
+       CAST(sum(rnk) AS BIGINT) AS reg_sum,
+       md5(string_agg(CAST(idx AS VARCHAR) || ':' || CAST(rnk AS VARCHAR),
+                      '|' ORDER BY idx)) AS reg_digest
+FROM regs GROUP BY source"""
+
+
 QUERIES.update({
     "top_terms": q_top_terms,
     "hll_distinct": q_hll_distinct,
+    "hll_registers": q_hll_registers,
 })
 ORACLES.update({
     "top_terms": SQL_TOP_TERMS,
+    "hll_registers": SQL_HLL_REGISTERS,
 })
 
 
@@ -1653,3 +1713,32 @@ FROM documents"""
 
 QUERIES["radx_elements"] = q_radx_elements
 ORACLES["radx_elements"] = SQL_RADX_ELEMENTS
+
+
+def q_chunks_overlap(sf_dir: str) -> ray.data.Dataset:
+    """M3 overlap fidelity (``monarch_annotator.py:85-111``): the NER-side
+    overlapping window stream — 8-token windows advancing by 3 (5 tokens of
+    shared context), so a mention straddling a disjoint-chunk boundary is
+    seen whole by some window (pinned by ``test_spanify.py``)."""
+    from dug_ray.io import overlapping_windows
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return _norm(overlapping_windows(ds), str_to_int=("doc_id",))
+
+
+SQL_CHUNKS_OVERLAP = _with(SQL_TOKS) + """,
+tc AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+w AS (SELECT doc_id, n,
+             CASE WHEN n <= 8 THEN 1
+                  ELSE CAST(ceil((n - 8) / 3.0) AS BIGINT) + 1 END AS n_win
+      FROM tc),
+wi AS (SELECT doc_id, t.j AS win_idx
+       FROM w, LATERAL (SELECT unnest(generate_series(0, n_win - 1)) AS j) t)
+SELECT wi.doc_id, win_idx, win_idx * 3 + 1 AS start_pos,
+       string_agg(term, ' ' ORDER BY pos) AS text
+FROM wi JOIN toks ON toks.doc_id = wi.doc_id
+     AND pos BETWEEN win_idx * 3 + 1 AND win_idx * 3 + 8
+GROUP BY wi.doc_id, win_idx"""
+
+
+QUERIES["chunks_overlap"] = q_chunks_overlap
+ORACLES["chunks_overlap"] = SQL_CHUNKS_OVERLAP

@@ -17,6 +17,7 @@ import ray.data
 
 _PARSERS: dict[str, Callable[[ray.data.Dataset], ray.data.Dataset]] = {}
 _ANNOTATORS: dict[str, Callable] = {}
+_MENTION_FILTERS: dict[str, Callable] = {}
 
 
 def register_parser(name: str):
@@ -31,6 +32,26 @@ def register_annotator(name: str):
         _ANNOTATORS[name] = factory
         return factory
     return deco
+
+
+def register_mention_filter(name: str):
+    """M7 hook — the bagel LLM filter slot (``sapbert_annotator.py:16-52``:
+    given the text + candidate identifiers, keep a subset). A registered
+    factory returns a callable ``DataFrame -> DataFrame`` that row-filters
+    candidate mention rows (columns include term, curie, score, doc/element
+    ids); it runs inside the linker actor, constructed once per worker like
+    the reference's per-session BagelWrapper. Default-off, matching the
+    reference config (``config.py:53``)."""
+    def deco(factory):
+        _MENTION_FILTERS[name] = factory
+        return factory
+    return deco
+
+
+def get_mention_filter(name: str):
+    if name not in _MENTION_FILTERS:
+        raise KeyError(f"Cannot find mention filter of type '{name}'")
+    return _MENTION_FILTERS[name]
 
 
 def get_parser(name: str):

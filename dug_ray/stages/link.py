@@ -55,7 +55,21 @@ class LinkNormalize:
 
     def __init__(self, normalizer_ref=None, synonyms_ref=None,
                  threshold: float = ontology.LINKER_SCORE_THRESHOLD,
-                 greenlist: list[str] | None = None):
+                 greenlist: list[str] | None = None,
+                 mention_filter: str | None = None):
+        # M7 hook: optional candidate filter (the bagel LLM slot,
+        # sapbert_annotator.py:16-52) — constructed once per actor,
+        # default-off like the reference config. Accepts a factory callable
+        # (shipped pickled from the driver — see link_mentions, which
+        # resolves registry names there; this process's registry only has
+        # import-time registrations) or a registry name.
+        if mention_filter is None:
+            self.mention_filter = None
+        elif callable(mention_filter):
+            self.mention_filter = mention_filter()
+        else:
+            from dug_ray.registry import get_mention_filter
+            self.mention_filter = get_mention_filter(mention_filter)()
         norm = ray.get(normalizer_ref) if normalizer_ref is not None else ontology.normalizer_df()
         synonyms = ray.get(synonyms_ref) if synonyms_ref is not None else _synonyms_joined()
         self.threshold = threshold
@@ -90,6 +104,8 @@ class LinkNormalize:
         import pyarrow.compute as pc
         batch = batch.filter(pc.greater_equal(batch["score"], self.threshold))
         df = batch.to_pandas()
+        if self.mention_filter is not None:
+            df = self.mention_filter(df)
         df = df.merge(self.resolved, on="curie", how="inner", sort=False)
         out = df[LINKED_COLUMNS]
         return pa.Table.from_pandas(out, preserve_index=False).cast(pa.schema([
@@ -116,8 +132,17 @@ def link_batch(batch: pa.Table) -> pa.Table:
 
 def link_mentions(mentions: ray.data.Dataset, *, concurrency: int | tuple | None = None,
                   batch_size: int | None = None, **actor_kwargs) -> ray.data.Dataset:
-    """candidate mentions -> linked (canonicalized) mentions."""
+    """candidate mentions -> linked (canonicalized) mentions.
+
+    A ``mention_filter`` given by registry NAME is resolved to its factory
+    HERE (driver-side, where the user registered it) and shipped to the
+    actors pickled — worker processes never replay in-process
+    registrations."""
     from dug_ray.stages.annotate import default_pool_size
+    if isinstance(actor_kwargs.get("mention_filter"), str):
+        from dug_ray.registry import get_mention_filter
+        actor_kwargs["mention_filter"] = get_mention_filter(
+            actor_kwargs["mention_filter"])
     return mentions.map_batches(
         LinkNormalize,
         fn_constructor_kwargs=actor_kwargs,

@@ -31,22 +31,28 @@ def _hash64(values) -> np.ndarray:
         dtype=np.uint64, count=len(values))
 
 
+def _bit_length(v: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values (no float log2 — values
+    above 2^53 would round)."""
+    bl = np.zeros(len(v), dtype=np.int64)
+    w = v.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        ge = w >= np.uint64(1 << s)
+        bl += ge * s
+        w = np.where(ge, w >> np.uint64(s), w)
+    return bl + (w > 0)
+
+
 def _registers(values) -> np.ndarray:
-    """HLL register array for an iterable of strings."""
+    """HLL register array for an iterable of strings.
+
+    rank = position of the first 1-bit in the low 64-P hash bits (1-based),
+    capped at 64-P+1 when they are all zero — i.e. ``(64-P+1) - bit_length``,
+    computed with exact integer bit lengths."""
     h = _hash64(values)
     idx = (h >> np.uint64(64 - P)).astype(np.int64)
-    rest = h << np.uint64(P)
-    # rank = leading zeros of the remaining 64-P bits + 1
-    lz = np.zeros(len(h), dtype=np.int64)
-    mask = np.uint64(1 << 63)
-    rest_work = rest.copy()
-    for _ in range(64 - P + 1):
-        zero = (rest_work & mask) == 0
-        lz += zero
-        rest_work = rest_work << np.uint64(1)
-        if not zero.any():
-            break
-    rank = np.minimum(lz, 64 - P) + 1
+    rest = h & np.uint64((1 << (64 - P)) - 1)
+    rank = (64 - P + 1) - _bit_length(rest)
     regs = np.zeros(M, dtype=np.int8)
     np.maximum.at(regs, idx, rank.astype(np.int8))
     return regs
@@ -93,3 +99,41 @@ def hll_distinct_tokens(docs: ray.data.Dataset, by: str | None = None) -> pd.Dat
             merged[k] = np.maximum(merged.get(k, np.zeros(M, np.int8)), regs)
     return pd.DataFrame(
         [{"key": k, "approx_distinct": estimate(v)} for k, v in sorted(merged.items())])
+
+
+def hll_register_summary(docs: ray.data.Dataset, by: str) -> pd.DataFrame:
+    """EXACT view of the merged sketch state per group — integer register
+    aggregates + a digest of the (idx, rank) pairs. Unlike the float
+    estimate (whose 2^-r summation is order-sensitive across engines), this
+    is fully SQL-mirrorable, so the sketch pipeline itself gets a
+    hash-match oracle. Columns: key, n_regs, reg_sum, reg_digest."""
+    import hashlib as _hl
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        keys = batch.column(by).to_pylist()
+        flat = tokens.flatten().to_pylist()
+        groups: dict[str, list] = {}
+        for p, t in zip(parent, flat):
+            groups.setdefault(keys[p], []).append(t)
+        rows = [{"key": k, "regs": _registers(sorted(set(v))).tobytes()}
+                for k, v in groups.items()]
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    partial = docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+    merged: dict[str, np.ndarray] = {}
+    for b in partial.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for k, r in zip(b.column("key").to_pylist(), b.column("regs").to_pylist()):
+            regs = np.frombuffer(r, dtype=np.int8)
+            merged[k] = np.maximum(merged.get(k, np.zeros(M, np.int8)), regs)
+    rows = []
+    for k, regs in sorted(merged.items()):
+        nz = np.flatnonzero(regs)
+        digest = _hl.md5("|".join(
+            f"{i}:{int(regs[i])}" for i in nz).encode()).hexdigest()
+        rows.append({"key": k, "n_regs": int(len(nz)),
+                     "reg_sum": int(regs[nz].sum()), "reg_digest": digest})
+    return pd.DataFrame(rows)

@@ -3,6 +3,8 @@ ray.data.read_csv, exact-count + field contracts in the style of the
 reference integration tests (``test_parsers.py:68-75``: 62 rows -> 62
 elements)."""
 
+import os
+
 import pandas as pd
 
 from dug_ray.sources.csv_source import CSV_COLUMNS, csv_elements, read_variables_csv
@@ -61,3 +63,30 @@ def test_csv_elements_feed_ner(tmp_path):
     hits = DictionaryNER()(batch)
     assert hits.num_rows == 4  # one 'merge' mention per row
     assert set(hits.column("curie").to_pylist()) == {"MESH:D001"}
+
+
+def test_uri_loader_dispatch(tmp_path, sf_smoke):
+    """S2/S3 loader dispatch: file:// equals a plain local read; pre-staged
+    http content reads without a fetch; unknown schemes and unreachable
+    fetches error clearly."""
+    import pytest
+
+    from dug_ray.sources.uri_source import read_table_uri, staged_path
+
+    plain = read_table_uri(f"{sf_smoke}/documents.parquet",
+                           columns=["doc_id"]).count()
+    via_file = read_table_uri(f"file://{sf_smoke}/documents.parquet",
+                              columns=["doc_id"]).count()
+    assert plain == via_file == 500
+
+    # pre-staged http:// path (the reference's netloc/path staging layout)
+    uri = "http://example.org/data/docs.parquet"
+    target = staged_path(str(tmp_path), uri)
+    assert target == str(tmp_path / "example.org" / "data" / "docs.parquet")
+    import shutil
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    shutil.copy(f"{sf_smoke}/documents.parquet", target)
+    assert read_table_uri(uri, storage_dir=str(tmp_path)).count() == 500
+
+    with pytest.raises(ValueError, match="Cannot find loader"):
+        read_table_uri("ftp://host/x.parquet")

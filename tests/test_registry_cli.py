@@ -57,3 +57,31 @@ def test_search_rank_contract(sf_smoke):
     assert list(df["rank"]) == list(range(1, 11))
     # ranking is (score desc, element_id asc)
     assert (df["score"].diff().dropna() <= 0).all()
+
+
+def test_mention_filter_hook(sf_smoke):
+    """M7 filter slot: a registered filter runs inside the linker actor and
+    drops the candidates it rejects; unset (the reference's default-off
+    config) the output is unchanged."""
+    from dug_ray import registry
+    from dug_ray.io import read_interleaved
+    from dug_ray.stages.annotate import ner_batch
+    from dug_ray.stages.link import link_mentions
+    from dug_ray.stages.parse import parse_elements
+
+    @registry.register_mention_filter("drop-the")
+    class DropThe:
+        def __call__(self, df):
+            return df[df["term"] != "the"]
+
+    mentions = parse_elements(read_interleaved(sf_smoke)).map_batches(
+        ner_batch, batch_format="pyarrow", batch_size=None)
+    base = link_mentions(mentions).to_pandas()
+    filtered = link_mentions(mentions, mention_filter="drop-the").to_pandas()
+    assert (base["term"] == "the").any()
+    assert not (filtered["term"] == "the").any()
+    want = base[base["term"] != "the"]
+    assert len(filtered) == len(want)
+
+    with pytest.raises(KeyError, match="Cannot find mention filter"):
+        registry.get_mention_filter("nope")

@@ -61,3 +61,29 @@ def test_chunk_offset_arithmetic():
     assert list(offs) == [0, 1, 3, 4, 6, 7, 9, 10, 12, 13]
     for c, o in enumerate(offs):
         assert o - (o + 1) // (MEDIA_EVERY + 1) == c
+
+
+def test_overlap_windows_catch_boundary_straddling_mention():
+    """A 2-token mention straddling the disjoint 8-token chunk boundary
+    (positions 8-9) appears whole in NO disjoint chunk but in SOME
+    overlapping window — the reference's padding_words=5 semantics."""
+    import pandas as pd
+    import ray
+
+    from dug_ray.io import overlapping_windows, read_documents, spanify
+
+    words = [f"w{i}" for i in range(1, 17)]
+    words[7], words[8] = "heart", "attack"  # positions 8 and 9 (1-based)
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": ["7"], "text": [" ".join(words)],
+         "lang": ["en"], "source": ["s"]}))
+
+    disjoint = spanify(docs).to_pandas()["spans"].iloc[0]
+    chunk_texts = [s["text"] for s in disjoint if s["kind"] == "text"]
+    assert not any("heart attack" in t for t in chunk_texts)
+
+    wins = overlapping_windows(docs).to_pandas()
+    assert any("heart attack" in t for t in wins["text"])
+    # full coverage with 5-token shared context: windows start every 3 tokens
+    assert list(wins["start_pos"]) == [1, 4, 7, 10]
+    assert all(len(t.split(" ")) <= 8 for t in wins["text"])
