@@ -12,6 +12,7 @@ strings on both sides).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1742,3 +1743,193 @@ GROUP BY wi.doc_id, win_idx"""
 
 QUERIES["chunks_overlap"] = q_chunks_overlap
 ORACLES["chunks_overlap"] = SQL_CHUNKS_OVERLAP
+
+
+def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Connected-components dedup clustering: transitive closure of the
+    integer-exact jaccard>=0.5 near-dup pairs, min-label propagation as a
+    driver loop of partitioned hash_join + bucketed min exchanges (see
+    stages/cluster.py). Every doc gets a cluster (singletons = own id)."""
+    from dug_ray.stages.cluster import connected_components
+    return connected_components(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+SQL_DEDUP_CLUSTERS = _with(SQL_TOKS, SQL_SHINGLES) + """,
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+e0 AS (SELECT da, db FROM p
+       JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+       WHERE inter >= 2 AND 3 * inter >= ca.n + cb.n),
+edges AS (SELECT da AS s, db AS d FROM e0 UNION SELECT db, da FROM e0)
+SELECT v AS doc_id, CAST(min(t) AS BIGINT) AS cluster_id FROM (
+  WITH RECURSIVE r(v, t) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.v, e.d FROM r JOIN edges e ON e.s = r.t)
+  SELECT v, t FROM r)
+GROUP BY v"""
+
+
+QUERIES["dedup_clusters"] = q_dedup_clusters
+ORACLES["dedup_clusters"] = SQL_DEDUP_CLUSTERS
+
+
+def q_events_asof(sf_dir: str) -> ray.data.Dataset:
+    """AS-OF join over the event stream split into two streams (even
+    event_ids = ticks, odd = quotes): each tick carries the latest same-user
+    quote strictly before it (see stages/windows.py asof_join)."""
+    from dug_ray.stages.windows import asof_join
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "value"])
+
+    def parity(rem: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(batch["event_id"], 1), rem)
+            return batch.filter(keep)
+        return _f
+
+    ticks = ev.map_batches(parity(0), batch_format="pyarrow", batch_size=None)
+    quotes = ev.map_batches(parity(1), batch_format="pyarrow", batch_size=None)
+    return _norm(asof_join(ticks, quotes),
+                 int_cols=("event_id", "user_id", "sec", "quote_milli", "quote_event"))
+
+
+SQL_EVENTS_ASOF = """
+WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                  CAST(round(value * 1000, 0) AS BIGINT) AS milli
+           FROM events),
+t AS (SELECT * FROM e WHERE event_id % 2 = 0),
+q AS (SELECT * FROM e WHERE event_id % 2 = 1)
+SELECT t.event_id, t.user_id, t.sec,
+       COALESCE((SELECT q.milli FROM q WHERE q.user_id = t.user_id
+                 AND q.sec * 1000000 + q.event_id < t.sec * 1000000 + t.event_id
+                 ORDER BY q.sec DESC, q.event_id DESC LIMIT 1), -1) AS quote_milli,
+       COALESCE((SELECT q.event_id FROM q WHERE q.user_id = t.user_id
+                 AND q.sec * 1000000 + q.event_id < t.sec * 1000000 + t.event_id
+                 ORDER BY q.sec DESC, q.event_id DESC LIMIT 1), -1) AS quote_event
+FROM t"""
+
+
+QUERIES["events_asof"] = q_events_asof
+ORACLES["events_asof"] = SQL_EVENTS_ASOF
+
+
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """BPE-ish token counting (the brief's token-count op): whitespace
+    tokens plus regex word/number/punct pieces — both engines run the same
+    RE2 pattern (pyarrow count_substring_regex == DuckDB regexp_extract_all
+    length)."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_ws = pc.list_value_length(pc.split_pattern(text, " "))
+        n_bpe = pc.count_substring_regex(text, pattern=BPE_PATTERN)
+        n_alpha = pc.count_substring_regex(text, pattern="[A-Za-z]+")
+        n_num = pc.count_substring_regex(text, pattern="[0-9]+")
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_ws": pc.cast(n_ws, pa.int64()),
+            "n_bpe": pc.cast(n_bpe, pa.int64()),
+            "n_alpha": pc.cast(n_alpha, pa.int64()),
+            "n_num": pc.cast(n_num, pa.int64()),
+            "n_other": pc.cast(pc.subtract(n_bpe, pc.add(n_alpha, n_num)), pa.int64()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_ws,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
+       CAST(length(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+            - length(regexp_extract_all(text, '[A-Za-z]+'))
+            - length(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_other
+FROM documents"""
+
+
+def q_stratified_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic stratified train/val/test split (80/10/10 by md5 of
+    doc_id — content-independent, reproducible across engines and runs),
+    reported as per-(source, split) counts. The per-batch combiner makes the
+    count exchange O(sources x 3)."""
+    import hashlib
+    ds = read_documents(sf_dir, columns=["doc_id", "source"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        bucket = df["doc_id"].map(
+            lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10)
+        df["split"] = np.where(bucket < 8, "train", np.where(bucket < 9, "val", "test"))
+        g = df.groupby(["source", "split"], as_index=False).agg(n_docs=("doc_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "split"], as_index=False).agg(
+            n_docs=("n_docs", "sum"))
+
+    return _norm(bucketed_group_apply(partial, "source", merge, 4),
+                 int_cols=("n_docs",))
+
+
+SQL_STRATIFIED_SPLIT = """
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bk
+  FROM documents)
+SELECT source,
+       CASE WHEN bk < 8 THEN 'train' WHEN bk < 9 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1, 2"""
+
+
+def q_char_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-source discrete quantiles of doc length (p50/p90/p99,
+    DuckDB quantile_disc semantics: sorted[ceil(q*n)], 1-based). Exact
+    order statistics need the group's values together -> per-source hash
+    bucket, vectorized sort inside; at corpus scale swap in a mergeable
+    quantile sketch for the same query shape."""
+    ds = read_documents(sf_dir, columns=["doc_id", "source", "n_chars"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in df.groupby("source", sort=False):
+            v = np.sort(g["n_chars"].to_numpy())
+            n = len(v)
+            pick = lambda q: int(v[max(int(np.ceil(q * n)), 1) - 1])
+            rows.append({"source": src, "n_docs": n, "p50": pick(0.5),
+                         "p90": pick(0.9), "p99": pick(0.99)})
+        return pd.DataFrame(rows)
+
+    out = bucketed_group_apply(ds, "source", per_bucket, 8)
+    return _norm(out, int_cols=("n_docs", "p50", "p90", "p99"))
+
+
+SQL_CHAR_QUANTILES = """
+SELECT source, count(*) AS n_docs,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+FROM documents GROUP BY source"""
+
+
+QUERIES.update({
+    "token_counts": q_token_counts,
+    "stratified_split": q_stratified_split,
+    "char_quantiles": q_char_quantiles,
+})
+ORACLES.update({
+    "token_counts": SQL_TOKEN_COUNTS,
+    "stratified_split": SQL_STRATIFIED_SPLIT,
+    "char_quantiles": SQL_CHAR_QUANTILES,
+})

@@ -1,0 +1,99 @@
+"""Dedup clustering: connected components over near-duplicate pairs.
+
+The operation a training-data dedup pipeline runs after candidate pair
+generation: group transitively-connected near-dups so one canonical doc per
+cluster survives. Ray Data has no iterative-graph primitive, so this is the
+(a)-style composition the brief prescribes — min-label propagation as a
+driver loop of bucketed exchanges:
+
+- labels start as each doc's own id;
+- each round, every edge offers its endpoint labels to the other endpoint
+  (one partitioned ``hash_join`` of the label table against the edge list
+  — neither side broadcast), and each doc keeps the min label seen
+  (bucketed grouped min);
+- the label sum is monotonically decreasing, so convergence is detected
+  with a scalar ``Dataset.sum`` per round — no label table ever reaches
+  the driver. Rounds needed = graph diameter (near-dup clusters are tiny
+  and dense; at web scale the large-star/small-star variant halves rounds,
+  same exchange shape).
+
+Per-round label tables are materialized (object-store pinned) — the
+standard checkpoint discipline for iterative algorithms, O(docs x 2 ints).
+Cluster edges use an integer-exact Jaccard threshold (``3*inter >=
+n_a + n_b`` <=> jaccard >= 0.5), so the whole operator has an exact DuckDB
+oracle via a recursive CTE (transitive closure + min reach).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from dug_ray.shuffle import bucketed_group_apply, hash_join
+
+
+def neardup_edges(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Undirected near-dup edges: pairs with word-3-gram jaccard >= 0.5,
+    compared in integer space (3*inter >= n_a+n_b) for cross-engine
+    exactness. Output: src, dst (both directions)."""
+    from dug_ray.stages.dedup import _pairs_from_inverted, shingles
+
+    pairs = _pairs_from_inverted(shingles(docs))
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[(df["inter"] >= 2)
+                & (3 * df["inter"] >= df["n_a"] + df["n_b"])]
+        a = df["doc_id_a"].to_numpy(dtype=np.int64)
+        b = df["doc_id_b"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    return pairs.map_batches(both_dirs, batch_format="pyarrow", batch_size=None)
+
+
+def connected_components(docs: ray.data.Dataset, max_rounds: int = 20) -> ray.data.Dataset:
+    """doc_id -> cluster_id (= min doc_id reachable through near-dup edges;
+    singletons cluster with themselves)."""
+    edges = neardup_edges(docs).materialize()
+
+    def init(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64())
+        return pa.table({"doc": ids, "label": ids})
+
+    labels = docs.map_batches(init, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    prev_sum = labels.sum("label")
+
+    def min_label(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc", as_index=False).agg(label=("label", "min"))
+
+    for _ in range(max_rounds):
+        # each edge forwards its dst's current label to its src
+        offered = hash_join(edges, labels, "dst", "doc")
+
+        def project(batch: pa.Table) -> pa.Table:
+            if "src" not in batch.column_names:  # empty-join schema loss quirk
+                return pa.table({"doc": pa.array([], pa.int64()),
+                                 "label": pa.array([], pa.int64())})
+            return pa.table({"doc": pc.cast(batch["src"], pa.int64()),
+                             "label": pc.cast(batch["label"], pa.int64())})
+
+        cand = offered.map_batches(project, batch_format="pyarrow",
+                                   batch_size=None).union(labels)
+        labels = bucketed_group_apply(cand, "doc", min_label, 16).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch["doc"], pa.int64()),
+                         "cluster_id": pc.cast(batch["label"], pa.int64())})
+
+    return labels.map_batches(fin, batch_format="pyarrow", batch_size=None)

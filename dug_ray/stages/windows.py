@@ -70,6 +70,54 @@ def sliding_window(events: ray.data.Dataset) -> ray.data.Dataset:
         keyed, "wkey", lambda df: merge(df.drop(columns=["wkey"])), 16)
 
 
+def asof_join(ticks: ray.data.Dataset, quotes: ray.data.Dataset) -> ray.data.Dataset:
+    """AS-OF join: each tick gets the latest quote of the same user strictly
+    before it (ordering key ``sec * 1e6 + event_id`` — total, so 'before'
+    is unambiguous even at equal timestamps).
+
+    Ray Data has no asof primitive; the composition is union-tag -> per-user
+    hash bucket -> one sort inside the bucket -> grouped forward-fill of the
+    quote columns — the merge-sorted-streams algorithm, vectorized. Exact
+    under the same partitioning assumption as sessions (a user's full
+    history in one bucket; at 100 TB: time-range partitions with one
+    boundary quote carried forward per partition). Ticks with no prior
+    quote report -1. Both inputs must carry event_id, user_id, ts, value."""
+
+    def prep(is_quote: bool):
+        def _p(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            out = pd.DataFrame({
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "sec": _epoch_seconds(df["ts"]),
+                "milli": (df["value"] * 1000).round().astype("int64"),
+            })
+            out["is_q"] = is_quote
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return _p
+
+    u = (ticks.map_batches(prep(False), batch_format="pyarrow", batch_size=None)
+         .union(quotes.map_batches(prep(True), batch_format="pyarrow", batch_size=None)))
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("ukey", pc.cast(batch["user_id"], pa.string()))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(k=df["sec"] * 1_000_000 + df["event_id"])
+        df = df.sort_values(["user_id", "k"], kind="mergesort")
+        qm = df["milli"].where(df["is_q"])
+        qe = df["event_id"].where(df["is_q"]).astype("float64")
+        df["quote_milli"] = qm.groupby(df["user_id"]).ffill()
+        df["quote_event"] = qe.groupby(df["user_id"]).ffill()
+        t = df[~df["is_q"]].fillna({"quote_milli": -1, "quote_event": -1})
+        t = t.astype({"quote_milli": "int64", "quote_event": "int64"})
+        return t[["event_id", "user_id", "sec", "quote_milli", "quote_event"]]
+
+    keyed = u.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+    return bucketed_group_apply(
+        keyed, "ukey", lambda df: per_bucket(df.drop(columns=["ukey"])), 16)
+
+
 def session_window(events: ray.data.Dataset) -> ray.data.Dataset:
     """Gap-based sessions (>30min gap splits): per (user_id, session):
     session_start, n_events, duration_sec. Exact via per-user bucketing."""

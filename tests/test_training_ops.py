@@ -211,3 +211,25 @@ def test_bucket_null_keys_and_join_collision_guard():
     right = ray.data.from_pandas(pd.DataFrame({"r": [1], "shared": [2]}))
     with pytest.raises(ValueError, match="disjoint"):
         hash_join(left, right, "k", "r")
+
+
+def test_connected_components_clusters():
+    """Two transitive near-dup chains + a singleton: min-label propagation
+    assigns each chain its min doc_id, and the chain is joined through a
+    middle doc (a-b and b-c similar, a-c less so) — the transitivity that
+    pair lists alone don't give."""
+    from dug_ray.stages.cluster import connected_components
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [10, 11, 12, 20, 21, 30],
+        "text": [base,                              # 10
+                 base + " iota",                    # 11: near-dup of 10
+                 base + " iota kappa lam",          # 12: near-dup of 11
+                 "one two three four five six",     # 20
+                 "one two three four five six",     # 21: exact dup of 20
+                 "totally different words here now"],  # 30: singleton
+    }))
+    out = connected_components(docs).to_pandas().sort_values("doc_id")
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
