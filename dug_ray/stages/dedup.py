@@ -181,16 +181,25 @@ def _minhash_sig(shingle_set: list[str]) -> list[str]:
 
 
 def minhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """One row per doc: doc_id, h0..h{k-1} minhash hex signatures."""
+    """One row per doc: doc_id, h0..h{k-1} minhash hex signatures.
+
+    Hashes each UNIQUE shingle k times (a dict over the batch's distinct
+    shingles), then takes per-doc minima with one vectorized string groupby
+    — O(unique x k) md5 calls instead of O(doc-shingle pairs x k)."""
 
     def per_batch(batch: pa.Table) -> pa.Table:
         sh = _shingle_df(batch)
-        rows = []
-        for doc_id, grp in sh.groupby("doc_id"):
-            sig = _minhash_sig(list(grp["shingle"]))
-            rows.append({"doc_id": int(doc_id), **{f"h{i}": sig[i] for i in range(MINHASH_K)}})
-        out = pd.DataFrame(rows) if rows else pd.DataFrame(
-            columns=["doc_id"] + [f"h{i}" for i in range(MINHASH_K)])
+        if not len(sh):
+            return pa.Table.from_pandas(pd.DataFrame(
+                columns=["doc_id"] + [f"h{i}" for i in range(MINHASH_K)]),
+                preserve_index=False)
+        uniq = sh["shingle"].unique()
+        cols = {"doc_id": sh["doc_id"]}
+        for i in range(MINHASH_K):
+            table = {s: _md5(f"{i}:{s}")[:16] for s in uniq}
+            cols[f"h{i}"] = sh["shingle"].map(table)
+        out = pd.DataFrame(cols).groupby("doc_id", as_index=False).min()
+        out["doc_id"] = out["doc_id"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)

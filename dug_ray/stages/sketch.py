@@ -74,24 +74,8 @@ def hll_distinct_tokens(docs: ray.data.Dataset, by: str | None = None) -> pd.Dat
     merged state is O(groups x 1KB) regardless of corpus size — the
     defining property of a sketch pipeline."""
 
-    def per_batch(batch: pa.Table) -> pa.Table:
-        tokens = pc.split_pattern(batch["text"], " ")
-        if isinstance(tokens, pa.ChunkedArray):
-            tokens = tokens.combine_chunks()
-        if by is None:
-            groups = {"_all": tokens.flatten().to_pylist()}
-        else:
-            parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
-            keys = batch.column(by).to_pylist()
-            flat = tokens.flatten().to_pylist()
-            groups = {}
-            for p, t in zip(parent, flat):
-                groups.setdefault(keys[p], []).append(t)
-        rows = [{"key": k, "regs": _registers(sorted(set(v))).tobytes()}
-                for k, v in groups.items()]
-        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
-
-    partial = docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+    partial = docs.map_batches(_partial_sketches(by),
+                               batch_format="pyarrow", batch_size=None)
     merged: dict[str, np.ndarray] = {}
     for b in partial.iter_batches(batch_size=None, batch_format="pyarrow"):
         for k, r in zip(b.column("key").to_pylist(), b.column("regs").to_pylist()):
@@ -99,6 +83,31 @@ def hll_distinct_tokens(docs: ray.data.Dataset, by: str | None = None) -> pd.Dat
             merged[k] = np.maximum(merged.get(k, np.zeros(M, np.int8)), regs)
     return pd.DataFrame(
         [{"key": k, "approx_distinct": estimate(v)} for k, v in sorted(merged.items())])
+
+
+def _partial_sketches(by: str | None):
+    """Batch fn: one serialized register array per group key in the batch.
+    Grouping is a vectorized pandas distinct+groupby (a Python loop only
+    over GROUPS, never rows)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = tokens.flatten().to_numpy(zero_copy_only=False)
+        if by is None:
+            groups = [("_all", np.unique(flat))]
+        else:
+            parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+            keys = np.asarray(batch.column(by).to_pylist(), dtype=object)
+            df = pd.DataFrame({"k": keys[parent], "t": flat}).drop_duplicates()
+            groups = [(k, np.sort(g["t"].to_numpy()))
+                      for k, g in df.groupby("k", sort=False)]
+        rows = [{"key": k, "regs": _registers(list(v)).tobytes()}
+                for k, v in groups]
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    return per_batch
 
 
 def hll_register_summary(docs: ray.data.Dataset, by: str) -> pd.DataFrame:
@@ -109,21 +118,8 @@ def hll_register_summary(docs: ray.data.Dataset, by: str) -> pd.DataFrame:
     hash-match oracle. Columns: key, n_regs, reg_sum, reg_digest."""
     import hashlib as _hl
 
-    def per_batch(batch: pa.Table) -> pa.Table:
-        tokens = pc.split_pattern(batch["text"], " ")
-        if isinstance(tokens, pa.ChunkedArray):
-            tokens = tokens.combine_chunks()
-        parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
-        keys = batch.column(by).to_pylist()
-        flat = tokens.flatten().to_pylist()
-        groups: dict[str, list] = {}
-        for p, t in zip(parent, flat):
-            groups.setdefault(keys[p], []).append(t)
-        rows = [{"key": k, "regs": _registers(sorted(set(v))).tobytes()}
-                for k, v in groups.items()]
-        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
-
-    partial = docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+    partial = docs.map_batches(_partial_sketches(by),
+                               batch_format="pyarrow", batch_size=None)
     merged: dict[str, np.ndarray] = {}
     for b in partial.iter_batches(batch_size=None, batch_format="pyarrow"):
         for k, r in zip(b.column("key").to_pylist(), b.column("regs").to_pylist()):

@@ -70,7 +70,8 @@ def fingerprints(docs: ray.data.Dataset, k: int = 4) -> ray.data.Dataset:
         df = batch.select(["doc_id", "text"]).to_pandas()
         content = [_md5(t) for t in df["text"]]
         sh = _shingle_df(batch)
-        sh["h"] = [_md5(s)[:16] for s in sh["shingle"]]
+        # hash each UNIQUE shingle once, then map — not per occurrence
+        sh["h"] = sh["shingle"].map({s: _md5(s)[:16] for s in sh["shingle"].unique()})
         mink = (sh.sort_values("h").groupby("doc_id")["h"]
                 .agg(lambda s: "|".join(s.head(k))))
         return pa.table({

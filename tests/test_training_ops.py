@@ -233,3 +233,23 @@ def test_connected_components_clusters():
     out = connected_components(docs).to_pandas().sort_values("doc_id")
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+
+
+def test_asof_join_tie_and_no_prior():
+    """As-of semantics pinned: strictly-before matching on the total
+    (sec, event_id) key — an equal-timestamp quote with a LOWER event_id
+    matches, with a higher one does not; ticks with no prior quote get -1."""
+    from dug_ray.stages.windows import asof_join
+
+    def mk(rows):
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "sec", "value"])
+        df["ts"] = pd.Timestamp(0) + pd.to_timedelta(df.pop("sec"), unit="s")
+        return ray.data.from_pandas(df)
+
+    ticks = mk([(10, 1, 100, 1.0),   # prior quote at sec 50
+                (20, 1, 200, 2.0),   # tie: quote id 19 at sec 200 (< 20) matches
+                (30, 2, 100, 3.0)])  # user 2 has no quote
+    quotes = mk([(5, 1, 50, 0.5), (19, 1, 200, 0.7), (25, 1, 200, 0.9)])
+    out = asof_join(ticks, quotes).to_pandas().sort_values("event_id")
+    got = list(zip(out["event_id"], out["quote_event"], out["quote_milli"]))
+    assert got == [(10, 5, 500), (20, 19, 700), (30, -1, -1)]
