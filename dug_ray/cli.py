@@ -53,9 +53,19 @@ def cmd_crawl(args) -> int:
 
 
 def cmd_search(args) -> int:
+    """``dug search -t {variables|concepts|kg}`` analogue (reference
+    ``cli.py:121-129``: one flag selects the ES index; here it selects the
+    serving pipeline over the same constructed tables)."""
     _ensure_ray(args.num_cpus)
-    from dug_ray.pipelines.search import search_elements
-    df = search_elements(args.sf_dir, args.query, k=args.k).to_pandas()
+    if args.target in ("elements", "variables"):
+        from dug_ray.pipelines.search import search_elements
+        df = search_elements(args.sf_dir, args.query, k=args.k).to_pandas()
+    elif args.target == "concepts":
+        from dug_ray.queries import q_search_concepts
+        df = q_search_concepts(args.sf_dir, k=args.k).to_pandas()
+    else:  # kg
+        from dug_ray.queries import q_search_kg
+        df = q_search_kg(args.sf_dir).to_pandas().head(args.k)
     print(df.to_string(index=False))
     return 0
 
@@ -93,10 +103,12 @@ def main(argv=None) -> int:
     c.add_argument("--resumable", action="store_true")
     c.set_defaults(fn=cmd_crawl)
 
-    s = sub.add_parser("search", help="token-match top-k over elements")
+    s = sub.add_parser("search", help="token-match top-k serving search")
     s.add_argument("sf_dir")
     s.add_argument("-q", "--query", required=True)
     s.add_argument("-k", type=int, default=20)
+    s.add_argument("-t", "--target", default="elements",
+                   choices=["elements", "variables", "concepts", "kg"])
     s.set_defaults(fn=cmd_search)
 
     ix = sub.add_parser("index", help="export searchable element/concept/kg datasets")

@@ -1933,3 +1933,86 @@ ORACLES.update({
     "stratified_split": SQL_STRATIFIED_SPLIT,
     "char_quantiles": SQL_CHAR_QUANTILES,
 })
+
+
+def q_search_concepts(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Serving search over the CONCEPTS index (the reference's second ES
+    index, ``dug search -t concepts`` / ``async_search.py:search_concepts``):
+    score = |distinct query terms ∩ concept search_terms|, top-k by
+    (score desc, concept_id)."""
+    concepts = build_concepts(kg.linked_mentions_cached(sf_dir))
+    terms = set(SEARCH_QUERY.split())
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["concept_id", "name", "search_terms"]]
+        df["score"] = df["search_terms"].map(
+            lambda s: np.int64(len(terms & set(s.split("|")))))
+        df = df[df["score"] > 0][["concept_id", "name", "score"]]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    scored = concepts.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+    # concepts table is ontology-bounded; the final top-k merge is tiny
+    df = scored.to_pandas().sort_values(
+        ["score", "concept_id"], ascending=[False, True], kind="mergesort").head(k)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return ray.data.from_pandas(
+        df.reset_index(drop=True).astype({"score": "int64"}))
+
+
+def _sql_terms_in() -> str:
+    return ", ".join(f"'{t}'" for t in sorted(set(SEARCH_QUERY.split())))
+
+
+SQL_SEARCH_CONCEPTS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + f""",
+st AS (
+  SELECT canonical_curie, t FROM (
+    SELECT DISTINCT canonical_curie, term AS t FROM linked_full
+    UNION
+    SELECT DISTINCT l.canonical_curie, s.synonym AS t
+    FROM (SELECT DISTINCT canonical_curie FROM linked_full) l
+    JOIN synonyms s ON s.curie = l.canonical_curie)),
+names AS (SELECT DISTINCT canonical_curie, name FROM linked_full),
+sc AS (SELECT canonical_curie, CAST(count(*) AS BIGINT) AS score
+       FROM st WHERE t IN ({_sql_terms_in()}) GROUP BY canonical_curie),
+ranked AS (
+  SELECT n.canonical_curie AS concept_id, n.name, sc.score,
+         row_number() OVER (ORDER BY sc.score DESC, n.canonical_curie) AS rank
+  FROM sc JOIN names n ON n.canonical_curie = sc.canonical_curie)
+SELECT concept_id, name, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+
+def q_search_kg(sf_dir: str) -> ray.data.Dataset:
+    """Serving search over the KG index (``dug search -t kg``,
+    ``async_search.py:search_kg``): each concept's best KG answer by
+    (n_edges desc, answer_id asc) — the per-subject rerank of
+    ``kg_answers``."""
+    answers = q_kg_answers(sf_dir)
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["subj", "n_edges", "answer_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.drop_duplicates(subset=["subj"], keep="first")
+
+    out = bucketed_group_apply(answers, "subj", best, 8)
+    return _norm(out, int_cols=("n_edges",))
+
+
+SQL_SEARCH_KG = f"""
+SELECT subj, source_query, objs, obj_names, n_edges, answer_id FROM (
+  SELECT a.*, row_number() OVER (PARTITION BY subj
+                                 ORDER BY n_edges DESC, answer_id) AS rn
+  FROM ({SQL_KG_ANSWERS}) a)
+WHERE rn = 1"""
+
+
+QUERIES.update({
+    "search_concepts": q_search_concepts,
+    "search_kg": q_search_kg,
+})
+ORACLES.update({
+    "search_concepts": SQL_SEARCH_CONCEPTS,
+    "search_kg": SQL_SEARCH_KG,
+})
