@@ -2016,3 +2016,57 @@ ORACLES.update({
     "search_concepts": SQL_SEARCH_CONCEPTS,
     "search_kg": SQL_SEARCH_KG,
 })
+
+
+def q_media_features(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal feature extraction (batched-inference stage shape; md5
+    featurizer stands in for the model — fully oracle-checked plumbing)."""
+    from dug_ray.stages.multimodal import media_features
+    return media_features(read_interleaved(sf_dir))
+
+
+SQL_MEDIA_FEATURES = _with(SQL_TOKS) + """,
+tc AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+x AS (SELECT doc_id, CAST(ceil(n_tok / 8.0) AS BIGINT) AS n_text FROM tc),
+m AS (SELECT doc_id, 3 * t.j + 2 AS "offset"
+      FROM x, LATERAL (SELECT unnest(generate_series(0, CAST(n_text // 2 AS BIGINT) - 1)) AS j) t),
+mm AS (SELECT doc_id, "offset",
+              'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST("offset" AS VARCHAR) AS media_ref
+       FROM m)
+SELECT doc_id, "offset", media_ref,
+       CAST(strpos('0123456789abcdef', substr(md5(media_ref), 1, 1)) - 1 AS BIGINT) AS f0,
+       CAST(strpos('0123456789abcdef', substr(md5(media_ref), 2, 1)) - 1 AS BIGINT) AS f1,
+       CAST(strpos('0123456789abcdef', substr(md5(media_ref), 3, 1)) - 1 AS BIGINT) AS f2,
+       CAST(strpos('0123456789abcdef', substr(md5(media_ref), 4, 1)) - 1 AS BIGINT) AS f3,
+       CAST(strpos('0123456789abcdef', substr(md5(media_ref), 5, 1)) - 1 AS BIGINT) AS f4,
+       CAST(strpos('0123456789abcdef', substr(md5(media_ref), 6, 1)) - 1 AS BIGINT) AS f5,
+       CAST(strpos('0123456789abcdef', substr(md5(media_ref), 7, 1)) - 1 AS BIGINT) AS f6,
+       CAST(strpos('0123456789abcdef', substr(md5(media_ref), 8, 1)) - 1 AS BIGINT) AS f7
+FROM mm"""
+
+
+def q_media_frames(sf_dir: str) -> ray.data.Dataset:
+    """Frame sampling over media spans (1 + ordinal%3 frames each)."""
+    from dug_ray.stages.multimodal import sample_frames
+    return sample_frames(read_interleaved(sf_dir))
+
+
+SQL_MEDIA_FRAMES = _with(SQL_TOKS) + """,
+tc AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+x AS (SELECT doc_id, CAST(ceil(n_tok / 8.0) AS BIGINT) AS n_text FROM tc),
+m AS (SELECT doc_id, 3 * t.j + 2 AS "offset", t.j AS ordinal
+      FROM x, LATERAL (SELECT unnest(generate_series(0, CAST(n_text // 2 AS BIGINT) - 1)) AS j) t)
+SELECT doc_id, "offset", f.i AS frame_idx,
+       'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST("offset" AS VARCHAR)
+       || '#frame-' || CAST(f.i AS VARCHAR) AS frame_ref
+FROM m, LATERAL (SELECT unnest(generate_series(0, ordinal % 3)) AS i) f"""
+
+
+QUERIES.update({
+    "media_features": q_media_features,
+    "media_frames": q_media_frames,
+})
+ORACLES.update({
+    "media_features": SQL_MEDIA_FEATURES,
+    "media_frames": SQL_MEDIA_FRAMES,
+})

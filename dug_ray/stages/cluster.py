@@ -68,6 +68,10 @@ def connected_components(docs: ray.data.Dataset, max_rounds: int = 20) -> ray.da
 
     labels = docs.map_batches(init, batch_format="pyarrow",
                               batch_size=None).materialize()
+    if edges.count() == 0:  # no near-dups: everything is its own cluster
+        return labels.map_batches(
+            lambda b: pa.table({"doc_id": b["doc"], "cluster_id": b["label"]}),
+            batch_format="pyarrow", batch_size=None)
     prev_sum = labels.sum("label")
 
     def min_label(df: pd.DataFrame) -> pd.DataFrame:

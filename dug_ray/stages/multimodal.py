@@ -98,3 +98,71 @@ def decode_media(docs: ray.data.Dataset, fake: bool = False,
     return media_spans(docs).map_batches(
         MediaDecoder, fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+class MediaFeatures:
+    """Actor-pool feature extractor — the batched-inference stage shape
+    (model loaded once per actor in __init__, vectorized forward per
+    batch). The real model is absent here, so the 'embedding' is a
+    deterministic md5-derived 8-dim integer vector (hex digits of
+    md5(media_ref)), which makes the full plumbing oracle-checkable."""
+
+    DIM = 8
+
+    def __init__(self, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "media feature extraction requires a vision/audio model not "
+                "present in this environment; fake=True runs the "
+                "deterministic md5 featurizer with the same plumbing")
+        import hashlib
+        self._hash = hashlib.md5  # the 'model weights' slot
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        digits = np.array([[int(c, 16) for c in self._hash(r.encode()).hexdigest()[:self.DIM]]
+                           for r in refs], dtype=np.int64).reshape(len(refs), self.DIM)
+        cols = {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "offset": pc.cast(batch["offset"], pa.int64()),
+            "media_ref": batch["media_ref"],
+        }
+        for j in range(self.DIM):
+            cols[f"f{j}"] = pa.array(digits[:, j], pa.int64())
+        return pa.table(cols)
+
+
+def media_features(docs: ray.data.Dataset, batch_size: int = 1024,
+                   concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
+    """Batched 'inference' over media spans (bounded batches — embedding
+    output x concurrency must fit the worker heap at real dims)."""
+    return media_spans(docs).map_batches(
+        MediaFeatures, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+def sample_frames(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Frame sampling: each media span yields 1 + (ordinal % 3) frames
+    (flat_map shape: one input row -> n output rows, vectorized via repeat).
+    Frame refs are derived pointers (ref#frame-i) — at real scale the
+    decode stage resolves them against the container; here the expansion
+    arithmetic and output layout are the real, oracle-checked parts."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        offs = pc.cast(batch["offset"], pa.int64()).to_numpy(zero_copy_only=False)
+        ordinal = (offs - 2) // 3
+        n_frames = 1 + (ordinal % 3)
+        idx = np.repeat(np.arange(len(batch)), n_frames)
+        frame_i = np.arange(n_frames.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_frames)[:-1]]), n_frames)
+        refs = np.asarray(batch.column("media_ref").to_pylist(), dtype=object)
+        return pa.table({
+            "doc_id": pc.take(pc.cast(batch["doc_id"], pa.int64()), pa.array(idx)),
+            "offset": pa.array(offs[idx], pa.int64()),
+            "frame_idx": pa.array(frame_i, pa.int64()),
+            "frame_ref": pa.array([f"{r}#frame-{i}" for r, i in zip(refs[idx], frame_i)],
+                                  pa.string()),
+        })
+
+    return media_spans(docs).map_batches(per_batch, batch_format="pyarrow",
+                                         batch_size=None)

@@ -64,3 +64,102 @@ def test_hash_join_matches_pandas(lrows, rrows):
     got = got[key].sort_values(key).reset_index(drop=True)
     want = want[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(WORD, min_size=1, max_size=60), min_size=1, max_size=4))
+def test_overlapping_windows_cover_every_token(texts):
+    """For ANY text: every token position is covered by >=1 window, windows
+    advance by stride=3, adjacent full windows share 5 tokens, and window
+    text equals the tokens at [start_pos, start_pos+len)."""
+    from dug_ray.io import overlapping_windows
+    df = pd.DataFrame({"doc_id": range(len(texts)),
+                       "text": [" ".join(ws) for ws in texts]})
+    out = overlapping_windows(ray.data.from_pandas(df)).to_pandas()
+    for did, ws in enumerate(texts):
+        wins = out[out["doc_id"] == str(did)].sort_values("win_idx")
+        covered = set()
+        for _, w in wins.iterrows():
+            toks = w["text"].split(" ")
+            assert w["start_pos"] == w["win_idx"] * 3 + 1
+            assert toks == ws[w["start_pos"] - 1: w["start_pos"] - 1 + len(toks)]
+            assert len(toks) <= 8
+            covered.update(range(w["start_pos"], w["start_pos"] + len(toks)))
+        assert covered == set(range(1, len(ws) + 1))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50), st.booleans()),
+                min_size=1, max_size=40, unique_by=lambda t: (t[1], t[2])))
+def test_asof_join_matches_bruteforce(rows):
+    """asof_join == brute-force 'latest strictly-before quote per user' for
+    ANY event set (unique (sec,side) keeps event ids unique)."""
+    from dug_ray.stages.windows import asof_join
+    recs = [{"event_id": 2 * i + (1 if q else 0), "user_id": u,
+             "sec": s, "value": float(i % 7)}
+            for i, (u, s, q) in enumerate(rows)]
+    df = pd.DataFrame(recs)
+    df["ts"] = pd.Timestamp(0) + pd.to_timedelta(df["sec"], unit="s")
+    ticks = df[df["event_id"] % 2 == 0]
+    quotes = df[df["event_id"] % 2 == 1]
+    if len(ticks) == 0:
+        return
+    got = asof_join(ray.data.from_pandas(ticks.drop(columns=["sec"])),
+                    ray.data.from_pandas(quotes.drop(columns=["sec"]))
+                    if len(quotes) else ray.data.from_pandas(
+                        pd.DataFrame(columns=["event_id", "user_id", "ts", "value"])
+                        .astype({"event_id": "int64", "user_id": "int64",
+                                 "value": "float64", "ts": "datetime64[ns]"}))
+                    ).to_pandas()
+    for _, t in ticks.iterrows():
+        k = t["sec"] * 1_000_000 + t["event_id"]
+        prior = quotes[(quotes["user_id"] == t["user_id"])
+                       & (quotes["sec"] * 1_000_000 + quotes["event_id"] < k)]
+        r = got[got["event_id"] == t["event_id"]].iloc[0]
+        if len(prior):
+            best = prior.sort_values(["sec", "event_id"]).iloc[-1]
+            assert r["quote_event"] == best["event_id"]
+            assert r["quote_milli"] == round(best["value"] * 1000)
+        else:
+            assert r["quote_event"] == -1 and r["quote_milli"] == -1
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=0, max_size=15))
+def test_connected_components_match_union_find(edges):
+    """Label propagation == a plain union-find over the SAME edge set. Docs
+    are built so doc i and doc j are near-dups iff (i,j) is an edge: each
+    doc's text is its base 8-token chain; an edge adds the partner's chain
+    words — instead we verify against the engine's own edge extraction."""
+    from dug_ray.stages.cluster import connected_components, neardup_edges
+
+    # ten docs, pairwise-distinct base texts
+    texts = {i: " ".join(f"w{i}x{j}" for j in range(8)) for i in range(10)}
+    for a, b in edges:
+        if a == b:
+            continue
+        # make a and b near-dups by sharing a long common token run
+        common = " ".join(f"c{min(a,b)}y{max(a,b)}z{j}" for j in range(30))
+        texts[a] = texts[a] + " " + common
+        texts[b] = texts[b] + " " + common
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[i] for i in texts]}))
+
+    eng_edges = neardup_edges(docs).to_pandas()
+    parent = list(range(10))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, e in eng_edges.iterrows():
+        a, b = find(int(e["src"])), find(int(e["dst"]))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    want = {i: find(i) for i in range(10)}
+
+    got = connected_components(docs).to_pandas()
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
