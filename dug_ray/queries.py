@@ -1504,20 +1504,21 @@ FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)"""
 
 
 def q_urgent_lineitems(sf_dir: str) -> ray.data.Dataset:
-    """SEMI-join via the partitioned ``hash_join`` — no unbounded key-set
-    collect: the filtered orders side (keys of one priority class — still
-    O(orders/5) at TPC-H scale) streams into the bucketed exchange, where
-    each bucket task semi-joins its lineitem rows against its order keys.
-    Orderkeys are unique in orders, so inner join == semi join exactly.
-    Output: per returnflag, qty-cent sums over the semi-joined rows."""
-    from dug_ray.shuffle import hash_join
+    """SEMI-join the scale way: a broadcast Bloom prefilter (128 KiB bitmap
+    regardless of key count — the filtered orders side is O(orders/5) at
+    TPC-H scale, far too big for an exact key-set broadcast) drops most
+    non-matching lineitems before the exchange, then the partitioned
+    ``hash_join`` of the survivors makes the result exact (no false
+    negatives; orderkeys unique in orders so inner == semi). Output: per
+    returnflag, qty-cent sums over the semi-joined rows."""
+    from dug_ray.stages.bloom import bloom_semi_join
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_orderpriority"])
     urgent = orders.filter(expr="o_orderpriority == '1-URGENT'")
 
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_returnflag", "l_quantity"])
-    joined = hash_join(urgent, li, "o_orderkey", "l_orderkey")
+    joined = bloom_semi_join(li, "l_orderkey", urgent, "o_orderkey")
 
     def per_batch(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

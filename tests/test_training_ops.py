@@ -253,3 +253,27 @@ def test_asof_join_tie_and_no_prior():
     out = asof_join(ticks, quotes).to_pandas().sort_values("event_id")
     got = list(zip(out["event_id"], out["quote_event"], out["quote_milli"]))
     assert got == [(10, 5, 500), (20, 19, 700), (30, -1, -1)]
+
+
+def test_bloom_semi_join_exact_and_selective():
+    """Bloom prefilter: no false negatives ever (the exact-join result
+    equals a pandas semi-join), and the probe mask keeps all members while
+    passing only a tiny false-positive fraction of non-members."""
+    import numpy as np
+
+    from dug_ray.stages.bloom import bloom_semi_join, build_bloom, probe_mask
+
+    keys = pd.DataFrame({"k": np.arange(0, 2000, 2), "tag": "m"})   # evens
+    big = pd.DataFrame({"b": np.arange(5000), "v": np.arange(5000) * 2})
+    out = bloom_semi_join(ray.data.from_pandas(big), "b",
+                          ray.data.from_pandas(keys), "k").to_pandas()
+    want = big[big["b"].isin(set(keys["k"]))]
+    assert sorted(out["b"]) == sorted(want["b"])
+
+    bloom = np.frombuffer(build_bloom(ray.data.from_pandas(keys), "k"),
+                          dtype=np.uint8)
+    members = probe_mask(keys["k"].to_numpy(), bloom)
+    assert members.all()  # zero false negatives
+    non = np.arange(1, 200001, 2)  # odds: none are members
+    fp = probe_mask(non, bloom).mean()
+    assert fp < 0.01
