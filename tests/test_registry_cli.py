@@ -85,3 +85,20 @@ def test_mention_filter_hook(sf_smoke):
 
     with pytest.raises(KeyError, match="Cannot find mention filter"):
         registry.get_mention_filter("nope")
+
+
+def test_cli_search_targets(sf_smoke, capsys):
+    """CLI parity for dug search -t: all three indices serve results.
+    (cli.main owns ray teardown in standalone use; here the session-scoped
+    fixture owns it, so drive the command functions directly.)"""
+    import argparse
+
+    from dug_ray import cli
+
+    for target, col in [("concepts", "concept_id"), ("kg", "answer_id"),
+                        ("variables", "element_id")]:
+        args = argparse.Namespace(sf_dir=sf_smoke, query="merge hash vector",
+                                  k=5, target=target, num_cpus=None)
+        assert cli.cmd_search(args) == 0
+        out = capsys.readouterr().out
+        assert col in out and len(out.strip().splitlines()) >= 2
