@@ -57,9 +57,21 @@ def neardup_edges(docs: ray.data.Dataset) -> ray.data.Dataset:
     return pairs.map_batches(both_dirs, batch_format="pyarrow", batch_size=None)
 
 
-def connected_components(docs: ray.data.Dataset, max_rounds: int = 20) -> ray.data.Dataset:
+def connected_components(docs: ray.data.Dataset, max_rounds: int = 20,
+                         max_driver_edges: int = 5_000_000) -> ray.data.Dataset:
     """doc_id -> cluster_id (= min doc_id reachable through near-dup edges;
-    singletons cluster with themselves)."""
+    singletons cluster with themselves).
+
+    Two paths, same result:
+
+    - **edge list fits the driver** (the common case — near-dup edges are
+      orders of magnitude sparser than the corpus): collect the edges,
+      union-find with path compression, ``ray.put`` the doc->cluster map
+      (O(docs-in-edges), not O(docs)) and assign in one ``map_batches``.
+      One pass over the corpus, no iteration.
+    - **edge list too big** (> ``max_driver_edges``): the distributed
+      min-label propagation loop below — nothing on the driver beyond a
+      scalar per round."""
     edges = neardup_edges(docs).materialize()
 
     def init(batch: pa.Table) -> pa.Table:
@@ -68,10 +80,42 @@ def connected_components(docs: ray.data.Dataset, max_rounds: int = 20) -> ray.da
 
     labels = docs.map_batches(init, batch_format="pyarrow",
                               batch_size=None).materialize()
-    if edges.count() == 0:  # no near-dups: everything is its own cluster
+    n_edges = edges.count()
+    if n_edges == 0:  # no near-dups: everything is its own cluster
         return labels.map_batches(
             lambda b: pa.table({"doc_id": b["doc"], "cluster_id": b["label"]}),
             batch_format="pyarrow", batch_size=None)
+
+    if n_edges <= max_driver_edges:
+        e = edges.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(e["src"].to_numpy(), e["dst"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        cmap = {d: find(d) for d in parent}
+        cmap_ref = ray.put(cmap)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            m = ray.get(cmap_ref)
+            ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(
+                    pd.Series(ids).map(m).fillna(pd.Series(ids)).astype("int64")),
+            })
+
+        return docs.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
     prev_sum = labels.sum("label")
 
     def min_label(df: pd.DataFrame) -> pd.DataFrame:

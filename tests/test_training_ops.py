@@ -230,9 +230,12 @@ def test_connected_components_clusters():
                  "one two three four five six",     # 21: exact dup of 20
                  "totally different words here now"],  # 30: singleton
     }))
-    out = connected_components(docs).to_pandas().sort_values("doc_id")
-    got = dict(zip(out["doc_id"], out["cluster_id"]))
-    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+    want = {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+    # both implementations: driver union-find (default) and the
+    # distributed min-label loop (forced via max_driver_edges=0)
+    for kwargs in ({}, {"max_driver_edges": 0}):
+        out = connected_components(docs, **kwargs).to_pandas().sort_values("doc_id")
+        assert dict(zip(out["doc_id"], out["cluster_id"])) == want, kwargs
 
 
 def test_asof_join_tie_and_no_prior():
