@@ -62,10 +62,15 @@ def cmd_search(args) -> int:
         df = search_elements(args.sf_dir, args.query, k=args.k).to_pandas()
     elif args.target == "concepts":
         from dug_ray.queries import q_search_concepts
-        df = q_search_concepts(args.sf_dir, k=args.k).to_pandas()
-    else:  # kg
+        df = q_search_concepts(args.sf_dir, k=args.k, query=args.query).to_pandas()
+    else:  # kg: answers whose node names match a query term, best first
         from dug_ray.queries import q_search_kg
-        df = q_search_kg(args.sf_dir).to_pandas().head(args.k)
+        df = q_search_kg(args.sf_dir).to_pandas()
+        terms = [t.lower() for t in args.query.split()]
+        hit = df["obj_names"].str.lower().map(
+            lambda s: any(t in s for t in terms))
+        df = (df[hit].sort_values(["n_edges", "answer_id"],
+                                  ascending=[False, True]).head(args.k))
     print(df.to_string(index=False))
     return 0
 

@@ -1805,10 +1805,10 @@ t AS (SELECT * FROM e WHERE event_id % 2 = 0),
 q AS (SELECT * FROM e WHERE event_id % 2 = 1)
 SELECT t.event_id, t.user_id, t.sec,
        COALESCE((SELECT q.milli FROM q WHERE q.user_id = t.user_id
-                 AND q.sec * 1000000 + q.event_id < t.sec * 1000000 + t.event_id
+                 AND (q.sec < t.sec OR (q.sec = t.sec AND q.event_id < t.event_id))
                  ORDER BY q.sec DESC, q.event_id DESC LIMIT 1), -1) AS quote_milli,
        COALESCE((SELECT q.event_id FROM q WHERE q.user_id = t.user_id
-                 AND q.sec * 1000000 + q.event_id < t.sec * 1000000 + t.event_id
+                 AND (q.sec < t.sec OR (q.sec = t.sec AND q.event_id < t.event_id))
                  ORDER BY q.sec DESC, q.event_id DESC LIMIT 1), -1) AS quote_event
 FROM t"""
 
@@ -1845,13 +1845,13 @@ def q_token_counts(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
 
-SQL_TOKEN_COUNTS = """
+SQL_TOKEN_COUNTS = f"""
 SELECT doc_id,
        CAST(length(string_split(text, ' ')) AS BIGINT) AS n_ws,
-       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe,
+       CAST(length(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe,
        CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
        CAST(length(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
-       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+       CAST(length(regexp_extract_all(text, '{BPE_PATTERN}'))
             - length(regexp_extract_all(text, '[A-Za-z]+'))
             - length(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_other
 FROM documents"""
@@ -1936,13 +1936,15 @@ ORACLES.update({
 })
 
 
-def q_search_concepts(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+def q_search_concepts(sf_dir: str, k: int = 10,
+                      query: str | None = None) -> ray.data.Dataset:
     """Serving search over the CONCEPTS index (the reference's second ES
     index, ``dug search -t concepts`` / ``async_search.py:search_concepts``):
     score = |distinct query terms ∩ concept search_terms|, top-k by
-    (score desc, concept_id)."""
+    (score desc, concept_id). The oracle pins the default query; the CLI
+    passes the user's."""
     concepts = build_concepts(kg.linked_mentions_cached(sf_dir))
-    terms = set(SEARCH_QUERY.split())
+    terms = set((query or SEARCH_QUERY).split())
 
     def per_batch(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()[["concept_id", "name", "search_terms"]]
@@ -1953,7 +1955,12 @@ def q_search_concepts(sf_dir: str, k: int = 10) -> ray.data.Dataset:
 
     scored = concepts.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
     # concepts table is ontology-bounded; the final top-k merge is tiny
-    df = scored.to_pandas().sort_values(
+    df = scored.to_pandas()
+    if df.empty:  # all-empty-block quirk: schema is lost — rebuild it
+        df = pd.DataFrame({"concept_id": pd.Series([], dtype="object"),
+                           "name": pd.Series([], dtype="object"),
+                           "score": pd.Series([], dtype="int64")})
+    df = df.sort_values(
         ["score", "concept_id"], ascending=[False, True], kind="mergesort").head(k)
     df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
     return ray.data.from_pandas(

@@ -145,6 +145,9 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
              list(zip(rsch.names, rsch.types)) + list(zip(lsch.names, lsch.types))}
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # SQL inner-join semantics: null keys never match. (They all route
+        # to bucket 0 and pandas merge WOULD match NaN==NaN — drop first.)
+        df = df[df["_jk"].notna()]
         li = df[df["_side"] == "l"][lcols + ["_jk"]]
         ri = df[df["_side"] == "r"][rcols + ["_jk"]]
         out = li.merge(ri, on="_jk", how="inner", sort=False)

@@ -78,6 +78,9 @@ def bloom_semi_join(large: ray.data.Dataset, large_key: str,
     semi (the caller's contract, as with hash_join semi use)."""
     from dug_ray.shuffle import hash_join
 
+    # pin the small side once: build_bloom consumes it and hash_join reads
+    # it again — without this the side's upstream pipeline executes twice
+    small = small.materialize()
     bloom_ref = ray.put(np.frombuffer(
         build_bloom(small, small_key, m_bits, k), dtype=np.uint8))
 

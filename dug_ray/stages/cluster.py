@@ -139,6 +139,12 @@ def connected_components(docs: ray.data.Dataset, max_rounds: int = 20,
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # falling through without convergence would silently split a
+        # component into several cluster ids — refuse instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"(component diameter exceeds max_rounds); raise max_rounds")
 
     def fin(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": pc.cast(batch["doc"], pa.int64()),

@@ -72,8 +72,10 @@ def sliding_window(events: ray.data.Dataset) -> ray.data.Dataset:
 
 def asof_join(ticks: ray.data.Dataset, quotes: ray.data.Dataset) -> ray.data.Dataset:
     """AS-OF join: each tick gets the latest quote of the same user strictly
-    before it (ordering key ``sec * 1e6 + event_id`` — total, so 'before'
-    is unambiguous even at equal timestamps).
+    before it in the lexicographic ``(sec, event_id)`` order — total (input
+    contract: event_ids unique), so 'before' is unambiguous even at equal
+    timestamps and at any event_id magnitude (no composite numeric key that
+    could collide).
 
     Ray Data has no asof primitive; the composition is union-tag -> per-user
     hash bucket -> one sort inside the bucket -> grouped forward-fill of the
@@ -103,8 +105,7 @@ def asof_join(ticks: ray.data.Dataset, quotes: ray.data.Dataset) -> ray.data.Dat
         return batch.append_column("ukey", pc.cast(batch["user_id"], pa.string()))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(k=df["sec"] * 1_000_000 + df["event_id"])
-        df = df.sort_values(["user_id", "k"], kind="mergesort")
+        df = df.sort_values(["user_id", "sec", "event_id"], kind="mergesort")
         qm = df["milli"].where(df["is_q"])
         qe = df["event_id"].where(df["is_q"]).astype("float64")
         df["quote_milli"] = qm.groupby(df["user_id"]).ffill()

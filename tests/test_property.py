@@ -112,9 +112,10 @@ def test_asof_join_matches_bruteforce(rows):
                                  "value": "float64", "ts": "datetime64[ns]"}))
                     ).to_pandas()
     for _, t in ticks.iterrows():
-        k = t["sec"] * 1_000_000 + t["event_id"]
         prior = quotes[(quotes["user_id"] == t["user_id"])
-                       & (quotes["sec"] * 1_000_000 + quotes["event_id"] < k)]
+                       & ((quotes["sec"] < t["sec"])
+                          | ((quotes["sec"] == t["sec"])
+                             & (quotes["event_id"] < t["event_id"])))]
         r = got[got["event_id"] == t["event_id"]].iloc[0]
         if len(prior):
             best = prior.sort_values(["sec", "event_id"]).iloc[-1]

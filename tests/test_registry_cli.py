@@ -95,10 +95,18 @@ def test_cli_search_targets(sf_smoke, capsys):
 
     from dug_ray import cli
 
-    for target, col in [("concepts", "concept_id"), ("kg", "answer_id"),
-                        ("variables", "element_id")]:
-        args = argparse.Namespace(sf_dir=sf_smoke, query="merge hash vector",
+    cases = [("concepts", "concept_id", "merge hash vector"),
+             ("kg", "answer_id", "theophylline"),
+             ("variables", "element_id", "merge hash vector")]
+    for target, col, query in cases:
+        args = argparse.Namespace(sf_dir=sf_smoke, query=query,
                                   k=5, target=target, num_cpus=None)
         assert cli.cmd_search(args) == 0
         out = capsys.readouterr().out
         assert col in out and len(out.strip().splitlines()) >= 2
+
+    # the query is honored, not a module constant: a no-hit query is empty
+    args = argparse.Namespace(sf_dir=sf_smoke, query="zzzznope",
+                              k=5, target="concepts", num_cpus=None)
+    assert cli.cmd_search(args) == 0
+    assert "Empty DataFrame" in capsys.readouterr().out  # no fabricated hits

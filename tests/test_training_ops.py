@@ -280,3 +280,21 @@ def test_bloom_semi_join_exact_and_selective():
     non = np.arange(1, 200001, 2)  # odds: none are members
     fp = probe_mask(non, bloom).mean()
     assert fp < 0.01
+
+
+def test_asof_join_large_event_ids_no_key_collision():
+    """Regression: event_ids past 1e6 must not bleed into the sec ordering
+    (the old composite sec*1e6+event_id key collided here)."""
+    from dug_ray.stages.windows import asof_join
+
+    def mk(rows):
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "sec", "value"])
+        df["ts"] = pd.Timestamp(0) + pd.to_timedelta(df.pop("sec"), unit="s")
+        return ray.data.from_pandas(df)
+
+    # quote 1500001 at sec 10 vs quote 101 at sec 11: sec order must win
+    ticks = mk([(0, 1, 12, 1.0)])
+    quotes = mk([(1500001, 1, 10, 0.111), (101, 1, 11, 0.222)])
+    out = asof_join(ticks, quotes).to_pandas()
+    assert list(out["quote_event"]) == [101]
+    assert list(out["quote_milli"]) == [222]
