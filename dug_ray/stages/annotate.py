@@ -57,6 +57,14 @@ class DictionaryNER:
     ``lexicon_ref`` may be a ``ray.ObjectRef`` to a broadcast lexicon
     DataFrame (the 100 TB pattern: ``ray.put`` once on the driver, fetched
     once per actor), else the module-level synthetic lexicon is used.
+
+    CONTRACT: ``tok_pos`` is the 1-based global position in the
+    POST-preprocessor tokenization. With the identity default preprocessor
+    (the reference ships debreviation disabled) this equals the raw-text
+    tokenization that the DuckDB oracles reproduce; a replacement that
+    changes token counts shifts positions relative to raw text — callers
+    enabling a non-identity debreviator must not mix its mention positions
+    with raw-text-derived ones.
     """
 
     def __init__(self, lexicon_ref=None, preprocessor: dict[str, str] | None = None):

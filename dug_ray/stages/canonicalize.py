@@ -62,9 +62,14 @@ def partial_concepts(batch: pa.Table) -> pa.Table:
     partial string would be GBs at corpus scale), so ``n_elements`` comes
     from the separate distinct-pair count in ``build_concepts``."""
     df = batch.to_pandas()
-    # doc_id is a string; order on the numeric value for the first-wins key
-    df["_doc_num"] = pd.to_numeric(df["doc_id"])
-    df = df.sort_values(["_doc_num", "tok_pos"], kind="mergesort")
+    # doc_id is a string (io.py contract); order by NATURAL string order
+    # (length, then lexicographic) — equals numeric order for canonical
+    # integer ids without crashing on 'phs000123'-style ids. The emitted
+    # first_doc_id column stays numeric (-1 sentinel for non-numeric ids,
+    # in which case _doc_key carries the true ordering to the merge).
+    df["_doc_len"] = df["doc_id"].str.len()
+    df = df.sort_values(["_doc_len", "doc_id", "tok_pos"], kind="mergesort")
+    df["_doc_num"] = pd.to_numeric(df["doc_id"], errors="coerce").fillna(-1).astype("int64")
     g = df.groupby("canonical_curie", sort=False)
     out = g.agg(
         name=("name", "first"),
@@ -73,6 +78,7 @@ def partial_concepts(batch: pa.Table) -> pa.Table:
         purl=("purl", "first"),
         n_mentions=("curie", "size"),
         first_doc_id=("_doc_num", "first"),
+        _doc_key=("doc_id", "first"),
         first_tok_pos=("tok_pos", "first"),
     ).reset_index()
     terms = (df[["canonical_curie", "term"]].drop_duplicates()
@@ -90,9 +96,15 @@ def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
     """Final merge of partial concept rows (vectorized per bucket).
 
     First-wins name/type resolve to the row with the global min
-    (first_doc_id, first_tok_pos) — the deterministic stand-in for the
-    reference's arrival-order dict insert (``crawler.py:155-163``)."""
-    df = df.sort_values(["first_doc_id", "first_tok_pos"], kind="mergesort")
+    (doc natural order, first_tok_pos) — the deterministic stand-in for the
+    reference's arrival-order dict insert (``crawler.py:155-163``). Name and
+    type join the sort key so even an exact positional tie between partials
+    from different blocks resolves identically on every run (block arrival
+    order never decides; in this ontology name/type are functions of the
+    concept id, so this is purely a determinism guard)."""
+    df = df.assign(_doc_len=df["_doc_key"].str.len())
+    df = df.sort_values(["_doc_len", "_doc_key", "first_tok_pos", "name", "type"],
+                        kind="mergesort")
     g = df.groupby("concept_id", as_index=False, sort=False)
     out = g.agg(
         name=("name", "first"),

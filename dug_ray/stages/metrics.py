@@ -23,12 +23,23 @@ import ray.data
 from dug_ray import ontology
 
 
-def annotation_failures(elements: ray.data.Dataset) -> ray.data.Dataset:
-    """Elements with zero NER hits: (element_id, element_desc)."""
-    lex_terms = sorted({t for t, *_ in ontology.NER_LEXICON})
+def annotation_failures(elements: ray.data.Dataset, lexicon=None,
+                        preprocessor: dict[str, str] | None = None) -> ray.data.Dataset:
+    """Elements with zero NER hits: (element_id, element_desc).
+
+    ``lexicon`` (a DataFrame with a ``term`` column) and ``preprocessor``
+    must mirror the DictionaryNER configuration of the pipeline being
+    measured — the defaults are the same module defaults NER uses, so the
+    zero-hit determination matches the annotator exactly; a pipeline run
+    with a broadcast lexicon or a non-identity debreviator passes the same
+    objects here."""
+    from dug_ray.stages.annotate import DEFAULT_PREPROCESSOR, preprocess_text
+    lex = ontology.lexicon_df() if lexicon is None else lexicon
+    lex_terms = sorted(set(lex["term"]))
+    reps = dict(DEFAULT_PREPROCESSOR if preprocessor is None else preprocessor)
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        tokens = pc.split_pattern(batch["element_desc"], " ")
+        tokens = pc.split_pattern(preprocess_text(batch["element_desc"], reps), " ")
         if isinstance(tokens, pa.ChunkedArray):
             tokens = tokens.combine_chunks()
         import numpy as np

@@ -20,22 +20,26 @@ a Lance fragment of millions of rows; here 4-16 shards of the test corpus).
 
 from __future__ import annotations
 
+import glob
+import hashlib
+import json
 import os
+import shutil
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from dug_ray.io import spanify
-from dug_ray.stages.expand import triples_partial
+from dug_ray.io import read_documents, spanify
+from dug_ray.stages.expand import TRIPLE_SCHEMA, triples_partial
 from dug_ray.stages.materialize import materialize_graph, read_graph
 from dug_ray.stages.parse import parse_elements
-from dug_ray.state.manifest import PartitionManifest, atomic_write_parquet
+from dug_ray.state.manifest import PartitionManifest
 
 
 def _shard_docs(sf_dir: str, shard: int, num_shards: int) -> ray.data.Dataset:
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text", "lang", "source"])
+    # read_documents, not a raw parquet path: keeps the Lance storage shim
+    docs = read_documents(sf_dir, columns=["doc_id", "text", "lang", "source"])
 
     def keep(b: pa.Table, s=shard, n=num_shards) -> pa.Table:
         # doc_id % n == s (pyarrow 16 has no modulo kernel)
@@ -43,6 +47,34 @@ def _shard_docs(sf_dir: str, shard: int, num_shards: int) -> ray.data.Dataset:
         return b.filter(pc.equal(mod, s))
 
     return docs.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def _write_shard(ds: ray.data.Dataset, final_dir: str) -> tuple[int, str]:
+    """Cluster-side checkpoint write: the shard's triples stream straight
+    from the workers via ``write_parquet`` into a tmp dir, which is renamed
+    atomically — the driver never holds shard data (a shard is millions of
+    rows at Lance-fragment scale). An empty shard (num_shards exceeding the
+    distinct doc_id residues) writes one empty schema-bearing file so the
+    stage-2 read keeps its schema. Returns (rows, fingerprint)."""
+    import pyarrow.parquet as pq
+    tmp = final_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    files = sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+    if not files:
+        os.makedirs(tmp, exist_ok=True)
+        empty = os.path.join(tmp, "empty.parquet")
+        pq.write_table(TRIPLE_SCHEMA.empty_table(), empty)
+        files = [empty]
+    rows, h = 0, hashlib.md5()
+    for f in files:
+        rows += pq.read_metadata(f).num_rows
+        with open(f, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(tmp, final_dir)
+    return rows, h.hexdigest()
 
 
 def _shard_triples(sf_dir: str, shard: int, num_shards: int) -> ray.data.Dataset:
@@ -63,6 +95,23 @@ def run_resumable(sf_dir: str, out_dir: str, num_shards: int = 8,
     stage-1 shards, then raise (used by the kill-resume test; a real crash
     at ANY point leaves only completed, atomically-renamed artifacts)."""
     stage1_dir = os.path.join(out_dir, "stage1")
+    os.makedirs(stage1_dir, exist_ok=True)
+    # pin the sharding modulus: the manifest's shard ids are only meaningful
+    # for the num_shards they were computed under — resuming with a
+    # different value would silently drop or double-count documents
+    meta_path = os.path.join(stage1_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            recorded = json.load(f)["num_shards"]
+        if recorded != num_shards:
+            raise ValueError(
+                f"resume with num_shards={num_shards} but the checkpoint was "
+                f"written with num_shards={recorded}; use the original value "
+                f"or start a fresh out_dir")
+    else:
+        with open(meta_path, "w") as f:
+            json.dump({"num_shards": num_shards}, f)
+
     manifest = PartitionManifest(stage1_dir)
     done = manifest.completed_buckets()
     pending = [s for s in range(num_shards) if s not in done]
@@ -70,17 +119,15 @@ def run_resumable(sf_dir: str, out_dir: str, num_shards: int = 8,
     for i, s in enumerate(pending):
         if stop_after_shards is not None and i >= stop_after_shards:
             raise RuntimeError(f"simulated crash after {i} shards")
-        table = pa.concat_tables(
-            _shard_triples(sf_dir, s, num_shards)
-            .iter_batches(batch_size=None, batch_format="pyarrow"),
-            promote_options="default")
         path = os.path.join(stage1_dir, f"shard-{s:05d}.parquet")
-        fp = atomic_write_parquet(table, path)
-        manifest.mark_done(s, table.num_rows, path, fp)
+        rows, fp = _write_shard(_shard_triples(sf_dir, s, num_shards), path)
+        manifest.mark_done(s, rows, path, fp)
 
-    triples = ray.data.read_parquet(
-        [os.path.join(stage1_dir, f"shard-{s:05d}.parquet") for s in range(num_shards)])
-    materialize_graph(triples, out_dir, dedup=True)
+    paths = []
+    for s in range(num_shards):
+        d = os.path.join(stage1_dir, f"shard-{s:05d}.parquet")
+        paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    materialize_graph(ray.data.read_parquet(paths), out_dir, dedup=True)
     return out_dir
 
 

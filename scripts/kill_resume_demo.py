@@ -42,8 +42,10 @@ def run_child(sf_dir: str, out: str, kill_after: float | None) -> int:
     while time.time() < deadline:
         if proc.poll() is not None:
             return proc.returncode  # finished before we killed it
-        n = len([f for f in os.listdir(stage1)]) if os.path.isdir(stage1) else 0
-        if n >= 3:  # manifest + >=2 shards
+        n = len([f for f in os.listdir(stage1)
+                 if f.endswith(".parquet") and not f.endswith(".tmp")]) \
+            if os.path.isdir(stage1) else 0
+        if n >= 2:  # >=2 completed shard checkpoints
             break
         time.sleep(0.3)
     os.kill(proc.pid, signal.SIGKILL)

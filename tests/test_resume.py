@@ -129,3 +129,30 @@ def test_materialize_midrun_crash_saves_buckets(sf_smoke, tmp_path):
     for k in kept:  # completed buckets were not rewritten
         assert os.path.getmtime(entries[k]["path"]) == mtimes[k]
     assert glob.glob(os.path.join(out, "_done-*.json")) == []  # compacted
+
+
+def test_runner_empty_shards_and_modulus_pin(sf_smoke, tmp_path):
+    """num_shards beyond the distinct doc_id residues leaves empty shards:
+    the run must complete (schema-bearing empty checkpoints) and produce
+    the same triples; resuming with a different num_shards is refused."""
+    import duckdb
+
+    from dug_ray.state.runner import output_triples, run_resumable
+
+    # tiny corpus: 3 docs with ids 0..2 -> shards 3..11 are EMPTY
+    tiny = str(tmp_path / "tiny")
+    os.makedirs(tiny)
+    duckdb.sql(f"COPY (SELECT * FROM read_parquet('{sf_smoke}/documents.parquet') "
+               f"WHERE doc_id < 3) TO '{tiny}/documents.parquet' (FORMAT PARQUET)")
+
+    ref = str(tmp_path / "ref")
+    run_resumable(tiny, ref, num_shards=3)
+    want = triple_set(output_triples(ref))
+    assert len(want) > 0
+
+    big = str(tmp_path / "big")
+    run_resumable(tiny, big, num_shards=12)
+    assert triple_set(output_triples(big)) == want
+
+    with pytest.raises(ValueError, match="num_shards=12"):
+        run_resumable(tiny, big, num_shards=4)
