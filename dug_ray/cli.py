@@ -29,20 +29,31 @@ def _ensure_ray(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _lookup(fn, name: str):
+    """Resolve a registry/queries name; unknown names exit with a clean
+    message. ONLY lookup failures are caught — a KeyError raised deeper in
+    pipeline code propagates as a real traceback, not a one-liner."""
+    try:
+        return fn(name)
+    except KeyError as e:
+        print(f"error: {e.args[0] if e.args else e}", file=sys.stderr)
+        raise SystemExit(2)
+
+
 def cmd_crawl(args) -> int:
     _ensure_ray(args.num_cpus)
+    from dug_ray import registry
+    parser = _lookup(registry.get_parser, args.parser)
     if args.resumable:
         from dug_ray.state.runner import output_triples, run_resumable
-        run_resumable(args.sf_dir, args.out)
+        run_resumable(args.sf_dir, args.out, parser=parser)
         n = output_triples(args.out).count()
     else:
-        from dug_ray import registry
         from dug_ray.io import read_interleaved
         from dug_ray.stages.annotate import ner_batch
         from dug_ray.stages.expand import triples_partial
         from dug_ray.stages.link import link_batch
         from dug_ray.stages.materialize import materialize_graph, read_graph
-        parser = registry.get_parser(args.parser)
         els = parser(read_interleaved(args.sf_dir))
         linked = (els.map_batches(ner_batch, batch_format="pyarrow", batch_size=None)
                   .map_batches(link_batch, batch_format="pyarrow", batch_size=None))
@@ -87,8 +98,9 @@ def cmd_query(args) -> int:
     _ensure_ray(args.num_cpus)
     from dug_ray import queries
     if args.name not in queries.QUERIES:
-        raise KeyError(f"unknown query '{args.name}'; available: "
-                       + ", ".join(sorted(queries.QUERIES)))
+        print(f"error: unknown query '{args.name}'; available: "
+              + ", ".join(sorted(queries.QUERIES)), file=sys.stderr)
+        raise SystemExit(2)
     result = queries.QUERIES[args.name](args.sf_dir)
     df = result.to_pandas() if hasattr(result, "to_pandas") else result
     print(df.head(args.k).to_string(index=False))
@@ -130,9 +142,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     try:
         rc = args.fn(args)
-    except KeyError as e:
-        print(f"error: {e.args[0] if e.args else e}", file=sys.stderr)
-        rc = 2
+    except SystemExit as e:  # clean lookup failures (see _lookup)
+        rc = e.code if isinstance(e.code, int) else 2
     except FileNotFoundError as e:
         print(f"error: input not found: {e}", file=sys.stderr)
         rc = 2

@@ -31,7 +31,6 @@ the driver-generated ``documents`` table, so that:
 from __future__ import annotations
 
 import pandas as pd
-import pyarrow as pa
 
 # ---------------------------------------------------------------------------
 # Greenlist / redlist / thresholds (reference: config.py:48-51,92,134-145)
@@ -257,7 +256,7 @@ def sql_cte(*tables: str) -> str:
             frags.append(_values_cte(
                 "edges", ["subj", "pred", "obj", "obj_name", "obj_category", "source_query"], ONTOLOGY_EDGES))
         elif t == "valid_prefix":
-            rows = [(q, p) for q, ps in QUERY_VALID_PREFIXES.items() for p in ps]
+            rows = list(map(tuple, valid_prefix_df().itertuples(index=False)))
             frags.append(_values_cte("valid_prefix", ["source_query", "prefix"], rows))
         elif t == "greenlist":
             frags.append(_values_cte("greenlist", ["prefix"], [(p,) for p in ONTOLOGY_GREENLIST]))

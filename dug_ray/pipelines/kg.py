@@ -53,14 +53,17 @@ _LINKED_CACHE: dict[str, ray.data.Dataset] = {}
 
 
 def linked_mentions_cached(sf_dir: str) -> ray.data.Dataset:
-    """Materialized linked mentions, memoized per sf_dir for the session.
+    """Materialized linked mentions, memoized for the session — SINGLE
+    slot: switching sf_dir evicts the previous entry so a long-lived
+    session never pins more than one corpus's mention table in the object
+    store (the table scales with the corpus, not the ontology).
 
     The driver's correctness gate runs dozens of queries against one
     sf_dir in one Ray session; the linked stream is their common prefix.
-    Materializing it once (object-store pinned; small at correctness
-    scales) removes the repeated NER/link recompute. Benchmarks build
-    their own streams and never use this cache."""
+    Materializing it once removes the repeated NER/link recompute.
+    Benchmarks build their own streams and never use this cache."""
     if sf_dir not in _LINKED_CACHE:
+        _LINKED_CACHE.clear()
         _LINKED_CACHE[sf_dir] = linked_mentions_ds(sf_dir).materialize()
     return _LINKED_CACHE[sf_dir]
 
@@ -82,8 +85,11 @@ def kg_triples(sf_dir: str) -> ray.data.Dataset:
 
 
 def run(sf_dir: str, out_dir: str | None = None) -> ray.data.Dataset:
+    from dug_ray.stages.materialize import read_graph
     triples = kg_triples(sf_dir)
     if out_dir:
         materialize_graph(triples, out_dir)
-        return ray.data.read_parquet(out_dir)
+        # read_graph globs part-*.parquet only — the directory also holds
+        # the manifest (+ possibly crash-orphaned tmp files)
+        return read_graph(out_dir)
     return triples

@@ -48,8 +48,9 @@ def score_elements(elements: ray.data.Dataset, terms: list[str]) -> ray.data.Dat
 
 
 def search_elements(sf_dir: str, query: str, k: int = 20) -> ray.data.Dataset:
-    """Top-k elements for a space-separated query string."""
-    terms = query.split()
+    """Top-k elements for a space-separated query string. Query terms are
+    lowercased to match the parse-time ``utf8_lower`` of element_desc."""
+    terms = query.lower().split()
     scored = score_elements(parse_elements(read_interleaved(sf_dir)), terms)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
@@ -59,7 +60,11 @@ def search_elements(sf_dir: str, query: str, k: int = 20) -> ray.data.Dataset:
         return pa.Table.from_pandas(df, preserve_index=False)
 
     partials = scored.map_batches(partial_topk, batch_format="pyarrow", batch_size=None)
-    df = partials.to_pandas().sort_values(
+    df = partials.to_pandas()
+    if df.empty:  # zero hits: all-empty blocks drop the schema — rebuild it
+        df = pd.DataFrame({"element_id": pd.Series([], dtype="object"),
+                           "score": pd.Series([], dtype="int64")})
+    df = df.sort_values(
         ["score", "element_id"], ascending=[False, True], kind="mergesort").head(k)
     df["rank"] = np.arange(1, len(df) + 1)
     return ray.data.from_pandas(df.reset_index(drop=True))

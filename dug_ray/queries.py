@@ -1944,7 +1944,7 @@ def q_search_concepts(sf_dir: str, k: int = 10,
     (score desc, concept_id). The oracle pins the default query; the CLI
     passes the user's."""
     concepts = build_concepts(kg.linked_mentions_cached(sf_dir))
-    terms = set((query or SEARCH_QUERY).split())
+    terms = set((query or SEARCH_QUERY).lower().split())
 
     def per_batch(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()[["concept_id", "name", "search_terms"]]

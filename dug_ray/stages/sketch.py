@@ -74,6 +74,15 @@ def hll_distinct_tokens(docs: ray.data.Dataset, by: str | None = None) -> pd.Dat
     merged state is O(groups x 1KB) regardless of corpus size — the
     defining property of a sketch pipeline."""
 
+    merged = _merge_partial_registers(docs, by)
+    return pd.DataFrame(
+        [{"key": k, "approx_distinct": estimate(v)} for k, v in sorted(merged.items())])
+
+
+def _merge_partial_registers(docs: ray.data.Dataset, by: str | None) -> dict[str, np.ndarray]:
+    """Run the partial-sketch stage and OR-merge the per-batch register
+    arrays (associative max per register) — shared by the estimate and the
+    register-summary paths."""
     partial = docs.map_batches(_partial_sketches(by),
                                batch_format="pyarrow", batch_size=None)
     merged: dict[str, np.ndarray] = {}
@@ -81,8 +90,7 @@ def hll_distinct_tokens(docs: ray.data.Dataset, by: str | None = None) -> pd.Dat
         for k, r in zip(b.column("key").to_pylist(), b.column("regs").to_pylist()):
             regs = np.frombuffer(r, dtype=np.int8)
             merged[k] = np.maximum(merged.get(k, np.zeros(M, np.int8)), regs)
-    return pd.DataFrame(
-        [{"key": k, "approx_distinct": estimate(v)} for k, v in sorted(merged.items())])
+    return merged
 
 
 def _partial_sketches(by: str | None):
@@ -105,6 +113,9 @@ def _partial_sketches(by: str | None):
                       for k, g in df.groupby("k", sort=False)]
         rows = [{"key": k, "regs": _registers(list(v)).tobytes()}
                 for k, v in groups]
+        if not rows:  # empty batch: keep the (key, regs) schema explicit
+            return pa.table({"key": pa.array([], pa.string()),
+                             "regs": pa.array([], pa.binary())})
         return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
     return per_batch
@@ -116,19 +127,11 @@ def hll_register_summary(docs: ray.data.Dataset, by: str) -> pd.DataFrame:
     estimate (whose 2^-r summation is order-sensitive across engines), this
     is fully SQL-mirrorable, so the sketch pipeline itself gets a
     hash-match oracle. Columns: key, n_regs, reg_sum, reg_digest."""
-    import hashlib as _hl
-
-    partial = docs.map_batches(_partial_sketches(by),
-                               batch_format="pyarrow", batch_size=None)
-    merged: dict[str, np.ndarray] = {}
-    for b in partial.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for k, r in zip(b.column("key").to_pylist(), b.column("regs").to_pylist()):
-            regs = np.frombuffer(r, dtype=np.int8)
-            merged[k] = np.maximum(merged.get(k, np.zeros(M, np.int8)), regs)
+    merged = _merge_partial_registers(docs, by)
     rows = []
     for k, regs in sorted(merged.items()):
         nz = np.flatnonzero(regs)
-        digest = _hl.md5("|".join(
+        digest = hashlib.md5("|".join(
             f"{i}:{int(regs[i])}" for i in nz).encode()).hexdigest()
         rows.append({"key": k, "n_regs": int(len(nz)),
                      "reg_sum": int(regs[nz].sum()), "reg_digest": digest})

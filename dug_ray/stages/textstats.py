@@ -10,8 +10,6 @@ uninformative but the op is fully functional).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

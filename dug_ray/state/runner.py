@@ -77,18 +77,20 @@ def _write_shard(ds: ray.data.Dataset, final_dir: str) -> tuple[int, str]:
     return rows, h.hexdigest()
 
 
-def _shard_triples(sf_dir: str, shard: int, num_shards: int) -> ray.data.Dataset:
+def _shard_triples(sf_dir: str, shard: int, num_shards: int,
+                   parser=None) -> ray.data.Dataset:
     from dug_ray.stages.annotate import ner_batch
     from dug_ray.stages.link import link_batch
     docs = spanify(_shard_docs(sf_dir, shard, num_shards))
-    linked = (parse_elements(docs)
+    elements = (parser or parse_elements)(docs)
+    linked = (elements
               .map_batches(ner_batch, batch_format="pyarrow", batch_size=None)
               .map_batches(link_batch, batch_format="pyarrow", batch_size=None))
     return triples_partial(linked)
 
 
 def run_resumable(sf_dir: str, out_dir: str, num_shards: int = 8,
-                  stop_after_shards: int | None = None) -> str:
+                  stop_after_shards: int | None = None, parser=None) -> str:
     """Run the full KG pipeline with two-level resume.
 
     ``stop_after_shards`` simulates a crash: process that many pending
@@ -120,7 +122,8 @@ def run_resumable(sf_dir: str, out_dir: str, num_shards: int = 8,
         if stop_after_shards is not None and i >= stop_after_shards:
             raise RuntimeError(f"simulated crash after {i} shards")
         path = os.path.join(stage1_dir, f"shard-{s:05d}.parquet")
-        rows, fp = _write_shard(_shard_triples(sf_dir, s, num_shards), path)
+        rows, fp = _write_shard(
+            _shard_triples(sf_dir, s, num_shards, parser=parser), path)
         manifest.mark_done(s, rows, path, fp)
 
     paths = []
