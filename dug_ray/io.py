@@ -195,6 +195,11 @@ def overlapping_windows(docs: ray.data.Dataset, window: int = SPAN_TOKENS,
     stream: windows of ``window`` tokens advancing by ``window - padding``,
     every token covered, adjacent windows sharing ``padding`` tokens.
     Output: doc_id, win_idx, start_pos (1-based first-token position), text."""
+    if not 0 <= padding < window:
+        raise ValueError(
+            f"padding must satisfy 0 <= padding < window (got padding="
+            f"{padding}, window={window}); the stride is window - padding")
+
     def per_batch(batch: pa.Table) -> pa.Table:
         return _overlapping_windows_batch(batch, window, padding)
     return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)

@@ -688,19 +688,11 @@ def q_events_window(sf_dir: str) -> ray.data.Dataset:
 
     partial = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        k = pc.binary_join_element_wise(
-            pc.cast(batch["user_id"], pa.string()),
-            pc.cast(batch["hour_epoch"], pa.string()), "_")
-        return batch.append_column("wkey", k)
-
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["user_id", "hour_epoch"], as_index=False).agg(
             n_events=("n_events", "sum"), sum_value_milli=("sum_value_milli", "sum"))
 
-    keyed = partial.map_batches(add_key, batch_format="pyarrow", batch_size=None)
-    out = bucketed_group_apply(
-        keyed, "wkey", lambda df: merge(df.drop(columns=["wkey"])), 16)
+    out = bucketed_group_apply(partial, ["user_id", "hour_epoch"], merge, 16)
     return _norm(out, int_cols=("user_id", "hour_epoch", "n_events", "sum_value_milli"))
 
 
@@ -1186,10 +1178,6 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
     partial = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        k = pc.binary_join_element_wise(batch["l_returnflag"], batch["l_linestatus"], "_")
-        return batch.append_column("gkey", k)
-
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("sum_qty", "sum"),
@@ -1197,8 +1185,7 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
             sum_disc_bp=("sum_disc_bp", "sum"),
             count_order=("count_order", "sum"))
 
-    keyed = partial.map_batches(add_key, batch_format="pyarrow", batch_size=None)
-    out = bucketed_group_apply(keyed, "gkey", lambda df: merge(df.drop(columns=["gkey"])), 4)
+    out = bucketed_group_apply(partial, ["l_returnflag", "l_linestatus"], merge, 4)
     return _norm(out, int_cols=("sum_qty", "sum_base_price_cents", "sum_disc_bp",
                                 "count_order"))
 
@@ -1291,15 +1278,10 @@ def q_doc_event_join(sf_dir: str) -> ray.data.Dataset:
 
     partial = joined.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        k = pc.binary_join_element_wise(batch["lang"], batch["event_type"], "_")
-        return batch.append_column("gkey", k)
-
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["lang", "event_type"], as_index=False).agg(n=("n", "sum"))
 
-    keyed = partial.map_batches(add_key, batch_format="pyarrow", batch_size=None)
-    out = bucketed_group_apply(keyed, "gkey", lambda df: merge(df.drop(columns=["gkey"])), 4)
+    out = bucketed_group_apply(partial, ["lang", "event_type"], merge, 4)
     return _norm(out, int_cols=("n",))
 
 
@@ -1335,15 +1317,14 @@ def q_top_terms(sf_dir: str) -> ray.data.Dataset:
         tokens = pc.split_pattern(t["text"], " ")
         if isinstance(tokens, pa.ChunkedArray):
             tokens = tokens.combine_chunks()
-        parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
-        src = t.column("source").to_pylist()
-        df = pd.DataFrame({
-            "source": [src[p] for p in parent],
-            "term": tokens.flatten().to_pylist(),
-        })
-        g = df.groupby(["source", "term"], as_index=False).size() \
-            .rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Arrow gather (C speed) instead of a Python loop per token — this
+        # stage touches every token of the corpus
+        parent = pc.list_parent_indices(tokens)
+        pairs = pa.table({"source": pc.take(t["source"], parent),
+                          "term": tokens.flatten()})
+        g = (pairs.group_by(["source", "term"]).aggregate([([], "count_all")])
+             .rename_columns(["source", "term", "n"]))
+        return g
 
     partial = flat.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
@@ -1476,18 +1457,13 @@ def q_events_running(sf_dir: str) -> ray.data.Dataset:
 
     rows = ds.map_batches(to_rows, batch_format="pyarrow", batch_size=None)
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        return batch.append_column("ukey", pc.cast(batch["user_id"], pa.string()))
-
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "sec", "event_id"], kind="mergesort")
         df["running_n"] = df.groupby("user_id").cumcount() + 1
         df["running_milli"] = df.groupby("user_id")["milli"].cumsum()
         return df[["event_id", "user_id", "sec", "running_n", "running_milli"]]
 
-    keyed = rows.map_batches(add_key, batch_format="pyarrow", batch_size=None)
-    out = bucketed_group_apply(
-        keyed, "ukey", lambda df: per_bucket(df.drop(columns=["ukey"])), 16)
+    out = bucketed_group_apply(rows, "user_id", per_bucket, 16)
     return _norm(out, int_cols=("event_id", "user_id", "sec", "running_n",
                                 "running_milli"))
 

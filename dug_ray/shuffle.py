@@ -32,44 +32,60 @@ import ray.data
 BUCKET_COL = "_bucket"
 
 
-def stable_bucket_array(keys: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
-    """Deterministic hash bucket of a string key as an int32 Arrow array.
+def _stable_hash_array(keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Full-width deterministic uint64 hash of a key column.
 
     Uses ``pandas.util.hash_array`` (vectorized SipHash with the fixed
     default key — stable across processes; the env pins the pandas version,
     which resume depends on). Hashing only the *distinct* values of the
     batch via dictionary encoding keeps this O(unique) instead of O(rows).
-
-    Null keys all route to bucket 0 (documented semantics: nulls form one
-    group; a downstream grouped apply sees them together and can decide)."""
+    Null keys hash to 0 (documented semantics: nulls form one group)."""
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
     enc = keys.dictionary_encode()
     dict_hash = pd.util.hash_array(
-        np.asarray(enc.dictionary.to_pylist(), dtype=object)) % num_buckets
+        np.asarray(enc.dictionary.to_pylist(), dtype=object))
     codes = enc.indices
     if codes.null_count:
         # null keys encode as null indices; -1 fancy-indexes the appended slot
         codes = pc.fill_null(codes, -1)
-        dict_hash = np.append(dict_hash, 0)
+        dict_hash = np.append(dict_hash, np.uint64(0))
     codes_np = codes.to_numpy(zero_copy_only=False).astype(np.int64)
-    return pa.array(dict_hash[codes_np].astype(np.int32))
+    return dict_hash[codes_np].astype(np.uint64)
 
 
-def add_bucket(ds: ray.data.Dataset, key: str, num_buckets: int) -> ray.data.Dataset:
+def stable_bucket_array(keys: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    """Deterministic hash bucket of a key column as an int32 Arrow array
+    (see _stable_hash_array; nulls all route to bucket 0)."""
+    return pa.array((_stable_hash_array(keys) % num_buckets).astype(np.int32))
+
+
+def add_bucket(ds: ray.data.Dataset, key: str | list[str],
+               num_buckets: int) -> ray.data.Dataset:
+    """Append the deterministic bucket of ``key`` — a column name or a list
+    of names (composite keys combine per-column hashes; no string-concat
+    key column needed)."""
+    keys = [key] if isinstance(key, str) else list(key)
+
     def _b(batch: pa.Table) -> pa.Table:
-        return batch.append_column(BUCKET_COL, stable_bucket_array(batch[key], num_buckets))
+        h = _stable_hash_array(batch[keys[0]])
+        for k2 in keys[1:]:
+            h = h * np.uint64(1_000_003) + _stable_hash_array(batch[k2])
+        return batch.append_column(
+            BUCKET_COL, pa.array((h % num_buckets).astype(np.int32)))
+
     return ds.map_batches(_b, batch_format="pyarrow", batch_size=None)
 
 
 def bucketed_group_apply(
     ds: ray.data.Dataset,
-    key: str,
+    key: str | list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Apply ``fn`` (a vectorized whole-partition pandas transform that must
-    itself group by ``key``) to each hash bucket of ``key``.
+    itself group by ``key``) to each hash bucket of ``key`` (a single
+    column name or a composite list).
 
     ``fn`` sees every row of each key it receives — exact grouped semantics
     with only ``num_buckets`` Python invocations."""

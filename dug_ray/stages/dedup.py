@@ -108,6 +108,10 @@ def shingles(docs: ray.data.Dataset) -> ray.data.Dataset:
     count is complete within the batch)."""
     def per_batch(batch: pa.Table) -> pa.Table:
         df = _shingle_df(batch)
+        if df.empty:  # typed empty (object-dtype empty would arrive null-typed)
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shingle": pa.array([], pa.string()),
+                             "n_sh": pa.array([], pa.int64())})
         df["n_sh"] = df.groupby("doc_id")["shingle"].transform("size")
         return pa.Table.from_pandas(df, preserve_index=False)
     return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
@@ -135,16 +139,8 @@ def _pairs_from_inverted(sh: ray.data.Dataset, num_buckets: int = 64) -> ray.dat
         return df.groupby(["doc_id_a", "doc_id_b"], as_index=False).agg(
             inter=("inter", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first"))
 
-    # bucket on the composite pair key via a string column
-    def add_key(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        k = pc.binary_join_element_wise(
-            pc.cast(batch["doc_id_a"], pa.string()), pc.cast(batch["doc_id_b"], pa.string()), "_")
-        return batch.append_column("pair_key", k)
-
-    keyed = per_shingle.map_batches(add_key, batch_format="pyarrow", batch_size=None)
     return bucketed_group_apply(
-        keyed, "pair_key", lambda df: merge(df.drop(columns=["pair_key"])), num_buckets)
+        per_shingle, ["doc_id_a", "doc_id_b"], merge, num_buckets)
 
 
 def ngram_jaccard_pairs(docs: ray.data.Dataset, min_inter: int = 2) -> ray.data.Dataset:
@@ -174,12 +170,6 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, min_inter: int = 2) -> ray.data.
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _minhash_sig(shingle_set: list[str]) -> list[str]:
-    """k md5-minima over seeded shingle hashes (hex prefixes — order on the
-    hex string matches DuckDB's min() on the same substring)."""
-    return [min(_md5(f"{i}:{s}")[:16] for s in shingle_set) for i in range(MINHASH_K)]
-
-
 def minhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
     """One row per doc: doc_id, h0..h{k-1} minhash hex signatures.
 
@@ -189,10 +179,10 @@ def minhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     def per_batch(batch: pa.Table) -> pa.Table:
         sh = _shingle_df(batch)
-        if not len(sh):
-            return pa.Table.from_pandas(pd.DataFrame(
-                columns=["doc_id"] + [f"h{i}" for i in range(MINHASH_K)]),
-                preserve_index=False)
+        if not len(sh):  # typed empty, not a null-typed from_pandas block
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             **{f"h{i}": pa.array([], pa.string())
+                                for i in range(MINHASH_K)}})
         uniq = sh["shingle"].unique()
         cols = {"doc_id": sh["doc_id"]}
         for i in range(MINHASH_K):
@@ -235,15 +225,7 @@ def minhash_lsh_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
         return df.groupby(["doc_id_a", "doc_id_b"], as_index=False).agg(
             n_bands=("n_bands", "sum"))
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        k = pc.binary_join_element_wise(
-            pc.cast(batch["doc_id_a"], pa.string()), pc.cast(batch["doc_id_b"], pa.string()), "_")
-        return batch.append_column("pair_key", k)
-
-    keyed = pairs.map_batches(add_key, batch_format="pyarrow", batch_size=None)
-    out = bucketed_group_apply(
-        keyed, "pair_key", lambda df: merge(df.drop(columns=["pair_key"])), 32)
+    out = bucketed_group_apply(pairs, ["doc_id_a", "doc_id_b"], merge, 32)
 
     def fin(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

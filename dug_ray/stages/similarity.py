@@ -45,6 +45,29 @@ def read_embeddings(sf_dir: str) -> ray.data.Dataset:
                                  columns=["vec_id", "embedding"])
 
 
+def _topk_idx(sims: np.ndarray, vids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (cos desc, vec_id asc) — the ORACLE's
+    tie-break applied already at the combiner, so equal cosines straddling
+    the per-batch k boundary keep the smallest vec_ids (bare argpartition
+    keeps an arbitrary one)."""
+    order = np.lexsort((vids, -sims))
+    return order[: min(k, len(order))]
+
+
+def _finalize_topk(df: pd.DataFrame, k: int) -> ray.data.Dataset:
+    """Exact driver-side merge of the tiny per-batch top-k partials:
+    (cos desc, vec_id asc) rank, first k per query."""
+    if len(df) == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            columns=["query_id", "vec_id", "rank"]).astype("int64"))
+    df = df.sort_values(["query_id", "cos", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
+    return ray.data.from_pandas(
+        df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"}))
+
+
 def ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10) -> ray.data.Dataset:
     """Top-k cosine neighbors among vec_id >= n_queries for each query
     vector (vec_id < n_queries). Output: query_id, vec_id, rank."""
@@ -68,24 +91,16 @@ def ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10) -> ray.data.Dataset:
         vid = vid[mask]
         sims = qmat @ m.T  # (q, n)
         rows = []
-        kk = min(k, sims.shape[1])
         for qi in range(sims.shape[0]):
-            # partial top-k per batch (combiner): argpartition then exact sort
-            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
-            for j in idx:
+            # per-batch partial top-k (combiner) with the oracle tie-break
+            for j in _topk_idx(sims[qi], vid, k):
                 rows.append((int(ids[qi]), int(vid[j]), float(sims[qi, j])))
         out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cos"])
         return pa.Table.from_pandas(out, preserve_index=False)
 
     partials = emb.map_batches(partial_topk, batch_format="pyarrow", batch_size=None)
-    # final: tiny (queries x k x batches) — exact top-k with (cos desc,
-    # vec_id asc) tie-break, computed driver-side
-    df = partials.to_pandas()
-    df = df.sort_values(["query_id", "cos", "vec_id"],
-                        ascending=[True, False, True], kind="mergesort")
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
-    return ray.data.from_pandas(df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"}))
+    # final: tiny (queries x k x batches) — exact merge driver-side
+    return _finalize_topk(partials.to_pandas(), k)
 
 
 def neardup_pairs(sf_dir: str, threshold: float = 0.4, n_blocks: int = 4,
@@ -225,22 +240,13 @@ def lsh_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
                 continue
             sims = qmat[qi] @ m[cand].T
             cv = vid[cand]
-            kk = min(k, len(cv))
-            idx = np.argpartition(-sims, kk - 1)[:kk]
-            rows.extend((int(ids[qi]), int(cv[j]), float(sims[j])) for j in idx)
+            rows.extend((int(ids[qi]), int(cv[j]), float(sims[j]))
+                        for j in _topk_idx(sims, cv, k))
         out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cos"])
         return pa.Table.from_pandas(out, preserve_index=False)
 
     partials = emb.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    df = partials.to_pandas()
-    if len(df) == 0:
-        return ray.data.from_pandas(pd.DataFrame(
-            columns=["query_id", "vec_id", "rank"]).astype("int64"))
-    df = df.sort_values(["query_id", "cos", "vec_id"],
-                        ascending=[True, False, True], kind="mergesort")
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
-    return ray.data.from_pandas(df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"}))
+    return _finalize_topk(partials.to_pandas(), k)
 
 
 def ivf_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
@@ -292,19 +298,10 @@ def ivf_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
                 continue
             sims = qmat[qi] @ mm[cand].T
             cv = vv[cand]
-            kk = min(k, len(cv))
-            idx = np.argpartition(-sims, kk - 1)[:kk]
-            rows.extend((int(qids[qi]), int(cv[j]), float(sims[j])) for j in idx)
+            rows.extend((int(qids[qi]), int(cv[j]), float(sims[j]))
+                        for j in _topk_idx(sims, cv, k))
         out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cos"])
         return pa.Table.from_pandas(out, preserve_index=False)
 
     partials = emb.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    df = partials.to_pandas()
-    if len(df) == 0:
-        return ray.data.from_pandas(pd.DataFrame(
-            columns=["query_id", "vec_id", "rank"]).astype("int64"))
-    df = df.sort_values(["query_id", "cos", "vec_id"],
-                        ascending=[True, False, True], kind="mergesort")
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
-    return ray.data.from_pandas(df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"}))
+    return _finalize_topk(partials.to_pandas(), k)

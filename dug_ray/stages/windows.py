@@ -55,19 +55,11 @@ def sliding_window(events: ray.data.Dataset) -> ray.data.Dataset:
 
     partial = events.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        k = pc.binary_join_element_wise(
-            pc.cast(batch["user_id"], pa.string()),
-            pc.cast(batch["window_start"], pa.string()), "_")
-        return batch.append_column("wkey", k)
-
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["user_id", "window_start"], as_index=False).agg(
             n_events=("n_events", "sum"), sum_value_milli=("sum_value_milli", "sum"))
 
-    keyed = partial.map_batches(add_key, batch_format="pyarrow", batch_size=None)
-    return bucketed_group_apply(
-        keyed, "wkey", lambda df: merge(df.drop(columns=["wkey"])), 16)
+    return bucketed_group_apply(partial, ["user_id", "window_start"], merge, 16)
 
 
 def asof_join(ticks: ray.data.Dataset, quotes: ray.data.Dataset) -> ray.data.Dataset:
@@ -101,22 +93,19 @@ def asof_join(ticks: ray.data.Dataset, quotes: ray.data.Dataset) -> ray.data.Dat
     u = (ticks.map_batches(prep(False), batch_format="pyarrow", batch_size=None)
          .union(quotes.map_batches(prep(True), batch_format="pyarrow", batch_size=None)))
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        return batch.append_column("ukey", pc.cast(batch["user_id"], pa.string()))
-
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "sec", "event_id"], kind="mergesort")
-        qm = df["milli"].where(df["is_q"])
-        qe = df["event_id"].where(df["is_q"]).astype("float64")
+        # nullable Int64, not float64: a float round-trip would corrupt
+        # values above 2^53 (ids/millis stay exact integers end to end)
+        qm = df["milli"].astype("Int64").where(df["is_q"])
+        qe = df["event_id"].astype("Int64").where(df["is_q"])
         df["quote_milli"] = qm.groupby(df["user_id"]).ffill()
         df["quote_event"] = qe.groupby(df["user_id"]).ffill()
         t = df[~df["is_q"]].fillna({"quote_milli": -1, "quote_event": -1})
         t = t.astype({"quote_milli": "int64", "quote_event": "int64"})
         return t[["event_id", "user_id", "sec", "quote_milli", "quote_event"]]
 
-    keyed = u.map_batches(add_key, batch_format="pyarrow", batch_size=None)
-    return bucketed_group_apply(
-        keyed, "ukey", lambda df: per_bucket(df.drop(columns=["ukey"])), 16)
+    return bucketed_group_apply(u, "user_id", per_bucket, 16)
 
 
 def session_window(events: ray.data.Dataset) -> ray.data.Dataset:
@@ -130,9 +119,6 @@ def session_window(events: ray.data.Dataset) -> ray.data.Dataset:
 
     rows = events.map_batches(to_rows, batch_format="pyarrow", batch_size=None)
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        return batch.append_column("ukey", pc.cast(batch["user_id"], pa.string()))
-
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "sec"], kind="mergesort")
         gap = (df["sec"].diff() > SESSION_GAP) | (df["user_id"] != df["user_id"].shift())
@@ -145,6 +131,4 @@ def session_window(events: ray.data.Dataset) -> ray.data.Dataset:
         g["session"] = g.groupby("user_id").cumcount()
         return g[["user_id", "session", "session_start", "n_events", "duration_sec"]]
 
-    keyed = rows.map_batches(add_key, batch_format="pyarrow", batch_size=None)
-    return bucketed_group_apply(
-        keyed, "ukey", lambda df: per_bucket(df.drop(columns=["ukey"])), 16)
+    return bucketed_group_apply(rows, "user_id", per_bucket, 16)
