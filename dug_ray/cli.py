@@ -29,15 +29,18 @@ def _ensure_ray(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
+class _CliError(Exception):
+    """Clean user-facing CLI failure (unknown name etc.); rc=2."""
+
+
 def _lookup(fn, name: str):
     """Resolve a registry/queries name; unknown names exit with a clean
-    message. ONLY lookup failures are caught — a KeyError raised deeper in
-    pipeline code propagates as a real traceback, not a one-liner."""
+    message. ONLY lookup failures get the one-line treatment — a KeyError
+    raised deeper in pipeline code propagates as a real traceback."""
     try:
         return fn(name)
     except KeyError as e:
-        print(f"error: {e.args[0] if e.args else e}", file=sys.stderr)
-        raise SystemExit(2)
+        raise _CliError(e.args[0] if e.args else str(e)) from None
 
 
 def cmd_crawl(args) -> int:
@@ -46,7 +49,8 @@ def cmd_crawl(args) -> int:
     parser = _lookup(registry.get_parser, args.parser)
     if args.resumable:
         from dug_ray.state.runner import output_triples, run_resumable
-        run_resumable(args.sf_dir, args.out, parser=parser)
+        run_resumable(args.sf_dir, args.out, parser=parser,
+                      parser_name=args.parser)
         n = output_triples(args.out).count()
     else:
         from dug_ray.io import read_interleaved
@@ -98,9 +102,8 @@ def cmd_query(args) -> int:
     _ensure_ray(args.num_cpus)
     from dug_ray import queries
     if args.name not in queries.QUERIES:
-        print(f"error: unknown query '{args.name}'; available: "
-              + ", ".join(sorted(queries.QUERIES)), file=sys.stderr)
-        raise SystemExit(2)
+        raise _CliError(f"unknown query '{args.name}'; available: "
+                        + ", ".join(sorted(queries.QUERIES)))
     result = queries.QUERIES[args.name](args.sf_dir)
     df = result.to_pandas() if hasattr(result, "to_pandas") else result
     print(df.head(args.k).to_string(index=False))
@@ -142,8 +145,9 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     try:
         rc = args.fn(args)
-    except SystemExit as e:  # clean lookup failures (see _lookup)
-        rc = e.code if isinstance(e.code, int) else 2
+    except _CliError as e:
+        print(f"error: {e}", file=sys.stderr)
+        rc = 2
     except FileNotFoundError as e:
         print(f"error: input not found: {e}", file=sys.stderr)
         rc = 2

@@ -49,9 +49,15 @@ def _topk_idx(sims: np.ndarray, vids: np.ndarray, k: int) -> np.ndarray:
     """Indices of the top-k by (cos desc, vec_id asc) — the ORACLE's
     tie-break applied already at the combiner, so equal cosines straddling
     the per-batch k boundary keep the smallest vec_ids (bare argpartition
-    keeps an arbitrary one)."""
-    order = np.lexsort((vids, -sims))
-    return order[: min(k, len(order))]
+    keeps an arbitrary one). O(n) partition to the k-th value, then a sort
+    over only the >=threshold candidates (ties included)."""
+    n = len(sims)
+    if n <= k:
+        return np.lexsort((vids, -sims))
+    kth = np.partition(sims, n - k)[n - k]  # k-th largest value
+    cand = np.flatnonzero(sims >= kth)      # everything at/above it (ties too)
+    order = np.lexsort((vids[cand], -sims[cand]))
+    return cand[order[:k]]
 
 
 def _finalize_topk(df: pd.DataFrame, k: int) -> ray.data.Dataset:

@@ -90,7 +90,8 @@ def _shard_triples(sf_dir: str, shard: int, num_shards: int,
 
 
 def run_resumable(sf_dir: str, out_dir: str, num_shards: int = 8,
-                  stop_after_shards: int | None = None, parser=None) -> str:
+                  stop_after_shards: int | None = None, parser=None,
+                  parser_name: str | None = None) -> str:
     """Run the full KG pipeline with two-level resume.
 
     ``stop_after_shards`` simulates a crash: process that many pending
@@ -104,15 +105,26 @@ def run_resumable(sf_dir: str, out_dir: str, num_shards: int = 8,
     meta_path = os.path.join(stage1_dir, "_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            recorded = json.load(f)["num_shards"]
-        if recorded != num_shards:
+            meta = json.load(f)
+        if meta["num_shards"] != num_shards:
             raise ValueError(
                 f"resume with num_shards={num_shards} but the checkpoint was "
-                f"written with num_shards={recorded}; use the original value "
-                f"or start a fresh out_dir")
+                f"written with num_shards={meta['num_shards']}; use the "
+                f"original value or start a fresh out_dir")
+        # parser consistency: completed shards were parsed with the recorded
+        # brand — mixing brands across shards would be silently wrong. The
+        # check runs only when both sides are named (library callers passing
+        # a bare callable record null and skip it, documented).
+        recorded_parser = meta.get("parser")
+        if (recorded_parser is not None and parser_name is not None
+                and recorded_parser != parser_name):
+            raise ValueError(
+                f"resume with parser '{parser_name}' but the checkpoint was "
+                f"written with parser '{recorded_parser}'; use the original "
+                f"parser or start a fresh out_dir")
     else:
         with open(meta_path, "w") as f:
-            json.dump({"num_shards": num_shards}, f)
+            json.dump({"num_shards": num_shards, "parser": parser_name}, f)
 
     manifest = PartitionManifest(stage1_dir)
     done = manifest.completed_buckets()

@@ -156,3 +156,18 @@ def test_runner_empty_shards_and_modulus_pin(sf_smoke, tmp_path):
 
     with pytest.raises(ValueError, match="num_shards=12"):
         run_resumable(tiny, big, num_shards=4)
+
+
+def test_runner_parser_pin(sf_smoke, tmp_path):
+    """Resuming a checkpoint with a different named parser is refused —
+    mixed-brand shards would be silently wrong."""
+    from dug_ray import registry
+    from dug_ray.state.runner import run_resumable
+
+    out = str(tmp_path / "kg")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_resumable(sf_smoke, out, num_shards=4, stop_after_shards=1,
+                      parser=registry.get_parser("topmed"), parser_name="topmed")
+    with pytest.raises(ValueError, match="parser 'dbgap'"):
+        run_resumable(sf_smoke, out, num_shards=4,
+                      parser=registry.get_parser("dbgap"), parser_name="dbgap")
