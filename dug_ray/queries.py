@@ -2054,3 +2054,72 @@ ORACLES.update({
     "media_features": SQL_MEDIA_FEATURES,
     "media_frames": SQL_MEDIA_FRAMES,
 })
+
+
+# ---------------------------------------------------------------------------
+# curation sampling + decontamination (stages/sampling.py)
+# ---------------------------------------------------------------------------
+
+def q_group_sample(sf_dir: str) -> ray.data.Dataset:
+    """Uniform 5-per-source sample by md5 order (reproducible per-domain
+    subsampling; combiner + bucketed merge)."""
+    from dug_ray.stages.sampling import group_sample
+    return _norm(group_sample(read_documents(sf_dir, columns=["doc_id", "source"])),
+                 int_cols=("doc_id", "sample_rank"))
+
+
+SQL_GROUP_SAMPLE = """
+WITH h AS (SELECT source, doc_id,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+           FROM documents),
+r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY hx, doc_id) AS sample_rank
+      FROM h)
+SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 5"""
+
+
+def q_mixture_sample(sf_dir: str) -> ray.data.Dataset:
+    """Weighted source mixture counts: each source keeps a deterministic
+    md5-threshold fraction (integer-exact, weight in quarters)."""
+    from dug_ray.stages.sampling import mixture_sample
+    return _norm(mixture_sample(read_documents(sf_dir, columns=["doc_id", "source"])),
+                 int_cols=("n_total", "n_kept", "weight_quarters"))
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH b AS (SELECT source, doc_id,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+                  length(source) % 3 + 1 AS wq
+           FROM documents)
+SELECT source, count(*) AS n_total,
+       CAST(sum(CASE WHEN h < wq * 1073741824 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(length(source) % 3 + 1 AS BIGINT) AS weight_quarters
+FROM b GROUP BY source"""
+
+
+def q_decontam(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: corpus docs sharing any word-3-gram with
+    the doc_id%97==0 eval set (eval shingles broadcast; no corpus shuffle)."""
+    from dug_ray.stages.sampling import decontaminate
+    return decontaminate(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+SQL_DECONTAM = _with(SQL_TOKS, SQL_SHINGLES) + """,
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_contam
+FROM (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0) s
+JOIN bench b USING (shingle)
+GROUP BY s.doc_id"""
+
+
+QUERIES.update({
+    "group_sample": q_group_sample,
+    "mixture_sample": q_mixture_sample,
+    "decontam": q_decontam,
+})
+ORACLES.update({
+    "group_sample": SQL_GROUP_SAMPLE,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "decontam": SQL_DECONTAM,
+})
