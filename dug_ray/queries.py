@@ -2123,3 +2123,53 @@ ORACLES.update({
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "decontam": SQL_DECONTAM,
 })
+
+
+def q_quality_filters(sf_dir: str) -> ray.data.Dataset:
+    """Gopher/C4-style rule-based quality gates as per-doc booleans (the
+    pass/fail columns a filtering pipeline ANDs together): token-count
+    window, mean token length window, stopword presence, repetition gate
+    (distinct ratio). All integer/ratio comparisons — bit-exact both
+    engines."""
+    from dug_ray.stages.textstats import text_quality
+    tq = text_quality(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+    def rules(batch: pa.Table) -> pa.Table:
+        n_tok = batch["n_tokens"]
+        # mean token len in [3, 10]: compare in integer space
+        len_ok = pc.and_(
+            pc.greater_equal(batch["avg_token_len"], pa.scalar(3.0)),
+            pc.less_equal(batch["avg_token_len"], pa.scalar(10.0)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "pass_n_tokens": pc.and_(pc.greater_equal(n_tok, pa.scalar(8)),
+                                     pc.less_equal(n_tok, pa.scalar(100000))),
+            "pass_token_len": len_ok,
+            "pass_has_stopword": pc.greater(batch["n_stopwords"], pa.scalar(0)),
+            "pass_repetition": pc.greater(pc.multiply(batch["n_types"], pa.scalar(5)),
+                                          n_tok),  # distinct_ratio > 0.2
+        })
+
+    return tq.map_batches(rules, batch_format="pyarrow", batch_size=None)
+
+
+SQL_QUALITY_FILTERS = """
+WITH t AS (
+  SELECT doc_id,
+         length(string_split(text, ' ')) AS n_tok,
+         (SELECT count(DISTINCT x) FROM unnest(string_split(text, ' ')) AS u(x)) AS n_types,
+         (SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(x)
+          WHERE x IN ('the', 'a')) AS n_stop,
+         (SELECT sum(length(x)) FROM unnest(string_split(text, ' ')) AS u(x)) AS sum_len
+  FROM documents)
+SELECT doc_id,
+       n_tok >= 8 AND n_tok <= 100000 AS pass_n_tokens,
+       CAST(sum_len AS DOUBLE) / n_tok >= 3.0
+         AND CAST(sum_len AS DOUBLE) / n_tok <= 10.0 AS pass_token_len,
+       n_stop > 0 AS pass_has_stopword,
+       n_types * 5 > n_tok AS pass_repetition
+FROM t"""
+
+
+QUERIES["quality_filters"] = q_quality_filters
+ORACLES["quality_filters"] = SQL_QUALITY_FILTERS
