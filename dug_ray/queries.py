@@ -1838,13 +1838,12 @@ def q_stratified_split(sf_dir: str) -> ray.data.Dataset:
     doc_id — content-independent, reproducible across engines and runs),
     reported as per-(source, split) counts. The per-batch combiner makes the
     count exchange O(sources x 3)."""
-    import hashlib
+    from dug_ray.stages.sampling import md5_int
     ds = read_documents(sf_dir, columns=["doc_id", "source"])
 
     def per_batch(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        bucket = df["doc_id"].map(
-            lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10)
+        bucket = md5_int(df["doc_id"].to_numpy()) % 10
         df["split"] = np.where(bucket < 8, "train", np.where(bucket < 9, "val", "test"))
         g = df.groupby(["source", "split"], as_index=False).agg(n_docs=("doc_id", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -2098,6 +2097,21 @@ SELECT source, count(*) AS n_total,
 FROM b GROUP BY source"""
 
 
+def q_mixture_rows(sf_dir: str) -> ray.data.Dataset:
+    """Row-emitting weighted source mixture: the kept docs themselves
+    (per-batch md5-threshold filter; no shuffle)."""
+    from dug_ray.stages.sampling import mixture_sample_rows
+    return mixture_sample_rows(read_documents(sf_dir, columns=["doc_id", "source"]))
+
+
+SQL_MIXTURE_ROWS = """
+WITH b AS (SELECT source, doc_id,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+                  length(source) % 3 + 1 AS wq
+           FROM documents)
+SELECT source, doc_id FROM b WHERE h < wq * 1073741824"""
+
+
 def q_decontam(sf_dir: str) -> ray.data.Dataset:
     """Benchmark decontamination: corpus docs sharing any word-3-gram with
     the doc_id%97==0 eval set (eval shingles broadcast; no corpus shuffle)."""
@@ -2116,11 +2130,13 @@ GROUP BY s.doc_id"""
 QUERIES.update({
     "group_sample": q_group_sample,
     "mixture_sample": q_mixture_sample,
+    "mixture_rows": q_mixture_rows,
     "decontam": q_decontam,
 })
 ORACLES.update({
     "group_sample": SQL_GROUP_SAMPLE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "mixture_rows": SQL_MIXTURE_ROWS,
     "decontam": SQL_DECONTAM,
 })
 

@@ -12,16 +12,20 @@ The remaining training-data-curation family (beyond the 10% holdout of
   deterministic fraction of its docs (md5 threshold compared in INTEGER
   space: first 8 hex chars < w * 2^30, w in quarters — exact on both
   engines). The knob a pretraining pipeline turns to re-weight domains.
+  ``mixture_sample_rows`` emits the kept rows themselves (the dataset a
+  mixer actually feeds downstream); ``mixture_sample`` reports counts.
 - ``decontaminate``: benchmark decontamination — flag corpus docs sharing
   any word-3-gram with the designated eval set. The eval set is SMALL by
   definition, so its distinct shingles are collected once and broadcast
   (``ray.put``); each batch counts its docs' distinct shingles against the
   set vectorized. No shuffle touches the corpus side.
+
+All md5 hashing goes through :func:`md5_int` — DuckDB's vectorized C++
+``md5()`` over an Arrow batch (bit-identical to the SQL oracles), not a
+per-row Python ``hashlib`` loop.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -32,19 +36,43 @@ import ray.data
 
 from dug_ray.shuffle import bucketed_group_apply
 
+# per-worker DuckDB sidecar for vectorized md5 (lazy; one per process)
+_MD5_CON = None
 
-def _md5_hex8(ids) -> list[int]:
-    return [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids]
+
+def md5_int(ids) -> np.ndarray:
+    """First 8 hex chars of ``md5(str(id))`` as int64, vectorized.
+
+    Runs DuckDB's C++ ``md5()`` over a zero-copy Arrow projection of the
+    batch — exact parity with the SQL oracles' ``md5(CAST(id AS VARCHAR))``
+    without a per-row Python ``hashlib`` loop (the round-1/2 hot-path nit).
+    ``ORDER BY i`` pins output order regardless of DuckDB's scan
+    parallelism. ~100k ids/0.08s single-threaded."""
+    global _MD5_CON
+    if _MD5_CON is None:
+        import duckdb
+        _MD5_CON = duckdb.connect()
+    ids = np.asarray(ids)
+    t = pa.table({
+        "i": pa.array(np.arange(len(ids)), pa.int64()),
+        "v": pc.cast(pa.array(ids), pa.string()),
+    })
+    _MD5_CON.register("_t_md5", t)
+    out = _MD5_CON.execute(
+        "SELECT CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT) AS h "
+        "FROM _t_md5 ORDER BY i").arrow()
+    _MD5_CON.unregister("_t_md5")
+    return out.column("h").to_numpy()
 
 
 def group_sample(docs: ray.data.Dataset, k: int = 5) -> ray.data.Dataset:
     """k-per-source uniform sample by md5 order. Output: source, doc_id,
-    sample_rank (1-based by (md5 hex, doc_id))."""
+    sample_rank (1-based by (md5 value, doc_id); fixed-width hex order ==
+    integer order, so sorting the int64 hash matches the oracle's hex sort)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()[["source", "doc_id"]]
-        df["h"] = [hashlib.md5(str(i).encode()).hexdigest()[:8]
-                   for i in df["doc_id"]]
+        df["h"] = md5_int(df["doc_id"].to_numpy())
         df = df.sort_values(["source", "h", "doc_id"], kind="mergesort")
         return pa.Table.from_pandas(df.groupby("source").head(k),
                                     preserve_index=False)
@@ -60,16 +88,22 @@ def group_sample(docs: ray.data.Dataset, k: int = 5) -> ray.data.Dataset:
     return bucketed_group_apply(partials, "source", merge, 8)
 
 
+def _mixture_kept_mask(df: pd.DataFrame) -> np.ndarray:
+    """Deterministic keep mask: md5 int < weight_quarters * 2^30 where
+    weight_quarters = len(source) % 3 + 1 (integer-exact both engines)."""
+    h = md5_int(df["doc_id"].to_numpy())
+    wq = df["source"].str.len().to_numpy() % 3 + 1
+    return h < wq * (1 << 30)
+
+
 def mixture_sample(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """Weighted source mixture: source keeps fraction w = (len(source)%3+1)/4
-    of its docs (deterministic md5 threshold, integer-exact). Output per
-    source: n_total, n_kept, weight_quarters."""
+    """Weighted source mixture COUNTS: source keeps fraction
+    w = (len(source)%3+1)/4 of its docs. Output per source: n_total,
+    n_kept, weight_quarters."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()[["source", "doc_id"]]
-        h = np.array(_md5_hex8(df["doc_id"]), dtype=np.int64)
-        wq = df["source"].str.len().to_numpy() % 3 + 1  # weight in quarters
-        df["kept"] = h < wq * (1 << 30)
+        df["kept"] = _mixture_kept_mask(df)
         g = df.groupby("source", as_index=False).agg(
             n_total=("doc_id", "size"), n_kept=("kept", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -83,6 +117,37 @@ def mixture_sample(docs: ray.data.Dataset) -> ray.data.Dataset:
         return g
 
     return bucketed_group_apply(partials, "source", merge, 8)
+
+
+def mixture_sample_rows(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Row-emitting weighted source mixture: the kept docs themselves —
+    what a pretraining mixer actually feeds downstream. Pure per-batch
+    filter (no shuffle, no driver traffic). Output: source, doc_id."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["source", "doc_id"]]
+        kept = df[_mixture_kept_mask(df)]
+        return pa.table({
+            "source": pa.array(kept["source"], pa.string()),
+            "doc_id": pa.array(kept["doc_id"].to_numpy(), pa.int64()),
+        })
+
+    return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+
+# decontamination probe set: built once per worker per broadcast ref
+# (single-slot cache — a new eval set replaces the old array)
+_PROBE_CACHE: dict[str, pa.Array] = {}
+
+
+def _probe_array(ref) -> pa.Array:
+    key = ref.hex()
+    arr = _PROBE_CACHE.get(key)
+    if arr is None:
+        _PROBE_CACHE.clear()
+        arr = pa.array(ray.get(ref), pa.string())
+        _PROBE_CACHE[key] = arr
+    return arr
 
 
 def decontaminate(docs: ray.data.Dataset, bench_mod: int = 97) -> ray.data.Dataset:
@@ -106,7 +171,7 @@ def decontaminate(docs: ray.data.Dataset, bench_mod: int = 97) -> ray.data.Datas
     ref = ray.put(sorted(bench_set))
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        probe = pa.array(ray.get(ref), pa.string())
+        probe = _probe_array(ref)  # built once per worker, not per batch
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         batch = batch.filter(pa.array(ids % bench_mod != 0))
         sh = _shingle_df(batch)

@@ -298,3 +298,28 @@ def test_asof_join_large_event_ids_no_key_collision():
     out = asof_join(ticks, quotes).to_pandas()
     assert list(out["quote_event"]) == [101]
     assert list(out["quote_milli"]) == [222]
+
+
+def test_md5_int_parity_and_mixture_rows():
+    """md5_int must be bit-identical to hashlib (the DuckDB-sidecar
+    vectorization can't drift from the oracle), and the row-emitting
+    mixture must agree with the count-reporting one."""
+    import hashlib
+
+    from dug_ray.stages.sampling import md5_int, mixture_sample, mixture_sample_rows
+
+    ids = np.array([-7, 0, 1, 42, 10**12], dtype=np.int64)
+    want = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids]
+    assert list(md5_int(ids)) == want
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "source": ["web", "books", "papers"] * 100,
+    }))
+    counts = mixture_sample(docs).to_pandas().set_index("source")["n_kept"]
+    rows = mixture_sample_rows(docs).to_pandas()
+    assert rows.groupby("source").size().reindex(counts.index).fillna(0).astype(int).equals(
+        counts.astype(int))
+    # kept set is a deterministic subset
+    again = mixture_sample_rows(docs).to_pandas()
+    assert sorted(rows["doc_id"]) == sorted(again["doc_id"])
