@@ -633,6 +633,59 @@ def q_lsh_ann(sf_dir: str) -> ray.data.Dataset:
     return lsh_ann_topk(sf_dir)
 
 
+def q_lsh_codes(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic LSH bucket codes for every vector — pins the exact
+    code function lsh_ann_topk buckets with (seeded hyperplanes baked into
+    the oracle as DOUBLE literals; raw-dot signs == normalized-dot signs)."""
+    from dug_ray.stages.similarity import lsh_codes
+    return lsh_codes(sf_dir)
+
+
+def _double_lit(v: float) -> str:
+    """repr round-trips the double exactly; 'e0' forces DuckDB to type the
+    literal DOUBLE (a bare decimal would infer DECIMAL and re-round)."""
+    s = repr(float(v))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def _lsh_codes_sql(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
+    """Static oracle for q_lsh_codes: the seeded plane matrix rendered as
+    exact DOUBLE[] literals; bit b = list_dot_product(embedding, plane_b)
+    > 0. dim is fixed by the testdata embeddings schema (list<float>[64])."""
+    from dug_ray.stages.similarity import _lsh_planes
+    pl = _lsh_planes(dim, n_planes, seed)
+    bits = []
+    for b in range(n_planes):
+        lit = "[" + ", ".join(_double_lit(x) for x in pl[:, b]) + "]"
+        bits.append(
+            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit}) > 0 "
+            f"THEN {1 << b} ELSE 0 END")
+    return ("SELECT vec_id, CAST(" + " + ".join(bits)
+            + " AS BIGINT) AS code FROM embeddings")
+
+
+SQL_LSH_CODES = _lsh_codes_sql()
+
+SQL_IVF_ASSIGN = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id >= 4 AND vec_id < 12),
+s AS (SELECT e.vec_id, c.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) AS cos
+      FROM embeddings e, c WHERE e.vec_id >= 4),
+r AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      FROM s)
+SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1"""
+
+
+def q_ivf_assign(sf_dir: str) -> ray.data.Dataset:
+    """IVF assignment with pinned seed centroids (vec_id 4..11, no Lloyd):
+    oracle-checks the broadcast-centroid argmax-cosine machinery of
+    ivf_ann_topk exactly; the Lloyd trainer keeps its recall pytest."""
+    from dug_ray.stages.similarity import ivf_assignments
+    return ivf_assignments(sf_dir)
+
+
 def q_langid(sf_dir: str) -> ray.data.Dataset:
     """Char-trigram language ID. The classifier is deterministic (distinct
     doc trigrams intersected with static profiles, argmax with alphabetical
@@ -812,6 +865,8 @@ QUERIES.update({
     "ann_topk": q_ann_topk,
     "embed_neardup": q_embed_neardup,
     "lsh_ann": q_lsh_ann,
+    "lsh_codes": q_lsh_codes,
+    "ivf_assign": q_ivf_assign,
     "langid": q_langid,
     "events_window": q_events_window,
     "media_metadata": q_media_metadata,
@@ -835,6 +890,8 @@ ORACLES.update({
     "elements_branded": SQL_ELEMENTS_BRANDED,
     "facet_grouped": SQL_FACET_GROUPED,
     "langid": SQL_LANGID,
+    "lsh_codes": SQL_LSH_CODES,
+    "ivf_assign": SQL_IVF_ASSIGN,
     # lsh_ann: engine-only (approximate) -> rows-only
 })
 

@@ -211,6 +211,74 @@ def _neardup_pairs_broadcast(emb: ray.data.Dataset, threshold: float) -> ray.dat
     return emb.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
 
+def _lsh_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes (the same matrix every process)."""
+    return np.random.RandomState(seed).standard_normal((dim, n_planes))
+
+
+def _lsh_code_array(m_raw: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """LSH bucket codes from RAW (un-normalized) float64 vectors: bit b =
+    dot(v, plane_b) > 0. Norms are positive, so raw-dot signs equal
+    normalized-dot signs — and raw dots are the form the SQL oracle can
+    reproduce exactly (list_dot_product over DOUBLE[])."""
+    n_planes = planes.shape[1]
+    return (m_raw @ planes > 0).astype(np.int64) @ (1 << np.arange(n_planes))
+
+
+def lsh_codes(sf_dir: str, n_planes: int = 6, seed: int = 42) -> ray.data.Dataset:
+    """Deterministic LSH bucket code for EVERY vector — the pinnable half of
+    lsh_ann_topk (same planes, same code function), hash-matched by an
+    oracle whose plane literals are baked into the SQL. Output: vec_id,
+    code."""
+    emb = read_embeddings(sf_dir)
+    dim = len(emb.limit(1).to_pandas()["embedding"].iloc[0])
+    planes_ref = ray.put(_lsh_planes(dim, n_planes, seed))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        codes = _lsh_code_array(_matrix(batch), pl)
+        return pa.table({
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "code": pa.array(codes, pa.int64()),
+        })
+
+    return emb.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+
+def ivf_assignments(sf_dir: str, n_queries: int = 4,
+                    n_centroids: int = 8) -> ray.data.Dataset:
+    """Pinnable IVF assignment: centroids are the normalized embeddings of
+    vec_id in [n_queries, n_queries + n_centroids) — no Lloyd iterations —
+    so the distributed assignment machinery of ivf_ann_topk (broadcast
+    centroid matrix, per-batch argmax cosine, ties to the smallest centroid
+    id) gets an exact SQL oracle; the Lloyd trainer itself keeps its recall
+    pytest. Output: vec_id, centroid_id for every corpus vector."""
+    emb = read_embeddings(sf_dir)
+    c_df = emb.filter(expr=f"vec_id < {n_queries + n_centroids}").to_pandas()
+    c_df = c_df[c_df["vec_id"] >= n_queries].sort_values("vec_id")
+    cm = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                              for v in c_df["embedding"]]))
+    ref = ray.put((c_df["vec_id"].to_numpy(), cm))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(ref)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = vid >= n_queries
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "centroid_id": pa.array([], pa.int64())})
+        m = _normalize(_matrix(batch)[mask])
+        # argmax returns the FIRST max; cids ascend, so exact ties go to
+        # the smallest centroid id — the oracle's (cos DESC, cid ASC) rank
+        a = np.argmax(m @ cmat.T, axis=1)
+        return pa.table({
+            "vec_id": pa.array(vid[mask], pa.int64()),
+            "centroid_id": pa.array(cids[a], pa.int64()),
+        })
+
+    return emb.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+
 def lsh_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
                  n_planes: int = 6, seed: int = 42) -> ray.data.Dataset:
     """LSH-bucketed approximate top-k: random-hyperplane codes (seeded,
@@ -220,9 +288,10 @@ def lsh_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
     emb = read_embeddings(sf_dir)
     q_df = emb.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
     dim = len(q_df["embedding"].iloc[0])
-    planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
-    qm = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in q_df["embedding"]]))
-    q_codes = (qm @ planes > 0).astype(np.int64) @ (1 << np.arange(n_planes))
+    planes = _lsh_planes(dim, n_planes, seed)
+    q_raw = np.stack([np.asarray(v, dtype=np.float64) for v in q_df["embedding"]])
+    qm = _normalize(q_raw)
+    q_codes = _lsh_code_array(q_raw, planes)  # shared path with lsh_codes
     # target codes per query: own bucket + hamming-1 neighbors
     targets = [ {int(c)} | {int(c) ^ (1 << b) for b in range(n_planes)}
                 for c in q_codes ]
@@ -236,9 +305,10 @@ def lsh_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "cos": pa.array([], pa.float64())})
-        m = _normalize(_matrix(batch)[mask])
+        m_raw = _matrix(batch)[mask]
+        m = _normalize(m_raw)
         vid = vid[mask]
-        codes = (m @ pl > 0).astype(np.int64) @ (1 << np.arange(pl.shape[1]))
+        codes = _lsh_code_array(m_raw, pl)
         rows = []
         for qi in range(qmat.shape[0]):
             cand = np.isin(codes, list(tgt[qi]))
