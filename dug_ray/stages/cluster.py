@@ -66,9 +66,11 @@ def connected_components(docs: ray.data.Dataset, max_rounds: int = 20,
 
     - **edge list fits the driver** (the common case — near-dup edges are
       orders of magnitude sparser than the corpus): collect the edges,
-      union-find with path compression, ``ray.put`` the doc->cluster map
-      (O(docs-in-edges), not O(docs)) and assign in one ``map_batches``.
-      One pass over the corpus, no iteration.
+      vectorized numpy min-label propagation with pointer jumping over the
+      compacted node ids (8 B/node arrays, no Python dict), ``ray.put`` the
+      (nodes, cluster) arrays (O(docs-in-edges), not O(docs)) and assign
+      via ``searchsorted`` in one ``map_batches``. One pass over the
+      corpus, no distributed iteration.
     - **edge list too big** (> ``max_driver_edges``): the distributed
       min-label propagation loop below — nothing on the driver beyond a
       scalar per round."""
@@ -87,31 +89,40 @@ def connected_components(docs: ray.data.Dataset, max_rounds: int = 20,
             batch_format="pyarrow", batch_size=None)
 
     if n_edges <= max_driver_edges:
+        # fully vectorized on compacted int arrays (8 B/node + 8 B/edge-end,
+        # not a Python dict): min-label over all edges (both directions are
+        # present) + pointer jumping, O(E) numpy work per round, O(log n)
+        # rounds. label[i] only ever decreases, so label[label] composes
+        # monotonically and the fixpoint is the component minimum.
         e = edges.to_pandas()
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(e["src"].to_numpy(), e["dst"].to_numpy()):
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        cmap = {d: find(d) for d in parent}
-        cmap_ref = ray.put(cmap)
+        src = e["src"].to_numpy(dtype=np.int64)
+        dst = e["dst"].to_numpy(dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        a_idx, b_idx = inv[:len(src)], inv[len(src):]
+        label = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            prev = label
+            label = label.copy()
+            np.minimum.at(label, a_idx, label[b_idx])
+            while True:  # pointer jumping to fixpoint
+                nxt = label[label]
+                if np.array_equal(nxt, label):
+                    break
+                label = nxt
+            if np.array_equal(label, prev):
+                break
+        # nodes ascend, so the min label INDEX maps to the min doc_id
+        cmap_ref = ray.put((nodes, nodes[label]))
 
         def assign(batch: pa.Table) -> pa.Table:
-            m = ray.get(cmap_ref)
+            nds, clus = ray.get(cmap_ref)
             ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(nds, ids), 0, max(len(nds) - 1, 0))
+            in_edges = nds[pos] == ids if len(nds) else np.zeros(len(ids), bool)
             return pa.table({
                 "doc_id": pa.array(ids, pa.int64()),
-                "cluster_id": pa.array(
-                    pd.Series(ids).map(m).fillna(pd.Series(ids)).astype("int64")),
+                "cluster_id": pa.array(np.where(in_edges, clus[pos], ids),
+                                       pa.int64()),
             })
 
         return docs.map_batches(assign, batch_format="pyarrow", batch_size=None)
