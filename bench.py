@@ -93,8 +93,8 @@ def run_bench() -> dict:
 
     # GRAFT_BENCH_REPEATS>1 -> take the min (least-interference estimate:
     # this shared-host VM shows ~9% steal, single runs vary +-30%; default
-    # 2 so a driver-invoked run isn't read off one noisy sample)
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    # 3 so round-over-round deltas aren't read off noise)
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
     times = []
     for _ in range(repeats):
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -121,7 +121,7 @@ def run_bench() -> dict:
         # training-data op families at base sf (unamplified, single runs)
         from dug_ray import queries as q
         for name in ("dedup_exact", "minhash_pairs", "ann_topk", "text_quality",
-                     "simhash", "search_elements"):
+                     "simhash", "search_elements", "curated_corpus"):
             t0 = time.time()
             q.QUERIES[name](sf_dir).count()
             queries[name] = round(time.time() - t0, 3)

@@ -2246,3 +2246,130 @@ FROM t"""
 
 QUERIES["quality_filters"] = q_quality_filters
 ORACLES["quality_filters"] = SQL_QUALITY_FILTERS
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline (operator COMPOSITION, not isolation):
+# quality gates -> decontamination -> near-dup cluster canonical -> mixture
+# ---------------------------------------------------------------------------
+
+def q_curated_corpus(sf_dir: str) -> ray.data.Dataset:
+    """The composed pipeline a 100-TB training-data user actually runs —
+    a doc survives iff it
+
+    1. is corpus (doc_id % 97 != 0, the eval split stays out),
+    2. passes all four Gopher/C4-style quality gates (quality_filters),
+    3. is its near-dup cluster's canonical doc (doc_id == cluster_id from
+       connected-components over jaccard>=0.5 word-3-gram pairs),
+    4. shares no word-3-gram with the eval set (decontam), and
+    5. survives the deterministic md5 mixture threshold (mixture_rows).
+
+    Shapes: gates 1/2/5 are one per-batch map over the corpus (no
+    shuffle); gate 3 is a partitioned hash_join against the CC label
+    table (corpus x corpus, neither side broadcast); gate 4 broadcasts
+    the SMALL contaminated-id set (bounded by eval-set overlap) the same
+    way decontam broadcasts eval shingles. Output: doc_id, source."""
+    from dug_ray.shuffle import hash_join
+    from dug_ray.stages.cluster import connected_components
+    from dug_ray.stages.sampling import decontaminate, md5_int
+    from dug_ray.stages.textstats import text_quality
+
+    docs = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+
+    # gates 1+2+5: per-batch, vectorized, zero shuffle
+    tq = text_quality(docs)  # keeps `source` (passthrough)
+
+    def gates(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        quality = ((df["n_tokens"] >= 8) & (df["n_tokens"] <= 100000)
+                   & (df["avg_token_len"] >= 3.0) & (df["avg_token_len"] <= 10.0)
+                   & (df["n_stopwords"] > 0)
+                   & (df["n_types"] * 5 > df["n_tokens"]))
+        non_eval = df["doc_id"].to_numpy() % 97 != 0
+        h = md5_int(df["doc_id"].to_numpy())
+        wq = df["source"].str.len().to_numpy() % 3 + 1
+        mixture = h < wq * (1 << 30)
+        kept = df[quality.to_numpy() & non_eval & mixture]
+        return pa.table({"doc_id": pa.array(kept["doc_id"].to_numpy(), pa.int64()),
+                         "source": pa.array(kept["source"], pa.string())})
+
+    survivors = tq.map_batches(gates, batch_format="pyarrow", batch_size=None)
+
+    # gate 3: cluster canonical via partitioned join with the CC labels
+    cc = connected_components(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+    def canonical(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["doc_id"], batch["cluster_id"])
+        return pa.table({"c_doc": pc.cast(batch.filter(keep)["doc_id"], pa.int64())})
+
+    canon = cc.map_batches(canonical, batch_format="pyarrow", batch_size=None)
+    joined = hash_join(survivors, canon, "doc_id", "c_doc")
+
+    # gate 4: subtract the small contaminated-id set (broadcast)
+    contam = decontaminate(docs).to_pandas()
+    contam_ref = ray.put(np.sort(contam["doc_id"].to_numpy(dtype=np.int64)))
+
+    def not_contaminated(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.column_names:  # empty-join schema loss quirk
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string())})
+        bad = ray.get(contam_ref)
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, bad)
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "source": pa.array(batch["source"].to_pandas()[keep],
+                                            pa.string())})
+
+    return joined.map_batches(not_contaminated, batch_format="pyarrow",
+                              batch_size=None)
+
+
+SQL_CURATED_CORPUS = _with(SQL_TOKS, SQL_SHINGLES) + """,
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+e0 AS (SELECT da, db FROM p
+       JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+       WHERE inter >= 2 AND 3 * inter >= ca.n + cb.n),
+edges AS (SELECT da AS s, db AS d FROM e0 UNION SELECT db, da FROM e0),
+cc AS (SELECT v AS doc_id, min(t) AS cluster_id FROM (
+  WITH RECURSIVE r(v, t) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.v, e.d FROM r JOIN edges e ON e.s = r.t)
+  SELECT v, t FROM r)
+GROUP BY v),
+tq AS (
+  SELECT doc_id,
+         length(string_split(text, ' ')) AS n_tok,
+         (SELECT count(DISTINCT x) FROM unnest(string_split(text, ' ')) AS u(x)) AS n_types,
+         (SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(x)
+          WHERE x IN ('the', 'a')) AS n_stop,
+         (SELECT sum(length(x)) FROM unnest(string_split(text, ' ')) AS u(x)) AS sum_len
+  FROM documents),
+qual AS (
+  SELECT doc_id FROM tq
+  WHERE n_tok >= 8 AND n_tok <= 100000
+    AND CAST(sum_len AS DOUBLE) / n_tok >= 3.0
+    AND CAST(sum_len AS DOUBLE) / n_tok <= 10.0
+    AND n_stop > 0 AND n_types * 5 > n_tok),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+contam AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (shingle)
+           WHERE doc_id % 97 <> 0),
+mix AS (SELECT doc_id, source FROM (
+          SELECT source, doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+                 length(source) % 3 + 1 AS wq
+          FROM documents)
+        WHERE h < wq * 1073741824)
+SELECT m.doc_id, m.source
+FROM mix m
+JOIN qual q USING (doc_id)
+JOIN cc ON cc.doc_id = m.doc_id AND cc.cluster_id = m.doc_id
+WHERE m.doc_id % 97 <> 0
+  AND m.doc_id NOT IN (SELECT doc_id FROM contam)"""
+
+
+QUERIES["curated_corpus"] = q_curated_corpus
+ORACLES["curated_corpus"] = SQL_CURATED_CORPUS

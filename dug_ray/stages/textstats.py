@@ -45,7 +45,7 @@ def text_quality(docs: ray.data.Dataset) -> ray.data.Dataset:
         n_types = df.drop_duplicates().groupby("p").size()
         n_types_arr = np.zeros(n, dtype=np.int64)
         n_types_arr[n_types.index.to_numpy()] = n_types.to_numpy()
-        return pa.table({
+        out = {
             "doc_id": pc.cast(batch["doc_id"], pa.int64()),
             "n_tokens": pa.array(n_tok),
             "n_types": pa.array(n_types_arr),
@@ -54,7 +54,12 @@ def text_quality(docs: ray.data.Dataset) -> ray.data.Dataset:
             "distinct_ratio": pa.array(n_types_arr / n_tok, pa.float64()),
             "avg_token_len": pa.array(sum_len / n_tok, pa.float64()),
             "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
-        })
+        }
+        # pass grouping columns through when the caller selected them
+        # (composed pipelines like curated_corpus keep `source` alongside)
+        if "source" in batch.column_names:
+            out["source"] = batch["source"]
+        return pa.table(out)
 
     return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
