@@ -323,3 +323,60 @@ def test_md5_int_parity_and_mixture_rows():
     # kept set is a deterministic subset
     again = mixture_sample_rows(docs).to_pandas()
     assert sorted(rows["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_curated_corpus_composition(sf_smoke):
+    """The composed pipeline must equal the conjunction of its component
+    operators computed independently — catches composition bugs (wrong
+    join side, missed gate) that each component's own oracle can't see."""
+    import numpy as np
+
+    from dug_ray import queries as q
+    from dug_ray.io import read_documents
+    from dug_ray.stages.cluster import connected_components
+    from dug_ray.stages.sampling import decontaminate, mixture_sample_rows
+
+    got = set(q.QUERIES["curated_corpus"](sf_smoke).to_pandas()["doc_id"])
+
+    qual = q.QUERIES["quality_filters"](sf_smoke).to_pandas()
+    qual_ok = set(qual[qual[["pass_n_tokens", "pass_token_len",
+                             "pass_has_stopword", "pass_repetition"]].all(axis=1)]["doc_id"])
+    mix = set(mixture_sample_rows(
+        read_documents(sf_smoke, columns=["doc_id", "source"])).to_pandas()["doc_id"])
+    cc = connected_components(
+        read_documents(sf_smoke, columns=["doc_id", "text"])).to_pandas()
+    canon = set(cc[cc["doc_id"] == cc["cluster_id"]]["doc_id"])
+    contam = set(decontaminate(
+        read_documents(sf_smoke, columns=["doc_id", "text"])).to_pandas()["doc_id"])
+    docs = read_documents(sf_smoke, columns=["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    non_eval = set(docs[docs % 97 != 0])
+
+    want = (qual_ok & mix & canon & non_eval) - contam
+    assert got == want and len(got) > 0
+
+
+def test_lsh_codes_and_ivf_assign_consistency(sf_smoke):
+    """lsh_codes must equal the codes lsh_ann_topk buckets with (shared
+    path), and ivf_assign must put every vector in its true nearest seed
+    centroid (numpy recompute)."""
+    import numpy as np
+
+    from dug_ray.stages.similarity import (_lsh_code_array, _lsh_planes,
+                                           _matrix, _normalize,
+                                           ivf_assignments, lsh_codes,
+                                           read_embeddings)
+
+    emb = read_embeddings(sf_smoke).to_pandas().sort_values("vec_id")
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    planes = _lsh_planes(m.shape[1], 6, 42)
+    want_codes = dict(zip(emb["vec_id"], _lsh_code_array(m, planes)))
+    got_codes = lsh_codes(sf_smoke).to_pandas()
+    assert dict(zip(got_codes["vec_id"], got_codes["code"])) == want_codes
+
+    vids = emb["vec_id"].to_numpy()
+    cm = _normalize(m[(vids >= 4) & (vids < 12)])
+    corpus = vids >= 4
+    sims = _normalize(m[corpus]) @ cm.T
+    want_assign = dict(zip(vids[corpus], vids[(vids >= 4) & (vids < 12)][np.argmax(sims, axis=1)]))
+    got = ivf_assignments(sf_smoke).to_pandas()
+    assert dict(zip(got["vec_id"], got["centroid_id"])) == want_assign
