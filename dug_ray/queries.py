@@ -1118,11 +1118,9 @@ def q_doc_sample(sf_dir: str) -> ray.data.Dataset:
     ds = read_documents(sf_dir, columns=["doc_id", "source"])
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        import hashlib
-        ids = batch.column("doc_id").to_pylist()
-        keep = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10 == 0
-                for i in ids]
-        return batch.filter(pa.array(keep))
+        from dug_ray.hashing import md5_int
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(md5_int(ids) % 10 == 0))
 
     out = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
     return _norm(out, int_cols=("doc_id",))

@@ -21,23 +21,18 @@ Scale notes per op:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from dug_ray.hashing import md5_hex
 from dug_ray.shuffle import bucketed_group_apply
 
 SHINGLE_N = 3
 MINHASH_K = 12
 LSH_BANDS = 3
 LSH_ROWS = 4  # MINHASH_K == LSH_BANDS * LSH_ROWS
-
-
-def _md5(s: str) -> str:
-    return hashlib.md5(s.encode()).hexdigest()
 
 
 # ---------------------------------------------------------------------------
@@ -51,7 +46,7 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     def per_batch(batch: pa.Table) -> pa.Table:
         df = batch.select(["doc_id", "text"]).to_pandas()
-        df["content_hash"] = [_md5(t) for t in df["text"]]
+        df["content_hash"] = md5_hex(batch["text"])
         g = df.groupby("content_hash", as_index=False).agg(
             doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -186,8 +181,8 @@ def minhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
         uniq = sh["shingle"].unique()
         cols = {"doc_id": sh["doc_id"]}
         for i in range(MINHASH_K):
-            table = {s: _md5(f"{i}:{s}")[:16] for s in uniq}
-            cols[f"h{i}"] = sh["shingle"].map(table)
+            hx = md5_hex(np.char.add(f"{i}:", uniq.astype(str)), 16)
+            cols[f"h{i}"] = sh["shingle"].map(dict(zip(uniq, hx)))
         out = pd.DataFrame(cols).groupby("doc_id", as_index=False).min()
         out["doc_id"] = out["doc_id"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -206,7 +201,8 @@ def minhash_lsh_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
         out = []
         for b in range(LSH_BANDS):
             cols = [f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-            bh = df[cols].agg("".join, axis=1).map(_md5)
+            cat = df[cols[0]].str.cat([df[c] for c in cols[1:]])
+            bh = md5_hex(cat.to_numpy())
             out.append(pd.DataFrame({
                 "doc_id": df["doc_id"], "band": b, "band_hash": bh}))
         return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
@@ -258,10 +254,14 @@ def simhash_fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
         parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
         flat = tokens.flatten().to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"p": parent, "t": flat}).drop_duplicates()
-        # digit matrix for the distinct tokens only
+        # digit matrix for the distinct tokens only — hex chars decoded
+        # vectorized from the concatenated fixed-width digests
         uniq = df["t"].unique()
-        digits = np.array([[int(c, 16) for c in _md5(t)[:SIMHASH_BITS]] for t in uniq],
-                          dtype=np.float64) - 7.5
+        hexes = md5_hex(uniq.astype(str), SIMHASH_BITS)
+        codes = np.frombuffer("".join(hexes).encode(), np.uint8) \
+            .reshape(len(uniq), SIMHASH_BITS)
+        digits = np.where(codes >= 97, codes - 87, codes - 48) \
+            .astype(np.float64) - 7.5
         tok_idx = pd.Series(np.arange(len(uniq)), index=uniq)
         contrib = digits[tok_idx[df["t"]].to_numpy()]
         sums = np.zeros((len(batch), SIMHASH_BITS))

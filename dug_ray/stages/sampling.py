@@ -34,35 +34,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from dug_ray.hashing import md5_int  # noqa: F401 — re-export (query callers)
 from dug_ray.shuffle import bucketed_group_apply
-
-# per-worker DuckDB sidecar for vectorized md5 (lazy; one per process)
-_MD5_CON = None
-
-
-def md5_int(ids) -> np.ndarray:
-    """First 8 hex chars of ``md5(str(id))`` as int64, vectorized.
-
-    Runs DuckDB's C++ ``md5()`` over a zero-copy Arrow projection of the
-    batch — exact parity with the SQL oracles' ``md5(CAST(id AS VARCHAR))``
-    without a per-row Python ``hashlib`` loop (the round-1/2 hot-path nit).
-    ``ORDER BY i`` pins output order regardless of DuckDB's scan
-    parallelism. ~100k ids/0.08s single-threaded."""
-    global _MD5_CON
-    if _MD5_CON is None:
-        import duckdb
-        _MD5_CON = duckdb.connect()
-    ids = np.asarray(ids)
-    t = pa.table({
-        "i": pa.array(np.arange(len(ids)), pa.int64()),
-        "v": pc.cast(pa.array(ids), pa.string()),
-    })
-    _MD5_CON.register("_t_md5", t)
-    out = _MD5_CON.execute(
-        "SELECT CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT) AS h "
-        "FROM _t_md5 ORDER BY i").arrow()
-    _MD5_CON.unregister("_t_md5")
-    return out.column("h").to_numpy()
 
 
 def group_sample(docs: ray.data.Dataset, k: int = 5) -> ray.data.Dataset:

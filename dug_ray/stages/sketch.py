@@ -26,9 +26,10 @@ def _alpha(m: int) -> float:
 
 
 def _hash64(values) -> np.ndarray:
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big") for v in values),
-        dtype=np.uint64, count=len(values))
+    """First 8 md5 bytes big-endian as uint64, vectorized (bit-identical
+    to int.from_bytes(hashlib.md5(v).digest()[:8], 'big'))."""
+    from dug_ray.hashing import md5_uint64
+    return md5_uint64(np.asarray(values, dtype=object))
 
 
 def _bit_length(v: np.ndarray) -> np.ndarray:

@@ -67,14 +67,16 @@ def text_quality(docs: ray.data.Dataset) -> ray.data.Dataset:
 def fingerprints(docs: ray.data.Dataset, k: int = 4) -> ray.data.Dataset:
     """Document fingerprints: full-content md5 + winnowing-style min-k of
     word-3-gram shingle hashes (pipe-joined sorted hex prefixes)."""
-    from dug_ray.stages.dedup import _md5, _shingle_df
+    from dug_ray.hashing import md5_hex
+    from dug_ray.stages.dedup import _shingle_df
 
     def per_batch(batch: pa.Table) -> pa.Table:
         df = batch.select(["doc_id", "text"]).to_pandas()
-        content = [_md5(t) for t in df["text"]]
+        content = md5_hex(batch["text"])
         sh = _shingle_df(batch)
         # hash each UNIQUE shingle once, then map — not per occurrence
-        sh["h"] = sh["shingle"].map({s: _md5(s)[:16] for s in sh["shingle"].unique()})
+        uniq = sh["shingle"].unique()
+        sh["h"] = sh["shingle"].map(dict(zip(uniq, md5_hex(uniq.astype(str), 16))))
         mink = (sh.sort_values("h").groupby("doc_id")["h"]
                 .agg(lambda s: "|".join(s.head(k))))
         return pa.table({
