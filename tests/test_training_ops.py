@@ -312,6 +312,15 @@ def test_md5_int_parity_and_mixture_rows():
     want = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids]
     assert list(md5_int(ids)) == want
 
+    from dug_ray.hashing import md5_hex, md5_uint64
+    strs = ["", "a", "hello world", "ünïcødé"]
+    assert list(md5_hex(strs)) == [hashlib.md5(s.encode()).hexdigest() for s in strs]
+    assert list(md5_hex(strs, 16)) == [hashlib.md5(s.encode()).hexdigest()[:16]
+                                       for s in strs]
+    u = md5_uint64(strs)
+    assert u.dtype == np.uint64 and list(u) == [
+        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") for s in strs]
+
     docs = ray.data.from_pandas(pd.DataFrame({
         "doc_id": np.arange(300, dtype=np.int64),
         "source": ["web", "books", "papers"] * 100,
