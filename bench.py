@@ -158,6 +158,11 @@ def run_scaling() -> dict:
     pairs = [(run(8), run(32)) for _ in range(3)]
     runs8 = [p[0]["value"] for p in pairs]
     runs32 = [p[1]["value"] for p in pairs]
+    # headline estimator: min of each leg — both mins approximate the
+    # noise-free time of their leg (noise only inflates). Per-pair ratios
+    # are also reported for transparency: they bound how much cross-pair
+    # drift could move the headline (noise on the 8-leg inflates a pair's
+    # ratio, on the 32-leg deflates it).
     t_lo, t_hi = min(runs8), min(runs32)
     eff = (t_lo / t_hi) / (32 / 8)
     hw = _hw_capacity_ratio()
@@ -170,6 +175,8 @@ def run_scaling() -> dict:
         "sec_32": t_hi,
         "runs_8": runs8,
         "runs_32": runs32,
+        "per_pair_efficiency": [round((a / b) / 4, 3)
+                                for a, b in zip(runs8, runs32)],
         "docs_per_sec_8": round(docs / t_lo, 1),
         "docs_per_sec_32": round(docs / t_hi, 1),
         "hw_capacity_ratio_8_to_32": round(hw, 2),

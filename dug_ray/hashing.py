@@ -27,6 +27,12 @@ def _md5_col(values, expr: str) -> pa.Array:
     if _CON is None:
         import duckdb
         _CON = duckdb.connect()
+        # one Ray worker == one CPU slot: a default connection would spin up
+        # a whole-host thread pool PER WORKER (32 tasks x 32 threads of
+        # oversubscription in exactly the hash-heavy stages); md5 over one
+        # batch is fast single-threaded
+        _CON.execute("SET threads TO 1")
+        _CON.execute("SET memory_limit = '512MB'")
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     arr = values if isinstance(values, pa.Array) else pa.array(np.asarray(values))

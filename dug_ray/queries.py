@@ -2202,23 +2202,25 @@ def q_quality_filters(sf_dir: str) -> ray.data.Dataset:
     window, mean token length window, stopword presence, repetition gate
     (distinct ratio). All integer/ratio comparisons — bit-exact both
     engines."""
-    from dug_ray.stages.textstats import text_quality
+    from dug_ray.stages.textstats import (QUALITY_DISTINCT_MULT, QUALITY_N_TOK,
+                                          QUALITY_TOK_LEN, text_quality)
     tq = text_quality(read_documents(sf_dir, columns=["doc_id", "text"]))
 
     def rules(batch: pa.Table) -> pa.Table:
         n_tok = batch["n_tokens"]
-        # mean token len in [3, 10]: compare in integer space
         len_ok = pc.and_(
-            pc.greater_equal(batch["avg_token_len"], pa.scalar(3.0)),
-            pc.less_equal(batch["avg_token_len"], pa.scalar(10.0)))
+            pc.greater_equal(batch["avg_token_len"], pa.scalar(QUALITY_TOK_LEN[0])),
+            pc.less_equal(batch["avg_token_len"], pa.scalar(QUALITY_TOK_LEN[1])))
         return pa.table({
             "doc_id": batch["doc_id"],
-            "pass_n_tokens": pc.and_(pc.greater_equal(n_tok, pa.scalar(8)),
-                                     pc.less_equal(n_tok, pa.scalar(100000))),
+            "pass_n_tokens": pc.and_(
+                pc.greater_equal(n_tok, pa.scalar(QUALITY_N_TOK[0])),
+                pc.less_equal(n_tok, pa.scalar(QUALITY_N_TOK[1]))),
             "pass_token_len": len_ok,
             "pass_has_stopword": pc.greater(batch["n_stopwords"], pa.scalar(0)),
-            "pass_repetition": pc.greater(pc.multiply(batch["n_types"], pa.scalar(5)),
-                                          n_tok),  # distinct_ratio > 0.2
+            "pass_repetition": pc.greater(
+                pc.multiply(batch["n_types"], pa.scalar(QUALITY_DISTINCT_MULT)),
+                n_tok),  # distinct_ratio > 0.2
         })
 
     return tq.map_batches(rules, batch_format="pyarrow", batch_size=None)
@@ -2269,8 +2271,9 @@ def q_curated_corpus(sf_dir: str) -> ray.data.Dataset:
     way decontam broadcasts eval shingles. Output: doc_id, source."""
     from dug_ray.shuffle import hash_join
     from dug_ray.stages.cluster import connected_components
-    from dug_ray.stages.sampling import decontaminate, md5_int
-    from dug_ray.stages.textstats import text_quality
+    from dug_ray.stages.sampling import _mixture_kept_mask, decontaminate
+    from dug_ray.stages.textstats import (QUALITY_DISTINCT_MULT, QUALITY_N_TOK,
+                                          QUALITY_TOK_LEN, text_quality)
 
     docs = read_documents(sf_dir, columns=["doc_id", "source", "text"])
 
@@ -2279,15 +2282,14 @@ def q_curated_corpus(sf_dir: str) -> ray.data.Dataset:
 
     def gates(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        quality = ((df["n_tokens"] >= 8) & (df["n_tokens"] <= 100000)
-                   & (df["avg_token_len"] >= 3.0) & (df["avg_token_len"] <= 10.0)
+        quality = ((df["n_tokens"] >= QUALITY_N_TOK[0])
+                   & (df["n_tokens"] <= QUALITY_N_TOK[1])
+                   & (df["avg_token_len"] >= QUALITY_TOK_LEN[0])
+                   & (df["avg_token_len"] <= QUALITY_TOK_LEN[1])
                    & (df["n_stopwords"] > 0)
-                   & (df["n_types"] * 5 > df["n_tokens"]))
+                   & (df["n_types"] * QUALITY_DISTINCT_MULT > df["n_tokens"]))
         non_eval = df["doc_id"].to_numpy() % 97 != 0
-        h = md5_int(df["doc_id"].to_numpy())
-        wq = df["source"].str.len().to_numpy() % 3 + 1
-        mixture = h < wq * (1 << 30)
-        kept = df[quality.to_numpy() & non_eval & mixture]
+        kept = df[quality.to_numpy() & non_eval & _mixture_kept_mask(df)]
         return pa.table({"doc_id": pa.array(kept["doc_id"].to_numpy(), pa.int64()),
                          "source": pa.array(kept["source"], pa.string())})
 

@@ -220,7 +220,16 @@ def _lsh_code_array(m_raw: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """LSH bucket codes from RAW (un-normalized) float64 vectors: bit b =
     dot(v, plane_b) > 0. Norms are positive, so raw-dot signs equal
     normalized-dot signs — and raw dots are the form the SQL oracle can
-    reproduce exactly (list_dot_product over DOUBLE[])."""
+    reproduce exactly (list_dot_product over DOUBLE[]).
+
+    Known float channel (deliberate): numpy's blocked matmul and DuckDB's
+    sequential list_dot_product can disagree by ~1 ulp per sum, so a dot
+    whose true value is within ~1e-15 relative of ZERO could flip the bit
+    across engines. P(|dot| that small) is ~1e-15 per (vector, plane) on
+    real-valued data — negligible at any corpus size we run, and verified
+    hash-identical at sf0.001/0.01/0.1. This is the documented exception
+    to the 'never compare cross-engine float sums' oracle rule: only the
+    SIGN is compared, never the sum itself."""
     n_planes = planes.shape[1]
     return (m_raw @ planes > 0).astype(np.int64) @ (1 << np.arange(n_planes))
 
@@ -252,7 +261,13 @@ def ivf_assignments(sf_dir: str, n_queries: int = 4,
     so the distributed assignment machinery of ivf_ann_topk (broadcast
     centroid matrix, per-batch argmax cosine, ties to the smallest centroid
     id) gets an exact SQL oracle; the Lloyd trainer itself keeps its recall
-    pytest. Output: vec_id, centroid_id for every corpus vector."""
+    pytest. Output: vec_id, centroid_id for every corpus vector.
+
+    Same documented float channel as _lsh_code_array: the engine computes
+    normalize-then-dot, the oracle dot/(|a||b|) — the ARGMAX could differ
+    only if two centroids' cosines agree to ~1e-15, negligible on
+    real-valued data (ties at exact equality break to min cid on both
+    sides)."""
     emb = read_embeddings(sf_dir)
     c_df = emb.filter(expr=f"vec_id < {n_queries + n_centroids}").to_pandas()
     c_df = c_df[c_df["vec_id"] >= n_queries].sort_values("vec_id")

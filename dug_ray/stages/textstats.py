@@ -18,6 +18,13 @@ import ray.data
 
 STOPWORDS = ("the", "a")
 
+# Gopher/C4-style quality-gate thresholds — the single engine-side source
+# of truth shared by quality_filters and curated_corpus (the SQL oracles
+# mirror them as literals; change both together)
+QUALITY_N_TOK = (8, 100000)       # token-count window
+QUALITY_TOK_LEN = (3.0, 10.0)     # mean token length window
+QUALITY_DISTINCT_MULT = 5         # n_types * MULT > n_tokens (ratio > 0.2)
+
 
 def text_quality(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Per-doc quality metrics, fully vectorized with Arrow kernels:
