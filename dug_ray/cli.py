@@ -98,6 +98,22 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """End-to-end corpus curation (quality gates + decontamination +
+    near-dup canonicalization + mixture sampling) -> partitioned parquet
+    of the surviving docs WITH text — the artifact a pretraining run
+    consumes. Multiple output files (one per block) keep the write
+    parallel and the output resumable/splittable."""
+    _ensure_ray(args.num_cpus)
+    from dug_ray.queries import q_curated_corpus
+    out = q_curated_corpus(args.sf_dir, keep_text=True)
+    out.write_parquet(args.out)
+    from ray.data import read_parquet
+    n = read_parquet(args.out).count()
+    print(json.dumps({"out": args.out, "docs_kept": int(n)}))
+    return 0
+
+
 def cmd_query(args) -> int:
     _ensure_ray(args.num_cpus)
     from dug_ray import queries
@@ -135,6 +151,11 @@ def main(argv=None) -> int:
     ix.add_argument("sf_dir")
     ix.add_argument("-o", "--out", required=True)
     ix.set_defaults(fn=cmd_index)
+
+    cu = sub.add_parser("curate", help="quality+decontam+dedup+mixture -> curated parquet")
+    cu.add_argument("sf_dir")
+    cu.add_argument("-o", "--out", required=True)
+    cu.set_defaults(fn=cmd_curate)
 
     q = sub.add_parser("query", help="run a registered pipeline by name")
     q.add_argument("sf_dir")

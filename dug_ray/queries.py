@@ -2253,7 +2253,7 @@ ORACLES["quality_filters"] = SQL_QUALITY_FILTERS
 # quality gates -> decontamination -> near-dup cluster canonical -> mixture
 # ---------------------------------------------------------------------------
 
-def q_curated_corpus(sf_dir: str) -> ray.data.Dataset:
+def q_curated_corpus(sf_dir: str, keep_text: bool = False) -> ray.data.Dataset:
     """The composed pipeline a 100-TB training-data user actually runs —
     a doc survives iff it
 
@@ -2268,7 +2268,10 @@ def q_curated_corpus(sf_dir: str) -> ray.data.Dataset:
     shuffle); gate 3 is a partitioned hash_join against the CC label
     table (corpus x corpus, neither side broadcast); gate 4 broadcasts
     the SMALL contaminated-id set (bounded by eval-set overlap) the same
-    way decontam broadcasts eval shingles. Output: doc_id, source."""
+    way decontam broadcasts eval shingles. Output: doc_id, source — plus
+    the doc text re-attached via one more partitioned join when
+    ``keep_text`` (the CLI ``curate`` artifact a trainer consumes; the
+    oracle-checked query keeps the id/source projection)."""
     from dug_ray.shuffle import hash_join
     from dug_ray.stages.cluster import connected_components
     from dug_ray.stages.sampling import _mixture_kept_mask, decontaminate
@@ -2320,8 +2323,30 @@ def q_curated_corpus(sf_dir: str) -> ray.data.Dataset:
                          "source": pa.array(batch["source"].to_pandas()[keep],
                                             pa.string())})
 
-    return joined.map_batches(not_contaminated, batch_format="pyarrow",
-                              batch_size=None)
+    survivors_final = joined.map_batches(not_contaminated,
+                                         batch_format="pyarrow", batch_size=None)
+    if not keep_text:
+        return survivors_final
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"t_doc": pc.cast(batch["doc_id"], pa.int64()),
+                         "text": batch["text"]})
+
+    texts = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        rename, batch_format="pyarrow", batch_size=None)
+
+    def project(batch: pa.Table) -> pa.Table:
+        if "doc_id" not in batch.column_names:  # empty-join schema loss quirk
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string()),
+                             "text": pa.array([], pa.string())})
+        # the pandas bucket merge widens ints to float64 — restore types
+        return pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                         "source": pc.cast(batch["source"], pa.string()),
+                         "text": pc.cast(batch["text"], pa.string())})
+
+    return hash_join(survivors_final, texts, "doc_id", "t_doc") \
+        .map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
 SQL_CURATED_CORPUS = _with(SQL_TOKS, SQL_SHINGLES) + """,

@@ -110,3 +110,29 @@ def test_cli_search_targets(sf_smoke, capsys):
                               k=5, target="concepts", num_cpus=None)
     assert cli.cmd_search(args) == 0
     assert "Empty DataFrame" in capsys.readouterr().out  # no fabricated hits
+
+
+def test_cli_curate(sf_smoke, capsys, tmp_path):
+    """curate writes the surviving docs WITH text as parquet, int64 ids
+    (the pandas bucket-merge float widening must not leak to the sink),
+    and the kept set matches the oracle-checked id/source projection."""
+    import argparse
+    import json
+
+    import pyarrow.parquet as pq
+
+    from dug_ray import cli
+    from dug_ray.queries import q_curated_corpus
+
+    out = str(tmp_path / "curated")
+    args = argparse.Namespace(sf_dir=sf_smoke, out=out, num_cpus=None)
+    assert cli.cmd_curate(args) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    t = pq.read_table(out)
+    assert set(t.schema.names) == {"doc_id", "source", "text"}
+    assert str(t.schema.field("doc_id").type) == "int64"
+    assert t.num_rows == info["docs_kept"] > 0
+    want = set(q_curated_corpus(sf_smoke).to_pandas()["doc_id"])
+    assert set(t.column("doc_id").to_pylist()) == want
+    assert not any(v is None or v == "" for v in t.column("text").to_pylist())
