@@ -20,9 +20,9 @@ The remaining training-data-curation family (beyond the 10% holdout of
   (``ray.put``); each batch counts its docs' distinct shingles against the
   set vectorized. No shuffle touches the corpus side.
 
-All md5 hashing goes through :func:`md5_int` — DuckDB's vectorized C++
-``md5()`` over an Arrow batch (bit-identical to the SQL oracles), not a
-per-row Python ``hashlib`` loop.
+All md5 hashing goes through :mod:`dug_ray.hashing` (``md5_int``) —
+DuckDB's vectorized C++ ``md5()`` over an Arrow batch (bit-identical to
+the SQL oracles), not a per-row Python ``hashlib`` loop.
 """
 
 from __future__ import annotations
