@@ -105,9 +105,29 @@ def cmd_curate(args) -> int:
     consumes. Multiple output files (one per block) keep the write
     parallel and the output resumable/splittable."""
     _ensure_ray(args.num_cpus)
+    import glob
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from dug_ray.queries import q_curated_corpus
-    out = q_curated_corpus(args.sf_dir, keep_text=True)
-    out.write_parquet(args.out)
+    ds = q_curated_corpus(args.sf_dir, keep_text=True)
+    # write-to-tmp + atomic rename (the runner.py shard pattern): a rerun
+    # or interrupted run never accumulates stale files into the artifact
+    tmp = args.out.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ds.write_parquet(tmp)
+    if not glob.glob(os.path.join(tmp, "*.parquet")):
+        # zero survivors: an empty-but-valid schema-bearing artifact
+        pq.write_table(pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "source": pa.array([], pa.string()),
+                                 "text": pa.array([], pa.string())}),
+                       os.path.join(tmp, "part-empty.parquet"))
+    shutil.rmtree(args.out, ignore_errors=True)
+    os.rename(tmp, args.out)
     from ray.data import read_parquet
     n = read_parquet(args.out).count()
     print(json.dumps({"out": args.out, "docs_kept": int(n)}))

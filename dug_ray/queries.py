@@ -2328,6 +2328,12 @@ def q_curated_corpus(sf_dir: str, keep_text: bool = False) -> ray.data.Dataset:
     if not keep_text:
         return survivors_final
 
+    # pin the survivor set once: hash_join eagerly fetches left.schema(),
+    # which would otherwise execute the whole gates+CC+join pipeline at
+    # graph-construction time and AGAIN at consumption (the export.py
+    # consumed-twice pattern). Bounded: (doc_id, source) only, never text.
+    survivors_final = survivors_final.materialize()
+
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({"t_doc": pc.cast(batch["doc_id"], pa.int64()),
                          "text": batch["text"]})

@@ -134,5 +134,13 @@ def test_cli_curate(sf_smoke, capsys, tmp_path):
     assert str(t.schema.field("doc_id").type) == "int64"
     assert t.num_rows == info["docs_kept"] > 0
     want = set(q_curated_corpus(sf_smoke).to_pandas()["doc_id"])
+    # num_rows vs len(want) pins multiplicity: no doc duplicated or dropped
+    assert t.num_rows == len(want)
     assert set(t.column("doc_id").to_pylist()) == want
     assert not any(v is None or v == "" for v in t.column("text").to_pylist())
+
+    # rerun into the SAME dir must replace, not accumulate (atomic tmp+rename)
+    assert cli.cmd_curate(args) == 0
+    info2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info2["docs_kept"] == info["docs_kept"]
+    assert pq.read_table(out).num_rows == len(want)
