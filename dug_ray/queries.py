@@ -2100,13 +2100,44 @@ SELECT doc_id, "offset", f.i AS frame_idx,
 FROM m, LATERAL (SELECT unnest(generate_series(0, ordinal % 3)) AS i) f"""
 
 
+def q_media_resize(sf_dir: str) -> ray.data.Dataset:
+    """Aspect-fit resize target dims for image spans (integer floor
+    arithmetic, never upscale; stages/multimodal.resize_dims — the dims
+    half of the decode-gated MediaResizer actor stage)."""
+    from dug_ray.stages.multimodal import media_metadata, resize_dims
+    return resize_dims(media_metadata(read_interleaved(sf_dir)))
+
+
+SQL_MEDIA_RESIZE = _with(SQL_TOKS) + """,
+tc AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+x AS (SELECT doc_id, CAST(ceil(n_tok / 8.0) AS BIGINT) AS n_text FROM tc),
+m AS (SELECT doc_id, 3 * t.j + 2 AS "offset"
+      FROM x, LATERAL (SELECT unnest(generate_series(0, CAST(n_text // 2 AS BIGINT) - 1)) AS j) t),
+mm AS (SELECT doc_id, "offset",
+              'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST("offset" AS VARCHAR) AS media_ref
+       FROM m
+       WHERE (("offset" - 2) // 3) % 2 = 0),
+meta AS (SELECT doc_id, "offset", media_ref,
+                CAST(64 + length(media_ref) * 7 AS BIGINT) AS width,
+                CAST(64 + length(media_ref) * 13 AS BIGINT) AS height
+         FROM mm),
+g AS (SELECT *, greatest(width, height) AS mx FROM meta)
+SELECT doc_id, "offset", media_ref, width, height,
+       CAST(CASE WHEN mx > 224 THEN width * 224 // mx ELSE width END AS BIGINT) AS out_w,
+       CAST(CASE WHEN mx > 224 THEN height * 224 // mx ELSE height END AS BIGINT) AS out_h,
+       mx > 224 AS resized
+FROM g"""
+
+
 QUERIES.update({
     "media_features": q_media_features,
     "media_frames": q_media_frames,
+    "media_resize": q_media_resize,
 })
 ORACLES.update({
     "media_features": SQL_MEDIA_FEATURES,
     "media_frames": SQL_MEDIA_FRAMES,
+    "media_resize": SQL_MEDIA_RESIZE,
 })
 
 

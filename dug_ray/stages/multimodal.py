@@ -166,3 +166,68 @@ def sample_frames(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     return media_spans(docs).map_batches(per_batch, batch_format="pyarrow",
                                          batch_size=None)
+
+
+class MediaResizer:
+    """Actor-pool RESIZE stage (the remaining op of the brief's
+    decode / feature-extract / resize / frame-sample family). The
+    byte-level resample is decode-gated exactly like MediaDecoder (no
+    codecs in this container): ``fake=True`` emits a deterministic payload
+    so the plumbing — binary column, small batches, actor pool — is
+    exercised; the real path raises. The target-DIMS arithmetic is pure
+    integer (aspect-fit, floor division, never upscale) and lives in
+    ``media_resize`` with a SQL oracle."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "media resize requires image codecs not present in this "
+                "environment; construct with fake=True for the deterministic stub")
+        refs = batch.column("media_ref").to_pylist()
+        ow = batch.column("out_w").to_pylist()
+        oh = batch.column("out_h").to_pylist()
+        payloads = [bytes((len(r) * 31 + w + h + i) % 256 for i in range(32))
+                    for r, w, h in zip(refs, ow, oh)]
+        return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+def resize_dims(meta: ray.data.Dataset, max_dim: int = 224) -> ray.data.Dataset:
+    """Aspect-preserving fit-within-``max_dim`` target dimensions for image
+    spans, integer-exact on both engines: out = dim * max_dim // max(w, h)
+    when the larger side exceeds max_dim, unchanged otherwise (no
+    upscaling). Output: doc_id, offset, media_ref, width, height, out_w,
+    out_h, resized."""
+
+    def dims(batch: pa.Table) -> pa.Table:
+        img = batch.filter(pc.equal(batch["media_kind"], "image"))
+        w = pc.cast(img["width"], pa.int64()).to_numpy(zero_copy_only=False)
+        h = pc.cast(img["height"], pa.int64()).to_numpy(zero_copy_only=False)
+        m = np.maximum(w, h)
+        resized = m > max_dim
+        out_w = np.where(resized, w * max_dim // np.maximum(m, 1), w)
+        out_h = np.where(resized, h * max_dim // np.maximum(m, 1), h)
+        return pa.table({
+            "doc_id": pc.cast(img["doc_id"], pa.int64()),
+            "offset": pc.cast(img["offset"], pa.int64()),
+            "media_ref": img["media_ref"],
+            "width": pa.array(w, pa.int64()),
+            "height": pa.array(h, pa.int64()),
+            "out_w": pa.array(out_w, pa.int64()),
+            "out_h": pa.array(out_h, pa.int64()),
+            "resized": pa.array(resized, pa.bool_()),
+        })
+
+    return meta.map_batches(dims, batch_format="pyarrow", batch_size=None)
+
+
+def media_resize(docs: ray.data.Dataset, max_dim: int = 224, fake: bool = False,
+                 batch_size: int = 256,
+                 concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
+    """Full resize pipeline: probe -> image filter + integer target dims ->
+    actor-pool resample (decode-gated; small batches — binary payloads)."""
+    return resize_dims(media_metadata(docs), max_dim).map_batches(
+        MediaResizer, fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)

@@ -389,3 +389,30 @@ def test_lsh_codes_and_ivf_assign_consistency(sf_smoke):
     want_assign = dict(zip(vids[corpus], vids[(vids >= 4) & (vids < 12)][np.argmax(sims, axis=1)]))
     got = ivf_assignments(sf_smoke).to_pandas()
     assert dict(zip(got["vec_id"], got["centroid_id"])) == want_assign
+
+
+def test_media_resize(sf_smoke):
+    """Resize dims are aspect-fit integers (never upscale, larger side ==
+    224 exactly when resized), and the actor resample stage is decode-gated
+    with a working deterministic fake path."""
+    import pyarrow as pa
+    import pytest
+
+    from dug_ray.io import read_interleaved
+    from dug_ray.stages.multimodal import MediaResizer, media_resize
+    from dug_ray.queries import q_media_resize
+
+    dims = q_media_resize(sf_smoke).to_pandas()
+    assert len(dims) > 0 and dims["resized"].any() and (~dims["resized"]).any()
+    r = dims[dims["resized"]]
+    assert (np.maximum(r["out_w"], r["out_h"]) == 224).all()
+    assert (r["out_w"] <= r["width"]).all() and (r["out_h"] <= r["height"]).all()
+    nr = dims[~dims["resized"]]
+    assert (nr["out_w"] == nr["width"]).all() and (nr["out_h"] == nr["height"]).all()
+
+    with pytest.raises(NotImplementedError):
+        MediaResizer(fake=False)(pa.table({
+            "media_ref": ["media://1/2"], "out_w": [10], "out_h": [10]}))
+    out = media_resize(read_interleaved(sf_smoke), fake=True).to_pandas()
+    assert len(out) == len(dims)
+    assert all(isinstance(p, bytes) and len(p) == 32 for p in out["payload"])
