@@ -157,6 +157,11 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
         raise ValueError(
             f"hash_join requires disjoint column names on the two sides; "
             f"shared: {sorted(shared)} — rename one side before joining")
+    reserved = {"_side", "_jk", BUCKET_COL} & (set(lcols) | set(rcols))
+    if reserved:
+        raise ValueError(
+            f"hash_join reserves column names {sorted(reserved)}; "
+            f"rename them before joining")
     types = {c: _arrow_type(t) for c, t in
              list(zip(rsch.names, rsch.types)) + list(zip(lsch.names, lsch.types))}
 
@@ -169,15 +174,25 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
         out = li.merge(ri, on="_jk", how="inner", sort=False)
         return out.drop(columns=["_jk"])
 
-    # union requires matching schemas: widen each side to the column union
-    # with TYPED nulls for the other side's fields
+    # union requires matching schemas: widen each side to the column union.
+    # Other-side integer/bool columns get typed DEFAULTS (0 / false), not
+    # nulls: an int64 column containing nulls turns float64 in the pandas
+    # bucket merge and silently corrupts values >= 2^53 (the per-bucket
+    # merge reads only each row's own side, so the filler is never seen).
     all_cols = list(dict.fromkeys(lcols + rcols))
+
+    def _filler(n: int, t: pa.DataType) -> pa.Array:
+        if pa.types.is_integer(t):
+            return pa.nulls(n, t).fill_null(0)
+        if pa.types.is_boolean(t):
+            return pa.nulls(n, t).fill_null(False)
+        return pa.nulls(n, t)
 
     def widen(batch: pa.Table) -> pa.Table:
         out = {}
         for c in all_cols:
             out[c] = batch[c] if c in batch.column_names \
-                else pa.nulls(len(batch), types[c])
+                else _filler(len(batch), types[c])
         out["_jk"] = batch["_jk"]
         out["_side"] = batch["_side"]
         return pa.table(out)

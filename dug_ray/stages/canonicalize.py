@@ -69,7 +69,14 @@ def partial_concepts(batch: pa.Table) -> pa.Table:
     # in which case _doc_key carries the true ordering to the merge).
     df["_doc_len"] = df["doc_id"].str.len()
     df = df.sort_values(["_doc_len", "doc_id", "tok_pos"], kind="mergesort")
-    df["_doc_num"] = pd.to_numeric(df["doc_id"], errors="coerce").fillna(-1).astype("int64")
+    # exact int64 parse (pd.to_numeric routes through float64 and corrupts
+    # ids above 2^53); >18-digit or non-numeric ids keep the -1 sentinel,
+    # _doc_key still carries their true ordering
+    is_num = df["doc_id"].str.fullmatch(r"-?\d{1,18}")
+    dn = pd.Series(-1, index=df.index, dtype="int64")
+    if is_num.any():
+        dn[is_num] = df.loc[is_num, "doc_id"].astype("int64")
+    df["_doc_num"] = dn
     g = df.groupby("canonical_curie", sort=False)
     out = g.agg(
         name=("name", "first"),
@@ -92,6 +99,19 @@ def partial_concepts(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _decat(df: pd.DataFrame) -> pd.DataFrame:
+    """Dictionary-encoded shuffle columns arrive in map_groups as pandas
+    categoricals whose sort order is CATEGORY-INSERTION order, not
+    lexicographic — re-type before any order-sensitive op (the same guard
+    materialize.write_partition applies). Latent today (partials emit
+    plain strings) but load-bearing the moment a partial stream is
+    dictionary-encoded or read back from a checkpoint."""
+    for c in df.columns:
+        if isinstance(df[c].dtype, pd.CategoricalDtype):
+            df[c] = df[c].astype(object)
+    return df
+
+
 def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
     """Final merge of partial concept rows (vectorized per bucket).
 
@@ -102,6 +122,7 @@ def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
     from different blocks resolves identically on every run (block arrival
     order never decides; in this ontology name/type are functions of the
     concept id, so this is purely a determinism guard)."""
+    df = _decat(df)
     df = df.assign(_doc_len=df["_doc_key"].str.len())
     df = df.sort_values(["_doc_len", "_doc_key", "first_tok_pos", "name", "type"],
                         kind="mergesort")
@@ -140,7 +161,7 @@ def element_counts(linked: ray.data.Dataset, num_buckets: int = 32) -> ray.data.
     pairs = linked.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.drop_duplicates().groupby("canonical_curie").size()
+        out = (_decat(df).drop_duplicates().groupby("canonical_curie").size()
                .rename("n_elements").reset_index())
         return out.rename(columns={"canonical_curie": "concept_id"})
 
@@ -177,11 +198,12 @@ def element_terms(linked: ray.data.Dataset, concepts: ray.data.Dataset) -> ray.d
     cmap = {r["concept_id"]: (r["search_terms"], r["name"])
             for r in concepts.select_columns(["concept_id", "search_terms", "name"]).take_all()}
 
+    # pre-join once per distinct concept (C-level dict .map), never per row
+    joined = {cid: f"{ts}|{nm}" for cid, (ts, nm) in cmap.items()}
+
     def per_batch(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()[["element_id", "collection_id", "canonical_curie"]]
-        terms = df["canonical_curie"].map(
-            lambda c: cmap[c][0] + "|" + cmap[c][1] if c in cmap else "")
-        df = df.assign(_terms=terms)
+        df = df.assign(_terms=df["canonical_curie"].map(joined).fillna(""))
         out = (df.groupby(["element_id", "collection_id"], as_index=False)
                  .agg(search_terms=("_terms", _join_distinct),
                       concepts=("canonical_curie", lambda s: "|".join(sorted(set(s))))))
@@ -190,7 +212,7 @@ def element_terms(linked: ray.data.Dataset, concepts: ray.data.Dataset) -> ray.d
     partial = linked.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby(["element_id", "collection_id"], as_index=False)
+        return (_decat(df).groupby(["element_id", "collection_id"], as_index=False)
                   .agg(search_terms=("search_terms", _join_distinct),
                        concepts=("concepts", _join_distinct)))
 

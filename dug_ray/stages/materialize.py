@@ -69,6 +69,19 @@ def materialize_graph(triples: ray.data.Dataset, out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
     manifest = PartitionManifest(out_dir)
+    if not resume:
+        # a fresh run must not inherit a previous run's output: clear part
+        # files, sidecar markers and the manifest, or buckets empty in THIS
+        # run would keep serving the old run's parquet
+        import glob
+        for f in (glob.glob(os.path.join(out_dir, "part-*.parquet"))
+                  + glob.glob(os.path.join(out_dir, "_done-*.json"))):
+            os.unlink(f)
+        if os.path.exists(manifest.path):
+            os.unlink(manifest.path)
+    # refuse to resume across a layout change: done-bucket ids from a
+    # different (num_buckets, salt) would anti-filter the wrong partitions
+    manifest.ensure_layout(num_buckets=num_buckets, salt=salt)
     done = manifest.completed_buckets() if resume else set()
     n_parts = num_buckets * salt
 
@@ -119,9 +132,16 @@ def materialize_graph(triples: ray.data.Dataset, out_dir: str,
 
 
 def read_graph(out_dir: str) -> ray.data.Dataset:
-    """Read the materialized triple table (final parts only)."""
+    """Read the materialized triple table (final parts only). A fully-empty
+    materialization (every partition zero rows -> no part files) reads as
+    an empty typed dataset rather than crashing read_parquet([])."""
     import glob
     parts = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    if not parts:
+        import pandas as pd
+        return ray.data.from_pandas(pd.DataFrame({
+            c: pd.Series([], dtype="object")
+            for c in ("subj", "pred", "obj", "obj_name", "source_query")}))
     return ray.data.read_parquet(parts)
 
 

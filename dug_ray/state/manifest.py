@@ -66,6 +66,25 @@ class PartitionManifest:
     def completed_buckets(self) -> set[int]:
         return {int(k) for k, v in self.load().items() if v.get("status") == "done"}
 
+    def ensure_layout(self, **params) -> None:
+        """Pin the partition-layout parameters (num_buckets, salt) in the
+        manifest and REFUSE a resume whose parameters differ — done-bucket
+        ids from a different layout would anti-filter the wrong partitions
+        and silently drop rows (the runner pins num_shards/parser in its
+        checkpoint meta for the same reason)."""
+        entries = self.load()
+        meta = entries.get("_meta")
+        if meta is None:
+            entries["_meta"] = {"status": "meta", **params}
+            self._write(entries)
+            return
+        got = {k: meta.get(k) for k in params}
+        if got != params:
+            raise ValueError(
+                f"resume layout mismatch for {self.out_dir}: manifest has "
+                f"{got}, run requested {params}; use a fresh out_dir or the "
+                f"original parameters")
+
     def mark_done(self, bucket: int, rows: int, path: str, fingerprint: str = "") -> None:
         self.mark_done_many([(bucket, rows, path, fingerprint)])
 

@@ -91,7 +91,7 @@ def test_manifest_fingerprints(sf_smoke, tmp_path):
     out = str(tmp_path / "kg")
     materialize_graph(kg.kg_triples(sf_smoke), out)
     entries = PartitionManifest(out).load()
-    nonempty = [v for v in entries.values() if v["rows"] > 0]
+    nonempty = [v for v in entries.values() if v.get("rows", 0) > 0]
     assert nonempty
     assert all(len(v["fingerprint"]) == 32 for v in nonempty)
 
@@ -115,7 +115,7 @@ def test_materialize_midrun_crash_saves_buckets(sf_smoke, tmp_path):
     # and sidecars, delete the main manifest, re-create sidecars for half
     # the written buckets (as if the rest hadn't finished)
     manifest = PartitionManifest(out)
-    entries = {k: v for k, v in manifest.load().items() if v["rows"] > 0}
+    entries = {k: v for k, v in manifest.load().items() if v.get("rows", 0) > 0}
     os.unlink(manifest.path)
     kept = sorted(entries, key=int)[: len(entries) // 2]
     for k in kept:

@@ -416,3 +416,56 @@ def test_media_resize(sf_smoke):
     out = media_resize(read_interleaved(sf_smoke), fake=True).to_pandas()
     assert len(out) == len(dims)
     assert all(isinstance(p, bytes) and len(p) == 32 for p in out["payload"])
+
+
+def test_hash_join_large_int64_exact_and_reserved_names():
+    """Regression: the typed-null widen used to push int64-with-nulls
+    through pandas float64, silently corrupting non-key values >= 2^53;
+    defaults-filled widening must round-trip them exactly and keep int64.
+    Reserved internal names are rejected up front."""
+    from dug_ray.shuffle import hash_join
+
+    big = 2**60 + 1
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "big_id": [big, 7]}))
+    right = ray.data.from_pandas(pd.DataFrame({"r": [1, 2], "rv": ["a", "b"]}))
+    out = hash_join(left, right, "k", "r").to_pandas().sort_values("k")
+    assert out["big_id"].dtype == "int64"
+    assert list(out["big_id"]) == [big, 7]
+
+    bad = ray.data.from_pandas(pd.DataFrame({"k": [1], "_side": ["x"]}))
+    with pytest.raises(ValueError, match="reserve"):
+        hash_join(bad, right, "k", "r")
+
+
+def test_materialize_layout_pin_and_fresh_run(tmp_path):
+    """Resume across a (num_buckets, salt) change must refuse (stale done
+    ids would anti-filter the wrong partitions); a resume=False rerun must
+    clear the previous run's part files; an all-empty materialization
+    reads back as an empty dataset."""
+    from dug_ray.stages.materialize import materialize_graph, read_graph
+
+    triples = ray.data.from_pandas(pd.DataFrame({
+        "subj": ["A:1", "B:2"], "pred": ["p", "p"],
+        "obj": ["X:1", "X:2"], "obj_name": ["x", "y"], "source_query": ["q", "q"]}))
+    out = str(tmp_path / "g")
+    materialize_graph(triples, out, num_buckets=4, salt=2)
+    assert read_graph(out).count() == 2
+
+    with pytest.raises(ValueError, match="layout mismatch"):
+        materialize_graph(triples, out, num_buckets=8, salt=2)
+
+    # fresh (resume=False) rerun with different content replaces the output
+    smaller = ray.data.from_pandas(pd.DataFrame({
+        "subj": ["C:9"], "pred": ["p"], "obj": ["X:3"],
+        "obj_name": ["z"], "source_query": ["q"]}))
+    materialize_graph(smaller, out, num_buckets=4, salt=2, resume=False)
+    got = read_graph(out).to_pandas()
+    assert list(got["subj"]) == ["C:9"]  # no stale rows from run 1
+
+    empty = ray.data.from_pandas(pd.DataFrame({
+        "subj": pd.Series([], dtype="object"), "pred": pd.Series([], dtype="object"),
+        "obj": pd.Series([], dtype="object"), "obj_name": pd.Series([], dtype="object"),
+        "source_query": pd.Series([], dtype="object")}))
+    out2 = str(tmp_path / "g2")
+    materialize_graph(empty, out2, num_buckets=4, salt=2)
+    assert read_graph(out2).count() == 0
