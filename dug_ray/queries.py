@@ -1158,7 +1158,10 @@ WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
                   CAST(round(value * 1000, 0) AS BIGINT) AS milli
            FROM events),
 w AS (SELECT user_id,
-             (sec - kk.k * 1800) // 3600 * 3600 + kk.k * 1800 AS window_start,
+             -- floor (not //, which truncates toward zero) so pre-epoch
+             -- timestamps window identically to the engine's numpy floor
+             CAST(floor((sec - kk.k * 1800) / 3600.0) AS BIGINT) * 3600
+               + kk.k * 1800 AS window_start,
              milli
       FROM e CROSS JOIN generate_series(0, 1) AS kk(k))
 SELECT user_id, window_start, count(*) AS n_events,

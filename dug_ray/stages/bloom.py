@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -29,11 +30,31 @@ BLOOM_K = 4
 _KEY2 = "1234567890abcdef"  # second pandas hash key for double hashing
 
 
-def _bit_positions(values: np.ndarray, m_bits: int, k: int) -> np.ndarray:
-    """(n, k) bit indices via double hashing: idx_j = h1 + j*h2 (mod m)."""
-    obj = values.astype(object)
-    h1 = pd.util.hash_array(obj)
-    h2 = pd.util.hash_array(obj, hash_key=_KEY2) | np.uint64(1)  # odd -> full cycle
+def _bit_positions(values, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit indices via double hashing: idx_j = h1 + j*h2 (mod m).
+
+    Hashes the DICTIONARY of the key column (the shuffle._stable_hash_array
+    shape): O(unique) hash work on the hot probe path, and — critically —
+    null-safe and dtype-stable. Hashing the raw numpy view would let one
+    null flip an int64 batch to float64 and change EVERY value's hash,
+    producing silent false negatives between build and probe batches.
+    Nulls take a fixed slot (never match a real key)."""
+    arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(values)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = arr.dictionary_encode()
+    uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    h1u = pd.util.hash_array(uniq)
+    h2u = pd.util.hash_array(uniq, hash_key=_KEY2) | np.uint64(1)  # odd -> full cycle
+    codes = enc.indices
+    if codes.null_count:
+        codes = pc.fill_null(codes, -1)
+        h1u = np.append(h1u, np.uint64(0))
+        h2u = np.append(h2u, np.uint64(1))
+    idx = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+    h1 = h1u[idx].astype(np.uint64)
+    h2 = h2u[idx].astype(np.uint64)
     j = np.arange(k, dtype=np.uint64)
     return ((h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
 
@@ -44,10 +65,9 @@ def build_bloom(ds: ray.data.Dataset, col: str, m_bits: int = BLOOM_BITS,
     order and block splits irrelevant). Driver traffic is O(batches x m_bits/8)."""
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        vals = batch.column(col).to_numpy(zero_copy_only=False)
         bits = np.zeros(m_bits, dtype=bool)
-        if len(vals):
-            bits[_bit_positions(vals, m_bits, k).ravel()] = True
+        if len(batch):
+            bits[_bit_positions(batch.column(col), m_bits, k).ravel()] = True
         return pa.table({"bitmap": pa.array([np.packbits(bits).tobytes()], pa.binary())})
 
     merged = np.zeros(m_bits // 8, dtype=np.uint8)
@@ -86,8 +106,8 @@ def bloom_semi_join(large: ray.data.Dataset, large_key: str,
 
     def prefilter(batch: pa.Table) -> pa.Table:
         bloom = ray.get(bloom_ref)
-        vals = batch.column(large_key).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(probe_mask(vals, bloom, m_bits, k)))
+        return batch.filter(pa.array(
+            probe_mask(batch.column(large_key), bloom, m_bits, k)))
 
     survivors = large.map_batches(prefilter, batch_format="pyarrow", batch_size=None)
     return hash_join(small, survivors, small_key, large_key, num_buckets)

@@ -45,7 +45,9 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     Only (content_hash, doc_id) moves through the shuffle — never the text."""
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        df = batch.select(["doc_id", "text"]).to_pandas()
+        # only doc_id crosses into pandas; the text is hashed straight off
+        # the Arrow column and never copied into object-dtype strings
+        df = batch.select(["doc_id"]).to_pandas()
         df["content_hash"] = md5_hex(batch["text"])
         g = df.groupby("content_hash", as_index=False).agg(
             doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
@@ -248,6 +250,9 @@ def simhash_fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     def per_batch(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        # null-text docs produce no rows — matching the oracle, whose
+        # LATERAL unnest(string_split(NULL)) drops the doc entirely
+        batch = batch.filter(pc.is_valid(batch["text"]))
         tokens = pc.split_pattern(batch["text"], " ")
         if isinstance(tokens, pa.ChunkedArray):
             tokens = tokens.combine_chunks()

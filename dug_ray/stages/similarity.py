@@ -40,6 +40,11 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
+def _stack(series) -> np.ndarray:
+    """Pandas-side twin of _matrix: list-of-float column -> (n, dim) float64."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
 def read_embeddings(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                  columns=["vec_id", "embedding"])
@@ -81,7 +86,7 @@ def ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10) -> ray.data.Dataset:
     # small side: collect the query vectors once, broadcast via ray.put
     q_df = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
     q_df = q_df.sort_values("vec_id")
-    qm = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in q_df["embedding"]]))
+    qm = _normalize(_stack(q_df["embedding"]))
     q_ids = q_df["vec_id"].to_numpy()
     q_ref = ray.put((q_ids, qm))
 
@@ -136,11 +141,14 @@ def neardup_pairs(sf_dir: str, threshold: float = 0.4, n_blocks: int = 4,
     def replicate(batch: pa.Table) -> pa.Table:
         vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
         blk = (vid % n_blocks).astype(np.int64)
+        blk_col = pa.array(blk)
         tables = []
         for other in range(n_blocks):
             lo, hi = np.minimum(blk, other), np.maximum(blk, other)
-            key = pa.array([f"{a}_{b}" for a, b in zip(lo, hi)], pa.string())
-            tables.append(batch.append_column("blk", pa.array(blk))
+            # vectorized int64 pair key (sorted pair): lo * n_blocks + hi —
+            # no per-row string formatting, and ints hash/shuffle cheaper
+            key = pa.array(lo * n_blocks + hi, pa.int64())
+            tables.append(batch.append_column("blk", blk_col)
                           .append_column("pair_key", key))
         return pa.concat_tables(tables)
 
@@ -149,13 +157,12 @@ def neardup_pairs(sf_dir: str, threshold: float = 0.4, n_blocks: int = 4,
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for key, g in df.groupby("pair_key", sort=False):
-            i, j = map(int, key.split("_"))
+            i, j = divmod(int(key), n_blocks)
             gi = g[g["blk"] == i].drop_duplicates(subset=["vec_id"])
             gj = g[g["blk"] == j].drop_duplicates(subset=["vec_id"])
             if not len(gi) or not len(gj):
                 continue
-            mi = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                                      for v in gi["embedding"]]))
+            mi = _normalize(_stack(gi["embedding"]))
             vi = gi["vec_id"].to_numpy()
             if i == j:
                 # within-block: the matrix is symmetric, keep one triangle
@@ -167,8 +174,7 @@ def neardup_pairs(sf_dir: str, threshold: float = 0.4, n_blocks: int = 4,
             else:
                 # cross-block: each unordered pair appears once — orient it
                 # by id (block number order says nothing about id order)
-                mj = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                                          for v in gj["embedding"]]))
+                mj = _normalize(_stack(gj["embedding"]))
                 vj = gj["vec_id"].to_numpy()
                 sims = mi @ mj.T
                 bi, bj = np.nonzero(sims > threshold)
@@ -191,11 +197,14 @@ def neardup_pairs(sf_dir: str, threshold: float = 0.4, n_blocks: int = 4,
 
 def _neardup_pairs_broadcast(emb: ray.data.Dataset, threshold: float) -> ray.data.Dataset:
     all_df = emb.to_pandas().sort_values("vec_id")
-    am = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in all_df["embedding"]]))
+    am = _normalize(_stack(all_df["embedding"]))
     a_ids = all_df["vec_id"].to_numpy()
     ref = ray.put((a_ids, am))
 
     def per_batch(batch: pa.Table) -> pa.Table:
+        if not len(batch):  # _matrix divides by len(batch)
+            return pa.table({"vec_id_a": pa.array([], pa.int64()),
+                             "vec_id_b": pa.array([], pa.int64())})
         ids_all, mat_all = ray.get(ref)
         vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
         m = _normalize(_matrix(batch))
@@ -244,6 +253,9 @@ def lsh_codes(sf_dir: str, n_planes: int = 6, seed: int = 42) -> ray.data.Datase
     planes_ref = ray.put(_lsh_planes(dim, n_planes, seed))
 
     def per_batch(batch: pa.Table) -> pa.Table:
+        if not len(batch):  # _matrix divides by len(batch)
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
         pl = ray.get(planes_ref)
         codes = _lsh_code_array(_matrix(batch), pl)
         return pa.table({
@@ -271,8 +283,7 @@ def ivf_assignments(sf_dir: str, n_queries: int = 4,
     emb = read_embeddings(sf_dir)
     c_df = emb.filter(expr=f"vec_id < {n_queries + n_centroids}").to_pandas()
     c_df = c_df[c_df["vec_id"] >= n_queries].sort_values("vec_id")
-    cm = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                              for v in c_df["embedding"]]))
+    cm = _normalize(_stack(c_df["embedding"]))
     ref = ray.put((c_df["vec_id"].to_numpy(), cm))
 
     def per_batch(batch: pa.Table) -> pa.Table:
@@ -304,7 +315,7 @@ def lsh_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
     q_df = emb.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
     dim = len(q_df["embedding"].iloc[0])
     planes = _lsh_planes(dim, n_planes, seed)
-    q_raw = np.stack([np.asarray(v, dtype=np.float64) for v in q_df["embedding"]])
+    q_raw = _stack(q_df["embedding"])
     qm = _normalize(q_raw)
     q_codes = _lsh_code_array(q_raw, planes)  # shared path with lsh_codes
     # target codes per query: own bucket + hamming-1 neighbors
@@ -353,11 +364,11 @@ def ivf_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
     emb = read_embeddings(sf_dir)
     # small sides on the driver: the query matrix and a bounded train sample
     q_df = emb.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
-    qm = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in q_df["embedding"]]))
+    qm = _normalize(_stack(q_df["embedding"]))
     q_ids = q_df["vec_id"].to_numpy()
     tr = emb.limit(train_sample).to_pandas()
     tr = tr[tr["vec_id"] >= n_queries].sort_values("vec_id")
-    cm = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in tr["embedding"]]))
+    cm = _normalize(_stack(tr["embedding"]))
 
     # deterministic k-means over the sample: seeds = its first n_centroids
     cents = cm[:n_centroids].copy()

@@ -469,3 +469,19 @@ def test_materialize_layout_pin_and_fresh_run(tmp_path):
     out2 = str(tmp_path / "g2")
     materialize_graph(empty, out2, num_buckets=4, salt=2)
     assert read_graph(out2).count() == 0
+
+
+def test_bloom_null_key_batch_keeps_members():
+    """Regression: a null landing in a probe batch used to flip the numpy
+    view to float64, changing every value's hash — members in that batch
+    were silently dropped (false negatives). Dictionary-path hashing must
+    keep them."""
+    import pyarrow as pa
+
+    from dug_ray.stages.bloom import build_bloom, probe_mask
+
+    keys = ray.data.from_pandas(pd.DataFrame({"k": np.arange(0, 1000, 2)}))
+    bloom = np.frombuffer(build_bloom(keys, "k"), dtype=np.uint8)
+    mask = probe_mask(pa.array([4, None, 500], pa.int64()), bloom)
+    assert mask[0] and mask[2]          # real members survive the null
+    assert not mask[1]                  # the null itself never matches
