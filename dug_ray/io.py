@@ -122,8 +122,15 @@ def _spanify_batch(batch: pa.Table) -> pa.Table:
     doc_ids_np = doc_id_str.to_numpy(zero_copy_only=False)
     media_ref = np.full(len(local), "", dtype=object)
     mi = np.flatnonzero(is_media)
-    media_ref[mi] = [f"media://{d}/{o}" for d, o in
-                     zip(doc_ids_np[span_doc[mi]], local[mi])]
+    # vectorized "media://{doc}/{offset}" — no per-span Python formatting
+    # on the headline spanify path
+    refs = pc.binary_join_element_wise(
+        pa.array(np.full(len(mi), "media://", dtype=object), pa.string()),
+        pa.array(doc_ids_np[span_doc[mi]], pa.string()),
+        pa.array(np.full(len(mi), "/", dtype=object), pa.string()),
+        pc.cast(pa.array(local[mi]), pa.string()),
+        pa.scalar(""))
+    media_ref[mi] = refs.to_numpy(zero_copy_only=False)
 
     kind = np.where(is_media, "media", "text")
     struct = pa.StructArray.from_arrays(

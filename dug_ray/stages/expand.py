@@ -128,27 +128,6 @@ def triples_partial(linked: ray.data.Dataset, edges_ref=None) -> ray.data.Datase
     return linked.map_batches(emit, batch_format="pyarrow", batch_size=None)
 
 
-def annotates_partial(linked: ray.data.Dataset) -> ray.data.Dataset:
-    """Per-batch-distinct annotates triples (the combiner only).
-
-    May contain cross-batch duplicates of a (concept, element) pair; exact
-    global dedup is fused into the subject-bucket shuffle of
-    ``materialize_graph(dedup=True)`` — one exchange instead of two."""
-
-    def per_batch(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()[["canonical_curie", "element_id"]].drop_duplicates()
-        n = len(df)
-        return pa.table({
-            "subj": pa.array(df["canonical_curie"], type=pa.string()),
-            "pred": pa.nulls(n, pa.string()).fill_null("dug:annotates"),
-            "obj": pa.array(df["element_id"], type=pa.string()),
-            "obj_name": pa.nulls(n, pa.string()).fill_null(""),
-            "source_query": pa.nulls(n, pa.string()).fill_null("annotation"),
-        })
-
-    return linked.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
-
-
 def annotates_edges(linked: ray.data.Dataset) -> ray.data.Dataset:
     """linked mentions -> distinct (concept, 'dug:annotates', element) triples.
 
@@ -186,7 +165,11 @@ def cast_elements_from_triples(triples: ray.data.Dataset,
         df = batch.to_pandas()
         cat = df["obj"].map(dict(zip(edges["obj"], edges["obj_category"])))
         hit = df[(cat == category) & df["obj"].str.startswith(prefix + ":")]
-        hit = hit.drop_duplicates(subset=["obj"])
+        # combiner must keep the MIN subj per obj (the global dedup picks
+        # min collection_id; a keep-first here could discard it before the
+        # final merge ever sees it)
+        hit = hit.sort_values(["obj", "subj"], kind="mergesort") \
+                 .drop_duplicates(subset=["obj"], keep="first")
         return pa.table({
             "element_id": pa.array(hit["obj"], type=pa.string()),
             "element_name": pa.array(hit["obj_name"], type=pa.string()),

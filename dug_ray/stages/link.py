@@ -54,6 +54,7 @@ class LinkNormalize:
     """Actor-pool linker/normalizer: ``map_batches(LinkNormalize, ...)``."""
 
     def __init__(self, normalizer_ref=None, synonyms_ref=None,
+                 lexicon_ref=None,
                  threshold: float = ontology.LINKER_SCORE_THRESHOLD,
                  greenlist: list[str] | None = None,
                  mention_filter: str | None = None):
@@ -82,7 +83,13 @@ class LinkNormalize:
         # category) tuples taken from the lexicon (the only producers).
         syn_map = dict(zip(synonyms["curie"], synonyms["synonyms"]))
         rows = []
-        lex = ontology.lexicon_df().drop_duplicates(subset=["curie"])
+        # the composite MUST be built from the same lexicon the NER stage
+        # ran with — a custom broadcast lexicon (lexicon_ref, the 100 TB
+        # extensibility path) produces mentions whose CURIEs the builtin
+        # table doesn't know; keying off the builtin alone would silently
+        # drop them, greenlist rescue included
+        lex = (ray.get(lexicon_ref) if lexicon_ref is not None
+               else ontology.lexicon_df()).drop_duplicates(subset=["curie"])
         norm_map = {r["curie"]: r for _, r in norm.iterrows()}
         for _, lrow in lex.iterrows():
             curie = lrow["curie"]

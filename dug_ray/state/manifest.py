@@ -117,20 +117,29 @@ class PartitionManifest:
         os.rename(tmp, self.path)
 
 
+def file_md5(paths) -> str:
+    """Chunked md5 over one path or an ordered list of paths — the single
+    lineage-fingerprint implementation shared by the partition sink and the
+    stage-1 shard runner (resume comparisons depend on both producing the
+    same scheme)."""
+    import hashlib
+    h = hashlib.md5()
+    for p in ([paths] if isinstance(paths, str) else paths):
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+    return h.hexdigest()
+
+
 def atomic_write_parquet(table, final_path: str) -> str:
     """Write a pyarrow table to ``final_path`` via tmp-file + rename.
     Returns the md5 fingerprint of the written bytes (lineage metric)."""
-    import hashlib
-
     import pyarrow.parquet as pq
     d = os.path.dirname(final_path)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".parquet.tmp")
     os.close(fd)
     pq.write_table(table, tmp)
-    h = hashlib.md5()
-    with open(tmp, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
+    fp = file_md5(tmp)
     os.rename(tmp, final_path)
-    return h.hexdigest()
+    return fp

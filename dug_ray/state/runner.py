@@ -21,7 +21,6 @@ a Lance fragment of millions of rows; here 4-16 shards of the test corpus).
 from __future__ import annotations
 
 import glob
-import hashlib
 import json
 import os
 import shutil
@@ -66,15 +65,12 @@ def _write_shard(ds: ray.data.Dataset, final_dir: str) -> tuple[int, str]:
         empty = os.path.join(tmp, "empty.parquet")
         pq.write_table(TRIPLE_SCHEMA.empty_table(), empty)
         files = [empty]
-    rows, h = 0, hashlib.md5()
-    for f in files:
-        rows += pq.read_metadata(f).num_rows
-        with open(f, "rb") as fh:
-            for chunk in iter(lambda: fh.read(1 << 20), b""):
-                h.update(chunk)
+    from dug_ray.state.manifest import file_md5
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    fp = file_md5(files)
     shutil.rmtree(final_dir, ignore_errors=True)
     os.rename(tmp, final_dir)
-    return rows, h.hexdigest()
+    return rows, fp
 
 
 def _shard_triples(sf_dir: str, shard: int, num_shards: int,
@@ -123,8 +119,14 @@ def run_resumable(sf_dir: str, out_dir: str, num_shards: int = 8,
                 f"written with parser '{recorded_parser}'; use the original "
                 f"parser or start a fresh out_dir")
     else:
-        with open(meta_path, "w") as f:
+        # tmp + rename, not a bare open(): a kill mid-write must not leave
+        # a torn _meta.json that breaks every future resume (same contract
+        # as manifest._write)
+        import tempfile
+        fd, tmp = tempfile.mkstemp(dir=stage1_dir, suffix=".meta.tmp")
+        with os.fdopen(fd, "w") as f:
             json.dump({"num_shards": num_shards, "parser": parser_name}, f)
+        os.rename(tmp, meta_path)
 
     manifest = PartitionManifest(stage1_dir)
     done = manifest.completed_buckets()

@@ -71,8 +71,15 @@ def main() -> None:
 
     rc = run_child(sf_dir, resumed, kill_after=1.0)
     stage1 = os.path.join(resumed, "stage1")
+    # "completed" = recorded complete in the manifest (the resume
+    # contract): a kill can land between a shard's atomic rename and its
+    # manifest mark, and recomputing such an unmarked shard is correct
+    sys.path.insert(0, REPO)
+    from dug_ray.state.manifest import PartitionManifest
+    done = PartitionManifest(stage1).completed_buckets()
     survivors = {f: os.path.getmtime(os.path.join(stage1, f))
-                 for f in os.listdir(stage1) if f.endswith(".parquet")}
+                 for f in (f"shard-{s:05d}.parquet" for s in done)
+                 if os.path.exists(os.path.join(stage1, f))}
 
     rc2 = run_child(sf_dir, resumed, kill_after=None)
     assert rc2 == 0, f"resume run failed rc={rc2}"

@@ -185,3 +185,34 @@ def test_export_searchable(sf_smoke, tmp_path):
     assert counts["concepts"] == 12
     assert counts["elements"] > 3000
     assert counts["kg"] == 14
+
+
+def test_custom_lexicon_flows_through_linker():
+    """Extensibility contract: a custom broadcast lexicon (lexicon_ref)
+    must flow NER -> link end-to-end — the linker builds its composite
+    from the SAME lexicon, so new greenlisted terms survive the rescue
+    path instead of being silently dropped."""
+    import pyarrow as pa
+    import ray
+
+    from dug_ray.stages.annotate import DictionaryNER
+    from dug_ray.stages.link import LinkNormalize
+
+    custom = pd.concat([ontology.lexicon_df(), pd.DataFrame([{
+        "term": "zebrafish", "curie": "MESH:D015027", "label": "Zebrafish",
+        "category": "biolink:OrganismTaxon", "score": 0.95}])],
+        ignore_index=True)
+    ref = ray.put(custom)
+    elements = pa.table({
+        "doc_id": ["1"], "element_id": ["1-s0"], "collection_id": ["src0"],
+        "span_offset": pa.array([0], pa.int32()),
+        "chunk_idx": pa.array([0], pa.int32()),
+        "element_desc": ["the zebrafish swims"],
+    })
+    mentions = DictionaryNER(lexicon_ref=ref)(elements)
+    linked = LinkNormalize(lexicon_ref=ref)(mentions).to_pandas()
+    zeb = linked[linked["curie"] == "MESH:D015027"]
+    # MESH is greenlisted and absent from the normalizer -> rescue keeps it
+    assert len(zeb) == 1
+    assert zeb.iloc[0]["canonical_curie"] == "MESH:D015027"
+    assert zeb.iloc[0]["name"] == "Zebrafish"
