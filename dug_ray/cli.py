@@ -61,7 +61,11 @@ def cmd_crawl(args) -> int:
         els = parser(read_interleaved(args.sf_dir))
         linked = (els.map_batches(ner_batch, batch_format="pyarrow", batch_size=None)
                   .map_batches(link_batch, batch_format="pyarrow", batch_size=None))
-        materialize_graph(triples_partial(linked), args.out, dedup=True)
+        # a non-resumable crawl is a FRESH run: clear any previous output
+        # (a completed manifest from an earlier corpus would otherwise
+        # skip every bucket and serve the old triples)
+        materialize_graph(triples_partial(linked), args.out, dedup=True,
+                          resume=False)
         n = read_graph(args.out).count()
     print(json.dumps({"out": args.out, "triples": int(n)}))
     return 0

@@ -26,6 +26,20 @@ from dug_ray.pipelines import kg
 from dug_ray.stages.canonicalize import build_concepts, element_terms
 
 
+def _atomic_write(ds: ray.data.Dataset, final: str) -> None:
+    """write_parquet into a tmp dir + rename (the cmd_curate/runner
+    pattern): a rerun into the same out_dir REPLACES the dataset instead of
+    appending uniquely-named part files next to the old ones."""
+    import os
+    import shutil
+    tmp = final.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+
+
 def export_searchable(sf_dir: str, out_dir: str) -> dict[str, int]:
     """Write the three searchable datasets; returns row counts."""
     from dug_ray import queries as q
@@ -37,10 +51,8 @@ def export_searchable(sf_dir: str, out_dir: str) -> dict[str, int]:
     # the canonicalization shuffle doesn't re-execute
     concepts = build_concepts(linked).materialize()
 
-    elements = element_terms(linked, concepts)
-    elements.write_parquet(f"{out_dir}/elements")
-
-    concepts.write_parquet(f"{out_dir}/concepts")
+    _atomic_write(element_terms(linked, concepts), f"{out_dir}/elements")
+    _atomic_write(concepts, f"{out_dir}/concepts")
 
     answers = q.q_kg_answers(sf_dir)
 
@@ -51,7 +63,7 @@ def export_searchable(sf_dir: str, out_dir: str) -> dict[str, int]:
         return batch.append_column("doc_id", doc_id)
 
     answers = answers.map_batches(doc_ids, batch_format="pyarrow", batch_size=None)
-    answers.write_parquet(f"{out_dir}/kg")
+    _atomic_write(answers, f"{out_dir}/kg")
 
     return {
         "elements": ray.data.read_parquet(f"{out_dir}/elements").count(),

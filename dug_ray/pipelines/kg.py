@@ -40,16 +40,31 @@ def linked_mentions_ds(sf_dir: str, stateless: bool = True, **kwargs) -> ray.dat
     e.g. a real model checkpoint)."""
     docs = read_interleaved(sf_dir)
     elements = parse_elements(docs)
-    if stateless:
+    if stateless and not kwargs:
         from dug_ray.stages.annotate import ner_batch
         from dug_ray.stages.link import link_batch
         mentions = elements.map_batches(ner_batch, batch_format="pyarrow", batch_size=None)
         return mentions.map_batches(link_batch, batch_format="pyarrow", batch_size=None)
+    # any option (lexicon_ref, concurrency, ...) needs the actor path —
+    # silently dropping kwargs on the stateless path would run the default
+    # lexicon and return wrong results with no error
     mentions = annotate_elements(elements, **kwargs)
-    return link_mentions(mentions)
+    link_kwargs = {k: v for k, v in kwargs.items() if k == "lexicon_ref"}
+    return link_mentions(mentions, **link_kwargs)
 
 
-_LINKED_CACHE: dict[str, ray.data.Dataset] = {}
+_LINKED_CACHE: dict[tuple, ray.data.Dataset] = {}
+
+
+def _session_key() -> str:
+    """Current Ray job id: a cached MaterializedDataset's object refs die
+    with their session, so the cache key must change across
+    ray.shutdown()/ray.init() cycles in one Python process."""
+    import ray
+    try:
+        return ray.get_runtime_context().get_job_id()
+    except Exception:
+        return "-"
 
 
 def linked_mentions_cached(sf_dir: str) -> ray.data.Dataset:
@@ -62,10 +77,11 @@ def linked_mentions_cached(sf_dir: str) -> ray.data.Dataset:
     sf_dir in one Ray session; the linked stream is their common prefix.
     Materializing it once removes the repeated NER/link recompute.
     Benchmarks build their own streams and never use this cache."""
-    if sf_dir not in _LINKED_CACHE:
+    key = (sf_dir, _session_key())
+    if key not in _LINKED_CACHE:
         _LINKED_CACHE.clear()
-        _LINKED_CACHE[sf_dir] = linked_mentions_ds(sf_dir).materialize()
-    return _LINKED_CACHE[sf_dir]
+        _LINKED_CACHE[key] = linked_mentions_ds(sf_dir).materialize()
+    return _LINKED_CACHE[key]
 
 
 def kg_triples(sf_dir: str) -> ray.data.Dataset:
@@ -84,11 +100,17 @@ def kg_triples(sf_dir: str) -> ray.data.Dataset:
     return expansion.union(annotates)
 
 
-def run(sf_dir: str, out_dir: str | None = None) -> ray.data.Dataset:
+def run(sf_dir: str, out_dir: str | None = None,
+        resume: bool = False) -> ray.data.Dataset:
+    """One-shot crawl. ``resume=False`` (default): a reused out_dir is
+    CLEARED first — otherwise a completed manifest from a previous corpus
+    would skip every bucket and silently return the old run's triples.
+    Crash-resumable runs go through state.runner.run_resumable (or pass
+    resume=True knowingly, same input)."""
     from dug_ray.stages.materialize import read_graph
     triples = kg_triples(sf_dir)
     if out_dir:
-        materialize_graph(triples, out_dir)
+        materialize_graph(triples, out_dir, resume=resume)
         # read_graph globs part-*.parquet only — the directory also holds
         # the manifest (+ possibly crash-orphaned tmp files)
         return read_graph(out_dir)

@@ -49,6 +49,19 @@ chunks AS (
   GROUP BY doc_id, source, lang, floor((pos - 1) / 8)
 )"""
 
+# media spans synthesized by spanify — one media span after every 2 text
+# chunks; offset = 3*ordinal+2, ref = media://{doc}/{offset}
+# (io.py:111-127). Shared by all four media oracles so the span arithmetic
+# can never drift between them.
+SQL_MEDIA_SPANS = """
+tc AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+x AS (SELECT doc_id, CAST(ceil(n_tok / 8.0) AS BIGINT) AS n_text FROM tc),
+m AS (SELECT doc_id, 3 * t.j + 2 AS "offset", t.j AS ordinal
+      FROM x, LATERAL (SELECT unnest(generate_series(0, CAST(n_text // 2 AS BIGINT) - 1)) AS j) t),
+mm AS (SELECT doc_id, "offset", ordinal,
+              'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST("offset" AS VARCHAR) AS media_ref
+       FROM m)"""
+
 # linked mentions: threshold >= 0.8, normalizer left join, greenlist rescue,
 # synonym + purl attach — the SQL mirror of stages/annotate.py + link.py
 SQL_LINKED = """
@@ -105,12 +118,11 @@ def _with(*frags: str) -> str:
 
 def _norm(ds: ray.data.Dataset, int_cols: tuple[str, ...] = (),
           str_to_int: tuple[str, ...] = ()) -> ray.data.Dataset:
+    """Cast the named columns to int64 (pc.cast parses strings too).
+    ``str_to_int`` is the same cast — the separate name documents call-site
+    intent (a string doc_id being parsed vs an int being widened)."""
     def cast(batch: pa.Table) -> pa.Table:
-        for c in int_cols:
-            if c in batch.column_names:
-                i = batch.column_names.index(c)
-                batch = batch.set_column(i, c, pc.cast(batch[c], pa.int64()))
-        for c in str_to_int:
+        for c in int_cols + str_to_int:
             if c in batch.column_names:
                 i = batch.column_names.index(c)
                 batch = batch.set_column(i, c, pc.cast(batch[c], pa.int64()))
@@ -497,6 +509,27 @@ sh AS (
 )"""
 
 
+# near-dup connected components over integer-exact jaccard>=0.5 edges —
+# shared by dedup_clusters and curated_corpus so the clustering semantics
+# can never drift between them (requires SQL_TOKS + SQL_SHINGLES)
+SQL_CC = """
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+e0 AS (SELECT da, db FROM p
+       JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+       WHERE inter >= 2 AND 3 * inter >= ca.n + cb.n),
+edges AS (SELECT da AS s, db AS d FROM e0 UNION SELECT db, da FROM e0),
+cc AS (SELECT v AS doc_id, min(t) AS cluster_id FROM (
+  WITH RECURSIVE r(v, t) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.v, e.d FROM r JOIN edges e ON e.s = r.t)
+  SELECT v, t FROM r)
+GROUP BY v)"""
+
+
 def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
     from dug_ray.stages.dedup import exact_dedup
     return exact_dedup(read_documents(sf_dir, columns=["doc_id", "text"]))
@@ -761,16 +794,9 @@ def q_media_metadata(sf_dir: str) -> ray.data.Dataset:
     return media_metadata(read_interleaved(sf_dir))
 
 
-SQL_MEDIA_METADATA = _with(SQL_TOKS) + """,
-tc AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
-x AS (SELECT doc_id, CAST(ceil(n_tok / 8.0) AS BIGINT) AS n_text FROM tc),
-m AS (SELECT doc_id, 3 * t.j + 2 AS "offset"
-      FROM x, LATERAL (SELECT unnest(generate_series(0, CAST(n_text // 2 AS BIGINT) - 1)) AS j) t),
-mm AS (SELECT doc_id, "offset",
-              'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST("offset" AS VARCHAR) AS media_ref
-       FROM m)
+SQL_MEDIA_METADATA = _with(SQL_TOKS, SQL_MEDIA_SPANS) + """
 SELECT doc_id, "offset", media_ref,
-       CASE WHEN (("offset" - 2) // 3) % 2 = 0 THEN 'image' ELSE 'audio' END AS media_kind,
+       CASE WHEN ordinal % 2 = 0 THEN 'image' ELSE 'audio' END AS media_kind,
        64 + length(media_ref) * 7 AS width,
        64 + length(media_ref) * 13 AS height
 FROM mm"""
@@ -936,19 +962,25 @@ GROUP BY l.curie"""
 SEARCH_QUERY = "merge hash vector"
 
 
+def _sql_terms_in() -> str:
+    """Render SEARCH_QUERY as a SQL IN-list — EVERY search oracle derives
+    its term list from here so editing SEARCH_QUERY can't desync them."""
+    return ", ".join(f"'{t}'" for t in sorted(set(SEARCH_QUERY.split())))
+
+
 def q_search_elements(sf_dir: str) -> ray.data.Dataset:
     """O2 serving search: token-match top-20 (score desc, element_id asc)."""
     from dug_ray.pipelines.search import search_elements
     return search_elements(sf_dir, SEARCH_QUERY, k=20)
 
 
-SQL_SEARCH_ELEMENTS = _with(SQL_TOKS) + """,
+SQL_SEARCH_ELEMENTS = _with(SQL_TOKS) + f""",
 scored AS (
   SELECT CAST(doc_id AS VARCHAR) || '-s' ||
          CAST(CAST(floor((pos - 1) / 8) AS BIGINT)
               + CAST(floor((pos - 1) / 8) AS BIGINT) // 2 AS VARCHAR) AS element_id,
          CAST(count(DISTINCT term) AS BIGINT) AS score
-  FROM toks WHERE term IN ('merge', 'hash', 'vector')
+  FROM toks WHERE term IN ({_sql_terms_in()})
   GROUP BY 1),
 ranked AS (
   SELECT element_id, score,
@@ -1180,18 +1212,24 @@ def q_events_session(sf_dir: str) -> ray.data.Dataset:
 
 SQL_EVENTS_SESSION = """
 WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+-- session assignment runs over DISTINCT (user, sec): equal-second events
+-- must land in one session together (with raw rows, the lag/sum windows'
+-- tie order is nondeterministic and could split them across sessions)
+d AS (SELECT DISTINCT user_id, sec FROM e),
 x AS (SELECT user_id, sec,
              CASE WHEN lag(sec) OVER w IS NULL
                     OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
 y AS (SELECT user_id, sec,
              sum(brk) OVER (PARTITION BY user_id ORDER BY sec
                             ROWS UNBOUNDED PRECEDING) - 1 AS session
-      FROM x)
-SELECT user_id, CAST(session AS BIGINT) AS session,
-       min(sec) AS session_start, count(*) AS n_events,
-       max(sec) - min(sec) AS duration_sec
-FROM y GROUP BY user_id, session"""
+      FROM x),
+c AS (SELECT user_id, sec, count(*) AS n FROM e GROUP BY 1, 2)
+SELECT y.user_id, CAST(session AS BIGINT) AS session,
+       min(y.sec) AS session_start, CAST(sum(c.n) AS BIGINT) AS n_events,
+       max(y.sec) - min(y.sec) AS duration_sec
+FROM y JOIN c ON c.user_id = y.user_id AND c.sec = y.sec
+GROUP BY y.user_id, session"""
 
 
 def q_ivf_ann(sf_dir: str) -> ray.data.Dataset:
@@ -1789,22 +1827,8 @@ def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     return connected_components(read_documents(sf_dir, columns=["doc_id", "text"]))
 
 
-SQL_DEDUP_CLUSTERS = _with(SQL_TOKS, SQL_SHINGLES) + """,
-cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-      FROM sh a JOIN sh b USING (shingle)
-      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-e0 AS (SELECT da, db FROM p
-       JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
-       WHERE inter >= 2 AND 3 * inter >= ca.n + cb.n),
-edges AS (SELECT da AS s, db AS d FROM e0 UNION SELECT db, da FROM e0)
-SELECT v AS doc_id, CAST(min(t) AS BIGINT) AS cluster_id FROM (
-  WITH RECURSIVE r(v, t) AS (
-    SELECT doc_id, doc_id FROM documents
-    UNION
-    SELECT r.v, e.d FROM r JOIN edges e ON e.s = r.t)
-  SELECT v, t FROM r)
-GROUP BY v"""
+SQL_DEDUP_CLUSTERS = _with(SQL_TOKS, SQL_SHINGLES, SQL_CC) + """
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM cc"""
 
 
 QUERIES["dedup_clusters"] = q_dedup_clusters
@@ -2000,10 +2024,6 @@ def q_search_concepts(sf_dir: str, k: int = 10,
         df.reset_index(drop=True).astype({"score": "int64"}))
 
 
-def _sql_terms_in() -> str:
-    return ", ".join(f"'{t}'" for t in sorted(set(SEARCH_QUERY.split())))
-
-
 SQL_SEARCH_CONCEPTS = _with(
     ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
     SQL_TOKS, SQL_LINKED) + f""",
@@ -2066,14 +2086,7 @@ def q_media_features(sf_dir: str) -> ray.data.Dataset:
     return media_features(read_interleaved(sf_dir))
 
 
-SQL_MEDIA_FEATURES = _with(SQL_TOKS) + """,
-tc AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
-x AS (SELECT doc_id, CAST(ceil(n_tok / 8.0) AS BIGINT) AS n_text FROM tc),
-m AS (SELECT doc_id, 3 * t.j + 2 AS "offset"
-      FROM x, LATERAL (SELECT unnest(generate_series(0, CAST(n_text // 2 AS BIGINT) - 1)) AS j) t),
-mm AS (SELECT doc_id, "offset",
-              'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST("offset" AS VARCHAR) AS media_ref
-       FROM m)
+SQL_MEDIA_FEATURES = _with(SQL_TOKS, SQL_MEDIA_SPANS) + """
 SELECT doc_id, "offset", media_ref,
        CAST(strpos('0123456789abcdef', substr(md5(media_ref), 1, 1)) - 1 AS BIGINT) AS f0,
        CAST(strpos('0123456789abcdef', substr(md5(media_ref), 2, 1)) - 1 AS BIGINT) AS f1,
@@ -2092,15 +2105,10 @@ def q_media_frames(sf_dir: str) -> ray.data.Dataset:
     return sample_frames(read_interleaved(sf_dir))
 
 
-SQL_MEDIA_FRAMES = _with(SQL_TOKS) + """,
-tc AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
-x AS (SELECT doc_id, CAST(ceil(n_tok / 8.0) AS BIGINT) AS n_text FROM tc),
-m AS (SELECT doc_id, 3 * t.j + 2 AS "offset", t.j AS ordinal
-      FROM x, LATERAL (SELECT unnest(generate_series(0, CAST(n_text // 2 AS BIGINT) - 1)) AS j) t)
+SQL_MEDIA_FRAMES = _with(SQL_TOKS, SQL_MEDIA_SPANS) + """
 SELECT doc_id, "offset", f.i AS frame_idx,
-       'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST("offset" AS VARCHAR)
-       || '#frame-' || CAST(f.i AS VARCHAR) AS frame_ref
-FROM m, LATERAL (SELECT unnest(generate_series(0, ordinal % 3)) AS i) f"""
+       media_ref || '#frame-' || CAST(f.i AS VARCHAR) AS frame_ref
+FROM mm, LATERAL (SELECT unnest(generate_series(0, ordinal % 3)) AS i) f"""
 
 
 def q_media_resize(sf_dir: str) -> ray.data.Dataset:
@@ -2111,19 +2119,11 @@ def q_media_resize(sf_dir: str) -> ray.data.Dataset:
     return resize_dims(media_metadata(read_interleaved(sf_dir)))
 
 
-SQL_MEDIA_RESIZE = _with(SQL_TOKS) + """,
-tc AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
-x AS (SELECT doc_id, CAST(ceil(n_tok / 8.0) AS BIGINT) AS n_text FROM tc),
-m AS (SELECT doc_id, 3 * t.j + 2 AS "offset"
-      FROM x, LATERAL (SELECT unnest(generate_series(0, CAST(n_text // 2 AS BIGINT) - 1)) AS j) t),
-mm AS (SELECT doc_id, "offset",
-              'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST("offset" AS VARCHAR) AS media_ref
-       FROM m
-       WHERE (("offset" - 2) // 3) % 2 = 0),
+SQL_MEDIA_RESIZE = _with(SQL_TOKS, SQL_MEDIA_SPANS) + """,
 meta AS (SELECT doc_id, "offset", media_ref,
                 CAST(64 + length(media_ref) * 7 AS BIGINT) AS width,
                 CAST(64 + length(media_ref) * 13 AS BIGINT) AS height
-         FROM mm),
+         FROM mm WHERE ordinal % 2 = 0),
 g AS (SELECT *, greatest(width, height) AS mx FROM meta)
 SELECT doc_id, "offset", media_ref, width, height,
        CAST(CASE WHEN mx > 224 THEN width * 224 // mx ELSE width END AS BIGINT) AS out_w,
@@ -2389,22 +2389,7 @@ def q_curated_corpus(sf_dir: str, keep_text: bool = False) -> ray.data.Dataset:
         .map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
-SQL_CURATED_CORPUS = _with(SQL_TOKS, SQL_SHINGLES) + """,
-cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-      FROM sh a JOIN sh b USING (shingle)
-      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-e0 AS (SELECT da, db FROM p
-       JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
-       WHERE inter >= 2 AND 3 * inter >= ca.n + cb.n),
-edges AS (SELECT da AS s, db AS d FROM e0 UNION SELECT db, da FROM e0),
-cc AS (SELECT v AS doc_id, min(t) AS cluster_id FROM (
-  WITH RECURSIVE r(v, t) AS (
-    SELECT doc_id, doc_id FROM documents
-    UNION
-    SELECT r.v, e.d FROM r JOIN edges e ON e.s = r.t)
-  SELECT v, t FROM r)
-GROUP BY v),
+SQL_CURATED_CORPUS = _with(SQL_TOKS, SQL_SHINGLES, SQL_CC) + """,
 tq AS (
   SELECT doc_id,
          length(string_split(text, ' ')) AS n_tok,

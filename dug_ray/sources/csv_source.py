@@ -51,12 +51,10 @@ def csv_elements(ds: ray.data.Dataset, data_type: str = "topmed") -> ray.data.Da
             "collection_id": study,
             "collection_name": batch["study_name"],
             "element_action": pc.binary_join_element_wise(
-                pa.nulls(n, pa.string()).fill_null(
-                    "https://www.ncbi.nlm.nih.gov/projects/gap/cgi-bin/variable.cgi?study_id="),
+                pa.scalar("https://www.ncbi.nlm.nih.gov/projects/gap/cgi-bin/variable.cgi?study_id="),
                 study, pa.scalar("&phv="), phv_num, ""),
             "collection_action": pc.binary_join_element_wise(
-                pa.nulls(n, pa.string()).fill_null(
-                    "https://www.ncbi.nlm.nih.gov/projects/gap/cgi-bin/study.cgi?study_id="),
+                pa.scalar("https://www.ncbi.nlm.nih.gov/projects/gap/cgi-bin/study.cgi?study_id="),
                 study, ""),
             "tag_pk": pc.cast(batch["tag_pk"], pa.int64()),
         })

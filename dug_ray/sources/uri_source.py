@@ -30,9 +30,16 @@ OBJECT_STORE_SCHEMES = {"s3", "gs", "gcs", "abfs", "abfss", "az", "hdfs"}
 
 def staged_path(storage_dir: str, uri: str) -> str:
     """Reference staging layout: ``storage_dir/netloc/path`` (network_loader
-    .py:25-28)."""
+    .py:25-28). URLs that differ only in query string / fragment must NOT
+    collide onto one staged file (the second would silently be served the
+    first's bytes), so those components suffix the filename as a hash."""
     p = urlparse(uri)
-    return os.path.join(storage_dir, p.netloc, p.path.lstrip("/"))
+    base = os.path.join(storage_dir, p.netloc, p.path.lstrip("/"))
+    if p.query or p.fragment:
+        import hashlib
+        tag = hashlib.md5(f"{p.query}#{p.fragment}".encode()).hexdigest()[:12]
+        base += f".q{tag}"
+    return base
 
 
 def read_table_uri(uri: str, columns: list[str] | None = None,
