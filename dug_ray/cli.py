@@ -85,9 +85,12 @@ def cmd_search(args) -> int:
     else:  # kg: answers whose node names match a query term, best first
         from dug_ray.queries import q_search_kg
         df = q_search_kg(args.sf_dir).to_pandas()
-        terms = [t.lower() for t in args.query.split()]
+        tset = {t.lower() for t in args.query.split()}
+        # whole-token match over the pipe-joined node names (same semantics
+        # as the elements/concepts targets — 'the' must not hit 'theophylline')
+        import re
         hit = df["obj_names"].str.lower().map(
-            lambda s: any(t in s for t in terms))
+            lambda s: bool(tset.intersection(re.split(r"[| ]+", s))))
         df = (df[hit].sort_values(["n_edges", "answer_id"],
                                   ascending=[False, True]).head(args.k))
     print(df.to_string(index=False))

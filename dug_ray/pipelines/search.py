@@ -54,10 +54,14 @@ def search_elements(sf_dir: str, query: str, k: int = 20) -> ray.data.Dataset:
     scored = score_elements(parse_elements(read_interleaved(sf_dir)), terms)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(["score", "element_id"], ascending=[False, True],
-                            kind="mergesort").head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native: no pandas roundtrip (which would degrade empty
+        # blocks' element_id to a null-typed column). (score, element_id)
+        # is a total order (ids unique per batch), so no stability concern.
+        if len(batch) <= k:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=[("score", "descending"),
+                                                ("element_id", "ascending")])
+        return batch.take(idx.slice(0, k))
 
     partials = scored.map_batches(partial_topk, batch_format="pyarrow", batch_size=None)
     df = partials.to_pandas()

@@ -53,23 +53,36 @@ def annotation_failures(elements: ray.data.Dataset, lexicon=None,
     return elements.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
 
-def normalization_failures(mentions: ray.data.Dataset) -> ray.data.Dataset:
+def normalization_failures(mentions: ray.data.Dataset, normalizer=None,
+                           lexicon=None, threshold: float | None = None,
+                           greenlist: list[str] | None = None) -> ray.data.Dataset:
     """Dropped-by-normalization counts per raw CURIE: (curie, n_dropped).
 
     A mention is dropped when its score passes the threshold but its CURIE
-    has no preferred id and its prefix is outside the greenlist
-    (stages/link.py)."""
-    norm = ontology.normalizer_df()
-    failed_ids = set(norm[norm["preferred_curie"].isna()]["curie"])
-    green = set(ontology.ONTOLOGY_GREENLIST)
-    dropped = sorted(c for c in failed_ids if c.partition(":")[0] not in green)
+    does not normalize — no normalizer row at all, OR a row with a null
+    preferred id — and the prefix is outside the greenlist (the exact
+    LinkNormalize drop condition, stages/link.py). The config params must
+    mirror the link stage being measured (same contract as
+    ``annotation_failures``): defaults are the module defaults link uses."""
+    norm = ontology.normalizer_df() if normalizer is None else normalizer
+    lex = ontology.lexicon_df() if lexicon is None else lexicon
+    thr = ontology.LINKER_SCORE_THRESHOLD if threshold is None else threshold
+    green = set(ontology.ONTOLOGY_GREENLIST if greenlist is None else greenlist)
+    ok = set(norm[norm["preferred_curie"].map(lambda v: isinstance(v, str))]["curie"])
+    # domain = the lexicon's curies (the only mention producers)
+    dropped = sorted(c for c in set(lex["curie"])
+                     if c not in ok and c.partition(":")[0] not in green)
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.greater_equal(batch["score"], ontology.LINKER_SCORE_THRESHOLD))
-        t = t.filter(pc.is_in(t["curie"], value_set=pa.array(dropped or ["__none__"])))
+        t = batch.filter(pc.greater_equal(batch["score"], thr))
+        t = t.filter(pc.is_in(t["curie"],
+                              value_set=pa.array(dropped or ["__none__"], pa.string())))
         df = t.select(["curie"]).to_pandas()
-        g = df.groupby("curie", as_index=False).size().rename(columns={"size": "n_dropped"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = df.groupby("curie", as_index=False).size()
+        # typed build: an empty pandas frame would infer a null-typed curie
+        # column and leak divergent block schemas into the shuffle
+        return pa.table({"curie": pa.array(g["curie"], pa.string()),
+                         "n_dropped": pa.array(g["size"], pa.int64())})
 
     partial = mentions.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 

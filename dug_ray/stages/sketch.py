@@ -77,7 +77,14 @@ def hll_distinct_tokens(docs: ray.data.Dataset, by: str | None = None) -> pd.Dat
 
     merged = _merge_partial_registers(docs, by)
     return pd.DataFrame(
-        [{"key": k, "approx_distinct": estimate(v)} for k, v in sorted(merged.items())])
+        [{"key": k, "approx_distinct": estimate(v)}
+         for k, v in sorted(merged.items(), key=_null_last)])
+
+
+def _null_last(kv):
+    """Sort key for merged sketch items: null group key sorts after all
+    strings (SQL NULLS LAST), so mixed None/str keys don't TypeError."""
+    return (kv[0] is None, kv[0] or "")
 
 
 def _merge_partial_registers(docs: ray.data.Dataset, by: str | None) -> dict[str, np.ndarray]:
@@ -110,14 +117,19 @@ def _partial_sketches(by: str | None):
             parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
             keys = np.asarray(batch.column(by).to_pylist(), dtype=object)
             df = pd.DataFrame({"k": keys[parent], "t": flat}).drop_duplicates()
-            groups = [(k, np.sort(g["t"].to_numpy()))
-                      for k, g in df.groupby("k", sort=False)]
-        rows = [{"key": k, "regs": _registers(list(v)).tobytes()}
-                for k, v in groups]
-        if not rows:  # empty batch: keep the (key, regs) schema explicit
-            return pa.table({"key": pa.array([], pa.string()),
-                             "regs": pa.array([], pa.binary())})
-        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+            # dropna=False: a null group key forms one group (the engine's
+            # null-key contract, shuffle.py) instead of silently losing
+            # those docs' tokens from every sketch
+            groups = [(None if (not isinstance(k, str) and pd.isna(k)) else k,
+                       g["t"].to_numpy())
+                      for k, g in df.groupby("k", sort=False, dropna=False)]
+        # typed build (not from_pandas): empty or all-null-key batches must
+        # still carry (string, binary), not inferred null types
+        return pa.table({
+            "key": pa.array([k for k, _ in groups], pa.string()),
+            "regs": pa.array([_registers(v).tobytes() for _, v in groups],
+                             pa.binary()),
+        })
 
     return per_batch
 
@@ -130,7 +142,7 @@ def hll_register_summary(docs: ray.data.Dataset, by: str) -> pd.DataFrame:
     hash-match oracle. Columns: key, n_regs, reg_sum, reg_digest."""
     merged = _merge_partial_registers(docs, by)
     rows = []
-    for k, regs in sorted(merged.items()):
+    for k, regs in sorted(merged.items(), key=_null_last):
         nz = np.flatnonzero(regs)
         digest = hashlib.md5("|".join(
             f"{i}:{int(regs[i])}" for i in nz).encode()).hexdigest()
