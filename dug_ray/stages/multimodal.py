@@ -155,13 +155,17 @@ def sample_frames(docs: ray.data.Dataset) -> ray.data.Dataset:
         idx = np.repeat(np.arange(len(batch)), n_frames)
         frame_i = np.arange(n_frames.sum()) - np.repeat(
             np.concatenate([[0], np.cumsum(n_frames)[:-1]]), n_frames)
-        refs = np.asarray(batch.column("media_ref").to_pylist(), dtype=object)
+        refs_taken = pc.take(batch.column("media_ref"), pa.array(idx))
+        if isinstance(refs_taken, pa.ChunkedArray):
+            refs_taken = refs_taken.combine_chunks()
+        frame_idx = pa.array(frame_i, pa.int64())
         return pa.table({
             "doc_id": pc.take(pc.cast(batch["doc_id"], pa.int64()), pa.array(idx)),
             "offset": pa.array(offs[idx], pa.int64()),
-            "frame_idx": pa.array(frame_i, pa.int64()),
-            "frame_ref": pa.array([f"{r}#frame-{i}" for r, i in zip(refs[idx], frame_i)],
-                                  pa.string()),
+            "frame_idx": frame_idx,
+            # vectorized ref#frame-i (no per-row f-string loop)
+            "frame_ref": pc.binary_join_element_wise(
+                refs_taken, pc.cast(frame_idx, pa.string()), "#frame-"),
         })
 
     return media_spans(docs).map_batches(per_batch, batch_format="pyarrow",

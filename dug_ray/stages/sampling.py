@@ -47,8 +47,14 @@ def group_sample(docs: ray.data.Dataset, k: int = 5) -> ray.data.Dataset:
         df = batch.to_pandas()[["source", "doc_id"]]
         df["h"] = md5_int(df["doc_id"].to_numpy())
         df = df.sort_values(["source", "h", "doc_id"], kind="mergesort")
-        return pa.Table.from_pandas(df.groupby("source").head(k),
-                                    preserve_index=False)
+        top = df.groupby("source").head(k)
+        # typed build: from_pandas on an empty frame would infer null-typed
+        # columns and leak divergent block schemas into the shuffle
+        return pa.table({
+            "source": pa.array(top["source"], pa.string()),
+            "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+            "h": pa.array(top["h"].to_numpy(), pa.int64()),
+        })
 
     partials = docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
@@ -79,7 +85,12 @@ def mixture_sample(docs: ray.data.Dataset) -> ray.data.Dataset:
         df["kept"] = _mixture_kept_mask(df)
         g = df.groupby("source", as_index=False).agg(
             n_total=("doc_id", "size"), n_kept=("kept", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # typed build (see group_sample.partial)
+        return pa.table({
+            "source": pa.array(g["source"], pa.string()),
+            "n_total": pa.array(g["n_total"].to_numpy(), pa.int64()),
+            "n_kept": pa.array(g["n_kept"].to_numpy(), pa.int64()),
+        })
 
     partials = docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
