@@ -54,7 +54,7 @@ def export_searchable(sf_dir: str, out_dir: str) -> dict[str, int]:
     _atomic_write(element_terms(linked, concepts), f"{out_dir}/elements")
     _atomic_write(concepts, f"{out_dir}/concepts")
 
-    answers = q.q_kg_answers(sf_dir)
+    answers = q.q_kg_answers(sf_dir, concepts=concepts)
 
     def doc_ids(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -1005,12 +1005,18 @@ ORACLES.update({
 # TRAPI answer semantics (M18/A6) + TOPMed tag concepts (S7)
 # ---------------------------------------------------------------------------
 
-def q_kg_answers(sf_dir: str) -> ray.data.Dataset:
+def q_kg_answers(sf_dir: str, concepts: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """QueryKG answer extraction + dedup (M18 ``tranql.py:21-61``, A6
     ``parsers/_base.py:106-110``): one answer per (concept, query shape),
     answer_id = joined sorted node ids + query name; objs and obj names
-    aggregated sorted-distinct (the optional_terms feed, A3)."""
-    trips = expand_concepts(build_concepts(kg.linked_mentions_cached(sf_dir)))
+    aggregated sorted-distinct (the optional_terms feed, A3).
+
+    ``concepts``: optional prebuilt concepts Dataset — export_searchable
+    passes its already-materialized table so the canonicalization shuffle
+    doesn't run a second time."""
+    if concepts is None:
+        concepts = build_concepts(kg.linked_mentions_cached(sf_dir))
+    trips = expand_concepts(concepts)
     from dug_ray.stages.canonicalize import _join_distinct
 
     def per_batch(batch: pa.Table) -> pa.Table:

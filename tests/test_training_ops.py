@@ -166,6 +166,25 @@ def test_hll_accuracy(sf_smoke):
     assert abs(got - exact) / exact < 0.1
 
 
+def test_hll_null_group_key():
+    """Grouped sketches keep null-keyed rows as ONE group (the engine's
+    null-key contract) — their tokens must not vanish, and mixed None/str
+    keys must not TypeError the merged-state sort (NULLS LAST)."""
+    import pandas as pd
+    import ray.data
+    from dug_ray.stages.sketch import hll_distinct_tokens, hll_register_summary
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "text": ["a b c", "c d", "e f g h"],
+        "lang": ["en", None, "en"]}))
+    est = hll_distinct_tokens(docs, by="lang")
+    assert list(est["key"]) == ["en", None]  # NULLS LAST
+    by_key = dict(zip(est["key"], est["approx_distinct"]))
+    assert round(by_key[None]) == 2      # 'c d' survived under the null group
+    assert round(by_key["en"]) == 7      # a b c e f g h
+    summ = hll_register_summary(docs, by="lang")
+    assert dict(zip(summ["key"], summ["n_regs"]))[None] == 2
+
+
 def test_hash_join_edges():
     """Partitioned hash join: unmatched keys drop, empty side yields empty,
     dtypes survive the typed-null widening."""
