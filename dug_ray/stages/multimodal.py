@@ -115,13 +115,16 @@ class MediaFeatures:
                 "media feature extraction requires a vision/audio model not "
                 "present in this environment; fake=True runs the "
                 "deterministic md5 featurizer with the same plumbing")
-        import hashlib
-        self._hash = hashlib.md5  # the 'model weights' slot
+        from dug_ray.hashing import md5_hex
+        self._hash = md5_hex  # the 'model weights' slot (vectorized sidecar)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        refs = batch.column("media_ref").to_pylist()
-        digits = np.array([[int(c, 16) for c in self._hash(r.encode()).hexdigest()[:self.DIM]]
-                           for r in refs], dtype=np.int64).reshape(len(refs), self.DIM)
+        # vectorized: md5 via the DuckDB sidecar, hex digits decoded with
+        # the simhash frombuffer trick (no per-row hashlib loop)
+        hexes = self._hash(batch.column("media_ref"), self.DIM)
+        b = np.frombuffer("".join(hexes).encode(), np.uint8).reshape(-1, self.DIM)
+        digits = np.where(b >= ord("a"), b - ord("a") + 10,
+                          b - ord("0")).astype(np.int64)
         cols = {
             "doc_id": pc.cast(batch["doc_id"], pa.int64()),
             "offset": pc.cast(batch["offset"], pa.int64()),

@@ -90,3 +90,11 @@ def test_uri_loader_dispatch(tmp_path, sf_smoke):
 
     with pytest.raises(ValueError, match="Cannot find loader"):
         read_table_uri("ftp://host/x.parquet")
+
+    # UN-staged http in a network-less environment: the honest gate fires
+    # (clear error naming the pre-stage path), and no torn .tmp is left
+    with pytest.raises(NotImplementedError, match="pre-stage"):
+        read_table_uri("http://example.org/data/other.parquet",
+                       storage_dir=str(tmp_path))
+    other = staged_path(str(tmp_path), "http://example.org/data/other.parquet")
+    assert not os.path.exists(other) and not os.path.exists(other + ".tmp")

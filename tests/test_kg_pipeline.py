@@ -29,7 +29,9 @@ def python_oracle_mentions(sf_dir):
             for curie, label, cat, score in lex.get(w, []):
                 if score < ontology.LINKER_SCORE_THRESHOLD:
                     continue
-                pref, plabel, ptype = norm[curie]
+                # a curie with NO normalizer row takes the same rescue path
+                # as an explicit-None row (link.py norm_map.get semantics)
+                pref, plabel, ptype = norm.get(curie, (None, None, None))
                 if pref is None:
                     if curie.split(":")[0] not in green:
                         continue

@@ -6,7 +6,10 @@ import ray.data
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from tests.test_spanify import python_oracle_spans
+# bare module import: works under both `python -m pytest` (cwd on sys.path)
+# and the `pytest` console script (rootdir test dir on sys.path); a
+# `tests.`-qualified import breaks the latter (no tests/__init__.py)
+from test_spanify import python_oracle_spans
 
 WORD = st.text(alphabet="abcdefghij", min_size=1, max_size=8)
 
@@ -116,7 +119,9 @@ def test_asof_join_matches_bruteforce(rows):
                        & ((quotes["sec"] < t["sec"])
                           | ((quotes["sec"] == t["sec"])
                              & (quotes["event_id"] < t["event_id"])))]
-        r = got[got["event_id"] == t["event_id"]].iloc[0]
+        sel = got[got["event_id"] == t["event_id"]]
+        assert len(sel) == 1, f"tick {t['event_id']} missing/duplicated in asof output"
+        r = sel.iloc[0]
         if len(prior):
             best = prior.sort_values(["sec", "event_id"]).iloc[-1]
             assert r["quote_event"] == best["event_id"]
@@ -148,6 +153,23 @@ def test_connected_components_match_union_find(edges):
         {"doc_id": list(texts), "text": [texts[i] for i in texts]}))
 
     eng_edges = neardup_edges(docs).to_pandas()
+    # non-circular guards on the edge extraction itself: docs that share no
+    # common run have disjoint tokens, so every engine edge must be a
+    # constructed pair (no spurious edges); and an isolated constructed pair
+    # (both endpoints degree 1) always clears the jaccard bar, so it must be
+    # detected. (High-degree nodes legitimately dilute jaccard below 0.5,
+    # so full equality is not a valid assertion.)
+    constructed = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    eng_pairs = {(min(int(r["src"]), int(r["dst"])), max(int(r["src"]), int(r["dst"])))
+                 for _, r in eng_edges.iterrows()}
+    assert eng_pairs <= constructed
+    deg: dict[int, set[int]] = {}
+    for a, b in constructed:
+        deg.setdefault(a, set()).add(b)
+        deg.setdefault(b, set()).add(a)
+    for a, b in constructed:
+        if len(deg[a]) == 1 and len(deg[b]) == 1:
+            assert (a, b) in eng_pairs
     parent = list(range(10))
 
     def find(x):

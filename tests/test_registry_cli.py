@@ -51,12 +51,27 @@ def test_norm_fails_is_xxx_only(sf_smoke):
 
 
 def test_search_rank_contract(sf_smoke):
+    import pandas as pd
+
+    from dug_ray.io import read_interleaved
     from dug_ray.pipelines.search import search_elements
+    from dug_ray.stages.parse import parse_elements
     df = search_elements(sf_smoke, "merge hash vector", k=10).to_pandas()
     assert len(df) == 10
     assert list(df["rank"]) == list(range(1, 11))
-    # ranking is (score desc, element_id asc)
-    assert (df["score"].diff().dropna() <= 0).all()
+    # exact ranking contract incl. the element_id tie-break: compare the
+    # full top-10 against a brute-force (score desc, element_id asc) sort
+    terms = {"merge", "hash", "vector"}
+    els = parse_elements(read_interleaved(sf_smoke)).to_pandas()
+    exp = pd.DataFrame({
+        "element_id": els["element_id"].astype(str),
+        "score": els["element_desc"].map(lambda s: len(terms & set(s.split(" ")))),
+    })
+    exp = (exp[exp["score"] > 0]
+           .sort_values(["score", "element_id"], ascending=[False, True],
+                        kind="mergesort").head(10))
+    assert list(df["element_id"]) == list(exp["element_id"])
+    assert list(df["score"]) == list(exp["score"])
 
 
 def test_mention_filter_hook(sf_smoke):

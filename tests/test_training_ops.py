@@ -105,6 +105,29 @@ def test_media_decode_stub(sf_smoke):
     assert isinstance(out["payload"].iloc[0], bytes)
 
 
+def test_media_features_match_hashlib(sf_smoke):
+    """The vectorized md5 featurizer (sidecar + frombuffer digit decode) is
+    bit-identical to the per-row hashlib definition, and empty batches keep
+    the typed schema."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from dug_ray.io import read_interleaved
+    from dug_ray.stages.multimodal import MediaFeatures, media_features
+    out = media_features(read_interleaved(sf_smoke)).to_pandas()
+    assert len(out) > 0
+    sample = out.head(20)
+    for _, r in sample.iterrows():
+        hx = hashlib.md5(r["media_ref"].encode()).hexdigest()[:MediaFeatures.DIM]
+        assert [int(c, 16) for c in hx] == [r[f"f{j}"] for j in range(MediaFeatures.DIM)]
+    empty = MediaFeatures()(pa.table({
+        "doc_id": pa.array([], pa.string()), "offset": pa.array([], pa.int64()),
+        "media_ref": pa.array([], pa.string())}))
+    assert empty.num_rows == 0
+    assert empty.schema.field("f0").type == pa.int64()
+
+
 def test_langid_valid(sf_smoke):
     from dug_ray.io import read_documents
     from dug_ray.stages.textstats import langid
