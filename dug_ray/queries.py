@@ -21,7 +21,7 @@ import ray.data
 from dug_ray import ontology
 from dug_ray.io import flatten_spans, read_documents, read_interleaved
 from dug_ray.pipelines import kg
-from dug_ray.shuffle import bucketed_group_apply
+from dug_ray.shuffle import bucketed_group_apply, typed_table
 from dug_ray.stages.annotate import annotate_elements
 from dug_ray.stages.canonicalize import build_concepts, element_terms
 from dug_ray.stages.expand import annotates_edges, cast_elements_from_triples, expand_concepts
@@ -361,7 +361,8 @@ def q_element_merge(sf_dir: str) -> ray.data.Dataset:
         df = batch.to_pandas()[["element_id", "collection_id", "canonical_curie"]]
         out = (df.groupby(["element_id", "collection_id"], as_index=False)
                .agg(identifiers=("canonical_curie", lambda s: "|".join(sorted(set(s))))))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return typed_table(out, element_id=pa.string(), collection_id=pa.string(),
+                           identifiers=pa.string())
 
     partial = linked.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
@@ -397,8 +398,8 @@ def q_topmed_join(sf_dir: str) -> ray.data.Dataset:
         df["tag_pk"] = pd.to_numeric(df["doc_id"]) % 4
         out = df.merge(tags, on="tag_pk", how="inner", sort=False)
         out["tag_desc"] = out["description"] + ". " + out["instructions"]
-        return pa.Table.from_pandas(
-            out[["element_id", "tag_pk", "title", "tag_desc"]], preserve_index=False)
+        return typed_table(out, element_id=pa.string(), tag_pk=pa.int64(),
+                           title=pa.string(), tag_desc=pa.string())
 
     return _norm(els.map_batches(join, batch_format="pyarrow", batch_size=None), int_cols=("tag_pk",))
 
@@ -830,7 +831,7 @@ def q_concept_inheritance(sf_dir: str) -> ray.data.Dataset:
              .agg(inherited=("inh", lambda s: "|".join(sorted(
                  set().union(*(v.split("|") for v in s if v)))))))
         g = g[g["inherited"] != ""]
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return typed_table(g, element_id=pa.string(), inherited=pa.string())
 
     out = linked.map_batches(inherit, batch_format="pyarrow", batch_size=None)
     from dug_ray.stages.canonicalize import _join_distinct
@@ -1029,7 +1030,9 @@ def q_kg_answers(sf_dir: str, concepts: ray.data.Dataset | None = None) -> ray.d
              .agg(objs=("obj", lambda s: "|".join(sorted(set(s)))),
                   obj_names=("obj_name", lambda s: "|".join(sorted(set(s)))),
                   n_edges=("obj", "size")))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return typed_table(g, subj=pa.string(), source_query=pa.string(),
+                           objs=pa.string(), obj_names=pa.string(),
+                           n_edges=pa.int64())
 
     out = trips.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
@@ -1122,8 +1125,9 @@ def q_concept_optional_terms(sf_dir: str) -> ray.data.Dataset:
         g = (df.groupby("subj", as_index=False)
              .agg(optional_terms=("obj_name", lambda s: "|".join(sorted(set(s)))),
                   queries=("source_query", lambda s: "|".join(sorted(set(s))))))
-        return pa.Table.from_pandas(
-            g.rename(columns={"subj": "concept_id"}), preserve_index=False)
+        return typed_table(g.rename(columns={"subj": "concept_id"}),
+                           concept_id=pa.string(), optional_terms=pa.string(),
+                           queries=pa.string())
 
     out = trips.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
@@ -1276,7 +1280,9 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("qty", "sum"), sum_base_price_cents=("price_c", "sum"),
             sum_disc_bp=("disc_bp", "sum"), count_order=("qty", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return typed_table(g, l_returnflag=pa.string(), l_linestatus=pa.string(),
+                           sum_qty=pa.int64(), sum_base_price_cents=pa.int64(),
+                           sum_disc_bp=pa.int64(), count_order=pa.int64())
 
     partial = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
@@ -1328,7 +1334,8 @@ def q_order_revenue_join(sf_dir: str) -> ray.data.Dataset:
         df = batch.to_pandas()
         g = df.groupby(["l_orderkey", "o_orderpriority"], as_index=False).agg(
             revenue_cents=("rev_c", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return typed_table(g, l_orderkey=pa.int64(), o_orderpriority=pa.string(),
+                           revenue_cents=pa.int64())
 
     # per-batch partial sums (hash_join co-locates an order's rows, but a
     # block split could straddle one) + exact driver-side final regroup of
@@ -1376,7 +1383,8 @@ def q_doc_event_join(sf_dir: str) -> ray.data.Dataset:
         df = batch.to_pandas()
         g = df.groupby(["lang", "event_type"], as_index=False).size() \
             .rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return typed_table(g, lang=pa.string(), event_type=pa.string(),
+                           n=pa.int64())
 
     partial = joined.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
@@ -1512,7 +1520,7 @@ def q_faceted_search(sf_dir: str) -> ray.data.Dataset:
                       .rename("n").reset_index().rename(columns={"source": "key"}))
         src_counts["facet"] = "source"
         out = pd.concat([lang_counts, src_counts])[["facet", "key", "n"]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return typed_table(out, facet=pa.string(), key=pa.string(), n=pa.int64())
 
     partial = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
@@ -1603,7 +1611,8 @@ def q_urgent_lineitems(sf_dir: str) -> ray.data.Dataset:
         df["qty"] = (df["l_quantity"] * 100).round().astype("int64")
         g = df.groupby("l_returnflag", as_index=False).agg(
             n_items=("qty", "size"), sum_qty=("qty", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return typed_table(g, l_returnflag=pa.string(), n_items=pa.int64(),
+                           sum_qty=pa.int64())
 
     partial = joined.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
@@ -1648,7 +1657,8 @@ def q_segment_order_stats(sf_dir: str) -> ray.data.Dataset:
         df["price_c"] = (df["o_totalprice"] * 100).round().astype("int64")
         g = df.groupby("c_mktsegment", as_index=False).agg(
             n_orders=("price_c", "size"), total_cents=("price_c", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return typed_table(g, c_mktsegment=pa.string(), n_orders=pa.int64(),
+                           total_cents=pa.int64())
 
     partial = joined.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
@@ -1690,7 +1700,8 @@ def q_region_suppliers(sf_dir: str) -> ray.data.Dataset:
         df["bal_c"] = (df["s_acctbal"] * 100).round().astype("int64")
         g = df.groupby("r_name", as_index=False).agg(
             n_suppliers=("s_suppkey", "size"), acctbal_cents=("bal_c", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return typed_table(g, r_name=pa.string(), n_suppliers=pa.int64(),
+                           acctbal_cents=pa.int64())
 
     partial = sup.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
@@ -1723,7 +1734,8 @@ def q_part_brand_stats(sf_dir: str) -> ray.data.Dataset:
         g = df.groupby("p_brand", as_index=False).agg(
             n_parts=("p_size", "size"), sum_size=("p_size", "sum"),
             retail_cents=("price_c", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return typed_table(g, p_brand=pa.string(), n_parts=pa.int64(),
+                           sum_size=pa.int64(), retail_cents=pa.int64())
 
     partial = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
@@ -1934,7 +1946,8 @@ def q_stratified_split(sf_dir: str) -> ray.data.Dataset:
         bucket = md5_int(df["doc_id"].to_numpy()) % 10
         df["split"] = np.where(bucket < 8, "train", np.where(bucket < 9, "val", "test"))
         g = df.groupby(["source", "split"], as_index=False).agg(n_docs=("doc_id", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return typed_table(g, source=pa.string(), split=pa.string(),
+                           n_docs=pa.int64())
 
     partial = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
@@ -2014,7 +2027,8 @@ def q_search_concepts(sf_dir: str, k: int = 10,
         df["score"] = df["search_terms"].map(
             lambda s: np.int64(len(terms & set(s.split("|")))))
         df = df[df["score"] > 0][["concept_id", "name", "score"]]
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return typed_table(df, concept_id=pa.string(), name=pa.string(),
+                           score=pa.int64())
 
     scored = concepts.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
     # concepts table is ontology-bounded; the final top-k merge is tiny

@@ -32,6 +32,18 @@ import ray.data
 BUCKET_COL = "_bucket"
 
 
+def typed_table(df: pd.DataFrame, **types) -> pa.Table:
+    """``pa.Table.from_pandas`` with explicit per-column Arrow types.
+
+    An EMPTY pandas frame's object columns infer as Arrow ``null`` type,
+    which leaks divergent block schemas into downstream shuffles/unions
+    (Ray warns "divergent schemas ... may lead to unexpected behavior").
+    Building each column with its declared type keeps empty and populated
+    batches schema-identical. Column order = keyword order."""
+    return pa.table({c: pa.array(df[c], type=t, from_pandas=True)
+                     for c, t in types.items()})
+
+
 def _stable_hash_array(keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Full-width deterministic uint64 hash of a key column.
 

@@ -96,7 +96,12 @@ def partial_concepts(batch: pa.Table) -> pa.Table:
            .agg("|".join).rename("identifiers"))
     out = out.merge(terms, on="canonical_curie").merge(ids, on="canonical_curie")
     out = out.rename(columns={"canonical_curie": "concept_id"})
-    return pa.Table.from_pandas(out, preserve_index=False)
+    from dug_ray.shuffle import typed_table
+    return typed_table(out, concept_id=pa.string(), name=pa.string(),
+                       type=pa.string(), synonyms=pa.string(), purl=pa.string(),
+                       n_mentions=pa.int64(), first_doc_id=pa.int64(),
+                       _doc_key=pa.string(), first_tok_pos=pa.int64(),
+                       terms=pa.string(), identifiers=pa.string())
 
 
 def _decat(df: pd.DataFrame) -> pd.DataFrame:
@@ -155,8 +160,9 @@ def element_counts(linked: ray.data.Dataset, num_buckets: int = 32) -> ray.data.
     from dug_ray.shuffle import bucketed_group_apply
 
     def per_batch(batch: pa.Table) -> pa.Table:
+        from dug_ray.shuffle import typed_table
         df = batch.to_pandas()[["canonical_curie", "element_id"]].drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return typed_table(df, canonical_curie=pa.string(), element_id=pa.string())
 
     pairs = linked.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
@@ -207,7 +213,9 @@ def element_terms(linked: ray.data.Dataset, concepts: ray.data.Dataset) -> ray.d
         out = (df.groupby(["element_id", "collection_id"], as_index=False)
                  .agg(search_terms=("_terms", _join_distinct),
                       concepts=("canonical_curie", lambda s: "|".join(sorted(set(s))))))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        from dug_ray.shuffle import typed_table
+        return typed_table(out, element_id=pa.string(), collection_id=pa.string(),
+                           search_terms=pa.string(), concepts=pa.string())
 
     partial = linked.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 

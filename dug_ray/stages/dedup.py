@@ -51,7 +51,9 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
         df["content_hash"] = md5_hex(batch["text"])
         g = df.groupby("content_hash", as_index=False).agg(
             doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        from dug_ray.shuffle import typed_table
+        return typed_table(g, content_hash=pa.string(), doc_id=pa.int64(),
+                           n_copies=pa.int64())
 
     partial = docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
@@ -207,7 +209,9 @@ def minhash_lsh_pairs(docs: ray.data.Dataset) -> ray.data.Dataset:
             bh = md5_hex(cat.to_numpy())
             out.append(pd.DataFrame({
                 "doc_id": df["doc_id"], "band": b, "band_hash": bh}))
-        return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
+        from dug_ray.shuffle import typed_table
+        return typed_table(pd.concat(out), doc_id=pa.int64(), band=pa.int64(),
+                           band_hash=pa.string())
 
     banded = sigs.map_batches(bands, batch_format="pyarrow", batch_size=None)
 

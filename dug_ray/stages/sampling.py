@@ -145,8 +145,8 @@ def decontaminate(docs: ray.data.Dataset, bench_mod: int = 97) -> ray.data.Datas
         return batch.filter(pa.array(ids % bench_mod == 0))
 
     bench_sh = (docs.map_batches(bench_filter, batch_format="pyarrow", batch_size=None)
-                .map_batches(lambda b: pa.Table.from_pandas(
-                    _shingle_df(b)[["shingle"]].drop_duplicates(), preserve_index=False),
+                .map_batches(lambda b: pa.table({"shingle": pa.array(
+                    _shingle_df(b)["shingle"].drop_duplicates(), pa.string())}),
                     batch_format="pyarrow", batch_size=None))
     # the eval set is small by definition -> its shingle set broadcasts
     bench_set = set()

@@ -107,7 +107,9 @@ def ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10) -> ray.data.Dataset:
             for j in _topk_idx(sims[qi], vid, k):
                 rows.append((int(ids[qi]), int(vid[j]), float(sims[qi, j])))
         out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cos"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        from dug_ray.shuffle import typed_table
+        return typed_table(out, query_id=pa.int64(), vec_id=pa.int64(),
+                           cos=pa.float64())
 
     partials = emb.map_batches(partial_topk, batch_format="pyarrow", batch_size=None)
     # final: tiny (queries x k x batches) — exact merge driver-side
@@ -345,7 +347,9 @@ def lsh_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
             rows.extend((int(ids[qi]), int(cv[j]), float(sims[j]))
                         for j in _topk_idx(sims, cv, k))
         out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cos"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        from dug_ray.shuffle import typed_table
+        return typed_table(out, query_id=pa.int64(), vec_id=pa.int64(),
+                           cos=pa.float64())
 
     partials = emb.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return _finalize_topk(partials.to_pandas(), k)
@@ -403,7 +407,9 @@ def ivf_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
             rows.extend((int(qids[qi]), int(cv[j]), float(sims[j]))
                         for j in _topk_idx(sims, cv, k))
         out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cos"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        from dug_ray.shuffle import typed_table
+        return typed_table(out, query_id=pa.int64(), vec_id=pa.int64(),
+                           cos=pa.float64())
 
     partials = emb.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return _finalize_topk(partials.to_pandas(), k)
