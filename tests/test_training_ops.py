@@ -189,6 +189,30 @@ def test_hll_accuracy(sf_smoke):
     assert abs(got - exact) / exact < 0.1
 
 
+def test_typed_table_schema_stability():
+    """typed_table keeps empty and populated frames schema-identical (an
+    empty object column would otherwise infer Arrow null type and leak
+    divergent block schemas into shuffles), and a filtered-to-empty batch
+    through a string-column partial keeps its declared schema."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from dug_ray.shuffle import typed_table
+    full = pd.DataFrame({"k": ["a", "b"], "n": [1, 2]})
+    t_full = typed_table(full, k=pa.string(), n=pa.int64())
+    t_empty = typed_table(full.iloc[0:0], k=pa.string(), n=pa.int64())
+    assert t_full.schema == t_empty.schema
+    assert t_empty.schema.field("k").type == pa.string()
+    # a real partial: exact-dedup combiner on an empty batch
+    from dug_ray.stages.dedup import exact_dedup  # noqa: F401 (import path)
+    import ray.data
+    empty_docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    out = exact_dedup(empty_docs)
+    sch = out.schema()
+    assert sch is None or "doc_id" in sch.names
+
+
 def test_hll_null_group_key():
     """Grouped sketches keep null-keyed rows as ONE group (the engine's
     null-key contract) — their tokens must not vanish, and mixed None/str
