@@ -122,24 +122,18 @@ def distinct_rows(ds: ray.data.Dataset, cols: list[str], num_buckets: int = 64) 
         partial, cols[0], lambda df: df.drop_duplicates(), num_buckets)
 
 
-def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
-              left_key: str, right_key: str,
-              num_buckets: int = 32) -> ray.data.Dataset:
-    """Partitioned hash join for two LARGE sides (neither is broadcast).
-
-    The portable Ray Data pattern (no reliance on a Dataset.join API):
-    tag each side, bucket both on the join key's stable hash, union, and
-    merge matching buckets pairwise inside the bucketed grouped apply —
-    each bucket task sees every row of its keys from BOTH sides, so the
-    join is exact. ``num_buckets`` bounds per-task memory; salt hot keys
-    upstream if one key dominates (same combiner discipline as the KG
-    canonicalization shuffle). Quirk: a fully-empty result Dataset loses
-    its column schema (Ray pandas-block behavior) — guard consumers.
+def _tagged_union(left: ray.data.Dataset, right: ray.data.Dataset,
+                  left_key: str, right_key: str):
+    """Shared two-sided exchange prep for the partitioned joins: tag each
+    side, cast the join key to a common ``_jk`` string, widen both sides to
+    the column union (typed defaults, see below) and union them.  Returns
+    ``(unioned_ds, lcols, rcols)``; the caller supplies the per-bucket
+    merge semantics (inner, anti, ...).
 
     Column names on the two sides must be fully disjoint (including the
-    key columns — they are both kept in the output): pandas would silently
-    suffix shared names to _x/_y inside the bucket merge and the widened
-    union would mix both sides' values under one type. Rejected up front."""
+    key columns): pandas would silently suffix shared names to _x/_y inside
+    the bucket merge and the widened union would mix both sides' values
+    under one type. Rejected up front."""
 
     def tag(side: str, key: str):
         def _t(batch: pa.Table) -> pa.Table:
@@ -177,15 +171,6 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     types = {c: _arrow_type(t) for c, t in
              list(zip(rsch.names, rsch.types)) + list(zip(lsch.names, lsch.types))}
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # SQL inner-join semantics: null keys never match. (They all route
-        # to bucket 0 and pandas merge WOULD match NaN==NaN — drop first.)
-        df = df[df["_jk"].notna()]
-        li = df[df["_side"] == "l"][lcols + ["_jk"]]
-        ri = df[df["_side"] == "r"][rcols + ["_jk"]]
-        out = li.merge(ri, on="_jk", how="inner", sort=False)
-        return out.drop(columns=["_jk"])
-
     # union requires matching schemas: widen each side to the column union.
     # Other-side integer/bool columns get typed DEFAULTS (0 / false), not
     # nulls: an int64 column containing nulls turns float64 in the pandas
@@ -211,4 +196,56 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     u = (lt.map_batches(widen, batch_format="pyarrow", batch_size=None)
          .union(rt.map_batches(widen, batch_format="pyarrow", batch_size=None)))
+    return u, lcols, rcols
+
+
+def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              left_key: str, right_key: str,
+              num_buckets: int = 32) -> ray.data.Dataset:
+    """Partitioned hash join for two LARGE sides (neither is broadcast).
+
+    The portable Ray Data pattern (no reliance on a Dataset.join API):
+    tag each side, bucket both on the join key's stable hash, union, and
+    merge matching buckets pairwise inside the bucketed grouped apply —
+    each bucket task sees every row of its keys from BOTH sides, so the
+    join is exact. ``num_buckets`` bounds per-task memory; salt hot keys
+    upstream if one key dominates (same combiner discipline as the KG
+    canonicalization shuffle). Quirk: a fully-empty result Dataset loses
+    its column schema (Ray pandas-block behavior) — guard consumers.
+    Column names on the two sides must be fully disjoint (see
+    ``_tagged_union``)."""
+    u, lcols, rcols = _tagged_union(left, right, left_key, right_key)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # SQL inner-join semantics: null keys never match. (They all route
+        # to bucket 0 and pandas merge WOULD match NaN==NaN — drop first.)
+        df = df[df["_jk"].notna()]
+        li = df[df["_side"] == "l"][lcols + ["_jk"]]
+        ri = df[df["_side"] == "r"][rcols + ["_jk"]]
+        out = li.merge(ri, on="_jk", how="inner", sort=False)
+        return out.drop(columns=["_jk"])
+
+    return bucketed_group_apply(u, "_jk", per_bucket, num_buckets)
+
+
+def hash_anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                   left_key: str, right_key: str,
+                   num_buckets: int = 32) -> ray.data.Dataset:
+    """Partitioned ANTI-join: the rows of ``left`` whose key matches no row
+    of ``right`` (both sides large; neither broadcast — the exact-subtract
+    half of the Bloom decontamination path, ``bloom.bloom_anti_join``).
+
+    Semantics are SQL ``NOT EXISTS``: a null left key matches nothing, so
+    null-keyed left rows are KEPT. Output columns = ``left``'s columns.
+    Same exchange as ``hash_join`` (tag, widen, union, bucket on the key
+    hash), but each bucket keeps left rows absent from the right key set
+    instead of merging."""
+    u, lcols, rcols = _tagged_union(left, right, left_key, right_key)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        li = df[df["_side"] == "l"]
+        rk = df.loc[(df["_side"] == "r") & df["_jk"].notna(), "_jk"]
+        keep = li["_jk"].isna() | ~li["_jk"].isin(rk)
+        return li.loc[keep, lcols]
+
     return bucketed_group_apply(u, "_jk", per_bucket, num_buckets)

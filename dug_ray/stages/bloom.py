@@ -111,3 +111,45 @@ def bloom_semi_join(large: ray.data.Dataset, large_key: str,
 
     survivors = large.map_batches(prefilter, batch_format="pyarrow", batch_size=None)
     return hash_join(small, survivors, small_key, large_key, num_buckets)
+
+
+def bloom_anti_join(large: ray.data.Dataset, large_key: str,
+                    small: ray.data.Dataset, small_key: str,
+                    m_bits: int = BLOOM_BITS, k: int = BLOOM_K,
+                    num_buckets: int = 32) -> ray.data.Dataset:
+    """EXACT anti-join of ``large`` against ``small``'s keys — the scale
+    path for subtracting a too-big-to-broadcast key set (decontamination's
+    contaminated-id set in the adversarial corpus-sized case).
+
+    Bloom filters have no false negatives, so every large row that FAILS
+    the probe is definitely absent from ``small`` and bypasses the exchange
+    entirely; only probe-PASSING candidates (true matches + the bounded
+    false-positive fraction) go through the exact partitioned
+    ``hash_anti_join``.  Both sides are materialized once: ``small`` is
+    read by the Bloom build and again by the exchange; ``large`` feeds the
+    two complementary probe branches (at production scale the large side
+    is a checkpointed/narrow projection — keep it to the key + carried
+    columns, never payload text).  Column names must be disjoint, as with
+    ``hash_join``.  Output columns = ``large``'s columns."""
+    from dug_ray.shuffle import hash_anti_join
+
+    small = small.materialize()
+    large = large.materialize()
+    bloom_ref = ray.put(np.frombuffer(
+        build_bloom(small, small_key, m_bits, k), dtype=np.uint8))
+
+    def probe_branch(passing: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            if large_key not in batch.column_names or not len(batch):
+                return batch  # empty-result schema-loss quirk upstream
+            bloom = ray.get(bloom_ref)
+            mask = probe_mask(batch.column(large_key), bloom, m_bits, k)
+            return batch.filter(pa.array(mask if passing else ~mask))
+        return _f
+
+    clean = large.map_batches(probe_branch(False),
+                              batch_format="pyarrow", batch_size=None)
+    candidates = large.map_batches(probe_branch(True),
+                                   batch_format="pyarrow", batch_size=None)
+    kept = hash_anti_join(candidates, small, large_key, small_key, num_buckets)
+    return clean.union(kept)

@@ -10,6 +10,7 @@ run; accuracy ~1.04/sqrt(2^p).
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -60,11 +61,22 @@ def _registers(values) -> np.ndarray:
 
 
 def estimate(regs: np.ndarray) -> float:
-    m = float(M)
-    e = _alpha(M) * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
-    if e <= 2.5 * m and zeros:
-        e = m * np.log(m / zeros)  # small-range correction
+    """HLL estimate from merged registers, bit-identical to the SQL oracle.
+
+    The inverse power sum ``sum(2^-r)`` is order-sensitive in float math,
+    so it is computed as the EXACT integer ``N = sum(2^(55-r))`` (Python
+    int; denominator 2^55), then a single float expression that DuckDB
+    evaluates identically (SQL_HLL_DISTINCT mirrors it term for term:
+    HUGEINT shift sum, one cast, one division chain, libm ln).  That turns
+    the estimate itself — not just the register state — into a hash-match
+    oracle row."""
+    assert M == 1024, "estimate() literals mirror the P=10 SQL oracle"
+    counts = np.bincount(regs.astype(np.int64), minlength=56)
+    n = sum(int(c) << (55 - r) for r, c in enumerate(counts) if c)
+    e = 0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0 / (n / 36028797018963968)
+    zeros = int(counts[0])
+    if e <= 2.5 * M and zeros:
+        e = 1024.0 * math.log(1024.0 / zeros)  # small-range correction
     return float(e)
 
 

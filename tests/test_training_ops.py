@@ -429,6 +429,16 @@ def test_curated_corpus_composition(sf_smoke):
     want = (qual_ok & mix & canon & non_eval) - contam
     assert got == want and len(got) > 0
 
+    # gate 4's scale path: force the Bloom prefilter + partitioned
+    # anti-join (max_broadcast_contam=0) — must be bit-equal to the
+    # broadcast path (Bloom has no false negatives; the exact anti-join
+    # removes the false positives), same discipline as the CC
+    # max_driver_edges=0 fork.
+    from dug_ray.queries import q_curated_corpus
+    got_bloom = set(q_curated_corpus(
+        sf_smoke, max_broadcast_contam=0).to_pandas()["doc_id"])
+    assert got_bloom == want
+
 
 def test_lsh_codes_and_ivf_assign_consistency(sf_smoke):
     """lsh_codes must equal the codes lsh_ann_topk buckets with (shared
