@@ -45,12 +45,17 @@ def linked_mentions_ds(sf_dir: str, stateless: bool = True, **kwargs) -> ray.dat
         from dug_ray.stages.link import link_batch
         mentions = elements.map_batches(ner_batch, batch_format="pyarrow", batch_size=None)
         return mentions.map_batches(link_batch, batch_format="pyarrow", batch_size=None)
-    # any option (lexicon_ref, concurrency, ...) needs the actor path —
-    # silently dropping kwargs on the stateless path would run the default
-    # lexicon and return wrong results with no error
-    mentions = annotate_elements(elements, **kwargs)
-    link_kwargs = {k: v for k, v in kwargs.items() if k == "lexicon_ref"}
-    return link_mentions(mentions, **link_kwargs)
+    # any option (lexicon_ref, threshold, mention_filter, concurrency, ...)
+    # needs the actor path — silently dropping kwargs on the stateless path
+    # would run the default lexicon and return wrong results with no error.
+    # Split by stage signature: annotate_elements takes only pool shape +
+    # lexicon_ref; everything (incl. link-only keys like threshold /
+    # greenlist / mention_filter) goes to link_mentions, whose **actor_kwargs
+    # absorbs the linker options.
+    ann_kwargs = {k: v for k, v in kwargs.items()
+                  if k in ("concurrency", "batch_size", "lexicon_ref")}
+    mentions = annotate_elements(elements, **ann_kwargs)
+    return link_mentions(mentions, **kwargs)
 
 
 _LINKED_CACHE: dict[tuple, ray.data.Dataset] = {}

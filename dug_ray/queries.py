@@ -2217,36 +2217,49 @@ SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM r WHERE sample_rank <= 5"""
 
 
+def _sql_wq(col: str = "source") -> str:
+    """Render the MIXTURE_WEIGHTS fixture (sampling.mixture_quarters) as
+    the equivalent SQL: explicit CASE arms for mapped sources, the
+    len%3+1 fallback for the rest — the oracle mirror of the engine's
+    weights-map lookup."""
+    from dug_ray.stages.sampling import MIXTURE_WEIGHTS
+    arms = " ".join(f"WHEN {col} = '{s}' THEN {q}"
+                    for s, q in sorted(MIXTURE_WEIGHTS.items()))
+    return f"CAST(CASE {arms} ELSE length({col}) % 3 + 1 END AS BIGINT)"
+
+
 def q_mixture_sample(sf_dir: str) -> ray.data.Dataset:
     """Weighted source mixture counts: each source keeps a deterministic
-    md5-threshold fraction (integer-exact, weight in quarters)."""
+    md5-threshold fraction (integer-exact; quarters from the explicit
+    MIXTURE_WEIGHTS map, len%3+1 fallback for unmapped sources)."""
     from dug_ray.stages.sampling import mixture_sample
     return _norm(mixture_sample(read_documents(sf_dir, columns=["doc_id", "source"])),
                  int_cols=("n_total", "n_kept", "weight_quarters"))
 
 
-SQL_MIXTURE_SAMPLE = """
+SQL_MIXTURE_SAMPLE = f"""
 WITH b AS (SELECT source, doc_id,
                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
-                  length(source) % 3 + 1 AS wq
+                  {_sql_wq()} AS wq
            FROM documents)
 SELECT source, count(*) AS n_total,
        CAST(sum(CASE WHEN h < wq * 1073741824 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       CAST(length(source) % 3 + 1 AS BIGINT) AS weight_quarters
+       max(wq) AS weight_quarters
 FROM b GROUP BY source"""
 
 
 def q_mixture_rows(sf_dir: str) -> ray.data.Dataset:
     """Row-emitting weighted source mixture: the kept docs themselves
-    (per-batch md5-threshold filter; no shuffle)."""
+    (per-batch md5-threshold filter with the MIXTURE_WEIGHTS map; no
+    shuffle)."""
     from dug_ray.stages.sampling import mixture_sample_rows
     return mixture_sample_rows(read_documents(sf_dir, columns=["doc_id", "source"]))
 
 
-SQL_MIXTURE_ROWS = """
+SQL_MIXTURE_ROWS = f"""
 WITH b AS (SELECT source, doc_id,
                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
-                  length(source) % 3 + 1 AS wq
+                  {_sql_wq()} AS wq
            FROM documents)
 SELECT source, doc_id FROM b WHERE h < wq * 1073741824"""
 
@@ -2487,7 +2500,7 @@ contam AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (shingle)
 mix AS (SELECT doc_id, source FROM (
           SELECT source, doc_id,
                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
-                 length(source) % 3 + 1 AS wq
+                 """ + _sql_wq() + """ AS wq
           FROM documents)
         WHERE h < wq * 1073741824)
 SELECT m.doc_id, m.source

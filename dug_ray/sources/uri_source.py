@@ -54,7 +54,15 @@ def read_table_uri(uri: str, columns: list[str] | None = None,
     if scheme in ("http", "https"):
         target = staged_path(storage_dir, uri)
         if not os.path.exists(target):
-            _fetch(uri, target)
+            # migration fallback: query/fragment URIs staged before the
+            # .q<hash> suffix landed live at the bare path — serve those
+            # rather than re-fetching (or hard-failing offline)
+            p = urlparse(uri)
+            legacy = os.path.join(storage_dir, p.netloc, p.path.lstrip("/"))
+            if legacy != target and os.path.exists(legacy):
+                target = legacy
+            else:
+                _fetch(uri, target)
         return ray.data.read_parquet(target, columns=columns)
     raise ValueError(f"Cannot find loader for scheme '{scheme}'")
 

@@ -70,12 +70,19 @@ def partial_concepts(batch: pa.Table) -> pa.Table:
     df["_doc_len"] = df["doc_id"].str.len()
     df = df.sort_values(["_doc_len", "doc_id", "tok_pos"], kind="mergesort")
     # exact int64 parse (pd.to_numeric routes through float64 and corrupts
-    # ids above 2^53); >18-digit or non-numeric ids keep the -1 sentinel,
-    # _doc_key still carries their true ordering
+    # ids above 2^53); non-numeric ids keep the -1 sentinel, _doc_key
+    # still carries their true ordering
     is_num = df["doc_id"].str.fullmatch(r"-?\d{1,18}")
     dn = pd.Series(-1, index=df.index, dtype="int64")
     if is_num.any():
         dn[is_num] = df.loc[is_num, "doc_id"].astype("int64")
+    # 19-digit ids may still fit int64 (1e18..9.22e18): overflow-checked
+    # exact parse on that rare subset only; genuine overflows keep -1
+    c19 = df["doc_id"].str.fullmatch(r"-?\d{19}")
+    if c19.any():
+        v = df.loc[c19, "doc_id"].map(int)
+        fits = v.between(-(1 << 63), (1 << 63) - 1)
+        dn.loc[v.index[fits]] = v[fits].astype("int64")
     df["_doc_num"] = dn
     g = df.groupby("canonical_curie", sort=False)
     out = g.agg(

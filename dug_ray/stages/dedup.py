@@ -46,10 +46,14 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     def per_batch(batch: pa.Table) -> pa.Table:
         # only doc_id crosses into pandas; the text is hashed straight off
-        # the Arrow column and never copied into object-dtype strings
+        # the Arrow column and never copied into object-dtype strings.
+        # dropna=False: md5_hex(NULL text) is None, and the default pandas
+        # groupby would silently DROP those docs while the oracle's
+        # GROUP BY text keeps a NULL group — null texts form one group
+        # with a null content_hash (same null contract as simhash).
         df = batch.select(["doc_id"]).to_pandas()
         df["content_hash"] = md5_hex(batch["text"])
-        g = df.groupby("content_hash", as_index=False).agg(
+        g = df.groupby("content_hash", as_index=False, dropna=False).agg(
             doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
         from dug_ray.shuffle import typed_table
         return typed_table(g, content_hash=pa.string(), doc_id=pa.int64(),
@@ -58,7 +62,7 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     partial = docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("content_hash", as_index=False).agg(
+        return df.groupby("content_hash", as_index=False, dropna=False).agg(
             doc_id=("doc_id", "min"), n_copies=("n_copies", "sum"))
 
     out = bucketed_group_apply(partial, "content_hash", merge, num_buckets=32)

@@ -67,22 +67,50 @@ def group_sample(docs: ray.data.Dataset, k: int = 5) -> ray.data.Dataset:
     return bucketed_group_apply(partials, "source", merge, 8)
 
 
-def _mixture_kept_mask(df: pd.DataFrame) -> np.ndarray:
-    """Deterministic keep mask: md5 int < weight_quarters * 2^30 where
-    weight_quarters = len(source) % 3 + 1 (integer-exact both engines)."""
+# Explicit pretraining mixture weights, in quarters (keep fraction =
+# quarters/4 of the 2^32 first-8-hex md5 space).  A real mixer hands this
+# map in per run; this module-level fixture re-weights several domains
+# non-trivially (vs their fallback) so the oracle compare exercises the
+# lookup.  Any source absent from the map falls back to the deterministic
+# len(source)%3+1 stand-in, so unconfigured corpora still mix.
+MIXTURE_WEIGHTS: dict[str, int] = {
+    "src0": 4,    # keep everything (high-quality domain)
+    "src1": 1,    # aggressive down-weight
+    "src7": 3,
+    "src12": 2,
+    "src19": 4,
+}
+
+
+def mixture_quarters(sources, weights: dict[str, int] | None = None) -> np.ndarray:
+    """Vectorized quarters lookup: ``weights[source]`` when mapped, else
+    ``len(source) % 3 + 1``.  ``weights=None`` means the module fixture
+    (what the registered queries and their SQL oracles use)."""
+    w = MIXTURE_WEIGHTS if weights is None else weights
+    s = pd.Series(np.asarray(sources, dtype=object))
+    fall = s.str.len().to_numpy() % 3 + 1
+    mapped = s.map(w)
+    return np.where(mapped.notna(), mapped.fillna(0), fall).astype(np.int64)
+
+
+def _mixture_kept_mask(df: pd.DataFrame,
+                       weights: dict[str, int] | None = None) -> np.ndarray:
+    """Deterministic keep mask: md5 int < weight_quarters * 2^30 with
+    weight_quarters from ``mixture_quarters`` (integer-exact both engines)."""
     h = md5_int(df["doc_id"].to_numpy())
-    wq = df["source"].str.len().to_numpy() % 3 + 1
+    wq = mixture_quarters(df["source"], weights)
     return h < wq * (1 << 30)
 
 
-def mixture_sample(docs: ray.data.Dataset) -> ray.data.Dataset:
+def mixture_sample(docs: ray.data.Dataset,
+                   weights: dict[str, int] | None = None) -> ray.data.Dataset:
     """Weighted source mixture COUNTS: source keeps fraction
-    w = (len(source)%3+1)/4 of its docs. Output per source: n_total,
-    n_kept, weight_quarters."""
+    weight_quarters/4 of its docs (``mixture_quarters`` map + fallback).
+    Output per source: n_total, n_kept, weight_quarters."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()[["source", "doc_id"]]
-        df["kept"] = _mixture_kept_mask(df)
+        df["kept"] = _mixture_kept_mask(df, weights)
         g = df.groupby("source", as_index=False).agg(
             n_total=("doc_id", "size"), n_kept=("kept", "sum"))
         # typed build (see group_sample.partial)
@@ -97,20 +125,21 @@ def mixture_sample(docs: ray.data.Dataset) -> ray.data.Dataset:
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("source", as_index=False).agg(
             n_total=("n_total", "sum"), n_kept=("n_kept", "sum"))
-        g["weight_quarters"] = g["source"].str.len() % 3 + 1
+        g["weight_quarters"] = mixture_quarters(g["source"], weights)
         return g
 
     return bucketed_group_apply(partials, "source", merge, 8)
 
 
-def mixture_sample_rows(docs: ray.data.Dataset) -> ray.data.Dataset:
+def mixture_sample_rows(docs: ray.data.Dataset,
+                        weights: dict[str, int] | None = None) -> ray.data.Dataset:
     """Row-emitting weighted source mixture: the kept docs themselves —
     what a pretraining mixer actually feeds downstream. Pure per-batch
     filter (no shuffle, no driver traffic). Output: source, doc_id."""
 
     def per_batch(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()[["source", "doc_id"]]
-        kept = df[_mixture_kept_mask(df)]
+        kept = df[_mixture_kept_mask(df, weights)]
         return pa.table({
             "source": pa.array(kept["source"], pa.string()),
             "doc_id": pa.array(kept["doc_id"].to_numpy(), pa.int64()),

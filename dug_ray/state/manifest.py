@@ -75,6 +75,18 @@ class PartitionManifest:
         entries = self.load()
         meta = entries.get("_meta")
         if meta is None:
+            done = [k for k, v in entries.items() if v.get("status") == "done"]
+            if done:
+                # a legacy manifest (written before layout pinning) with
+                # completed buckets: adopting the CURRENT run's params would
+                # accept exactly the hazard this guard exists for (resuming
+                # an old checkpoint under a changed layout). Refuse; the
+                # operator must restate the original layout or start fresh.
+                raise ValueError(
+                    f"manifest at {self.out_dir} has {len(done)} completed "
+                    f"buckets but no pinned layout (_meta); refusing to "
+                    f"stamp it with {params} — use a fresh out_dir, or add "
+                    f"_meta by hand if the original layout is known to match")
             entries["_meta"] = {"status": "meta", **params}
             self._write(entries)
             return

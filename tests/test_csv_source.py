@@ -98,3 +98,9 @@ def test_uri_loader_dispatch(tmp_path, sf_smoke):
                        storage_dir=str(tmp_path))
     other = staged_path(str(tmp_path), "http://example.org/data/other.parquet")
     assert not os.path.exists(other) and not os.path.exists(other + ".tmp")
+
+    # legacy-layout fallback: a query-string URI staged under the
+    # pre-.q<hash> bare path still reads (one-time cache migration)
+    quri = "http://example.org/data/docs.parquet?v=2"
+    assert staged_path(str(tmp_path), quri) != target  # suffixed today
+    assert read_table_uri(quri, storage_dir=str(tmp_path)).count() == 500

@@ -101,6 +101,16 @@ def test_mention_filter_hook(sf_smoke):
     with pytest.raises(KeyError, match="Cannot find mention filter"):
         registry.get_mention_filter("nope")
 
+    # linked_mentions_ds must route link-only options (threshold,
+    # mention_filter, ...) to the LINK stage instead of exploding
+    # annotate_elements with an unexpected kwarg (the 'any option takes the
+    # actor path' contract)
+    from dug_ray.pipelines.kg import linked_mentions_ds
+    via_pipeline = linked_mentions_ds(
+        sf_smoke, mention_filter="drop-the").to_pandas()
+    assert len(via_pipeline) == len(want)
+    assert not (via_pipeline["term"] == "the").any()
+
 
 def test_cli_search_targets(sf_smoke, capsys):
     """CLI parity for dug search -t: all three indices serve results.

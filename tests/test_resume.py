@@ -96,6 +96,30 @@ def test_manifest_fingerprints(sf_smoke, tmp_path):
     assert all(len(v["fingerprint"]) == 32 for v in nonempty)
 
 
+def test_manifest_legacy_layout_refused(tmp_path):
+    """A pre-layout-pinning manifest (no _meta) with completed buckets must
+    REFUSE ensure_layout instead of silently adopting the current run's
+    params — that adoption is exactly the changed-layout resume hazard the
+    guard exists for. An empty legacy manifest still auto-stamps."""
+    import pytest
+
+    from dug_ray.state.manifest import PartitionManifest
+
+    # empty legacy manifest: auto-stamp is fine
+    m = PartitionManifest(str(tmp_path / "empty"))
+    m._write({})
+    m.ensure_layout(num_buckets=8, salt=3)
+    assert m.load()["_meta"]["num_buckets"] == 8
+
+    # legacy manifest WITH done buckets: refuse
+    m2 = PartitionManifest(str(tmp_path / "legacy"))
+    m2._write({"0": {"status": "done", "rows": 5, "path": "x", "fingerprint": ""}})
+    with pytest.raises(ValueError, match="no pinned layout"):
+        m2.ensure_layout(num_buckets=8, salt=3)
+    # and the refusal did not mutate the manifest
+    assert "_meta" not in m2.load()
+
+
 def test_materialize_midrun_crash_saves_buckets(sf_smoke, tmp_path):
     """Per-bucket sidecar markers: if the run dies BEFORE the end-of-run
     manifest rewrite, buckets that completed are still seen as done on
@@ -112,11 +136,14 @@ def test_materialize_midrun_crash_saves_buckets(sf_smoke, tmp_path):
     want = read_graph(out).count()
 
     # simulate a crash just before mark_done_many: keep the partition files
-    # and sidecars, delete the main manifest, re-create sidecars for half
-    # the written buckets (as if the rest hadn't finished)
+    # and sidecars, reset the main manifest to only the _meta layout stamp
+    # (ensure_layout writes it atomically at run START, so a real mid-run
+    # crash never loses it), re-create sidecars for half the written
+    # buckets (as if the rest hadn't finished)
     manifest = PartitionManifest(out)
-    entries = {k: v for k, v in manifest.load().items() if v.get("rows", 0) > 0}
-    os.unlink(manifest.path)
+    loaded = manifest.load()
+    entries = {k: v for k, v in loaded.items() if v.get("rows", 0) > 0}
+    manifest._write({"_meta": loaded["_meta"]})
     kept = sorted(entries, key=int)[: len(entries) // 2]
     for k in kept:
         v = entries[k]

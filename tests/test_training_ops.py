@@ -25,6 +25,19 @@ def test_exact_dedup_groups():
     assert list(out["doc_id"]) == [1, 2]
     assert list(out["n_copies"]) == [2, 1]
 
+    # null texts form ONE group with a null content_hash (the oracle's
+    # GROUP BY text keeps a NULL group; dropna=True would silently lose
+    # these docs from the engine side)
+    ds = docs_ds([
+        {"doc_id": 5, "text": None},
+        {"doc_id": 4, "text": None},
+        {"doc_id": 6, "text": "k"},
+    ])
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [4, 6]
+    assert list(out["n_copies"]) == [2, 1]
+    assert out["content_hash"].isna().tolist() == [True, False]
+
 
 def test_minhash_identical_docs_collide_all_bands():
     from dug_ray.stages.dedup import LSH_BANDS, minhash_lsh_pairs
@@ -398,6 +411,19 @@ def test_md5_int_parity_and_mixture_rows():
     # kept set is a deterministic subset
     again = mixture_sample_rows(docs).to_pandas()
     assert sorted(rows["doc_id"]) == sorted(again["doc_id"])
+
+    # an explicit weights map threads through both variants: keep-all vs
+    # near-none quarters must reorder the per-source kept counts, and the
+    # reported weight_quarters must echo the map (fallback for unmapped)
+    w = {"web": 4, "books": 1}
+    cw = mixture_sample(docs, weights=w).to_pandas().set_index("source")
+    rw = mixture_sample_rows(docs, weights=w).to_pandas()
+    assert cw.loc["web", "weight_quarters"] == 4
+    assert cw.loc["books", "weight_quarters"] == 1
+    assert cw.loc["papers", "weight_quarters"] == len("papers") % 3 + 1
+    assert cw.loc["web", "n_kept"] > cw.loc["books", "n_kept"]
+    assert rw.groupby("source").size().reindex(cw.index).fillna(0).astype(int).equals(
+        cw["n_kept"].astype(int))
 
 
 def test_curated_corpus_composition(sf_smoke):
