@@ -2182,15 +2182,75 @@ SELECT doc_id, "offset", media_ref, width, height,
 FROM g"""
 
 
+def q_media_decoded(sf_dir: str) -> ray.data.Dataset:
+    """REAL decode-and-resize over the PPM codec path: fetch each image
+    span's P6 container from the synthetic store, parse it with the
+    pure-Python decoder, nearest-neighbor resample to fit 16px, and pin
+    the RESIZED PAYLOAD BYTES via md5 over their hex encoding — the
+    oracle rebuilds the same pixels with integer arithmetic, so any
+    header-parse / raster-layout / resample-index bug hash-mismatches.
+    (max_dim=16 keeps the oracle's per-pixel CTE bounded; the engine path
+    is identical at 224.)"""
+    from dug_ray.stages.multimodal import media_resize
+    out = media_resize(read_interleaved(sf_dir), max_dim=16, codec="ppm")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "offset": pc.cast(batch["offset"], pa.int64()),
+            "media_ref": batch["media_ref"],
+            "out_w": pc.cast(batch["out_w"], pa.int64()),
+            "out_h": pc.cast(batch["out_h"], pa.int64()),
+            "n_bytes": pc.cast(batch["n_bytes"], pa.int64()),
+            "payload_md5": batch["payload_md5"],
+        })
+
+    return out.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+# Rebuild the decoded+resized raster per pixel: output byte j maps to
+# source byte via nearest-neighbor floor division (ys = yo*h//out_h,
+# xs = xo*w//out_w), and the synthetic store's byte value is
+# (seed + 11*src_index) % 256 with seed = first 2 md5 hex chars of the
+# ref. md5 over the lowercase hex concat == the engine's
+# md5(raw.hex()). max_dim = 16 bounds the lateral series.
+SQL_MEDIA_DECODED = _with(SQL_TOKS, SQL_MEDIA_SPANS) + """,
+meta AS (SELECT doc_id, "offset", media_ref,
+                CAST(64 + length(media_ref) * 7 AS BIGINT) AS width,
+                CAST(64 + length(media_ref) * 13 AS BIGINT) AS height,
+                CAST(('0x' || substr(md5(media_ref), 1, 2)) AS BIGINT) AS seed
+         FROM mm WHERE ordinal % 2 = 0),
+g AS (SELECT *, greatest(width, height) AS mx FROM meta),
+dims AS (SELECT doc_id, "offset", media_ref, width, height, seed,
+                CASE WHEN mx > 16 THEN width * 16 // mx ELSE width END AS out_w,
+                CASE WHEN mx > 16 THEN height * 16 // mx ELSE height END AS out_h
+         FROM g),
+px AS (SELECT dims.*, t.j
+       FROM dims, LATERAL (SELECT unnest(generate_series(
+                CAST(0 AS BIGINT), out_w * out_h * 3 - 1)) AS j) t),
+v AS (SELECT doc_id, "offset", media_ref, out_w, out_h, j,
+             (seed + 11 * ((j // (out_w * 3)) * height // out_h * width * 3
+                           + (j % (out_w * 3)) // 3 * width // out_w * 3
+                           + j % 3)) % 256 AS val
+      FROM px)
+SELECT doc_id, "offset", media_ref,
+       CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+       CAST(out_w * out_h * 3 AS BIGINT) AS n_bytes,
+       md5(string_agg(lower(lpad(to_hex(val), 2, '0')), '' ORDER BY j)) AS payload_md5
+FROM v GROUP BY doc_id, "offset", media_ref, out_w, out_h"""
+
+
 QUERIES.update({
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
+    "media_decoded": q_media_decoded,
 })
 ORACLES.update({
     "media_features": SQL_MEDIA_FEATURES,
     "media_frames": SQL_MEDIA_FRAMES,
     "media_resize": SQL_MEDIA_RESIZE,
+    "media_decoded": SQL_MEDIA_DECODED,
 })
 
 
@@ -2533,8 +2593,8 @@ _DRIVER_FRONT = [
     "part_brand_stats", "radx_elements", "chunks_overlap", "dedup_clusters",
     "events_asof", "token_counts", "stratified_split", "char_quantiles",
     "search_concepts", "search_kg", "media_features", "media_frames",
-    "media_resize", "group_sample", "mixture_sample", "mixture_rows",
-    "decontam", "quality_filters", "curated_corpus",
+    "media_resize", "media_decoded", "group_sample", "mixture_sample",
+    "mixture_rows", "decontam", "quality_filters", "curated_corpus",
     # green in round 2, displaced by round 3's window
     "urgent_lineitems", "segment_order_stats", "region_suppliers",
     # newly oracle-pinned this round (was no_oracle in rounds 1-3)

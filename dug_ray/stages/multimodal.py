@@ -2,11 +2,14 @@
 
 The interleaved document table carries media spans (``kind='media'``,
 ``media_ref`` an opaque pointer — the stand-in for a binary payload
-column). Real decode libraries (PIL/librosa/av) are absent in this
-container, so the DECODE step is a clearly-marked stub
-(``NotImplementedError``) / deterministic fake, while all the Ray-side
-plumbing — schema, actor signature, batch sizing, output layout — is real
-and tested:
+column). Codec libraries (PIL/librosa/av) are absent in this container,
+so decode paths that need them are clearly-marked gates
+(``NotImplementedError``) / deterministic fakes — EXCEPT the PPM (P6)
+codec, which needs no library and is implemented for real
+(``decode_ppm`` + ``nn_resize``; the ``media_decoded`` query pins the
+decoded-and-resized payload bytes against a SQL oracle). All the
+Ray-side plumbing — schema, actor signature, batch sizing, output
+layout — is real and tested:
 
 - ``media_metadata``: actor-pool ``map_batches`` stage that "probes" each
   media ref and emits typed metadata (kind, width, height) — the
@@ -68,21 +71,113 @@ def media_metadata(docs: ray.data.Dataset, concurrency: int | tuple = (1, 4)) ->
         MediaProbe, batch_format="pyarrow", batch_size=None, concurrency=concurrency)
 
 
-class MediaDecoder:
-    """Actor-pool decode stage. REAL decode is stubbed (no image/audio libs
-    in this container); ``fake=True`` emits deterministic byte payloads so
-    the plumbing (binary column, small batches, actor pool) is exercised."""
+# ---------------------------------------------------------------------------
+# PPM (P6) codec: the one REAL decode path this container can run.
+# PPM needs no codec library — header is ASCII, pixels are raw RGB — so the
+# decode/resize stages have a genuine non-stub branch. The synthetic object
+# store behind the opaque media_ref pointers serves deterministic P6 images
+# (pixel bytes are a linear function of a per-ref md5 seed), which makes
+# the DECODED-AND-RESIZED payload itself SQL-mirrorable (see
+# SQL_MEDIA_DECODED): the engine must round-trip header parse + raw-pixel
+# extraction + nearest-neighbor resample to hit the oracle hash.
+# ---------------------------------------------------------------------------
 
-    def __init__(self, fake: bool = False):
+def synth_ppm(ref: str, width: int, height: int, seed: int) -> bytes:
+    """Deterministic P6 image for an opaque ref — the storage-read stand-in
+    (this sandbox has no backing object store). Byte j of the raster is
+    ``(seed + 11*j) % 256``; the header is spec-conformant P6."""
+    n = width * height * 3
+    raster = ((seed + 11 * np.arange(n, dtype=np.int64)) % 256).astype(np.uint8)
+    return f"P6\n{width} {height}\n255\n".encode() + raster.tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL pure-Python P6 parser (works on any binary PPM, not just
+    ``synth_ppm`` output): magic check, whitespace/#-comment tokenizer for
+    width/height/maxval, then a zero-copy numpy view of the raster.
+    Returns ``(width, height, uint8 array of shape (height, width, 3))``."""
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {payload[:2]!r})")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then the raster
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval {maxval})")
+    n = width * height * 3
+    raster = np.frombuffer(payload, np.uint8, count=n, offset=pos)
+    return width, height, raster.reshape(height, width, 3)
+
+
+def nn_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample, integer-exact (source index =
+    ``out_index * in_dim // out_dim`` — the floor-division contract the SQL
+    oracle mirrors). Vectorized fancy-index; no interpolation."""
+    h, w = img.shape[0], img.shape[1]
+    ys = np.arange(out_h, dtype=np.int64) * h // out_h
+    xs = np.arange(out_w, dtype=np.int64) * w // out_w
+    return img[ys][:, xs]
+
+
+def _ppm_seed(refs) -> np.ndarray:
+    """Per-ref pixel seed: first 2 hex chars of md5(ref) (vectorized; SQL:
+    ``CAST(('0x' || substr(md5(ref), 1, 2)) AS BIGINT)``)."""
+    from dug_ray.hashing import md5_int
+    return md5_int(np.asarray(refs, dtype=object)) >> 24
+
+
+class MediaDecoder:
+    """Actor-pool decode stage. ``codec='ppm'`` runs the REAL pure-Python
+    P6 decode over the synthetic store (no codec library needed); other
+    codecs are honestly gated (no image/audio libs in this container);
+    ``fake=True`` emits deterministic byte payloads so the plumbing
+    (binary column, small batches, actor pool) is exercised."""
+
+    def __init__(self, fake: bool = False, codec: str | None = None):
         self.fake = fake
+        self.codec = codec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.codec == "ppm":
+            # image spans only (even media ordinal — the probe's contract)
+            offs = pc.cast(batch["offset"], pa.int64()).to_numpy(zero_copy_only=False)
+            img_mask = ((offs - 2) // 3) % 2 == 0
+            batch = batch.filter(pa.array(img_mask))
+            refs = batch.column("media_ref").to_pylist()
+            reflen = np.array([len(r) for r in refs], dtype=np.int64)
+            widths, heights = 64 + reflen * 7, 64 + reflen * 13
+            seeds = _ppm_seed(refs)
+            payloads, dims = [], []
+            for ref, w0, h0, s in zip(refs, widths, heights, seeds):
+                w, h, img = decode_ppm(synth_ppm(ref, int(w0), int(h0), int(s)))
+                payloads.append(img.tobytes())
+                dims.append((w, h))
+            return pa.table({
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "offset": pc.cast(batch["offset"], pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+                "width": pa.array([d[0] for d in dims], pa.int64()),
+                "height": pa.array([d[1] for d in dims], pa.int64()),
+            })
         if not self.fake:
             raise NotImplementedError(
-                "media decode requires image/audio codecs not present in this "
-                "environment; construct with fake=True for the deterministic stub")
-        refs = batch.column("media_ref").to_pylist()
-        payloads = [bytes((len(r) * 7 + i) % 256 for i in range(64)) for r in refs]
+                "media decode beyond PPM requires image/audio codecs not "
+                "present in this environment; use codec='ppm' or fake=True")
+        refs = batch.column("media_ref")
+        reflen = pc.cast(pc.utf8_length(refs), pa.int64()).to_numpy(zero_copy_only=False)
+        vals = ((reflen * 7)[:, None] + np.arange(64)[None, :]) % 256
+        payloads = [row.tobytes() for row in vals.astype(np.uint8)]
         return pa.table({
             "doc_id": pc.cast(batch["doc_id"], pa.int64()),
             "offset": pc.cast(batch["offset"], pa.int64()),
@@ -92,11 +187,12 @@ class MediaDecoder:
 
 
 def decode_media(docs: ray.data.Dataset, fake: bool = False,
+                 codec: str | None = None,
                  batch_size: int = 256, concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
     """Binary payloads need SMALL batches (batch x concurrency must fit the
     worker heap) — 256 here vs whole-block for scalar stages."""
     return media_spans(docs).map_batches(
-        MediaDecoder, fn_constructor_kwargs={"fake": fake},
+        MediaDecoder, fn_constructor_kwargs={"fake": fake, "codec": codec},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
 
 
@@ -177,27 +273,51 @@ def sample_frames(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 class MediaResizer:
     """Actor-pool RESIZE stage (the remaining op of the brief's
-    decode / feature-extract / resize / frame-sample family). The
-    byte-level resample is decode-gated exactly like MediaDecoder (no
-    codecs in this container): ``fake=True`` emits a deterministic payload
-    so the plumbing — binary column, small batches, actor pool — is
-    exercised; the real path raises. The target-DIMS arithmetic is pure
-    integer (aspect-fit, floor division, never upscale) and lives in
-    ``media_resize`` with a SQL oracle."""
+    decode / feature-extract / resize / frame-sample family).
+    ``codec='ppm'`` is the REAL branch: fetch the P6 container from the
+    synthetic store, parse it with ``decode_ppm``, nearest-neighbor
+    resample to (out_w, out_h), and emit the resized raw-RGB payload plus
+    its md5 (over the lowercase hex encoding — the form a SQL oracle can
+    rebuild byte for byte). Other codecs stay honestly gated;
+    ``fake=True`` emits a deterministic payload so the plumbing — binary
+    column, small batches, actor pool — is exercised without decoding.
+    The target-DIMS arithmetic is pure integer (aspect-fit, floor
+    division, never upscale) and lives in ``resize_dims``."""
 
-    def __init__(self, fake: bool = False):
+    def __init__(self, fake: bool = False, codec: str | None = None):
         self.fake = fake
+        self.codec = codec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.codec == "ppm":
+            import hashlib
+            refs = batch.column("media_ref").to_pylist()
+            w = pc.cast(batch["width"], pa.int64()).to_numpy(zero_copy_only=False)
+            h = pc.cast(batch["height"], pa.int64()).to_numpy(zero_copy_only=False)
+            ow = pc.cast(batch["out_w"], pa.int64()).to_numpy(zero_copy_only=False)
+            oh = pc.cast(batch["out_h"], pa.int64()).to_numpy(zero_copy_only=False)
+            seeds = _ppm_seed(refs)
+            payloads, digests = [], []
+            for i, ref in enumerate(refs):
+                pw, ph, img = decode_ppm(
+                    synth_ppm(ref, int(w[i]), int(h[i]), int(seeds[i])))
+                raw = nn_resize(img, int(ow[i]), int(oh[i])).tobytes()
+                payloads.append(raw)
+                digests.append(hashlib.md5(raw.hex().encode()).hexdigest())
+            return (batch.append_column("payload", pa.array(payloads, pa.binary()))
+                         .append_column("n_bytes", pa.array(
+                             [len(p) for p in payloads], pa.int64()))
+                         .append_column("payload_md5", pa.array(digests, pa.string())))
         if not self.fake:
             raise NotImplementedError(
-                "media resize requires image codecs not present in this "
-                "environment; construct with fake=True for the deterministic stub")
-        refs = batch.column("media_ref").to_pylist()
-        ow = batch.column("out_w").to_pylist()
-        oh = batch.column("out_h").to_pylist()
-        payloads = [bytes((len(r) * 31 + w + h + i) % 256 for i in range(32))
-                    for r, w, h in zip(refs, ow, oh)]
+                "media resize beyond PPM requires image codecs not present in "
+                "this environment; use codec='ppm' or fake=True")
+        reflen = pc.cast(pc.utf8_length(batch["media_ref"]),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+        ow = pc.cast(batch["out_w"], pa.int64()).to_numpy(zero_copy_only=False)
+        oh = pc.cast(batch["out_h"], pa.int64()).to_numpy(zero_copy_only=False)
+        vals = ((reflen * 31 + ow + oh)[:, None] + np.arange(32)[None, :]) % 256
+        payloads = [row.tobytes() for row in vals.astype(np.uint8)]
         return batch.append_column("payload", pa.array(payloads, pa.binary()))
 
 
@@ -231,10 +351,11 @@ def resize_dims(meta: ray.data.Dataset, max_dim: int = 224) -> ray.data.Dataset:
 
 
 def media_resize(docs: ray.data.Dataset, max_dim: int = 224, fake: bool = False,
-                 batch_size: int = 256,
+                 codec: str | None = None, batch_size: int = 256,
                  concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
     """Full resize pipeline: probe -> image filter + integer target dims ->
-    actor-pool resample (decode-gated; small batches — binary payloads)."""
+    actor-pool resample (codec='ppm' is the real decode branch; small
+    batches — binary payloads)."""
     return resize_dims(media_metadata(docs), max_dim).map_batches(
-        MediaResizer, fn_constructor_kwargs={"fake": fake},
+        MediaResizer, fn_constructor_kwargs={"fake": fake, "codec": codec},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)

@@ -518,6 +518,67 @@ def test_media_resize(sf_smoke):
     out = media_resize(read_interleaved(sf_smoke), fake=True).to_pandas()
     assert len(out) == len(dims)
     assert all(isinstance(p, bytes) and len(p) == 32 for p in out["payload"])
+    # vectorized stub keeps the original per-row formula
+    row = out.iloc[0]
+    assert row["payload"] == bytes(
+        (len(row["media_ref"]) * 31 + row["out_w"] + row["out_h"] + i) % 256
+        for i in range(32))
+
+
+def test_ppm_codec_roundtrip(sf_smoke):
+    """The REAL decode branch: decode_ppm is a spec-conformant P6 parser
+    (comments, arbitrary whitespace, bad-magic/maxval rejection), nn_resize
+    is integer nearest-neighbor, and the codec='ppm' decoder/resizer emit
+    payloads whose bytes round-trip the container exactly."""
+    import hashlib
+
+    import pyarrow as pa
+    import pytest
+
+    from dug_ray.io import read_interleaved
+    from dug_ray.stages.multimodal import (decode_ppm, media_resize,
+                                           nn_resize, synth_ppm)
+
+    # hand-built P6 with a comment and multi-whitespace header
+    raster = bytes(range(2 * 3 * 3))  # 3 wide, 2 high
+    w, h, img = decode_ppm(b"P6 # a comment\n 3\t2 \n255\n" + raster)
+    assert (w, h) == (3, 2) and img.shape == (2, 3, 3)
+    assert img.tobytes() == raster
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00")
+
+    # synth -> decode round-trips header and raster
+    sp = synth_ppm("media://9/2", 5, 4, seed=7)
+    w, h, img = decode_ppm(sp)
+    assert (w, h) == (5, 4)
+    assert img.tobytes() == bytes((7 + 11 * j) % 256 for j in range(5 * 4 * 3))
+
+    # nearest-neighbor: 1x1 output samples pixel (0,0); identity at same dims
+    assert nn_resize(img, 1, 1).tobytes() == img[0, 0].tobytes()
+    assert nn_resize(img, 5, 4).tobytes() == img.tobytes()
+
+    # full pipeline: payload bytes and md5 agree with an independent
+    # numpy recompute for a sample row
+    out = media_resize(read_interleaved(sf_smoke), max_dim=16,
+                       codec="ppm").to_pandas()
+    assert len(out) > 0
+    row = out.iloc[0]
+    assert row["n_bytes"] == row["out_w"] * row["out_h"] * 3 == len(row["payload"])
+    assert row["payload_md5"] == hashlib.md5(
+        row["payload"].hex().encode()).hexdigest()
+    _, _, full = decode_ppm(synth_ppm(
+        row["media_ref"], row["width"], row["height"],
+        int(hashlib.md5(row["media_ref"].encode()).hexdigest()[:2], 16)))
+    assert nn_resize(full, row["out_w"], row["out_h"]).tobytes() == row["payload"]
+
+    # the decoder's ppm branch: image spans only, full-raster payloads
+    from dug_ray.stages.multimodal import decode_media
+    dec = decode_media(read_interleaved(sf_smoke), codec="ppm").to_pandas()
+    assert len(dec) == len(out)
+    assert (dec["n_bytes"] == dec["width"] * dec["height"] * 3).all()
+    assert all(len(p) == n for p, n in zip(dec["payload"], dec["n_bytes"]))
 
 
 def test_hash_join_large_int64_exact_and_reserved_names():
