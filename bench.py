@@ -142,12 +142,14 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling() -> dict:
-    """Two-parallelism scaling protocol, legs INTERLEAVED (8,32)x3 so both
-    CPU levels sample the same host-noise window — running all 8-CPU legs
-    before all 32-CPU legs lets mid-measurement hypervisor drift bias the
-    ratio (observed: a host slowdown between legs moved raw efficiency by
-    ~0.2 with identical code). min-of-3 per leg; every raw run reported."""
+def _scaling_window(n_pairs: int) -> dict:
+    """One protocol window: legs INTERLEAVED (8,32)xN so both CPU levels
+    sample the same host-noise slice — running all 8-CPU legs before all
+    32-CPU legs lets mid-measurement hypervisor drift bias the ratio
+    (observed: a host slowdown between legs moved raw efficiency by ~0.2
+    with identical code). min-of-N per leg; every raw run reported, plus a
+    simultaneous hardware-capacity probe (the honest ceiling on shared
+    hardware) and the hw-normalized efficiency."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_REPEATS="1",
                    GRAFT_BENCH_SKIP_SECONDARY="1")
@@ -155,22 +157,20 @@ def run_scaling() -> dict:
             os.path.abspath(__file__)), capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    pairs = [(run(8), run(32)) for _ in range(3)]
+    pairs = [(run(8), run(32)) for _ in range(n_pairs)]
     runs8 = [p[0]["value"] for p in pairs]
     runs32 = [p[1]["value"] for p in pairs]
     # headline estimator: min of each leg — both mins approximate the
     # noise-free time of their leg (noise only inflates). Per-pair ratios
     # are also reported for transparency: they bound how much cross-pair
-    # drift could move the headline (noise on the 8-leg inflates a pair's
+    # drift could move the window (noise on the 8-leg inflates a pair's
     # ratio, on the 32-leg deflates it).
     t_lo, t_hi = min(runs8), min(runs32)
     eff = (t_lo / t_hi) / (32 / 8)
     hw = _hw_capacity_ratio()
     docs = pairs[0][0]["docs"]
     return {
-        "metric": "scaling_efficiency_8_to_32",
         "value": round(eff, 3),
-        "unit": "ratio",
         "sec_8": t_lo,
         "sec_32": t_hi,
         "runs_8": runs8,
@@ -184,6 +184,33 @@ def run_scaling() -> dict:
         "normalized_efficiency": round((t_lo / t_hi) / hw, 3),
         "sf": pairs[0][0]["sf"],
         "docs": docs,
+    }
+
+
+def run_scaling() -> dict:
+    """Multi-window scaling protocol: run GRAFT_SCALING_WINDOWS (default 3)
+    independent windows and report the whole BAND — each window carries its
+    raw efficiency, its own hardware-capacity probe and the normalized
+    efficiency — with the headline = the MEDIAN window's raw value (not the
+    best window; BASELINE.md records why: raw tracks host noise, the
+    per-window hw probes show the pipeline saturating what the VM
+    delivers)."""
+    n_windows = int(os.environ.get("GRAFT_SCALING_WINDOWS", "3"))
+    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "2"))
+    windows = [_scaling_window(n_pairs) for _ in range(n_windows)]
+    by_raw = sorted(windows, key=lambda w: w["value"])
+    median = by_raw[(len(by_raw) - 1) // 2]
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": median["value"],           # median window's raw efficiency
+        "unit": "ratio",
+        "windows": windows,                 # the full band, in run order
+        "raw_band": [by_raw[0]["value"], by_raw[-1]["value"]],
+        "normalized_band": sorted(w["normalized_efficiency"] for w in windows),
+        **{k: median[k] for k in (
+            "sec_8", "sec_32", "runs_8", "runs_32", "per_pair_efficiency",
+            "docs_per_sec_8", "docs_per_sec_32", "hw_capacity_ratio_8_to_32",
+            "attainable_efficiency", "normalized_efficiency", "sf", "docs")},
     }
 
 

@@ -2576,6 +2576,85 @@ ORACLES["curated_corpus"] = SQL_CURATED_CORPUS
 
 
 # ---------------------------------------------------------------------------
+# corpus text-index family (stages/text_index.py): repetition score,
+# tf-idf ranking, inverted-index posting lists
+# ---------------------------------------------------------------------------
+
+def q_dup_chunks(sf_dir: str) -> ray.data.Dataset:
+    """MassiveText/C4-style repetition score: per doc, how many of its
+    exact 8-token chunks occur more than once in the corpus (bucketed
+    chunk exchange -> per-doc tally; ratio in integer milli-units)."""
+    from dug_ray.stages.text_index import dup_chunk_ratio
+    return dup_chunk_ratio(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+SQL_DUP_CHUNKS = _with(SQL_TOKS, SQL_CHUNKS) + """,
+dc AS (SELECT doc_id, chunk_text, CAST(count(*) AS BIGINT) AS n
+       FROM chunks GROUP BY doc_id, chunk_text),
+gc AS (SELECT chunk_text, CAST(sum(n) AS BIGINT) AS total
+       FROM dc GROUP BY chunk_text)
+SELECT c.doc_id,
+       CAST(sum(c.n) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN g.total > 1 THEN c.n ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN g.total > 1 THEN c.n ELSE 0 END) * 1000
+            // sum(c.n) AS BIGINT) AS dup_milli
+FROM dc c JOIN gc g USING (chunk_text)
+GROUP BY c.doc_id"""
+
+
+def q_tfidf_topk(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc top-3 terms by tf * ln(N/df) (ties by term asc). The score
+    is one float expression over exact ints — bit-identical across
+    engines (libm ln; same discipline as the HLL estimate)."""
+    from dug_ray.stages.text_index import tfidf_topk
+    return tfidf_topk(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+SQL_TFIDF_TOPK = _with(SQL_TOKS) + """,
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+s AS (SELECT t.doc_id, t.term, t.tf, d.df,
+             t.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score
+      FROM tf t JOIN dft d USING (term), n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank FROM s)
+SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3"""
+
+
+def q_postings(sf_dir: str) -> ray.data.Dataset:
+    """Inverted-index build: term -> document frequency + first-5 posting
+    list (doc_ids ascending, pipe-joined) — the serving-index artifact."""
+    from dug_ray.stages.text_index import build_postings
+    return build_postings(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+SQL_POSTINGS = _with(SQL_TOKS) + """,
+d AS (SELECT DISTINCT term, doc_id FROM toks),
+r AS (SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM d),
+agg AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM d GROUP BY term),
+p AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS postings
+      FROM r WHERE rn <= 5 GROUP BY term)
+SELECT a.term, a.df, p.postings FROM agg a JOIN p USING (term)"""
+
+
+QUERIES.update({
+    "dup_chunks": q_dup_chunks,
+    "tfidf_topk": q_tfidf_topk,
+    "postings": q_postings,
+})
+ORACLES.update({
+    "dup_chunks": SQL_DUP_CHUNKS,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "postings": SQL_POSTINGS,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -2599,6 +2678,8 @@ _DRIVER_FRONT = [
     "urgent_lineitems", "segment_order_stats", "region_suppliers",
     # newly oracle-pinned this round (was no_oracle in rounds 1-3)
     "hll_distinct",
+    # new in round 4
+    "dup_chunks", "tfidf_topk", "postings",
 ]
 _NO_ORACLE_LAST = ["lsh_ann", "ivf_ann"]
 

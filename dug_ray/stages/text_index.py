@@ -1,0 +1,213 @@
+"""Corpus text-index operators: repetition scoring, tf-idf, posting lists.
+
+Three index-family operators a training-data pipeline runs over the whole
+corpus (beyond the per-doc stats in ``textstats.py``):
+
+- ``dup_chunk_ratio``: MassiveText/C4-style repetition score — for each
+  doc, the fraction of its 8-token chunks whose exact text occurs more
+  than once in the CORPUS. The scalable shape: per-batch (doc, chunk)
+  emission (chunks ride the existing spanifier), one bucketed exchange on
+  the chunk text (every occurrence of a chunk lands in one bucket, so the
+  global count is exact), per-bucket partial per-doc tallies, and a tiny
+  final per-doc merge. Ratio is integer-exact (milli-units) — no float
+  summation crosses engines.
+- ``tfidf_topk``: per-doc top-3 terms by tf * ln(N/df). Term counts are
+  per-batch combiners; df comes from one bucketed exchange on the term;
+  the scored rank is a second, doc-keyed exchange. The score is a single
+  float expression over exact ints (tf, df, N), so it is bit-identical to
+  the SQL oracle (same discipline as sketch.estimate).
+- ``build_postings``: the inverted-index build (term -> document
+  frequency + the first-k posting list, numerically ascending,
+  pipe-joined) — the serving-index artifact shape, fully string/int exact.
+
+All three follow the engine's shuffle discipline: per-batch combiners
+before every exchange, ``bucketed_group_apply`` for the wide steps, typed
+Arrow outputs (schema-stable on empty partials).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from dug_ray.shuffle import bucketed_group_apply, typed_table
+
+CHUNK_TOKENS = 8  # == io.SPAN_TOKENS: chunks are the spanifier's text spans
+
+
+def _doc_chunks(batch: pa.Table) -> pd.DataFrame:
+    """(doc_id, chunk_text) rows for a documents batch — disjoint 8-token
+    chunks, vectorized (token re-windowing via list-array offsets, chunk
+    assembly via ``binary_join``; no Python loop over rows or tokens)."""
+    tokens = pc.split_pattern(batch["text"], " ")
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    n_tok = pc.list_value_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_chunks = -(-n_tok // CHUNK_TOKENS)  # ceil
+    flat = tokens.flatten()
+    # chunk boundaries inside the flat token stream: each doc contributes
+    # ceil(n/8) chunks of 8 tokens (last one short). Docs are contiguous in
+    # the flat stream, so every chunk's end == the next chunk's start (a
+    # doc's last chunk ends where the next doc begins) — the offsets array
+    # is just all chunk starts plus the stream length.
+    doc_starts = np.zeros(len(n_tok) + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=doc_starts[1:])
+    total = int(n_chunks.sum())
+    chunk_base = np.zeros(len(n_chunks) + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=chunk_base[1:])
+    within = np.arange(total) - np.repeat(chunk_base[:-1], n_chunks)
+    starts = np.repeat(doc_starts[:-1], n_chunks) + CHUNK_TOKENS * within
+    offsets = np.append(starts, doc_starts[-1])
+    chunk_lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    chunks = pc.binary_join(chunk_lists, " ")
+    doc_ids = np.repeat(
+        batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), n_chunks)
+    return pd.DataFrame({
+        "doc_id": doc_ids,
+        "chunk": chunks.to_numpy(zero_copy_only=False),
+    })
+
+
+def dup_chunk_ratio(docs: ray.data.Dataset, num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-doc repetition score over exact 8-token chunks (see module
+    docstring). Output: doc_id, n_chunks, n_dup, dup_milli
+    (= n_dup * 1000 // n_chunks, integer-exact)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = _doc_chunks(batch)
+        # combiner: one row per (doc, chunk) with its in-doc multiplicity —
+        # only distinct chunk strings cross the exchange per doc
+        g = df.groupby(["chunk", "doc_id"], as_index=False).agg(n=("doc_id", "size"))
+        return typed_table(g, chunk=pa.string(), doc_id=pa.int64(), n=pa.int64())
+
+    partial = docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def per_chunk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # every occurrence of a chunk is in this bucket: global count is
+        # the sum of in-doc multiplicities
+        cnt = df.groupby("chunk")["n"].transform("sum")
+        df = df.assign(dup=(cnt > 1).astype(np.int64) * df["n"])
+        out = df.groupby("doc_id", as_index=False).agg(
+            n_chunks=("n", "sum"), n_dup=("dup", "sum"))
+        return out
+
+    per_bucket = bucketed_group_apply(partial, "chunk", per_chunk_bucket, num_buckets)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", as_index=False).agg(
+            n_chunks=("n_chunks", "sum"), n_dup=("n_dup", "sum"))
+        out["dup_milli"] = out["n_dup"] * 1000 // out["n_chunks"]
+        return out
+
+    final = bucketed_group_apply(per_bucket, "doc_id", per_doc, 8)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({c: pc.cast(batch[c], pa.int64())
+                         for c in ("doc_id", "n_chunks", "n_dup", "dup_milli")})
+
+    return final.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def tfidf_topk(docs: ray.data.Dataset, k: int = 3,
+               num_buckets: int = 16) -> ray.data.Dataset:
+    """Per-doc top-``k`` terms by tf * ln(N/df), ties by term ascending.
+    Output: doc_id, term, tf, df, score, rank."""
+    n_docs = docs.count()  # metadata count — no pipeline execution
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens)
+        ids = pc.take(pc.cast(batch["doc_id"], pa.int64()), parent)
+        pairs = pa.table({"doc_id": ids, "term": tokens.flatten()})
+        g = (pairs.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+             .rename_columns(["doc_id", "term", "tf"]))
+        return g
+
+    tf = docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a term are in this bucket; (doc_id, term) rows are
+        # already distinct (per-batch combiner outputs one row per pair
+        # per batch; batches partition docs, so pairs never repeat)
+        df = df.assign(df_=df.groupby("term")["term"].transform("size"))
+        return df
+
+    with_df = bucketed_group_apply(tf, "term", attach_df, num_buckets)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        # one float expression over exact ints — bit-identical to the SQL
+        # oracle, so math.log (libm, same as DuckDB ln), not np.log (own
+        # SIMD impl, can differ in the last ulp). Evaluated once per
+        # DISTINCT (tf, df) pair, then gathered — no per-row Python loop.
+        pairs = np.stack([df["tf"].to_numpy(np.int64),
+                          df["df_"].to_numpy(np.int64)], axis=1)
+        u, inv = np.unique(pairs, axis=0, return_inverse=True)
+        uscore = np.array([float(t) * math.log(n_docs / d) for t, d in u])
+        df = df.assign(score=uscore[inv] if len(df) else np.zeros(0))
+        df = df.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rank"] = df.groupby("doc_id").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return df.rename(columns={"df_": "df"})[
+            ["doc_id", "term", "tf", "df", "score", "rank"]]
+
+    final = bucketed_group_apply(with_df, "doc_id", per_doc, 8)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "term": pc.cast(batch["term"], pa.string()),
+            "tf": pc.cast(batch["tf"], pa.int64()),
+            "df": pc.cast(batch["df"], pa.int64()),
+            "score": pc.cast(batch["score"], pa.float64()),
+            "rank": pc.cast(batch["rank"], pa.int64()),
+        })
+
+    return final.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def build_postings(docs: ray.data.Dataset, k: int = 5,
+                   num_buckets: int = 16) -> ray.data.Dataset:
+    """Inverted-index build: per term, document frequency and the first-k
+    posting list (doc_ids numerically ascending, pipe-joined). Only
+    distinct (term, doc_id) pairs cross the exchange; the posting string
+    is assembled inside the term's bucket. Output: term, df, postings."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens)
+        ids = pc.take(pc.cast(batch["doc_id"], pa.int64()), parent)
+        pairs = pd.DataFrame({
+            "term": tokens.flatten().to_numpy(zero_copy_only=False),
+            "doc_id": ids.to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        return typed_table(pairs, term=pa.string(), doc_id=pa.int64())
+
+    pairs = docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+    def per_term(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "doc_id"], kind="mergesort")
+        g = df.groupby("term", as_index=False).agg(
+            df_=("doc_id", "size"),
+            postings=("doc_id", lambda s: "|".join(map(str, s.head(k)))))
+        return g.rename(columns={"df_": "df"})
+
+    final = bucketed_group_apply(pairs, "term", per_term, num_buckets)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "term": pc.cast(batch["term"], pa.string()),
+            "df": pc.cast(batch["df"], pa.int64()),
+            "postings": pc.cast(batch["postings"], pa.string()),
+        })
+
+    return final.map_batches(fin, batch_format="pyarrow", batch_size=None)

@@ -87,3 +87,36 @@ def test_overlap_windows_catch_boundary_straddling_mention():
     # full coverage with 5-token shared context: windows start every 3 tokens
     assert list(wins["start_pos"]) == [1, 4, 7, 10]
     assert all(len(t.split(" ")) <= 8 for t in wins["text"])
+
+
+def test_lance_pathway(tmp_path, sf_smoke):
+    """Storage shim (the north-rule Lance path): with documents.lance
+    present, read_documents takes the Lance branch. Without pylance in the
+    env, ray.data.read_lance raises ImportError at call time and the
+    parquet fallback must still serve every row; with pylance installed
+    (not this container), the real Lance read is exercised end to end."""
+    import shutil
+
+    from dug_ray.io import read_documents
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy(f"{sf_smoke}/documents.parquet", d / "documents.parquet")
+    want = read_documents(sf_smoke, columns=["doc_id"]).count()
+
+    try:
+        import lance
+    except ImportError:
+        lance = None
+
+    if lance is not None:
+        import pyarrow.parquet as pq
+        lance.write_dataset(pq.read_table(d / "documents.parquet"),
+                            str(d / "documents.lance"))
+    else:
+        # an (empty) .lance dir still routes through the Lance branch; the
+        # ImportError fallback is the behavior under test in this env
+        (d / "documents.lance").mkdir()
+
+    out = read_documents(str(d), columns=["doc_id", "source"]).to_pandas()
+    assert len(out) == want and set(out.columns) == {"doc_id", "source"}
