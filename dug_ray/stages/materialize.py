@@ -98,6 +98,8 @@ def materialize_graph(triples: ray.data.Dataset, out_dir: str,
         bucketed = bucketed.map_batches(drop_done, batch_format="pyarrow", batch_size=None)
 
     def write_partition(df: pd.DataFrame) -> pd.DataFrame:
+        import time
+        t0 = time.time()
         b = int(df["subj_bucket"].iloc[0])
         df = df.drop(columns=["subj_bucket"])
         # dictionary-encoded shuffle columns arrive as pandas categoricals
@@ -113,16 +115,25 @@ def materialize_graph(triples: ray.data.Dataset, out_dir: str,
         # side-effect write is idempotent: tmp-file + rename; a task retry
         # simply replaces the file with identical content
         fp = atomic_write_parquet(pa.Table.from_pandas(df, preserve_index=False), final)
+        sec = round(time.time() - t0, 3)
         # per-bucket sidecar marker: a crash mid-materialize resumes past
-        # this bucket (the end-of-run manifest rewrite compacts these away)
-        PartitionManifest(out_dir).mark_done_sidecar(b, len(df), final, fp)
+        # this bucket (the end-of-run manifest rewrite compacts these away).
+        # The marker carries the partition's metrics (wall sec, rows/s) next
+        # to its lineage fingerprint — the north rule's per-partition metrics.
+        PartitionManifest(out_dir).mark_done_sidecar(
+            b, len(df), final, fp,
+            metrics={"sec": sec,
+                     "rows_per_sec": round(len(df) / sec, 1) if sec > 0 else None})
         return pd.DataFrame([{"bucket": b, "rows": len(df), "path": final,
-                              "fingerprint": fp}])
+                              "fingerprint": fp, "sec": sec}])
 
     stats = (bucketed.groupby("subj_bucket")
              .map_groups(write_partition, batch_format="pandas")
              .to_pandas())
-    items = [(int(r["bucket"]), int(r["rows"]), r["path"], r["fingerprint"])
+    items = [(int(r["bucket"]), int(r["rows"]), r["path"], r["fingerprint"],
+              {"sec": float(r["sec"]),
+               "rows_per_sec": round(int(r["rows"]) / float(r["sec"]), 1)
+               if float(r["sec"]) > 0 else None})
              for _, r in stats.iterrows()]
     # partitions with no rows at all: mark done so resume skips them too
     seen = {i[0] for i in items} | done

@@ -53,14 +53,19 @@ class PartitionManifest:
         return entries
 
     def mark_done_sidecar(self, bucket: int, rows: int, path: str,
-                          fingerprint: str = "") -> None:
+                          fingerprint: str = "",
+                          metrics: dict | None = None) -> None:
         """Per-bucket completion marker written by the worker task right
         after its atomic partition write (tmp + rename; idempotent on task
-        retry)."""
+        retry). ``metrics`` carries the partition's run metrics (wall
+        seconds, rows/s — the north rule's per-partition metrics)."""
         fd, tmp = tempfile.mkstemp(dir=self.out_dir, suffix=".done.tmp")
+        entry = {"status": "done", "rows": rows, "path": path,
+                 "fingerprint": fingerprint}
+        if metrics:
+            entry["metrics"] = metrics
         with os.fdopen(fd, "w") as f:
-            json.dump({"status": "done", "rows": rows, "path": path,
-                       "fingerprint": fingerprint}, f)
+            json.dump(entry, f)
         os.rename(tmp, os.path.join(self.out_dir, f"_done-{bucket:05d}.json"))
 
     def completed_buckets(self) -> set[int]:
@@ -97,21 +102,25 @@ class PartitionManifest:
                 f"{got}, run requested {params}; use a fresh out_dir or the "
                 f"original parameters")
 
-    def mark_done(self, bucket: int, rows: int, path: str, fingerprint: str = "") -> None:
-        self.mark_done_many([(bucket, rows, path, fingerprint)])
+    def mark_done(self, bucket: int, rows: int, path: str, fingerprint: str = "",
+                  metrics: dict | None = None) -> None:
+        self.mark_done_many([(bucket, rows, path, fingerprint, metrics)])
 
     def mark_done_many(self, items) -> None:
         """One atomic rewrite for a batch of completions (O(n) not O(n^2)).
 
-        ``items``: iterable of (bucket, rows, path[, fingerprint])."""
+        ``items``: iterable of (bucket, rows, path[, fingerprint[, metrics]])."""
         entries = self.load()
         for item in items:
             bucket, rows, path = item[0], item[1], item[2]
             fingerprint = item[3] if len(item) > 3 else ""
+            metrics = item[4] if len(item) > 4 else None
             entries[str(bucket)] = {
                 "status": "done", "rows": rows, "path": path,
                 "fingerprint": fingerprint,
             }
+            if metrics:
+                entries[str(bucket)]["metrics"] = metrics
         self._write(entries)
         # compact: every sidecar is now folded into the main manifest
         import glob

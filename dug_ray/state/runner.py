@@ -132,13 +132,21 @@ def run_resumable(sf_dir: str, out_dir: str, num_shards: int = 8,
     done = manifest.completed_buckets()
     pending = [s for s in range(num_shards) if s not in done]
 
+    import time
     for i, s in enumerate(pending):
         if stop_after_shards is not None and i >= stop_after_shards:
             raise RuntimeError(f"simulated crash after {i} shards")
         path = os.path.join(stage1_dir, f"shard-{s:05d}.parquet")
+        t0 = time.time()
         rows, fp = _write_shard(
             _shard_triples(sf_dir, s, num_shards, parser=parser), path)
-        manifest.mark_done(s, rows, path, fp)
+        dt = time.time() - t0
+        # per-partition metrics alongside the lineage fingerprint (north
+        # rule: lineage manifests AND metrics per fragment)
+        manifest.mark_done(s, rows, path, fp, metrics={
+            "sec": round(dt, 3),
+            "rows_per_sec": round(rows / dt, 1) if dt > 0 else None,
+        })
 
     paths = []
     for s in range(num_shards):

@@ -94,6 +94,9 @@ def test_manifest_fingerprints(sf_smoke, tmp_path):
     nonempty = [v for v in entries.values() if v.get("rows", 0) > 0]
     assert nonempty
     assert all(len(v["fingerprint"]) == 32 for v in nonempty)
+    # north-rule per-partition metrics ride the manifest next to lineage
+    assert all(v["metrics"]["sec"] >= 0 and v["metrics"]["rows_per_sec"] > 0
+               for v in nonempty)
 
 
 def test_manifest_legacy_layout_refused(tmp_path):

@@ -84,3 +84,31 @@ def test_postings_cap_and_order():
     assert out.loc["common", "df"] == 7
     assert out.loc["common", "postings"] == "2|4|7|10|25"
     assert out.loc["w", "postings"] == "2|4|7|10|25"
+
+
+def test_text_index_empty_and_single_token():
+    """Empty batches keep typed schemas through all three operators'
+    partial stages (the shuffle null-type leak guard), and degenerate
+    docs (single token, empty string) chunk without crashing."""
+    import pyarrow as pa
+
+    from dug_ray.stages.text_index import (_doc_chunks, build_postings,
+                                           dup_chunk_ratio, tfidf_topk)
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    for op in (dup_chunk_ratio, build_postings):
+        sch = op(empty).schema()
+        assert sch is None or len(sch.names) > 0
+
+    # _doc_chunks on an empty batch returns an empty frame
+    eb = pa.table({"doc_id": pa.array([], pa.int64()),
+                   "text": pa.array([], pa.string())})
+    assert len(_doc_chunks(eb)) == 0
+
+    # degenerate docs: one token, and the empty string (one empty token)
+    ds = docs_ds([{"doc_id": 1, "text": "solo"}, {"doc_id": 2, "text": ""}])
+    out = dup_chunk_ratio(ds).to_pandas().set_index("doc_id")
+    assert list(out["n_chunks"]) == [1, 1] and list(out["n_dup"]) == [0, 0]
+    tf = tfidf_topk(ds).to_pandas()
+    assert set(tf["doc_id"]) == {1, 2}
