@@ -199,6 +199,9 @@ def run_scaling() -> dict:
     n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "2"))
     windows = [_scaling_window(n_pairs) for _ in range(n_windows)]
     by_raw = sorted(windows, key=lambda w: w["value"])
+    # median window; for an EVEN window count this is the lower-middle one
+    # (conservative — the headline must be a real window so its legs and hw
+    # probe can be splatted below, so no averaging of the two middles)
     median = by_raw[(len(by_raw) - 1) // 2]
     return {
         "metric": "scaling_efficiency_8_to_32",

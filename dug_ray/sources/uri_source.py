@@ -43,8 +43,17 @@ def staged_path(storage_dir: str, uri: str) -> str:
 
 
 def read_table_uri(uri: str, columns: list[str] | None = None,
-                   storage_dir: str = "/tmp/dug_ray_fetch") -> ray.data.Dataset:
-    """Scheme-dispatched parquet read (the S2/S3 loader surface)."""
+                   storage_dir: str = "/tmp/dug_ray_fetch",
+                   allow_legacy_staged: bool = False) -> ray.data.Dataset:
+    """Scheme-dispatched parquet read (the S2/S3 loader surface).
+
+    ``allow_legacy_staged`` (default OFF) is the one-time cache-migration
+    escape hatch for query/fragment URIs staged before the ``.q<hash>``
+    suffix landed: it serves the bare ``netloc/path`` file when the
+    suffixed one is absent. It is opt-in because the bare path cannot
+    distinguish WHICH query variant was staged there (the exact collision
+    the suffix prevents) — only enable it for caches known to predate the
+    suffix and hold the intended variant."""
     scheme = urlparse(uri).scheme
     if scheme in ("", "file"):
         path = urlparse(uri).path if scheme == "file" else uri
@@ -54,12 +63,10 @@ def read_table_uri(uri: str, columns: list[str] | None = None,
     if scheme in ("http", "https"):
         target = staged_path(storage_dir, uri)
         if not os.path.exists(target):
-            # migration fallback: query/fragment URIs staged before the
-            # .q<hash> suffix landed live at the bare path — serve those
-            # rather than re-fetching (or hard-failing offline)
             p = urlparse(uri)
             legacy = os.path.join(storage_dir, p.netloc, p.path.lstrip("/"))
-            if legacy != target and os.path.exists(legacy):
+            if (allow_legacy_staged and legacy != target
+                    and os.path.exists(legacy)):
                 target = legacy
             else:
                 _fetch(uri, target)

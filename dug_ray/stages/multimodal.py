@@ -149,13 +149,13 @@ class MediaDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.codec == "ppm":
-            # image spans only (even media ordinal — the probe's contract)
-            offs = pc.cast(batch["offset"], pa.int64()).to_numpy(zero_copy_only=False)
-            img_mask = ((offs - 2) // 3) % 2 == 0
-            batch = batch.filter(pa.array(img_mask))
+            # consumes MediaProbe output (media_kind/width/height columns —
+            # decode_media routes through media_metadata): the probe is the
+            # ONE owner of span geometry, never re-derived here
+            batch = batch.filter(pc.equal(batch["media_kind"], "image"))
             refs = batch.column("media_ref").to_pylist()
-            reflen = np.array([len(r) for r in refs], dtype=np.int64)
-            widths, heights = 64 + reflen * 7, 64 + reflen * 13
+            widths = pc.cast(batch["width"], pa.int64()).to_numpy(zero_copy_only=False)
+            heights = pc.cast(batch["height"], pa.int64()).to_numpy(zero_copy_only=False)
             seeds = _ppm_seed(refs)
             payloads, dims = [], []
             for ref, w0, h0, s in zip(refs, widths, heights, seeds):
@@ -190,8 +190,11 @@ def decode_media(docs: ray.data.Dataset, fake: bool = False,
                  codec: str | None = None,
                  batch_size: int = 256, concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
     """Binary payloads need SMALL batches (batch x concurrency must fit the
-    worker heap) — 256 here vs whole-block for scalar stages."""
-    return media_spans(docs).map_batches(
+    worker heap) — 256 here vs whole-block for scalar stages. A codec path
+    runs probe -> decode (the decoder takes its geometry from MediaProbe's
+    columns, never re-deriving it)."""
+    src = media_metadata(docs) if codec else media_spans(docs)
+    return src.map_batches(
         MediaDecoder, fn_constructor_kwargs={"fake": fake, "codec": codec},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
 

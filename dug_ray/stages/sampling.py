@@ -85,18 +85,24 @@ MIXTURE_WEIGHTS: dict[str, int] = {
 def mixture_quarters(sources, weights: dict[str, int] | None = None) -> np.ndarray:
     """Vectorized quarters lookup: ``weights[source]`` when mapped, else
     ``len(source) % 3 + 1``.  ``weights=None`` means the module fixture
-    (what the registered queries and their SQL oracles use)."""
+    (what the registered queries and their SQL oracles use).
+
+    Returns float64 with NaN for a NULL source — the SQL semantics
+    (``length(NULL)%3+1`` is NULL): the keep comparison is then False (the
+    doc is dropped) and the reported weight is null, never a garbage
+    int-cast of NaN."""
     w = MIXTURE_WEIGHTS if weights is None else weights
     s = pd.Series(np.asarray(sources, dtype=object))
-    fall = s.str.len().to_numpy() % 3 + 1
+    fall = s.str.len().to_numpy(dtype=np.float64, na_value=np.nan) % 3 + 1
     mapped = s.map(w)
-    return np.where(mapped.notna(), mapped.fillna(0), fall).astype(np.int64)
+    return np.where(mapped.notna(), mapped.fillna(0), fall).astype(np.float64)
 
 
 def _mixture_kept_mask(df: pd.DataFrame,
                        weights: dict[str, int] | None = None) -> np.ndarray:
     """Deterministic keep mask: md5 int < weight_quarters * 2^30 with
-    weight_quarters from ``mixture_quarters`` (integer-exact both engines)."""
+    weight_quarters from ``mixture_quarters`` (integer-exact both engines;
+    NaN quarters — null source — compare False, the SQL WHERE-NULL drop)."""
     h = md5_int(df["doc_id"].to_numpy())
     wq = mixture_quarters(df["source"], weights)
     return h < wq * (1 << 30)
@@ -111,11 +117,13 @@ def mixture_sample(docs: ray.data.Dataset,
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()[["source", "doc_id"]]
         df["kept"] = _mixture_kept_mask(df, weights)
-        g = df.groupby("source", as_index=False).agg(
+        # dropna=False: a NULL source forms one reported group (SQL GROUP BY
+        # keeps it) with n_kept 0 — not a silently vanished row set
+        g = df.groupby("source", as_index=False, dropna=False).agg(
             n_total=("doc_id", "size"), n_kept=("kept", "sum"))
         # typed build (see group_sample.partial)
         return pa.table({
-            "source": pa.array(g["source"], pa.string()),
+            "source": pa.array(g["source"], pa.string(), from_pandas=True),
             "n_total": pa.array(g["n_total"].to_numpy(), pa.int64()),
             "n_kept": pa.array(g["n_kept"].to_numpy(), pa.int64()),
         })
@@ -123,12 +131,28 @@ def mixture_sample(docs: ray.data.Dataset,
     partials = docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("source", as_index=False).agg(
+        g = df.groupby("source", as_index=False, dropna=False).agg(
             n_total=("n_total", "sum"), n_kept=("n_kept", "sum"))
-        g["weight_quarters"] = mixture_quarters(g["source"], weights)
+        # nullable Int64: a NULL source's weight is null (SQL length(NULL)),
+        # never an int cast of NaN
+        g["weight_quarters"] = pd.array(
+            mixture_quarters(g["source"], weights), dtype="Int64")
         return g
 
-    return bucketed_group_apply(partials, "source", merge, 8)
+    merged = bucketed_group_apply(partials, "source", merge, 8)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        # rebuilt fresh: a pandas-Int64 block would otherwise round-trip its
+        # extension dtype through Arrow schema metadata all the way to the
+        # driver compare (dtype Int64 != the oracle's int64)
+        return pa.table({
+            "source": pc.cast(batch["source"], pa.string()),
+            "n_total": pc.cast(batch["n_total"], pa.int64()),
+            "n_kept": pc.cast(batch["n_kept"], pa.int64()),
+            "weight_quarters": pc.cast(batch["weight_quarters"], pa.int64()),
+        })
+
+    return merged.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
 def mixture_sample_rows(docs: ray.data.Dataset,

@@ -43,7 +43,12 @@ CHUNK_TOKENS = 8  # == io.SPAN_TOKENS: chunks are the spanifier's text spans
 def _doc_chunks(batch: pa.Table) -> pd.DataFrame:
     """(doc_id, chunk_text) rows for a documents batch — disjoint 8-token
     chunks, vectorized (token re-windowing via list-array offsets, chunk
-    assembly via ``binary_join``; no Python loop over rows or tokens)."""
+    assembly via ``binary_join``; no Python loop over rows or tokens).
+
+    Null-text docs are dropped, matching the SQL oracle (string_split of
+    NULL lateral-unnests to zero rows) — a null token list would otherwise
+    poison the int64 length cast (NaN -> INT64_MIN) and crash np.repeat."""
+    batch = batch.filter(pc.is_valid(batch["text"]))
     tokens = pc.split_pattern(batch["text"], " ")
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()

@@ -99,8 +99,13 @@ def test_uri_loader_dispatch(tmp_path, sf_smoke):
     other = staged_path(str(tmp_path), "http://example.org/data/other.parquet")
     assert not os.path.exists(other) and not os.path.exists(other + ".tmp")
 
-    # legacy-layout fallback: a query-string URI staged under the
-    # pre-.q<hash> bare path still reads (one-time cache migration)
+    # legacy-layout fallback is OPT-IN: by default a query-string URI must
+    # NOT silently serve the bare-path file (the collision the .q<hash>
+    # suffix prevents — offline, the un-staged suffixed path errors);
+    # with allow_legacy_staged=True the pre-suffix cache is served
     quri = "http://example.org/data/docs.parquet?v=2"
     assert staged_path(str(tmp_path), quri) != target  # suffixed today
-    assert read_table_uri(quri, storage_dir=str(tmp_path)).count() == 500
+    with pytest.raises(NotImplementedError, match="pre-stage"):
+        read_table_uri(quri, storage_dir=str(tmp_path))
+    assert read_table_uri(quri, storage_dir=str(tmp_path),
+                          allow_legacy_staged=True).count() == 500

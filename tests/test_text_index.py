@@ -112,3 +112,9 @@ def test_text_index_empty_and_single_token():
     assert list(out["n_chunks"]) == [1, 1] and list(out["n_dup"]) == [0, 0]
     tf = tfidf_topk(ds).to_pandas()
     assert set(tf["doc_id"]) == {1, 2}
+
+    # null-text docs are dropped, matching string_split(NULL)'s zero rows
+    # in the oracle — not crashed on (NaN length -> INT64_MIN repeat)
+    ds = docs_ds([{"doc_id": 1, "text": "a b"}, {"doc_id": 2, "text": None}])
+    out = dup_chunk_ratio(ds).to_pandas()
+    assert list(out["doc_id"]) == [1]

@@ -425,6 +425,19 @@ def test_md5_int_parity_and_mixture_rows():
     assert rw.groupby("source").size().reindex(cw.index).fillna(0).astype(int).equals(
         cw["n_kept"].astype(int))
 
+    # a NULL source follows SQL semantics: its docs are never kept (NULL
+    # threshold compares false) but the group IS reported, with a null
+    # weight — not a garbage int cast of NaN
+    nd = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64),
+        "source": ["web"] * 10 + [None] * 10}))
+    cn = mixture_sample(nd).to_pandas()
+    nrow = cn[cn["source"].isna()]
+    assert len(nrow) == 1 and int(nrow["n_total"].iloc[0]) == 10
+    assert int(nrow["n_kept"].iloc[0]) == 0 and nrow["weight_quarters"].isna().all()
+    rn = mixture_sample_rows(nd).to_pandas()
+    assert not rn["source"].isna().any()
+
 
 def test_curated_corpus_composition(sf_smoke):
     """The composed pipeline must equal the conjunction of its component
