@@ -2655,6 +2655,65 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# KG graph-profile family (stages/graph.py): co-annotation edges and
+# degree statistics over the constructed triple table
+# ---------------------------------------------------------------------------
+
+def q_concept_cooccurrence(sf_dir: str) -> ray.data.Dataset:
+    """Concept/concept co-annotation edges: subj < obj CURIE pairs that
+    annotate the same element, weighted by shared-element count (the KG
+    enrichment edge the reference's concept->element mapping implies but
+    never materializes; reference src/dug/core/crawler.py)."""
+    from dug_ray.stages.graph import concept_cooccurrence
+    return concept_cooccurrence(kg.linked_mentions_cached(sf_dir))
+
+
+SQL_CONCEPT_COOCCURRENCE = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full)
+SELECT a.canonical_curie AS subj, b.canonical_curie AS obj,
+       CAST(count(*) AS BIGINT) AS n_elements
+FROM dm a JOIN dm b USING (element_id)
+WHERE a.canonical_curie < b.canonical_curie
+GROUP BY 1, 2"""
+
+
+def q_triple_degrees(sf_dir: str) -> ray.data.Dataset:
+    """Per-subject degree profile of the full KG triple table: row count,
+    distinct predicates, distinct objects — the hub/skew census the
+    canonicalize/expand salting plans against."""
+    from dug_ray.stages.graph import triple_degrees
+    return triple_degrees(kg.kg_triples(sf_dir))
+
+
+SQL_TRIPLE_DEGREES = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls",
+                     "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + """
+SELECT subj, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objs
+FROM (
+  SELECT subj, pred, obj FROM expansion
+  UNION ALL
+  SELECT DISTINCT canonical_curie AS subj, 'dug:annotates' AS pred,
+         element_id AS obj
+  FROM linked_full
+) GROUP BY subj"""
+
+
+QUERIES.update({
+    "concept_cooccurrence": q_concept_cooccurrence,
+    "triple_degrees": q_triple_degrees,
+})
+ORACLES.update({
+    "concept_cooccurrence": SQL_CONCEPT_COOCCURRENCE,
+    "triple_degrees": SQL_TRIPLE_DEGREES,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -2680,6 +2739,7 @@ _DRIVER_FRONT = [
     "hll_distinct",
     # new in round 4
     "dup_chunks", "tfidf_topk", "postings",
+    "concept_cooccurrence", "triple_degrees",
 ]
 _NO_ORACLE_LAST = ["lsh_ann", "ivf_ann"]
 

@@ -1,0 +1,69 @@
+"""Graph-profile operators (stages/graph.py): exact semantics on a tiny
+hand-computable corpus plus schema stability on empty groups."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import ray.data
+
+from dug_ray.stages.graph import concept_cooccurrence, triple_degrees
+
+
+def _linked(rows):
+    return ray.data.from_pandas(pd.DataFrame(
+        rows, columns=["element_id", "canonical_curie"]))
+
+
+def test_concept_cooccurrence_exact():
+    # e1: {A, B, C} (B mentioned twice — counts once), e2: {A, B}, e3: {C}
+    linked = _linked([
+        ("e1", "A"), ("e1", "B"), ("e1", "B"), ("e1", "C"),
+        ("e2", "A"), ("e2", "B"),
+        ("e3", "C"),
+    ])
+    out = concept_cooccurrence(linked, num_buckets=4).to_pandas()
+    got = {(r.subj, r.obj): r.n_elements for r in out.itertuples()}
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+    assert out["n_elements"].dtype == "int64"
+
+
+def test_concept_cooccurrence_no_pairs_schema():
+    # single-concept elements produce ZERO edges without crashing; a
+    # fully-empty Dataset loses its column schema (documented Ray
+    # pandas-block quirk, see shuffle.partitioned_join) so only count is
+    # asserted.  One multi-concept element restores the typed schema.
+    linked = _linked([("e1", "A"), ("e2", "B")])
+    assert concept_cooccurrence(linked, num_buckets=2).count() == 0
+    linked = _linked([("e1", "A"), ("e2", "B"), ("e2", "C")])
+    df = concept_cooccurrence(linked, num_buckets=2).to_pandas()
+    assert list(df.columns) == ["subj", "obj", "n_elements"]
+    assert df["n_elements"].dtype == "int64"
+    assert got_rows(df) == {("B", "C"): 1}
+
+
+def got_rows(df):
+    return {(r.subj, r.obj): r.n_elements for r in df.itertuples()}
+
+
+def test_triple_degrees_exact():
+    triples = ray.data.from_pandas(pd.DataFrame({
+        "subj": ["S1", "S1", "S1", "S1", "S2"],
+        "pred": ["p", "p", "q", "p", "p"],
+        "obj":  ["o1", "o1", "o2", "o3", "o1"],
+    }))
+    out = triple_degrees(triples, num_buckets=4).to_pandas().set_index("subj")
+    # S1: 4 rows (duplicate (p,o1) counted per row), 2 preds, 3 objs
+    assert out.loc["S1", ["n_triples", "n_preds", "n_objs"]].tolist() == [4, 2, 3]
+    assert out.loc["S2", ["n_triples", "n_preds", "n_objs"]].tolist() == [1, 1, 1]
+
+
+def test_graph_queries_against_oracle(sf_smoke):
+    """Full-pipeline parity at sf0.001 via the registered oracles (the
+    sf0.01 run is the driver's/selfcheck's job)."""
+    import selfcheck
+    from dug_ray import queries as q
+    for name in ("concept_cooccurrence", "triple_degrees"):
+        ray_df = selfcheck.to_pandas(q.QUERIES[name](sf_smoke))
+        sql_df = selfcheck.oracle_df(sf_smoke, q.ORACLES[name])
+        assert selfcheck.compare(name, ray_df, sql_df) == []
