@@ -2703,13 +2703,64 @@ FROM (
 ) GROUP BY subj"""
 
 
+def q_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-point integer PageRank (3 iterations, damping 85/100, total
+    mass 1e12 int64 units, floor division throughout) over the distinct
+    (subj, obj) edges of the full KG triple table.  Integer arithmetic
+    makes the iteration bit-exact across engines and partitionings, so
+    the DuckDB oracle pins every rank value, not just shapes — the same
+    determinism-by-construction discipline as dup_chunks/hll_distinct."""
+    from dug_ray.stages.graph import pagerank
+    return pagerank(kg.kg_triples(sf_dir))
+
+
+def _pr_sql(iterations: int = 3, scale: int = 10 ** 12) -> str:
+    """PageRank iteration CTE chain — identical integer expressions to
+    stages/graph.py:pagerank (floor division is `//` in both engines;
+    operands are all nonnegative so truncation == floor)."""
+    frags = []
+    for i in range(1, iterations + 1):
+        frags.append(f""",
+pr_r{i} AS (SELECT n.node,
+       CAST((15 * {scale}) // (100 * (SELECT n FROM pr_nn))
+            + (85 * COALESCE(i{i}.s, 0)) // 100 AS BIGINT) AS rank_mass
+FROM pr_nodes n LEFT JOIN (
+  SELECT e.obj AS node, CAST(sum(r.rank_mass // o.d) AS BIGINT) AS s
+  FROM pr_edges e JOIN pr_r{i - 1} r ON e.subj = r.node
+                  JOIN pr_outdeg o ON e.subj = o.dnode
+  GROUP BY e.obj) i{i} ON n.node = i{i}.node)""")
+    return f""",
+pr_kg AS (SELECT subj, obj FROM expansion
+          UNION ALL
+          SELECT DISTINCT canonical_curie AS subj, element_id AS obj
+          FROM linked_full),
+pr_edges AS (SELECT DISTINCT subj, obj FROM pr_kg),
+pr_nodes AS (SELECT subj AS node FROM pr_edges
+             UNION SELECT obj FROM pr_edges),
+pr_nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pr_nodes),
+pr_outdeg AS (SELECT subj AS dnode, CAST(count(*) AS BIGINT) AS d
+              FROM pr_edges GROUP BY subj),
+pr_r0 AS (SELECT node,
+                 CAST({scale} // (SELECT n FROM pr_nn) AS BIGINT) AS rank_mass
+          FROM pr_nodes)""" + "".join(frags) + f"""
+SELECT node, rank_mass FROM pr_r{iterations}"""
+
+
+SQL_PAGERANK = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls",
+                     "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + _pr_sql()
+
+
 QUERIES.update({
     "concept_cooccurrence": q_concept_cooccurrence,
     "triple_degrees": q_triple_degrees,
+    "pagerank": q_pagerank,
 })
 ORACLES.update({
     "concept_cooccurrence": SQL_CONCEPT_COOCCURRENCE,
     "triple_degrees": SQL_TRIPLE_DEGREES,
+    "pagerank": SQL_PAGERANK,
 })
 
 
@@ -2739,7 +2790,7 @@ _DRIVER_FRONT = [
     "hll_distinct",
     # new in round 4
     "dup_chunks", "tfidf_topk", "postings",
-    "concept_cooccurrence", "triple_degrees",
+    "concept_cooccurrence", "triple_degrees", "pagerank",
 ]
 _NO_ORACLE_LAST = ["lsh_ann", "ivf_ann"]
 

@@ -14,6 +14,12 @@ see dug_ray/stages/canonicalize.py).  Two operators:
   concept->element links).
 - ``triple_degrees`` — per-subject degree profile of the full triple
   table (row count, distinct predicates, distinct objects).
+- ``pagerank`` — fixed-point integer PageRank over the directed
+  (subj, obj) graph: ranks are int64 mass units (total mass ``scale``),
+  every division is floor division, so partial sums are associative and
+  order-independent — the whole iteration is bit-exact across engines
+  and partitionings (same determinism-by-construction discipline as the
+  integer-milli dup_chunk ratio and the HLL inverse power sum).
 
 Scale notes (100 TB): co-occurrence pairing is quadratic in
 concepts-per-element, but elements are 8-token chunks so the per-group
@@ -31,7 +37,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from dug_ray.shuffle import bucketed_group_apply, distinct_rows, typed_table
+from dug_ray.shuffle import (bucketed_group_apply, distinct_rows, hash_join,
+                             typed_table)
 
 
 def concept_cooccurrence(linked: ray.data.Dataset,
@@ -75,6 +82,114 @@ def concept_cooccurrence(linked: ray.data.Dataset,
                            n_elements=pa.int64())
 
     return bucketed_group_apply(partials, "subj", merge, num_buckets)
+
+
+def pagerank(triples: ray.data.Dataset, iterations: int = 3,
+             scale: int = 10 ** 12, num_buckets: int = 32) -> ray.data.Dataset:
+    """(node, rank_mass) after ``iterations`` rounds of integer PageRank.
+
+    Fixed-point variant chosen for exactness, not an approximation of the
+    float algorithm: total mass ``scale`` (int64 units), damping 85/100,
+    every division floor division, so the result is bit-identical for any
+    partitioning and any engine (DuckDB oracle uses the same expressions).
+    Mass lost to floor remainders and dangling nodes is dropped, not
+    redistributed — documented semantics of this variant.
+
+    Scale shape (100 TB): edges/outdeg are computed ONCE and pinned in the
+    object store (iterative reuse — recomputing the distinct per iteration
+    would re-shuffle |E| three times); each iteration is two partitioned
+    hash joins (rank x outdeg on node, then edges x shares on subj) plus
+    one per-batch-combined bucketed sum by destination.  The rank table is
+    |V|-sized and re-materialized per iteration — the standard persisted
+    frontier of distributed PageRank (GraphX/Pregel discipline), never a
+    driver pull.  Hot destination nodes are absorbed by the per-batch
+    partial sums before the shuffle.
+    """
+    edges = distinct_rows(triples.select_columns(["subj", "obj"]),
+                          ["subj", "obj"], num_buckets)
+    edges = edges.map_batches(
+        lambda b: typed_table(b.to_pandas(), subj=pa.string(),
+                              obj=pa.string()),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    def _as_node(col: str):
+        def _m(batch: pa.Table) -> pa.Table:
+            return typed_table(batch.to_pandas().rename(columns={col: "node"}),
+                               node=pa.string())
+        return _m
+
+    nodes = distinct_rows(
+        edges.select_columns(["subj"]).map_batches(
+            _as_node("subj"), batch_format="pyarrow", batch_size=None)
+        .union(edges.select_columns(["obj"]).map_batches(
+            _as_node("obj"), batch_format="pyarrow", batch_size=None)),
+        ["node"], num_buckets).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(typed_table(
+            pd.DataFrame({"node": [], "rank_mass": []}),
+            node=pa.string(), rank_mass=pa.int64()))
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas().groupby("subj").size().reset_index(name="d")
+        return typed_table(g.rename(columns={"subj": "dnode"}),
+                           dnode=pa.string(), d=pa.int64())
+
+    outdeg = bucketed_group_apply(
+        edges.map_batches(deg_partial, batch_format="pyarrow",
+                          batch_size=None),
+        "dnode",
+        lambda df: typed_table(
+            df.groupby("dnode", as_index=False).agg(d=("d", "sum")),
+            dnode=pa.string(), d=pa.int64()),
+        num_buckets).materialize()
+
+    init = scale // n_nodes
+    base = (15 * scale) // (100 * n_nodes)
+
+    def _const_rank(val: int):
+        def _m(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["rank_mass"] = val
+            return typed_table(df, node=pa.string(), rank_mass=pa.int64())
+        return _m
+
+    ranks = nodes.map_batches(_const_rank(init), batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+    def _zero_contrib(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["node"]]
+        df["s"] = 0
+        return typed_table(df, node=pa.string(), s=pa.int64())
+
+    def _share(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["share"] = df["rank_mass"].to_numpy() // df["d"].to_numpy()
+        return typed_table(df.rename(columns={"node": "snode"}),
+                           snode=pa.string(), share=pa.int64())
+
+    def _contrib_partial(batch: pa.Table) -> pa.Table:
+        g = (batch.to_pandas().groupby("obj", as_index=False)
+             .agg(s=("share", "sum")))
+        return typed_table(g.rename(columns={"obj": "node"}),
+                           node=pa.string(), s=pa.int64())
+
+    def _rank_update(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("node", as_index=False).agg(s=("s", "sum"))
+        g["rank_mass"] = base + (85 * g["s"].to_numpy()) // 100
+        return typed_table(g, node=pa.string(), rank_mass=pa.int64())
+
+    for _ in range(iterations):
+        shares = hash_join(ranks, outdeg, "node", "dnode", num_buckets) \
+            .map_batches(_share, batch_format="pyarrow", batch_size=None)
+        contribs = hash_join(edges, shares, "subj", "snode", num_buckets) \
+            .map_batches(_contrib_partial, batch_format="pyarrow",
+                         batch_size=None)
+        inc = contribs.union(nodes.map_batches(
+            _zero_contrib, batch_format="pyarrow", batch_size=None))
+        ranks = bucketed_group_apply(inc, "node", _rank_update,
+                                     num_buckets).materialize()
+    return ranks
 
 
 def triple_degrees(triples: ray.data.Dataset,

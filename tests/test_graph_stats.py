@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 import ray.data
 
-from dug_ray.stages.graph import concept_cooccurrence, triple_degrees
+from dug_ray.stages.graph import concept_cooccurrence, pagerank, triple_degrees
 
 
 def _linked(rows):
@@ -58,12 +58,58 @@ def test_triple_degrees_exact():
     assert out.loc["S2", ["n_triples", "n_preds", "n_objs"]].tolist() == [1, 1, 1]
 
 
+def _ref_pagerank(edges, iterations=3, scale=10 ** 12):
+    """Pure-Python single-process reference of the integer fixed-point
+    PageRank variant (same expressions as stages/graph.py:pagerank)."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {o for _, o in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: scale // n for v in nodes}
+    base = (15 * scale) // (100 * n)
+    for _ in range(iterations):
+        inc = {v: 0 for v in nodes}
+        for s, o in edges:
+            inc[o] += r[s] // outdeg[s]
+        r = {v: base + (85 * inc[v]) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_reference():
+    # cycle + chord + dangling sink; duplicate triple rows and a pred
+    # column must not affect the distinct (subj, obj) edge set
+    edges = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("C", "D")]
+    triples = ray.data.from_pandas(pd.DataFrame(
+        edges + [("A", "B")], columns=["subj", "obj"]).assign(pred="p"))
+    out = pagerank(triples, iterations=3, num_buckets=4).to_pandas()
+    got = dict(zip(out["node"], out["rank_mass"]))
+    assert got == _ref_pagerank(edges, iterations=3)
+    assert out["rank_mass"].dtype == "int64"
+    # D is a pure sink: its mass is base + 85% of half of C's mass
+    assert got["D"] < got["C"]
+
+
+def test_pagerank_iteration_count_changes_result():
+    edges = [("A", "B"), ("B", "A"), ("B", "C")]
+    triples = ray.data.from_pandas(pd.DataFrame(
+        edges, columns=["subj", "obj"]))
+    one = dict(zip(*(lambda d: (d["node"], d["rank_mass"]))(
+        pagerank(triples, iterations=1, num_buckets=2).to_pandas())))
+    two = dict(zip(*(lambda d: (d["node"], d["rank_mass"]))(
+        pagerank(triples, iterations=2, num_buckets=2).to_pandas())))
+    assert one == _ref_pagerank(edges, iterations=1)
+    assert two == _ref_pagerank(edges, iterations=2)
+    assert one != two
+
+
 def test_graph_queries_against_oracle(sf_smoke):
     """Full-pipeline parity at sf0.001 via the registered oracles (the
     sf0.01 run is the driver's/selfcheck's job)."""
     import selfcheck
     from dug_ray import queries as q
-    for name in ("concept_cooccurrence", "triple_degrees"):
+    for name in ("concept_cooccurrence", "triple_degrees", "pagerank"):
         ray_df = selfcheck.to_pandas(q.QUERIES[name](sf_smoke))
         sql_df = selfcheck.oracle_df(sf_smoke, q.ORACLES[name])
         assert selfcheck.compare(name, ray_df, sql_df) == []
