@@ -2717,11 +2717,14 @@ def q_pagerank(sf_dir: str) -> ray.data.Dataset:
 def _pr_sql(iterations: int = 3, scale: int = 10 ** 12) -> str:
     """PageRank iteration CTE chain — identical integer expressions to
     stages/graph.py:pagerank (floor division is `//` in both engines;
-    operands are all nonnegative so truncation == floor)."""
+    operands are all nonnegative so truncation == floor).  The shared
+    CTEs are MATERIALIZED: DuckDB inlines single-reference CTEs, and the
+    iteration chain references pr_edges/pr_outdeg once per round — inlined,
+    each reference would re-run the full NER/link pipeline underneath."""
     frags = []
     for i in range(1, iterations + 1):
         frags.append(f""",
-pr_r{i} AS (SELECT n.node,
+pr_r{i} AS MATERIALIZED (SELECT n.node,
        CAST((15 * {scale}) // (100 * (SELECT n FROM pr_nn))
             + (85 * COALESCE(i{i}.s, 0)) // 100 AS BIGINT) AS rank_mass
 FROM pr_nodes n LEFT JOIN (
@@ -2734,12 +2737,12 @@ pr_kg AS (SELECT subj, obj FROM expansion
           UNION ALL
           SELECT DISTINCT canonical_curie AS subj, element_id AS obj
           FROM linked_full),
-pr_edges AS (SELECT DISTINCT subj, obj FROM pr_kg),
-pr_nodes AS (SELECT subj AS node FROM pr_edges
-             UNION SELECT obj FROM pr_edges),
-pr_nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pr_nodes),
-pr_outdeg AS (SELECT subj AS dnode, CAST(count(*) AS BIGINT) AS d
-              FROM pr_edges GROUP BY subj),
+pr_edges AS MATERIALIZED (SELECT DISTINCT subj, obj FROM pr_kg),
+pr_nodes AS MATERIALIZED (SELECT subj AS node FROM pr_edges
+                          UNION SELECT obj FROM pr_edges),
+pr_nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM pr_nodes),
+pr_outdeg AS MATERIALIZED (SELECT subj AS dnode, CAST(count(*) AS BIGINT) AS d
+                           FROM pr_edges GROUP BY subj),
 pr_r0 AS (SELECT node,
                  CAST({scale} // (SELECT n FROM pr_nn) AS BIGINT) AS rank_mass
           FROM pr_nodes)""" + "".join(frags) + f"""

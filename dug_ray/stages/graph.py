@@ -37,8 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from dug_ray.shuffle import (bucketed_group_apply, distinct_rows, hash_join,
-                             typed_table)
+from dug_ray.shuffle import bucketed_group_apply, distinct_rows, typed_table
 
 
 def concept_cooccurrence(linked: ray.data.Dataset,
@@ -95,15 +94,20 @@ def pagerank(triples: ray.data.Dataset, iterations: int = 3,
     Mass lost to floor remainders and dangling nodes is dropped, not
     redistributed — documented semantics of this variant.
 
-    Scale shape (100 TB): edges/outdeg are computed ONCE and pinned in the
-    object store (iterative reuse — recomputing the distinct per iteration
-    would re-shuffle |E| three times); each iteration is two partitioned
-    hash joins (rank x outdeg on node, then edges x shares on subj) plus
-    one per-batch-combined bucketed sum by destination.  The rank table is
-    |V|-sized and re-materialized per iteration — the standard persisted
-    frontier of distributed PageRank (GraphX/Pregel discipline), never a
-    driver pull.  Hot destination nodes are absorbed by the per-batch
-    partial sums before the shuffle.
+    Scale shape (100 TB): Pregel-style fused iteration.  The edge side is
+    distinct-ified, tagged and pinned ONCE in the object store; the rank
+    state (node, outdeg, rank) is |V|-sized and re-materialized per
+    iteration (the persisted frontier of distributed PageRank — GraphX
+    discipline, never a driver pull).  Each iteration is exactly TWO
+    bucketed exchanges: (1) rank rows co-located with their subjects'
+    edges by the shared node-hash bucket, share = rank // outdeg computed
+    and message mass pre-summed per destination INSIDE the bucket (the
+    only all-to-all that moves |E| carries partial sums, not raw edges'
+    worth of messages), then (2) partial sums + the static zero-row spine
+    regrouped by destination to fold the damping update.  Every dataset a
+    stage consumes twice is materialized first — probing a lazy Dataset's
+    schema (as a generic join must) re-executes its whole upstream chain,
+    which is what made the first cut of this operator 10x slower.
     """
     edges = distinct_rows(triples.select_columns(["subj", "obj"]),
                           ["subj", "obj"], num_buckets)
@@ -112,84 +116,96 @@ def pagerank(triples: ray.data.Dataset, iterations: int = 3,
                               obj=pa.string()),
         batch_format="pyarrow", batch_size=None).materialize()
 
-    def _as_node(col: str):
-        def _m(batch: pa.Table) -> pa.Table:
-            return typed_table(batch.to_pandas().rename(columns={col: "node"}),
-                               node=pa.string())
-        return _m
+    # static spine: every node with its out-degree (0 for pure sinks),
+    # built in one exchange from per-batch partials
+    def _deg_and_nodes(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby("subj").size().reset_index(name="d")
+             .rename(columns={"subj": "node"}))
+        o = pd.DataFrame({"node": df["obj"].drop_duplicates(), "d": 0})
+        return typed_table(pd.concat([g, o], ignore_index=True),
+                           node=pa.string(), d=pa.int64())
 
-    nodes = distinct_rows(
-        edges.select_columns(["subj"]).map_batches(
-            _as_node("subj"), batch_format="pyarrow", batch_size=None)
-        .union(edges.select_columns(["obj"]).map_batches(
-            _as_node("obj"), batch_format="pyarrow", batch_size=None)),
-        ["node"], num_buckets).materialize()
-    n_nodes = nodes.count()
+    spine = bucketed_group_apply(
+        edges.map_batches(_deg_and_nodes, batch_format="pyarrow",
+                          batch_size=None),
+        "node",
+        lambda df: typed_table(
+            df.groupby("node", as_index=False).agg(d=("d", "sum")),
+            node=pa.string(), d=pa.int64()),
+        num_buckets).materialize()
+
+    n_nodes = spine.count()
     if n_nodes == 0:
         return ray.data.from_arrow(typed_table(
             pd.DataFrame({"node": [], "rank_mass": []}),
             node=pa.string(), rank_mass=pa.int64()))
-
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        g = batch.to_pandas().groupby("subj").size().reset_index(name="d")
-        return typed_table(g.rename(columns={"subj": "dnode"}),
-                           dnode=pa.string(), d=pa.int64())
-
-    outdeg = bucketed_group_apply(
-        edges.map_batches(deg_partial, batch_format="pyarrow",
-                          batch_size=None),
-        "dnode",
-        lambda df: typed_table(
-            df.groupby("dnode", as_index=False).agg(d=("d", "sum")),
-            dnode=pa.string(), d=pa.int64()),
-        num_buckets).materialize()
-
     init = scale // n_nodes
     base = (15 * scale) // (100 * n_nodes)
 
-    def _const_rank(val: int):
-        def _m(batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            df["rank_mass"] = val
-            return typed_table(df, node=pa.string(), rank_mass=pa.int64())
-        return _m
+    MSG = dict(node=pa.string(), obj=pa.string(), rank_mass=pa.int64(),
+               d=pa.int64(), side=pa.string())
 
-    ranks = nodes.map_batches(_const_rank(init), batch_format="pyarrow",
+    def _edge_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().rename(columns={"subj": "node"})
+        df["rank_mass"] = 0
+        df["d"] = 0
+        df["side"] = "e"
+        return typed_table(df, **MSG)
+
+    edge_side = edges.map_batches(_edge_side, batch_format="pyarrow",
+                                  batch_size=None).materialize()
+
+    def _zero_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["s"] = 0
+        return typed_table(df, node=pa.string(), d=pa.int64(), s=pa.int64())
+
+    zero_rows = spine.map_batches(_zero_rows, batch_format="pyarrow",
+                                  batch_size=None).materialize()
+
+    def _rank_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["obj"] = None
+        df["side"] = "r"
+        return typed_table(df, **MSG)
+
+    def _messages(df: pd.DataFrame) -> pa.Table:
+        r = df[df["side"] == "r"]
+        r = r[r["d"] > 0]
+        shares = pd.DataFrame({
+            "node": r["node"].to_numpy(),
+            "share": r["rank_mass"].to_numpy() // r["d"].to_numpy()})
+        m = df[df["side"] == "e"][["node", "obj"]].merge(shares, on="node")
+        g = (m.groupby("obj", as_index=False).agg(s=("share", "sum"))
+             .rename(columns={"obj": "node"}))
+        g["d"] = 0
+        return typed_table(g, node=pa.string(), d=pa.int64(), s=pa.int64())
+
+    def _update(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("node", as_index=False).agg(s=("s", "sum"),
+                                                   d=("d", "max"))
+        g["rank_mass"] = base + (85 * g["s"].to_numpy()) // 100
+        return typed_table(g, node=pa.string(), d=pa.int64(),
+                           rank_mass=pa.int64())
+
+    def _init_rank(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rank_mass"] = init
+        return typed_table(df, node=pa.string(), d=pa.int64(),
+                           rank_mass=pa.int64())
+
+    ranks = spine.map_batches(_init_rank, batch_format="pyarrow",
                               batch_size=None).materialize()
 
-    def _zero_contrib(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()[["node"]]
-        df["s"] = 0
-        return typed_table(df, node=pa.string(), s=pa.int64())
-
-    def _share(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["share"] = df["rank_mass"].to_numpy() // df["d"].to_numpy()
-        return typed_table(df.rename(columns={"node": "snode"}),
-                           snode=pa.string(), share=pa.int64())
-
-    def _contrib_partial(batch: pa.Table) -> pa.Table:
-        g = (batch.to_pandas().groupby("obj", as_index=False)
-             .agg(s=("share", "sum")))
-        return typed_table(g.rename(columns={"obj": "node"}),
-                           node=pa.string(), s=pa.int64())
-
-    def _rank_update(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("node", as_index=False).agg(s=("s", "sum"))
-        g["rank_mass"] = base + (85 * g["s"].to_numpy()) // 100
-        return typed_table(g, node=pa.string(), rank_mass=pa.int64())
-
     for _ in range(iterations):
-        shares = hash_join(ranks, outdeg, "node", "dnode", num_buckets) \
-            .map_batches(_share, batch_format="pyarrow", batch_size=None)
-        contribs = hash_join(edges, shares, "subj", "snode", num_buckets) \
-            .map_batches(_contrib_partial, batch_format="pyarrow",
-                         batch_size=None)
-        inc = contribs.union(nodes.map_batches(
-            _zero_contrib, batch_format="pyarrow", batch_size=None))
-        ranks = bucketed_group_apply(inc, "node", _rank_update,
-                                     num_buckets).materialize()
-    return ranks
+        rank_side = ranks.map_batches(_rank_side, batch_format="pyarrow",
+                                      batch_size=None)
+        msgs = bucketed_group_apply(edge_side.union(rank_side), "node",
+                                    _messages, num_buckets)
+        ranks = bucketed_group_apply(msgs.union(zero_rows), "node",
+                                     _update, num_buckets).materialize()
+    return ranks.select_columns(["node", "rank_mass"])
 
 
 def triple_degrees(triples: ray.data.Dataset,
