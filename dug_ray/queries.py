@@ -2755,15 +2755,47 @@ SQL_PAGERANK = _with(
     SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + _pr_sql()
 
 
+def q_triangles(sf_dir: str) -> ray.data.Dataset:
+    """Per-node triangle counts over the concept co-annotation graph —
+    the clustering/community census downstream curation reads alongside
+    the degree profile (a concept in many triangles sits in a dense
+    annotation neighborhood, not a hub-and-spoke one)."""
+    from dug_ray.stages.graph import concept_cooccurrence, triangle_counts
+    cooc = concept_cooccurrence(kg.linked_mentions_cached(sf_dir))
+    return triangle_counts(cooc)
+
+
+SQL_TRIANGLES = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+cooc AS MATERIALIZED (
+  SELECT a.canonical_curie AS s, b.canonical_curie AS o
+  FROM dm a JOIN dm b USING (element_id)
+  WHERE a.canonical_curie < b.canonical_curie
+  GROUP BY 1, 2),
+tri AS (SELECT e1.s AS a, e1.o AS b, e2.o AS c
+        FROM cooc e1
+        JOIN cooc e2 ON e1.s = e2.s AND e1.o < e2.o
+        JOIN cooc e3 ON e3.s = e1.o AND e3.o = e2.o),
+corners AS (SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node"""
+
+
 QUERIES.update({
     "concept_cooccurrence": q_concept_cooccurrence,
     "triple_degrees": q_triple_degrees,
     "pagerank": q_pagerank,
+    "triangles": q_triangles,
 })
 ORACLES.update({
     "concept_cooccurrence": SQL_CONCEPT_COOCCURRENCE,
     "triple_degrees": SQL_TRIPLE_DEGREES,
     "pagerank": SQL_PAGERANK,
+    "triangles": SQL_TRIANGLES,
 })
 
 
@@ -2793,7 +2825,7 @@ _DRIVER_FRONT = [
     "hll_distinct",
     # new in round 4
     "dup_chunks", "tfidf_topk", "postings",
-    "concept_cooccurrence", "triple_degrees", "pagerank",
+    "concept_cooccurrence", "triple_degrees", "pagerank", "triangles",
 ]
 _NO_ORACLE_LAST = ["lsh_ann", "ivf_ann"]
 

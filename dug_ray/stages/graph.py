@@ -20,6 +20,9 @@ see dug_ray/stages/canonicalize.py).  Two operators:
   order-independent — the whole iteration is bit-exact across engines
   and partitionings (same determinism-by-construction discipline as the
   integer-milli dup_chunk ratio and the HLL inverse power sum).
+- ``triangle_counts`` — per-node triangle membership counts over the
+  undirected co-annotation graph (wedge enumeration + closing-edge
+  match, both bucketed).
 
 Scale notes (100 TB): co-occurrence pairing is quadratic in
 concepts-per-element, but elements are 8-token chunks so the per-group
@@ -206,6 +209,72 @@ def pagerank(triples: ray.data.Dataset, iterations: int = 3,
         ranks = bucketed_group_apply(msgs.union(zero_rows), "node",
                                      _update, num_buckets).materialize()
     return ranks.select_columns(["node", "rank_mass"])
+
+
+def triangle_counts(edges: ray.data.Dataset,
+                    num_buckets: int = 32) -> ray.data.Dataset:
+    """(node, n_triangles) over an undirected simple graph whose edges
+    arrive as lexicographically ordered rows (subj < obj, distinct) — the
+    contract ``concept_cooccurrence`` emits.  Nodes in no triangle are
+    omitted (matches the SQL oracle's GROUP BY over triangle corners).
+
+    Three bucketed exchanges: (1) wedge enumeration at each apex (all
+    ordered neighbor pairs b < c of a's above-edges, co-located by the
+    subj bucket), (2) wedges matched against closing edges under a
+    composite (b, c) bucket — triangle corners are counted per-bucket
+    BEFORE (3) the final per-node sum, so the last exchange carries
+    partials.  Scale note: wedge fan-out is quadratic in apex degree; the
+    classic mitigation (degree-ordered orientation, forming wedges at the
+    lowest-degree corner) drops in here by re-sorting each edge by the
+    degree census from ``triple_degrees`` before stage 1 — not needed at
+    the corpus' co-annotation densities, where the 8-token chunking bounds
+    per-element concept counts and hence co-occurrence degrees.
+    """
+    edges = distinct_rows(edges.select_columns(["subj", "obj"]),
+                          ["subj", "obj"], num_buckets)
+    edges = edges.map_batches(
+        lambda t: typed_table(t.to_pandas(), subj=pa.string(),
+                              obj=pa.string()),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    def _wedges(df: pd.DataFrame) -> pa.Table:
+        m = df.merge(df, on="subj")
+        m = m[m["obj_x"] < m["obj_y"]]
+        out = pd.DataFrame({"a": m["subj"], "b": m["obj_x"],
+                            "c": m["obj_y"], "side": "w"})
+        return typed_table(out, a=pa.string(), b=pa.string(),
+                           c=pa.string(), side=pa.string())
+
+    wedges = bucketed_group_apply(edges, "subj", _wedges, num_buckets)
+
+    def _edge_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({"a": pd.Series([None] * len(df), dtype=object),
+                            "b": df["subj"], "c": df["obj"], "side": "e"})
+        return typed_table(out, a=pa.string(), b=pa.string(),
+                           c=pa.string(), side=pa.string())
+
+    closing = edges.map_batches(_edge_side, batch_format="pyarrow",
+                                batch_size=None)
+
+    def _corners(df: pd.DataFrame) -> pa.Table:
+        w = df[df["side"] == "w"][["a", "b", "c"]]
+        e = df[df["side"] == "e"][["b", "c"]]
+        tri = w.merge(e, on=["b", "c"])
+        corners = pd.concat([tri["a"], tri["b"], tri["c"]],
+                            ignore_index=True)
+        g = corners.value_counts().rename_axis("node") \
+                   .reset_index(name="t")
+        return typed_table(g, node=pa.string(), t=pa.int64())
+
+    partials = bucketed_group_apply(wedges.union(closing), ["b", "c"],
+                                    _corners, num_buckets)
+
+    def _final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("node", as_index=False).agg(n_triangles=("t", "sum"))
+        return typed_table(g, node=pa.string(), n_triangles=pa.int64())
+
+    return bucketed_group_apply(partials, "node", _final, num_buckets)
 
 
 def triple_degrees(triples: ray.data.Dataset,

@@ -7,7 +7,8 @@ import pandas as pd
 import pytest
 import ray.data
 
-from dug_ray.stages.graph import concept_cooccurrence, pagerank, triple_degrees
+from dug_ray.stages.graph import (concept_cooccurrence, pagerank,
+                                  triangle_counts, triple_degrees)
 
 
 def _linked(rows):
@@ -104,12 +105,33 @@ def test_pagerank_iteration_count_changes_result():
     assert one != two
 
 
+def test_triangle_counts_exact():
+    # K4 on {A,B,C,D} minus edge (C,D): triangles ABC and ABD -> A,B in 2
+    # each, C,D in 1 each; E-F is an edge in no triangle (omitted); a
+    # duplicate edge row must not double-count
+    e = [("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D"),
+         ("E", "F"), ("A", "B")]
+    edges = ray.data.from_pandas(pd.DataFrame(e, columns=["subj", "obj"]))
+    out = triangle_counts(edges, num_buckets=4).to_pandas()
+    got = dict(zip(out["node"], out["n_triangles"]))
+    assert got == {"A": 2, "B": 2, "C": 1, "D": 1}
+    assert out["n_triangles"].dtype == "int64"
+
+
+def test_triangle_counts_no_triangles():
+    # a path graph has wedges but no closed triangle; result is empty
+    edges = ray.data.from_pandas(pd.DataFrame(
+        [("A", "B"), ("B", "C")], columns=["subj", "obj"]))
+    assert triangle_counts(edges, num_buckets=2).count() == 0
+
+
 def test_graph_queries_against_oracle(sf_smoke):
     """Full-pipeline parity at sf0.001 via the registered oracles (the
     sf0.01 run is the driver's/selfcheck's job)."""
     import selfcheck
     from dug_ray import queries as q
-    for name in ("concept_cooccurrence", "triple_degrees", "pagerank"):
+    for name in ("concept_cooccurrence", "triple_degrees", "pagerank",
+                 "triangles"):
         ray_df = selfcheck.to_pandas(q.QUERIES[name](sf_smoke))
         sql_df = selfcheck.oracle_df(sf_smoke, q.ORACLES[name])
         assert selfcheck.compare(name, ray_df, sql_df) == []
