@@ -105,6 +105,34 @@ def test_pagerank_iteration_count_changes_result():
     assert one != two
 
 
+def test_pagerank_seeded_random_graph():
+    # 60-node / ~240-edge seeded digraph: partitioned engine result must
+    # equal the single-process integer reference on every node
+    import numpy as np
+    rng = np.random.default_rng(7)
+    edges = sorted({(f"n{a:02d}", f"n{b:02d}")
+                    for a, b in rng.integers(0, 60, size=(240, 2))
+                    if a != b})
+    triples = ray.data.from_pandas(pd.DataFrame(
+        edges, columns=["subj", "obj"]))
+    out = pagerank(triples, iterations=3, num_buckets=8).to_pandas()
+    got = dict(zip(out["node"], out["rank_mass"]))
+    assert got == _ref_pagerank(edges, iterations=3)
+
+
+def test_pagerank_hub_skew():
+    # star graph: every spoke points at one hub — the hot destination the
+    # per-bucket partial sums must absorb; hub rank is exact
+    edges = [(f"s{i}", "HUB") for i in range(50)]
+    triples = ray.data.from_pandas(pd.DataFrame(
+        edges, columns=["subj", "obj"]))
+    out = pagerank(triples, iterations=2, num_buckets=4).to_pandas()
+    got = dict(zip(out["node"], out["rank_mass"]))
+    ref = _ref_pagerank(edges, iterations=2)
+    assert got == ref
+    assert got["HUB"] == max(got.values())
+
+
 def test_triangle_counts_exact():
     # K4 on {A,B,C,D} minus edge (C,D): triangles ABC and ABD -> A,B in 2
     # each, C,D in 1 each; E-F is an edge in no triangle (omitted); a
