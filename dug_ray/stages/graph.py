@@ -99,18 +99,22 @@ def pagerank(triples: ray.data.Dataset, iterations: int = 3,
 
     Scale shape (100 TB): Pregel-style fused iteration.  The edge side is
     distinct-ified, tagged and pinned ONCE in the object store; the rank
-    state (node, outdeg, rank) is |V|-sized and re-materialized per
-    iteration (the persisted frontier of distributed PageRank — GraphX
-    discipline, never a driver pull).  Each iteration is exactly TWO
-    bucketed exchanges: (1) rank rows co-located with their subjects'
-    edges by the shared node-hash bucket, share = rank // outdeg computed
-    and message mass pre-summed per destination INSIDE the bucket (the
-    only all-to-all that moves |E| carries partial sums, not raw edges'
-    worth of messages), then (2) partial sums + the static zero-row spine
-    regrouped by destination to fold the damping update.  Every dataset a
-    stage consumes twice is materialized first — probing a lazy Dataset's
-    schema (as a generic join must) re-executes its whole upstream chain,
-    which is what made the first cut of this operator 10x slower.
+    state (node, outdeg, rank) is |V|-sized (never a driver pull).  Each
+    iteration is exactly TWO bucketed exchanges: (1) rank rows co-located
+    with their subjects' edges by the shared node-hash bucket, share =
+    rank // outdeg computed and message mass pre-summed per destination
+    INSIDE the bucket (the only all-to-all that moves |E| carries partial
+    sums, not raw edges' worth of messages), then (2) partial sums + the
+    static zero-row spine regrouped by destination to fold the damping
+    update.  Execution economics, learned the slow way: (a) anything a
+    stage consumes more than once per execution is materialized first —
+    probing a lazy Dataset's schema (as a generic join must) re-executes
+    its whole upstream chain; (b) each rank frontier has exactly ONE
+    consumer, so the whole iteration chain stays lazy and runs as one
+    streaming execution (a checkpoint every 4 rounds bounds plan depth);
+    (c) the exchange width adapts to the edge count — a small graph must
+    not pay ``num_buckets`` task latencies per stage, a 100 TB one needs
+    them all.
     """
     edges = distinct_rows(triples.select_columns(["subj", "obj"]),
                           ["subj", "obj"], num_buckets)
@@ -118,6 +122,11 @@ def pagerank(triples: ray.data.Dataset, iterations: int = 3,
         lambda b: typed_table(b.to_pandas(), subj=pa.string(),
                               obj=pa.string()),
         batch_format="pyarrow", batch_size=None).materialize()
+    n_edges = edges.count()
+    nb = max(2, min(num_buckets, n_edges // 50_000 + 2))
+    if nb < num_buckets:
+        edges = edges.repartition(nb).materialize()
+    num_buckets = nb
 
     # static spine: every node with its out-degree (0 for pure sinks),
     # built in one exchange from per-batch partials
@@ -156,8 +165,10 @@ def pagerank(triples: ray.data.Dataset, iterations: int = 3,
         df["side"] = "e"
         return typed_table(df, **MSG)
 
+    # lazy: a trivial map over the PINNED edges — re-running it per
+    # iteration is cheaper than holding a second |E| copy in the store
     edge_side = edges.map_batches(_edge_side, batch_format="pyarrow",
-                                  batch_size=None).materialize()
+                                  batch_size=None)
 
     def _zero_rows(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -165,7 +176,7 @@ def pagerank(triples: ray.data.Dataset, iterations: int = 3,
         return typed_table(df, node=pa.string(), d=pa.int64(), s=pa.int64())
 
     zero_rows = spine.map_batches(_zero_rows, batch_format="pyarrow",
-                                  batch_size=None).materialize()
+                                  batch_size=None)
 
     def _rank_side(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -199,15 +210,17 @@ def pagerank(triples: ray.data.Dataset, iterations: int = 3,
                            rank_mass=pa.int64())
 
     ranks = spine.map_batches(_init_rank, batch_format="pyarrow",
-                              batch_size=None).materialize()
+                              batch_size=None)
 
-    for _ in range(iterations):
+    for i in range(iterations):
         rank_side = ranks.map_batches(_rank_side, batch_format="pyarrow",
                                       batch_size=None)
         msgs = bucketed_group_apply(edge_side.union(rank_side), "node",
                                     _messages, num_buckets)
         ranks = bucketed_group_apply(msgs.union(zero_rows), "node",
-                                     _update, num_buckets).materialize()
+                                     _update, num_buckets)
+        if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            ranks = ranks.materialize()
     return ranks.select_columns(["node", "rank_mass"])
 
 
