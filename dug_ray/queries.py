@@ -2785,17 +2785,50 @@ SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM corners GROUP BY node"""
 
 
+def q_event_attribution(sf_dir: str) -> ray.data.Dataset:
+    """Range (banded) join: each 'view' event paired with the same user's
+    'purchase' events in the following hour — the attribution primitive
+    (the as-of join's interval-predicate sibling; SURVEY.md §2.9).  The
+    inequality co-partitions exactly via (user, band-width time chunk)
+    keys with the left side duplicated into its two spanning chunks."""
+    from dug_ray.stages.windows import banded_join
+
+    def _side(etype: str) -> ray.data.Dataset:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"])
+        return ds.map_batches(
+            lambda b, e=etype: b.filter(pc.equal(b["event_type"], e))
+                                .drop_columns(["event_type"]),
+            batch_format="pyarrow", batch_size=None)
+
+    return banded_join(_side("view"), _side("purchase"),
+                       band_us=3_600_000_000)
+
+
+SQL_EVENT_ATTRIBUTION = """
+SELECT a.event_id AS l_event, b.event_id AS r_event, a.user_id,
+       CAST(epoch_us(a.ts) AS BIGINT) AS l_us,
+       CAST(epoch_us(b.ts) AS BIGINT) AS r_us,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+  AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR"""
+
+
 QUERIES.update({
     "concept_cooccurrence": q_concept_cooccurrence,
     "triple_degrees": q_triple_degrees,
     "pagerank": q_pagerank,
     "triangles": q_triangles,
+    "event_attribution": q_event_attribution,
 })
 ORACLES.update({
     "concept_cooccurrence": SQL_CONCEPT_COOCCURRENCE,
     "triple_degrees": SQL_TRIPLE_DEGREES,
     "pagerank": SQL_PAGERANK,
     "triangles": SQL_TRIANGLES,
+    "event_attribution": SQL_EVENT_ATTRIBUTION,
 })
 
 
@@ -2826,6 +2859,7 @@ _DRIVER_FRONT = [
     # new in round 4
     "dup_chunks", "tfidf_topk", "postings",
     "concept_cooccurrence", "triple_degrees", "pagerank", "triangles",
+    "event_attribution",
 ]
 _NO_ORACLE_LAST = ["lsh_ann", "ivf_ann"]
 

@@ -34,6 +34,83 @@ def _epoch_seconds(ts: pd.Series) -> pd.Series:
     return ((ts - pd.Timestamp(0)) // pd.Timedelta(seconds=1)).astype("int64")
 
 
+def _epoch_us(ts: pd.Series) -> pd.Series:
+    return ((ts - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)).astype("int64")
+
+
+def banded_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                band_us: int, num_buckets: int = 16) -> ray.data.Dataset:
+    """Range (banded) join: every LEFT event paired with every RIGHT event
+    of the same user whose timestamp falls in ``[left.ts, left.ts +
+    band_us)``.  Output (l_event, r_event, user_id, l_us, r_us, lag_us);
+    both inputs must carry event_id, user_id, ts.
+
+    The interval predicate co-partitions EXACTLY despite being an
+    inequality: rows are keyed by ``(user_id, time-chunk)`` with chunk
+    width = band width.  A right row lives in one chunk; a left row's band
+    spans at most two, so it is emitted to both — each matching pair then
+    shares exactly one (user, chunk) key, so the in-bucket merge sees it
+    exactly once (no post-hoc dedup).  That bounds per-task fan-in by key
+    x band time-locality instead of whole-key history — the reason this
+    beats the naive equality-join-then-filter, whose hot-user groups grow
+    with the full corpus timespan.  At 100 TB: same shape, wider
+    num_buckets; skew only if one user emits a flood INSIDE one band
+    width, which salting by finer sub-chunks + neighbor duplication
+    absorbs the same way.
+    """
+
+    def prep(is_right: bool):
+        def _p(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            us = _epoch_us(df["ts"])
+            base = pd.DataFrame({
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "us": us,
+                # floor-div chunks (numpy // floors, matching SQL floor());
+                # band_us > 0 enforced by the caller contract
+                "chunk": (us // band_us).astype("int64"),
+                "is_r": is_right,
+            })
+            if not is_right:
+                above = base.assign(chunk=base["chunk"] + 1)
+                base = pd.concat([base, above], ignore_index=True)
+            return pa.Table.from_pandas(base, preserve_index=False)
+        return _p
+
+    u = (left.map_batches(prep(False), batch_format="pyarrow", batch_size=None)
+         .union(right.map_batches(prep(True), batch_format="pyarrow",
+                                  batch_size=None)))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        li = df[~df["is_r"]][["event_id", "user_id", "us", "chunk"]]
+        ri = df[df["is_r"]][["event_id", "user_id", "us", "chunk"]]
+        m = li.merge(ri, on=["user_id", "chunk"], suffixes=("_l", "_r"),
+                     sort=False)
+        m = m[(m["us_r"] >= m["us_l"]) & (m["us_r"] < m["us_l"] + band_us)]
+        out = pd.DataFrame({
+            "l_event": m["event_id_l"], "r_event": m["event_id_r"],
+            "user_id": m["user_id"], "l_us": m["us_l"], "r_us": m["us_r"],
+            "lag_us": m["us_r"] - m["us_l"]})
+        return out
+
+    joined = bucketed_group_apply(u, ["user_id", "chunk"], per_bucket,
+                                  num_buckets)
+    cols = ("l_event", "r_event", "user_id", "l_us", "r_us", "lag_us")
+
+    def _typed(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not all(c in df.columns for c in cols):
+            # fully-empty pandas blocks lose their column schema (documented
+            # Ray quirk, see shuffle.hash_join) — rebuild the typed empty
+            df = pd.DataFrame({c: [] for c in cols})
+        return pa.table({c: pa.array(df[c], type=pa.int64(),
+                                     from_pandas=True) for c in cols})
+
+    return joined.map_batches(_typed, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def sliding_window(events: ray.data.Dataset) -> ray.data.Dataset:
     """1h windows hopping every 30min: (user_id, window_start, n_events,
     sum_value_milli). Each event explodes to its size/hop windows."""

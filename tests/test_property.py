@@ -131,6 +131,38 @@ def test_asof_join_matches_bruteforce(rows):
 
 
 @settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100), st.booleans()),
+                min_size=1, max_size=40))
+def test_banded_join_matches_bruteforce(rows):
+    """banded_join == brute-force interval filter for ANY event set; tiny
+    band (16us) makes hypothesis hit band edges and chunk boundaries.
+    Each pair must appear EXACTLY once (the two-chunk left duplication
+    must never double-match)."""
+    from dug_ray.stages.windows import banded_join
+    BAND = 16
+    df = pd.DataFrame([{"event_id": i, "user_id": u, "us": t, "is_r": r}
+                       for i, (u, t, r) in enumerate(rows)])
+    df["ts"] = pd.Timestamp(0) + pd.to_timedelta(df["us"], unit="us")
+    left, right = df[~df["is_r"]], df[df["is_r"]]
+    if left.empty or right.empty:
+        return
+    got = banded_join(
+        ray.data.from_pandas(left[["event_id", "user_id", "ts"]]),
+        ray.data.from_pandas(right[["event_id", "user_id", "ts"]]),
+        band_us=BAND, num_buckets=4).to_pandas()
+    expect = {(int(l.event_id), int(r.event_id))
+              for _, l in left.iterrows() for _, r in right.iterrows()
+              if l.user_id == r.user_id and l.us <= r.us < l.us + BAND}
+    if not expect:
+        # a fully-empty Dataset loses its column schema (documented Ray
+        # pandas-block quirk, see shuffle.hash_join) — only count asserts
+        assert len(got) == 0
+        return
+    assert set(zip(got["l_event"], got["r_event"])) == expect
+    assert len(got) == len(expect)
+
+
+@settings(max_examples=10, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
                 min_size=0, max_size=15))
 def test_connected_components_match_union_find(edges):
