@@ -2816,12 +2816,51 @@ WHERE a.event_type = 'view' AND b.event_type = 'purchase'
   AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR"""
 
 
+def q_first_touch(sf_dir: str) -> ray.data.Dataset:
+    """First-touch attribution: each purchase credited to the EARLIEST
+    view of the same user within the preceding hour (deterministic
+    tie-break by view event_id).  Composition: banded join -> per-purchase
+    bucketed argmin — the candidate set is already band-bounded, so the
+    argmin exchange carries only matched pairs, never raw events."""
+    pairs = q_event_attribution(sf_dir)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        g = (df.sort_values(["r_event", "l_us", "l_event"], kind="mergesort")
+             .groupby("r_event", as_index=False).first())
+        out = pd.DataFrame({
+            "purchase_event": g["r_event"], "first_view": g["l_event"],
+            "user_id": g["user_id"], "view_us": g["l_us"],
+            "purchase_us": g["r_us"], "lag_us": g["lag_us"]})
+        return typed_table(out, purchase_event=pa.int64(),
+                           first_view=pa.int64(), user_id=pa.int64(),
+                           view_us=pa.int64(), purchase_us=pa.int64(),
+                           lag_us=pa.int64())
+
+    return bucketed_group_apply(pairs, "r_event", per_bucket, 16)
+
+
+SQL_FIRST_TOUCH = """
+WITH j AS (SELECT a.event_id AS l_event, b.event_id AS r_event, a.user_id,
+                  CAST(epoch_us(a.ts) AS BIGINT) AS l_us,
+                  CAST(epoch_us(b.ts) AS BIGINT) AS r_us
+           FROM events a JOIN events b ON a.user_id = b.user_id
+           WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+             AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR),
+r AS (SELECT *, row_number() OVER (PARTITION BY r_event
+                                   ORDER BY l_us, l_event) AS rn FROM j)
+SELECT r_event AS purchase_event, l_event AS first_view, user_id,
+       l_us AS view_us, r_us AS purchase_us,
+       CAST(r_us - l_us AS BIGINT) AS lag_us
+FROM r WHERE rn = 1"""
+
+
 QUERIES.update({
     "concept_cooccurrence": q_concept_cooccurrence,
     "triple_degrees": q_triple_degrees,
     "pagerank": q_pagerank,
     "triangles": q_triangles,
     "event_attribution": q_event_attribution,
+    "first_touch": q_first_touch,
 })
 ORACLES.update({
     "concept_cooccurrence": SQL_CONCEPT_COOCCURRENCE,
@@ -2829,6 +2868,7 @@ ORACLES.update({
     "pagerank": SQL_PAGERANK,
     "triangles": SQL_TRIANGLES,
     "event_attribution": SQL_EVENT_ATTRIBUTION,
+    "first_touch": SQL_FIRST_TOUCH,
 })
 
 
@@ -2859,7 +2899,7 @@ _DRIVER_FRONT = [
     # new in round 4
     "dup_chunks", "tfidf_topk", "postings",
     "concept_cooccurrence", "triple_degrees", "pagerank", "triangles",
-    "event_attribution",
+    "event_attribution", "first_touch",
 ]
 _NO_ORACLE_LAST = ["lsh_ann", "ivf_ann"]
 

@@ -162,6 +162,33 @@ def test_banded_join_matches_bruteforce(rows):
     assert len(got) == len(expect)
 
 
+def test_first_touch_argmin_ties(tmp_path):
+    """first_touch picks the earliest view per purchase, tie-broken by
+    view event_id; out-of-band views are ignored (band = 1 hour)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from dug_ray.queries import q_first_touch
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: equal-ts views 11/10 (tie -> id 10), later view 12
+        (10, 1, base, "view"), (11, 1, base, "view"),
+        (12, 1, base + pd.Timedelta(minutes=5), "view"),
+        (20, 1, base + pd.Timedelta(minutes=30), "purchase"),
+        # user 2: only view is >1h before the purchase -> no attribution
+        (30, 2, base, "view"),
+        (40, 2, base + pd.Timedelta(minutes=90), "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = q_first_touch(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["purchase_event"], r["first_view"], r["user_id"]) == (20, 10, 1)
+    assert r["lag_us"] == 30 * 60 * 1_000_000
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
                 min_size=0, max_size=15))
