@@ -58,6 +58,8 @@ def banded_join(left: ray.data.Dataset, right: ray.data.Dataset,
     width, which salting by finer sub-chunks + neighbor duplication
     absorbs the same way.
     """
+    if band_us <= 0:
+        raise ValueError(f"band_us must be positive, got {band_us}")
 
     def prep(is_right: bool):
         def _p(batch: pa.Table) -> pa.Table:
