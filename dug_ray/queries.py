@@ -2854,6 +2854,35 @@ SELECT r_event AS purchase_event, l_event AS first_view, user_id,
 FROM r WHERE rn = 1"""
 
 
+def q_cooc_pmi(sf_dir: str) -> ray.data.Dataset:
+    """PMI-weighted co-annotation edges — the association score that
+    separates genuinely linked concept pairs from hub-driven co-occurrence
+    (ontology-bounded marginals broadcast once; one libm ln over an exact
+    integer double ratio, bit-identical to DuckDB's ln)."""
+    from dug_ray.stages.graph import cooccurrence_pmi
+    return cooccurrence_pmi(kg.linked_mentions_cached(sf_dir))
+
+
+SQL_COOC_PMI = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS MATERIALIZED (SELECT DISTINCT element_id, canonical_curie
+                    FROM linked_full),
+nn AS (SELECT CAST(count(DISTINCT element_id) AS BIGINT) AS n FROM dm),
+marg AS (SELECT canonical_curie, CAST(count(*) AS BIGINT) AS deg
+         FROM dm GROUP BY 1),
+cooc AS (SELECT a.canonical_curie AS subj, b.canonical_curie AS obj,
+                CAST(count(*) AS BIGINT) AS n_elements
+         FROM dm a JOIN dm b USING (element_id)
+         WHERE a.canonical_curie < b.canonical_curie
+         GROUP BY 1, 2)
+SELECT c.subj, c.obj, c.n_elements,
+       ln(CAST(c.n_elements * (SELECT n FROM nn) AS DOUBLE)
+          / CAST(ma.deg * mb.deg AS DOUBLE)) AS pmi
+FROM cooc c JOIN marg ma ON ma.canonical_curie = c.subj
+            JOIN marg mb ON mb.canonical_curie = c.obj"""
+
+
 QUERIES.update({
     "concept_cooccurrence": q_concept_cooccurrence,
     "triple_degrees": q_triple_degrees,
@@ -2861,6 +2890,7 @@ QUERIES.update({
     "triangles": q_triangles,
     "event_attribution": q_event_attribution,
     "first_touch": q_first_touch,
+    "cooc_pmi": q_cooc_pmi,
 })
 ORACLES.update({
     "concept_cooccurrence": SQL_CONCEPT_COOCCURRENCE,
@@ -2869,6 +2899,7 @@ ORACLES.update({
     "triangles": SQL_TRIANGLES,
     "event_attribution": SQL_EVENT_ATTRIBUTION,
     "first_touch": SQL_FIRST_TOUCH,
+    "cooc_pmi": SQL_COOC_PMI,
 })
 
 
@@ -2899,7 +2930,7 @@ _DRIVER_FRONT = [
     # new in round 4
     "dup_chunks", "tfidf_topk", "postings",
     "concept_cooccurrence", "triple_degrees", "pagerank", "triangles",
-    "event_attribution", "first_touch",
+    "event_attribution", "first_touch", "cooc_pmi",
 ]
 _NO_ORACLE_LAST = ["lsh_ann", "ivf_ann"]
 

@@ -23,6 +23,9 @@ see dug_ray/stages/canonicalize.py).  Two operators:
 - ``triangle_counts`` — per-node triangle membership counts over the
   undirected co-annotation graph (wedge enumeration + closing-edge
   match, both bucketed).
+- ``cooccurrence_pmi`` — PMI-weighted co-annotation edges (ontology-
+  bounded marginals broadcast once; one libm ln over an exact integer
+  ratio, bit-identical to the SQL oracle).
 
 Scale notes (100 TB): co-occurrence pairing is quadratic in
 concepts-per-element, but elements are 8-token chunks so the per-group
@@ -36,6 +39,7 @@ by subject.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -222,6 +226,70 @@ def pagerank(triples: ray.data.Dataset, iterations: int = 3,
         if (i + 1) % 4 == 0 and (i + 1) < iterations:
             ranks = ranks.materialize()
     return ranks.select_columns(["node", "rank_mass"])
+
+
+def cooccurrence_pmi(linked: ray.data.Dataset,
+                     num_buckets: int = 32) -> ray.data.Dataset:
+    """Co-annotation edges weighted by pointwise mutual information:
+    (subj, obj, n_elements, pmi) with pmi = ln(n_ab * N / (n_a * n_b))
+    over element-annotation probabilities — the association score that
+    separates genuinely linked concept pairs from pairs that co-occur
+    merely because both are frequent (hubs score near or below 0).
+
+    The float is ONE libm ln over an exactly-integer double ratio —
+    bit-identical across engines (same discipline as the tf-idf score).
+    Scale shape: the per-concept marginals are ONTOLOGY-BOUNDED (one row
+    per concept, not per corpus element), so after a distributed
+    partial+final count they are pulled once and broadcast via ray.put —
+    a lookup inside map_batches, not a third shuffle; the corpus-sized
+    structures (distinct mention pairs, the edge stream) never leave the
+    cluster.
+    """
+    import ray
+
+    dm = distinct_rows(
+        linked.select_columns(["element_id", "canonical_curie"]),
+        ["element_id", "canonical_curie"], num_buckets).materialize()
+
+    def _marg_partial(batch: pa.Table) -> pa.Table:
+        g = (batch.to_pandas().groupby("canonical_curie").size()
+             .reset_index(name="deg"))
+        return typed_table(g, canonical_curie=pa.string(), deg=pa.int64())
+
+    marg = bucketed_group_apply(
+        dm.map_batches(_marg_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "canonical_curie",
+        lambda df: typed_table(
+            df.groupby("canonical_curie", as_index=False).agg(
+                deg=("deg", "sum")),
+            canonical_curie=pa.string(), deg=pa.int64()),
+        num_buckets).to_pandas()
+    deg_ref = ray.put(dict(zip(marg["canonical_curie"], marg["deg"])))
+    n_total = distinct_rows(dm.select_columns(["element_id"]),
+                            ["element_id"], num_buckets).count()
+
+    cooc = concept_cooccurrence(linked, num_buckets)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        import math
+        deg = ray.get(deg_ref)
+        df = batch.to_pandas()
+        da = df["subj"].map(deg).astype("int64")
+        db = df["obj"].map(deg).astype("int64")
+        ratio = ((df["n_elements"].to_numpy() * np.int64(n_total)).astype(
+            "float64") / (da.to_numpy() * db.to_numpy()).astype("float64"))
+        # math.log (libm, same as DuckDB ln), not np.log (own SIMD impl,
+        # can differ in the last ulp) — evaluated once per DISTINCT ratio,
+        # then gathered (same discipline as text_index.tfidf_topk)
+        uniq, inv = np.unique(ratio, return_inverse=True)
+        logs = np.fromiter((math.log(x) for x in uniq), dtype=np.float64,
+                           count=len(uniq))
+        df["pmi"] = logs[inv]
+        return typed_table(df, subj=pa.string(), obj=pa.string(),
+                           n_elements=pa.int64(), pmi=pa.float64())
+
+    return cooc.map_batches(_score, batch_format="pyarrow", batch_size=None)
 
 
 def triangle_counts(edges: ray.data.Dataset,

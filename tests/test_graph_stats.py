@@ -133,6 +133,20 @@ def test_pagerank_hub_skew():
     assert got["HUB"] == max(got.values())
 
 
+def test_cooccurrence_pmi_exact():
+    import math
+    from dug_ray.stages.graph import cooccurrence_pmi
+    # e1:{A,B}, e2:{A,B}, e3:{A}, e4:{C} -> N=4, deg A=3 B=2 C=1;
+    # edge (A,B) n_ab=2 -> pmi = ln(2*4 / (3*2)) = ln(4/3)
+    linked = _linked([("e1", "A"), ("e1", "B"), ("e2", "A"), ("e2", "B"),
+                      ("e3", "A"), ("e4", "C")])
+    out = cooccurrence_pmi(linked, num_buckets=4).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["subj"], r["obj"], r["n_elements"]) == ("A", "B", 2)
+    assert r["pmi"] == math.log((2 * 4) / (3 * 2))
+
+
 def test_triangle_counts_exact():
     # K4 on {A,B,C,D} minus edge (C,D): triangles ABC and ABD -> A,B in 2
     # each, C,D in 1 each; E-F is an edge in no triangle (omitted); a
