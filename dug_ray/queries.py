@@ -2883,6 +2883,38 @@ FROM cooc c JOIN marg ma ON ma.canonical_curie = c.subj
             JOIN marg mb ON mb.canonical_curie = c.obj"""
 
 
+def q_cooc_components(sf_dir: str) -> ray.data.Dataset:
+    """Weakly connected components of the concept co-annotation graph
+    (component = lexicographic-min reachable CURIE; singleton concepts
+    are their own component).  The node set is ontology-bounded, so the
+    closure runs on the driver over the distributedly-reduced edge list —
+    unlike dedup_clusters, whose corpus-sized node set needs the
+    distributed min-label loop."""
+    from dug_ray.stages.graph import cooc_components
+    return cooc_components(kg.linked_mentions_cached(sf_dir))
+
+
+SQL_COOC_COMPONENTS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS MATERIALIZED (SELECT DISTINCT element_id, canonical_curie
+                    FROM linked_full),
+cooc AS MATERIALIZED (
+  SELECT a.canonical_curie AS s, b.canonical_curie AS o
+  FROM dm a JOIN dm b USING (element_id)
+  WHERE a.canonical_curie < b.canonical_curie
+  GROUP BY 1, 2),
+cedges AS (SELECT s, o FROM cooc UNION SELECT o, s FROM cooc),
+allnodes AS (SELECT DISTINCT canonical_curie AS node FROM dm)
+SELECT v AS node, min(t) AS component FROM (
+  WITH RECURSIVE r(v, t) AS (
+    SELECT node, node FROM allnodes
+    UNION
+    SELECT r.v, e.o FROM r JOIN cedges e ON e.s = r.t)
+  SELECT v, t FROM r)
+GROUP BY v"""
+
+
 QUERIES.update({
     "concept_cooccurrence": q_concept_cooccurrence,
     "triple_degrees": q_triple_degrees,
@@ -2891,6 +2923,7 @@ QUERIES.update({
     "event_attribution": q_event_attribution,
     "first_touch": q_first_touch,
     "cooc_pmi": q_cooc_pmi,
+    "cooc_components": q_cooc_components,
 })
 ORACLES.update({
     "concept_cooccurrence": SQL_CONCEPT_COOCCURRENCE,
@@ -2900,6 +2933,7 @@ ORACLES.update({
     "event_attribution": SQL_EVENT_ATTRIBUTION,
     "first_touch": SQL_FIRST_TOUCH,
     "cooc_pmi": SQL_COOC_PMI,
+    "cooc_components": SQL_COOC_COMPONENTS,
 })
 
 
@@ -2930,7 +2964,7 @@ _DRIVER_FRONT = [
     # new in round 4
     "dup_chunks", "tfidf_topk", "postings",
     "concept_cooccurrence", "triple_degrees", "pagerank", "triangles",
-    "event_attribution", "first_touch", "cooc_pmi",
+    "event_attribution", "first_touch", "cooc_pmi", "cooc_components",
 ]
 _NO_ORACLE_LAST = ["lsh_ann", "ivf_ann"]
 

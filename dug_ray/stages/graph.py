@@ -358,6 +358,52 @@ def triangle_counts(edges: ray.data.Dataset,
     return bucketed_group_apply(partials, "node", _final, num_buckets)
 
 
+def cooc_components(linked: ray.data.Dataset,
+                    num_buckets: int = 32) -> ray.data.Dataset:
+    """(node, component) — weakly connected components of the concept
+    co-annotation graph; component = lexicographically smallest CURIE
+    reachable from the node (singleton concepts are their own component).
+
+    Scale note: unlike the document-corpus CC (stages/cluster.py, whose
+    node set grows with the corpus and therefore needs the distributed
+    min-label loop), the node set here is ONTOLOGY-BOUNDED — one node per
+    canonical concept, a few thousand to a few million rows regardless of
+    corpus size.  The co-occurrence edge stream is reduced distributedly
+    first (concept_cooccurrence's partial-count exchanges), then the
+    bounded edge/node lists take the documented driver path: union-find
+    with path compression, component label = min member.  Same bounded
+    driver-pull discipline as the ontology maps and the PMI marginals.
+    """
+    cooc = concept_cooccurrence(linked, num_buckets)
+    pairs = cooc.select_columns(["subj", "obj"]).to_pandas()
+    node_df = distinct_rows(linked.select_columns(["canonical_curie"]),
+                            ["canonical_curie"], num_buckets).to_pandas()
+    nodes = sorted(node_df["canonical_curie"].dropna())
+
+    parent: dict[str, str] = {n: n for n in nodes}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["subj"], pairs["obj"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the smaller CURIE as the root so the final label is
+            # already the component min (no second pass)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    comp = pd.DataFrame({"node": nodes,
+                         "component": [find(n) for n in nodes]})
+    return ray.data.from_arrow(typed_table(comp, node=pa.string(),
+                                           component=pa.string()))
+
+
 def triple_degrees(triples: ray.data.Dataset,
                    num_buckets: int = 32) -> ray.data.Dataset:
     """(subj, n_triples, n_preds, n_objs) degree profile of the KG.

@@ -133,6 +133,18 @@ def test_pagerank_hub_skew():
     assert got["HUB"] == max(got.values())
 
 
+def test_cooc_components_exact():
+    from dug_ray.stages.graph import cooc_components
+    # chain A-B (e1), B-C (e2) -> one component labeled A; D-E (e3) ->
+    # component D; F never co-occurs -> singleton component F
+    linked = _linked([("e1", "A"), ("e1", "B"), ("e2", "B"), ("e2", "C"),
+                      ("e3", "D"), ("e3", "E"), ("e4", "F")])
+    out = cooc_components(linked, num_buckets=4).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {"A": "A", "B": "A", "C": "A",
+                   "D": "D", "E": "D", "F": "F"}
+
+
 def test_cooccurrence_pmi_exact():
     import math
     from dug_ray.stages.graph import cooccurrence_pmi
