@@ -185,7 +185,7 @@ def test_graph_queries_against_oracle(sf_smoke):
     import selfcheck
     from dug_ray import queries as q
     for name in ("concept_cooccurrence", "triple_degrees", "pagerank",
-                 "triangles"):
+                 "triangles", "cooc_pmi", "cooc_components"):
         ray_df = selfcheck.to_pandas(q.QUERIES[name](sf_smoke))
         sql_df = selfcheck.oracle_df(sf_smoke, q.ORACLES[name])
         assert selfcheck.compare(name, ray_df, sql_df) == []
