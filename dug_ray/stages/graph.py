@@ -48,7 +48,9 @@ from dug_ray.shuffle import bucketed_group_apply, distinct_rows, typed_table
 
 
 def concept_cooccurrence(linked: ray.data.Dataset,
-                         num_buckets: int = 32) -> ray.data.Dataset:
+                         num_buckets: int = 32,
+                         distinct_mentions: ray.data.Dataset | None = None,
+                         ) -> ray.data.Dataset:
     """(subj, obj, n_elements) co-annotation edges, subj < obj.
 
     Stage 1 distinct-ifies (element_id, canonical_curie) with a per-batch
@@ -58,10 +60,16 @@ def concept_cooccurrence(linked: ray.data.Dataset,
     self-merge sees every concept of an element) and emits per-bucket
     partial pair counts.  Stage 3 sums partials under a (subj) bucket
     hash — the only all-to-all carries (subj, obj, partial_n) rows.
+
+    ``distinct_mentions``: a precomputed stage-1 result (distinct
+    (element_id, canonical_curie) rows) — pass it when the caller already
+    materialized that reduction (cooccurrence_pmi does, for its
+    marginals) so the corpus-sized distinct exchange runs once, not twice.
     """
-    dm = distinct_rows(
-        linked.select_columns(["element_id", "canonical_curie"]),
-        ["element_id", "canonical_curie"], num_buckets)
+    dm = distinct_mentions if distinct_mentions is not None else \
+        distinct_rows(
+            linked.select_columns(["element_id", "canonical_curie"]),
+            ["element_id", "canonical_curie"], num_buckets)
 
     def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized within-element pair expansion: self-merge on
@@ -269,7 +277,9 @@ def cooccurrence_pmi(linked: ray.data.Dataset,
     n_total = distinct_rows(dm.select_columns(["element_id"]),
                             ["element_id"], num_buckets).count()
 
-    cooc = concept_cooccurrence(linked, num_buckets)
+    # reuse the pinned distinct mentions — recomputing stage 1 inside
+    # concept_cooccurrence would double the dominant corpus-sized exchange
+    cooc = concept_cooccurrence(linked, num_buckets, distinct_mentions=dm)
 
     def _score(batch: pa.Table) -> pa.Table:
         import math
@@ -375,7 +385,14 @@ def cooc_components(linked: ray.data.Dataset,
     driver-pull discipline as the ontology maps and the PMI marginals.
     """
     cooc = concept_cooccurrence(linked, num_buckets)
-    pairs = cooc.select_columns(["subj", "obj"]).to_pandas()
+    pdf = cooc.to_pandas()
+    if not {"subj", "obj"} <= set(pdf.columns):
+        # an edge-free co-annotation graph (no element with >=2 concepts)
+        # yields a fully-empty Dataset that loses its column schema (the
+        # documented Ray pandas-block quirk) — every concept is then its
+        # own singleton component
+        pdf = pd.DataFrame({"subj": [], "obj": []})
+    pairs = pdf[["subj", "obj"]]
     node_df = distinct_rows(linked.select_columns(["canonical_curie"]),
                             ["canonical_curie"], num_buckets).to_pandas()
     nodes = sorted(node_df["canonical_curie"].dropna())

@@ -145,6 +145,16 @@ def test_cooc_components_exact():
                    "D": "D", "E": "D", "F": "F"}
 
 
+def test_cooc_components_edge_free():
+    # no element has >=2 concepts -> zero co-annotation edges (the
+    # schemaless-empty-Dataset quirk path); every concept is a singleton
+    from dug_ray.stages.graph import cooc_components
+    linked = _linked([("e1", "A"), ("e2", "B")])
+    out = cooc_components(linked, num_buckets=2).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {"A": "A", "B": "B"}
+
+
 def test_cooccurrence_pmi_exact():
     import math
     from dug_ray.stages.graph import cooccurrence_pmi
