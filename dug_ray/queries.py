@@ -662,7 +662,9 @@ WHERE list_cosine_similarity(a.v, b.v) > 0.4"""
 
 
 def q_lsh_ann(sf_dir: str) -> ray.data.Dataset:
-    """Approximate ANN (engine-only; rows-only driver check)."""
+    """LSH-bucketed ANN — approximate vs ann_topk but DETERMINISTIC given
+    the baked plane literals, so it gets an exact SQL oracle (candidates =
+    hamming<=1 code membership, same rank as ann_topk)."""
     from dug_ray.stages.similarity import lsh_ann_topk
     return lsh_ann_topk(sf_dir)
 
@@ -699,6 +701,30 @@ def _lsh_codes_sql(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
 
 
 SQL_LSH_CODES = _lsh_codes_sql()
+
+
+def _lsh_ann_sql(n_queries: int = 4, k: int = 10) -> str:
+    """Exact oracle for q_lsh_ann: codes from the SAME baked plane literals
+    as SQL_LSH_CODES; a corpus vector is a candidate for a query iff their
+    codes differ in at most one bit (own bucket + hamming-1 probe); rank is
+    the ann_topk oracle's (cos DESC, vec_id ASC)."""
+    return f"""
+WITH codes AS ({_lsh_codes_sql()}),
+q AS (SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qe, c.code AS qcode
+      FROM embeddings e JOIN codes c ON c.vec_id = e.vec_id
+      WHERE e.vec_id < {n_queries}),
+cand AS (SELECT q.qid, e.vec_id,
+                list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos
+         FROM q JOIN codes c ON bit_count(xor(q.qcode, c.code)) <= 1
+                JOIN embeddings e ON e.vec_id = c.vec_id
+         WHERE e.vec_id >= {n_queries}),
+r AS (SELECT qid AS query_id, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      FROM cand)
+SELECT query_id, vec_id, rank FROM r WHERE rank <= {k}"""
+
+
+SQL_LSH_ANN = _lsh_ann_sql()
 
 SQL_IVF_ASSIGN = """
 WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
@@ -919,7 +945,7 @@ ORACLES.update({
     "langid": SQL_LANGID,
     "lsh_codes": SQL_LSH_CODES,
     "ivf_assign": SQL_IVF_ASSIGN,
-    # lsh_ann: engine-only (approximate) -> rows-only
+    "lsh_ann": SQL_LSH_ANN,
 })
 
 
@@ -1243,9 +1269,39 @@ GROUP BY y.user_id, session"""
 
 
 def q_ivf_ann(sf_dir: str) -> ray.data.Dataset:
-    """IVF-bucketed approximate ANN (engine-only; rows-only driver check)."""
-    from dug_ray.stages.similarity import ivf_ann_topk
-    return ivf_ann_topk(sf_dir)
+    """IVF-bucketed ANN with pinned seed centroids (vec_id 4..11, no
+    Lloyd — the ivf_assign centroid set), so the full probe-then-rank
+    composition gets an exact SQL oracle; the Lloyd-trained ivf_ann_topk
+    keeps its recall pytest as the self-tuning variant."""
+    from dug_ray.stages.similarity import ivf_ann_topk_pinned
+    return ivf_ann_topk_pinned(sf_dir)
+
+
+SQL_IVF_ANN = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id >= 4 AND vec_id < 12),
+assign AS (SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce)
+               DESC, c.cid) AS rn
+    FROM embeddings e, c WHERE e.vec_id >= 4) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 4),
+probe AS (SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+               list_cosine_similarity(q.qe, c.ce) DESC, c.cid) AS rn
+    FROM q, c) WHERE rn <= 2),
+cand AS (SELECT q.qid, a.vec_id,
+                list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos
+         FROM q JOIN probe p ON p.qid = q.qid
+                JOIN assign a ON a.cid = p.cid
+                JOIN embeddings e ON e.vec_id = a.vec_id),
+r AS (SELECT qid AS query_id, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      FROM cand)
+SELECT query_id, vec_id, rank FROM r WHERE rank <= 10"""
 
 
 QUERIES.update({
@@ -1256,6 +1312,7 @@ QUERIES.update({
 ORACLES.update({
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,
+    "ivf_ann": SQL_IVF_ANN,
 })
 
 
@@ -2966,7 +3023,9 @@ _DRIVER_FRONT = [
     "concept_cooccurrence", "triple_degrees", "pagerank", "triangles",
     "event_attribution", "first_touch", "cooc_pmi", "cooc_components",
 ]
-_NO_ORACLE_LAST = ["lsh_ann", "ivf_ann"]
+# round 5: lsh_ann and ivf_ann gained exact oracles (plane/centroid
+# literals baked into the SQL) — the registry has no rows-only queries left
+_NO_ORACLE_LAST: list = []
 
 
 def _reorder_registry() -> None:

@@ -65,18 +65,32 @@ def _topk_idx(sims: np.ndarray, vids: np.ndarray, k: int) -> np.ndarray:
     return cand[order[:k]]
 
 
-def _finalize_topk(df: pd.DataFrame, k: int) -> ray.data.Dataset:
-    """Exact driver-side merge of the tiny per-batch top-k partials:
-    (cos desc, vec_id asc) rank, first k per query."""
-    if len(df) == 0:
-        return ray.data.from_pandas(pd.DataFrame(
-            columns=["query_id", "vec_id", "rank"]).astype("int64"))
-    df = df.sort_values(["query_id", "cos", "vec_id"],
-                        ascending=[True, False, True], kind="mergesort")
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]].reset_index(drop=True)
-    return ray.data.from_pandas(
-        df.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"}))
+def _finalize_topk(partials: ray.data.Dataset, k: int,
+                   num_buckets: int = 16) -> ray.data.Dataset:
+    """DISTRIBUTED exact merge of the per-batch top-k partials: bucket the
+    partial rows by ``query_id`` so each bucket task sees every candidate of
+    its queries, then rank (cos desc, vec_id asc) and keep the first k —
+    the same grouped-apply exchange the rest of the engine uses, so top-k
+    merging scales to any query count (the round-4 driver-side
+    ``to_pandas`` merge was the wrong shape past toy query workloads).
+    Shuffle volume is O(batches x queries x k) tiny candidate rows."""
+    from dug_ray.shuffle import bucketed_group_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "cos", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return (df.loc[df["rank"] <= k, ["query_id", "vec_id", "rank"]]
+                .astype({"query_id": "int64", "vec_id": "int64",
+                         "rank": "int64"}))
+
+    out = bucketed_group_apply(partials, "query_id", per_bucket, num_buckets)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({c: pc.cast(batch[c], pa.int64())
+                         for c in ("query_id", "vec_id", "rank")})
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
 def ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10) -> ray.data.Dataset:
@@ -112,8 +126,8 @@ def ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10) -> ray.data.Dataset:
                            cos=pa.float64())
 
     partials = emb.map_batches(partial_topk, batch_format="pyarrow", batch_size=None)
-    # final: tiny (queries x k x batches) — exact merge driver-side
-    return _finalize_topk(partials.to_pandas(), k)
+    # final: tiny (queries x k x batches) — exact distributed merge
+    return _finalize_topk(partials, k)
 
 
 def neardup_pairs(sf_dir: str, threshold: float = 0.4, n_blocks: int = 4,
@@ -311,8 +325,11 @@ def lsh_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
                  n_planes: int = 6, seed: int = 42) -> ray.data.Dataset:
     """LSH-bucketed approximate top-k: random-hyperplane codes (seeded,
     deterministic) bucket the corpus; each query searches only its bucket
-    plus hamming-1 neighbor buckets. Engine-only (approximate — no SQL
-    oracle; the driver records a rows-only check)."""
+    plus hamming-1 neighbor buckets. The composition is deterministic given
+    the baked planes, so it has an EXACT SQL oracle (``SQL_LSH_ANN``):
+    candidates = codes within hamming distance 1 of the query code
+    (``bit_count(xor(...)) <= 1`` over the same plane literals the
+    ``lsh_codes`` oracle bakes in), ranked (cos DESC, vec_id ASC)."""
     emb = read_embeddings(sf_dir)
     q_df = emb.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
     dim = len(q_df["embedding"].iloc[0])
@@ -352,7 +369,7 @@ def lsh_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
                            cos=pa.float64())
 
     partials = emb.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    return _finalize_topk(partials.to_pandas(), k)
+    return _finalize_topk(partials, k)
 
 
 def ivf_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
@@ -412,4 +429,64 @@ def ivf_ann_topk(sf_dir: str, n_queries: int = 4, k: int = 10,
                            cos=pa.float64())
 
     partials = emb.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    return _finalize_topk(partials.to_pandas(), k)
+    return _finalize_topk(partials, k)
+
+
+def ivf_ann_topk_pinned(sf_dir: str, n_queries: int = 4, k: int = 10,
+                        n_centroids: int = 8, nprobe: int = 2) -> ray.data.Dataset:
+    """IVF approximate top-k with PINNED seed centroids (the normalized
+    embeddings of vec_id in [n_queries, n_queries + n_centroids), no Lloyd
+    iterations — the same centroid set ``ivf_assignments`` pins): each
+    query probes its ``nprobe`` nearest centroid buckets (cos DESC, cid ASC)
+    and candidates are the vectors ASSIGNED (argmax cosine, ties to the
+    smallest cid) to a probed bucket, ranked (cos DESC, vec_id ASC).
+
+    Deterministic end to end, so it composes the two already-pinned halves
+    (``ivf_assign`` membership + the ``ann_topk`` rank expression) into an
+    exact SQL oracle (``SQL_IVF_ANN``). The Lloyd-trained variant
+    ``ivf_ann_topk`` stays as the self-tuning scale path with its recall
+    pytest. Output: query_id, vec_id, rank."""
+    emb = read_embeddings(sf_dir)
+    both = emb.filter(expr=f"vec_id < {n_queries + n_centroids}").to_pandas()
+    q_df = both[both["vec_id"] < n_queries].sort_values("vec_id")
+    c_df = both[both["vec_id"] >= n_queries].sort_values("vec_id")
+    qm = _normalize(_stack(q_df["embedding"]))
+    cm = _normalize(_stack(c_df["embedding"]))
+    q_ids = q_df["vec_id"].to_numpy()
+    c_ids = c_df["vec_id"].to_numpy()
+    # probe set per query: nprobe nearest centroids, ties to smaller cid
+    # (lexsort = the oracle's (cos DESC, cid ASC) rank; c_ids ascend)
+    qc = qm @ cm.T  # (q, c)
+    probes = [c_ids[np.lexsort((c_ids, -qc[qi]))[:nprobe]]
+              for qi in range(len(q_ids))]
+    ref = ray.put((q_ids, qm, c_ids, cm, probes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qmat, cids, cmat, prb = ray.get(ref)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = vid >= n_queries
+        if not mask.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        mm = _normalize(_matrix(batch)[mask])
+        vv = vid[mask]
+        # argmax returns the FIRST max; cids ascend -> exact ties go to the
+        # smallest centroid id, matching the oracle's (cos DESC, cid) rank
+        assigned = cids[np.argmax(mm @ cmat.T, axis=1)]
+        rows = []
+        for qi in range(qmat.shape[0]):
+            cand = np.isin(assigned, prb[qi])
+            if not cand.any():
+                continue
+            sims = qmat[qi] @ mm[cand].T
+            cv = vv[cand]
+            rows.extend((int(qids[qi]), int(cv[j]), float(sims[j]))
+                        for j in _topk_idx(sims, cv, k))
+        out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cos"])
+        from dug_ray.shuffle import typed_table
+        return typed_table(out, query_id=pa.int64(), vec_id=pa.int64(),
+                           cos=pa.float64())
+
+    partials = emb.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return _finalize_topk(partials, k)
