@@ -2882,8 +2882,11 @@ def q_first_touch(sf_dir: str) -> ray.data.Dataset:
     pairs = q_event_attribution(sf_dir)
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
+        # head(1) = ROW-wise first after the sort; GroupBy.first() would
+        # take the first NON-NULL per column, silently mixing values from
+        # different candidate rows if a column were ever nullable
         g = (df.sort_values(["r_event", "l_us", "l_event"], kind="mergesort")
-             .groupby("r_event", as_index=False).first())
+             .groupby("r_event", as_index=False).head(1))
         out = pd.DataFrame({
             "purchase_event": g["r_event"], "first_view": g["l_event"],
             "user_id": g["user_id"], "view_us": g["l_us"],

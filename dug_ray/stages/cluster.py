@@ -57,6 +57,50 @@ def neardup_edges(docs: ray.data.Dataset) -> ray.data.Dataset:
     return pairs.map_batches(both_dirs, batch_format="pyarrow", batch_size=None)
 
 
+def min_label_propagation(edges: ray.data.Dataset, labels: ray.data.Dataset,
+                          max_rounds: int = 20,
+                          num_buckets: int = 16) -> ray.data.Dataset:
+    """Distributed min-label propagation to convergence — the shared
+    iterative core of ``connected_components`` and the dense-graph fallback
+    of ``graph.cooc_components``.
+
+    ``edges``: (src, dst) int64 with BOTH directions present;
+    ``labels``: initial (doc, label) int64 (label = own id).  Each round
+    every edge offers its dst's current label to its src (one partitioned
+    ``hash_join``, neither side broadcast) and each doc keeps the min seen
+    (bucketed grouped min).  The label sum decreases monotonically, so
+    convergence is one scalar ``Dataset.sum`` per round — no label table
+    ever reaches the driver.  Returns the converged (doc, label) table."""
+    prev_sum = labels.sum("label")
+
+    def min_label(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc", as_index=False).agg(label=("label", "min"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        if "src" not in batch.column_names:  # empty-join schema loss quirk
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        return pa.table({"doc": pc.cast(batch["src"], pa.int64()),
+                         "label": pc.cast(batch["label"], pa.int64())})
+
+    for _ in range(max_rounds):
+        # each edge forwards its dst's current label to its src
+        offered = hash_join(edges, labels, "dst", "doc")
+        cand = offered.map_batches(project, batch_format="pyarrow",
+                                   batch_size=None).union(labels)
+        labels = bucketed_group_apply(cand, "doc", min_label,
+                                      num_buckets).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    # falling through without convergence would silently split a
+    # component into several cluster ids — refuse instead
+    raise RuntimeError(
+        f"min_label_propagation did not converge in {max_rounds} rounds "
+        f"(component diameter exceeds max_rounds); raise max_rounds")
+
+
 def connected_components(docs: ray.data.Dataset, max_rounds: int = 20,
                          max_driver_edges: int = 5_000_000) -> ray.data.Dataset:
     """doc_id -> cluster_id (= min doc_id reachable through near-dup edges;
@@ -127,35 +171,7 @@ def connected_components(docs: ray.data.Dataset, max_rounds: int = 20,
 
         return docs.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
-    prev_sum = labels.sum("label")
-
-    def min_label(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("doc", as_index=False).agg(label=("label", "min"))
-
-    for _ in range(max_rounds):
-        # each edge forwards its dst's current label to its src
-        offered = hash_join(edges, labels, "dst", "doc")
-
-        def project(batch: pa.Table) -> pa.Table:
-            if "src" not in batch.column_names:  # empty-join schema loss quirk
-                return pa.table({"doc": pa.array([], pa.int64()),
-                                 "label": pa.array([], pa.int64())})
-            return pa.table({"doc": pc.cast(batch["src"], pa.int64()),
-                             "label": pc.cast(batch["label"], pa.int64())})
-
-        cand = offered.map_batches(project, batch_format="pyarrow",
-                                   batch_size=None).union(labels)
-        labels = bucketed_group_apply(cand, "doc", min_label, 16).materialize()
-        cur_sum = labels.sum("label")
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        # falling through without convergence would silently split a
-        # component into several cluster ids — refuse instead
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds "
-            f"(component diameter exceeds max_rounds); raise max_rounds")
+    labels = min_label_propagation(edges, labels, max_rounds=max_rounds)
 
     def fin(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": pc.cast(batch["doc"], pa.int64()),

@@ -287,8 +287,17 @@ def cooccurrence_pmi(linked: ray.data.Dataset,
         df = batch.to_pandas()
         da = df["subj"].map(deg).astype("int64")
         db = df["obj"].map(deg).astype("int64")
-        ratio = ((df["n_elements"].to_numpy() * np.int64(n_total)).astype(
-            "float64") / (da.to_numpy() * db.to_numpy()).astype("float64"))
+        # multiply in float64, NOT int64: at the 100 TB design point the
+        # marginal products can exceed int64, where numpy wraps silently
+        # (DuckDB would raise — the engines would diverge instead of both
+        # failing loudly). Bit-exactness bound: int operands <= 2^53 are
+        # exactly representable, and then fl(a*b) == round(exact product)
+        # == DuckDB's CAST(a*b AS DOUBLE) for any product — identical up
+        # to int64 overflow, beyond which only this side stays correct.
+        num = df["n_elements"].to_numpy().astype("float64") * float(n_total)
+        den = (da.to_numpy().astype("float64")
+               * db.to_numpy().astype("float64"))
+        ratio = num / den
         # math.log (libm, same as DuckDB ln), not np.log (own SIMD impl,
         # can differ in the last ulp) — evaluated once per DISTINCT ratio,
         # then gathered (same discipline as text_index.tfidf_topk)
@@ -369,56 +378,117 @@ def triangle_counts(edges: ray.data.Dataset,
 
 
 def cooc_components(linked: ray.data.Dataset,
-                    num_buckets: int = 32) -> ray.data.Dataset:
+                    num_buckets: int = 32,
+                    max_driver_edges: int = 5_000_000,
+                    distinct_mentions: ray.data.Dataset | None = None,
+                    ) -> ray.data.Dataset:
     """(node, component) — weakly connected components of the concept
     co-annotation graph; component = lexicographically smallest CURIE
     reachable from the node (singleton concepts are their own component).
 
-    Scale note: unlike the document-corpus CC (stages/cluster.py, whose
-    node set grows with the corpus and therefore needs the distributed
-    min-label loop), the node set here is ONTOLOGY-BOUNDED — one node per
-    canonical concept, a few thousand to a few million rows regardless of
-    corpus size.  The co-occurrence edge stream is reduced distributedly
-    first (concept_cooccurrence's partial-count exchanges), then the
-    bounded edge/node lists take the documented driver path: union-find
-    with path compression, component label = min member.  Same bounded
-    driver-pull discipline as the ontology maps and the PMI marginals.
-    """
-    cooc = concept_cooccurrence(linked, num_buckets)
-    pdf = cooc.to_pandas()
-    if not {"subj", "obj"} <= set(pdf.columns):
-        # an edge-free co-annotation graph (no element with >=2 concepts)
-        # yields a fully-empty Dataset that loses its column schema (the
-        # documented Ray pandas-block quirk) — every concept is then its
-        # own singleton component
-        pdf = pd.DataFrame({"subj": [], "obj": []})
-    pairs = pdf[["subj", "obj"]]
-    node_df = distinct_rows(linked.select_columns(["canonical_curie"]),
+    Two paths, same result (mirrors ``cluster.connected_components``):
+
+    - **reduced edge list fits the driver** (the common case — the node
+      set is ONTOLOGY-BOUNDED, one node per canonical concept, and the
+      co-occurrence edges are reduced distributedly first by
+      concept_cooccurrence's partial-count exchanges): union-find with
+      path compression, component label = min member.  Same bounded
+      driver-pull discipline as the ontology maps and the PMI marginals.
+    - **edge list too dense** (> ``max_driver_edges`` — a co-annotation
+      graph can be quadratically denser than its node set): the shared
+      distributed ``cluster.min_label_propagation`` loop.  The bounded
+      NODE list is sorted, broadcast once and mapped to dense ints per
+      batch (sorted order = lexicographic order, so the int min-label IS
+      the CURIE min); driver traffic is one scalar per round.
+
+    ``distinct_mentions``: a precomputed distinct (element_id,
+    canonical_curie) reduction — both the edge build and the node list
+    derive from it, so the corpus-sized distinct exchange runs ONCE here
+    (and zero times when the caller already has it)."""
+    import ray
+
+    dm = distinct_mentions if distinct_mentions is not None else \
+        distinct_rows(
+            linked.select_columns(["element_id", "canonical_curie"]),
+            ["element_id", "canonical_curie"], num_buckets).materialize()
+    cooc = concept_cooccurrence(linked, num_buckets,
+                                distinct_mentions=dm).materialize()
+    # node list from the SAME reduction (dm is already distinct per
+    # element, so this second distinct is ontology-cheap, not corpus-sized)
+    node_df = distinct_rows(dm.select_columns(["canonical_curie"]),
                             ["canonical_curie"], num_buckets).to_pandas()
     nodes = sorted(node_df["canonical_curie"].dropna())
+    if not nodes:
+        return ray.data.from_arrow(typed_table(
+            pd.DataFrame({"node": [], "component": []}),
+            node=pa.string(), component=pa.string()))
 
-    parent: dict[str, str] = {n: n for n in nodes}
+    n_edges = cooc.count()
+    if n_edges <= max_driver_edges:
+        pdf = cooc.to_pandas()
+        if not {"subj", "obj"} <= set(pdf.columns):
+            # an edge-free co-annotation graph (no element with >=2
+            # concepts) yields a fully-empty Dataset that loses its column
+            # schema (the documented Ray pandas-block quirk) — every
+            # concept is then its own singleton component
+            pdf = pd.DataFrame({"subj": [], "obj": []})
+        pairs = pdf[["subj", "obj"]]
 
-    def find(x: str) -> str:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
+        parent: dict[str, str] = {n: n for n in nodes}
 
-    for a, b in zip(pairs["subj"], pairs["obj"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # keep the smaller CURIE as the root so the final label is
-            # already the component min (no second pass)
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+        def find(x: str) -> str:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
 
-    comp = pd.DataFrame({"node": nodes,
-                         "component": [find(n) for n in nodes]})
-    return ray.data.from_arrow(typed_table(comp, node=pa.string(),
-                                           component=pa.string()))
+        for a, b in zip(pairs["subj"], pairs["obj"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # keep the smaller CURIE as the root so the final label is
+                # already the component min (no second pass)
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+        comp = pd.DataFrame({"node": nodes,
+                             "component": [find(n) for n in nodes]})
+        return ray.data.from_arrow(typed_table(comp, node=pa.string(),
+                                               component=pa.string()))
+
+    # dense-graph fallback: distributed min-label over dense int ids
+    from dug_ray.stages.cluster import min_label_propagation
+
+    nodes_arr = np.array(nodes, dtype=object)
+    nodes_ref = ray.put(nodes_arr)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        nds = ray.get(nodes_ref)
+        df = batch.to_pandas()
+        a = np.searchsorted(nds, df["subj"].to_numpy(dtype=object))
+        b = np.searchsorted(nds, df["obj"].to_numpy(dtype=object))
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    edges_int = cooc.map_batches(to_int, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+    labels = ray.data.range(len(nodes)).map_batches(
+        lambda b: pa.table({"doc": pa.compute.cast(b["id"], pa.int64()),
+                            "label": pa.compute.cast(b["id"], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    labels = min_label_propagation(edges_int, labels,
+                                   num_buckets=min(num_buckets, 16))
+
+    def back(batch: pa.Table) -> pa.Table:
+        nds = ray.get(nodes_ref)
+        doc = batch["doc"].to_numpy(zero_copy_only=False)
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(nds[doc], pa.string()),
+                         "component": pa.array(nds[lab], pa.string())})
+
+    return labels.map_batches(back, batch_format="pyarrow", batch_size=None)
 
 
 def triple_degrees(triples: ray.data.Dataset,

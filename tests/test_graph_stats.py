@@ -155,6 +155,20 @@ def test_cooc_components_edge_free():
     assert got == {"A": "A", "B": "B"}
 
 
+def test_cooc_components_distributed_gate():
+    # force max_driver_edges=0 -> the dense-graph fallback (shared
+    # cluster.min_label_propagation over dense int ids) must produce
+    # components identical to the driver union-find path
+    from dug_ray.stages.graph import cooc_components
+    linked = _linked([("e1", "A"), ("e1", "B"), ("e2", "B"), ("e2", "C"),
+                      ("e3", "D"), ("e3", "E"), ("e4", "F")])
+    out = cooc_components(linked, num_buckets=4,
+                          max_driver_edges=0).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {"A": "A", "B": "A", "C": "A",
+                   "D": "D", "E": "D", "F": "F"}
+
+
 def test_cooccurrence_pmi_exact():
     import math
     from dug_ray.stages.graph import cooccurrence_pmi
