@@ -2998,6 +2998,57 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# real-format dbGaP XML ingestion (round 5: the last reference-fidelity gap)
+# ---------------------------------------------------------------------------
+
+def q_xml_elements(sf_dir: str) -> ray.data.Dataset:
+    """Real dbGaP ``<data_table>`` XML ingest: the deterministic fixture
+    renderer turns each document into a data-dictionary XML file (variables
+    = its 8-token chunks) plus a GapExchange sibling for even doc_ids, then
+    the REAL ElementTree parser (sources/xml_source.py, mirroring
+    dbgap_parser.py:44-84 semantics: participant_set default, GapExchange-
+    first study naming with filename-regex fallback, GapExchange skip,
+    lowercased descriptions, study/variable action links) re-derives the
+    element rows.  Render -> parse round-trips exactly, so the oracle
+    reproduces the output from the raw columns."""
+    from dug_ray.sources.xml_source import parse_dbgap_xml, render_dbgap_xml
+    docs = read_documents(sf_dir, columns=["doc_id", "text", "source"])
+    return parse_dbgap_xml(render_dbgap_xml(docs))
+
+
+SQL_XML_ELEMENTS = _with(SQL_TOKS, SQL_CHUNKS) + """,
+base AS (
+  SELECT doc_id, chunk, chunk_text,
+         lpad(regexp_replace(source, '[^0-9]', '', 'g'), 6, '0') AS snum,
+         CASE WHEN doc_id % 3 = 0 THEN '1' ELSE '0' END AS pset,
+         CASE WHEN doc_id % 2 = 0 THEN 'Study ' || source || ' Entrez'
+              ELSE 'study_' || source END AS study_name,
+         CASE WHEN chunk % 5 = 4 THEN 'vx' ELSE 'phv' END AS pfx
+  FROM chunks)
+SELECT pfx || CAST(doc_id AS VARCHAR) || '_' || CAST(chunk AS VARCHAR)
+         || '.p' || pset AS element_id,
+       'var_' || CAST(doc_id AS VARCHAR) || '_' || CAST(chunk AS VARCHAR)
+         AS element_name,
+       lower(chunk_text) AS element_desc,
+       lower(chunk_text) AS ml_ready_desc,
+       'dbgap' AS data_type,
+       'phs' || snum || '.p' || pset AS collection_id,
+       study_name AS collection_name,
+       CASE WHEN pfx = 'phv'
+            THEN 'https://www.ncbi.nlm.nih.gov/projects/gap/cgi-bin/variable.cgi?study_id=phs'
+                 || snum || '.p' || pset || '&phv='
+                 || CAST(doc_id AS VARCHAR) || '_' || CAST(chunk AS VARCHAR)
+            ELSE '' END AS element_action,
+       'https://www.ncbi.nlm.nih.gov/projects/gap/cgi-bin/study.cgi?study_id=phs'
+         || snum || '.p' || pset AS collection_action
+FROM base"""
+
+
+QUERIES.update({"xml_elements": q_xml_elements})
+ORACLES.update({"xml_elements": SQL_XML_ELEMENTS})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -3025,6 +3076,8 @@ _DRIVER_FRONT = [
     "dup_chunks", "tfidf_topk", "postings",
     "concept_cooccurrence", "triple_degrees", "pagerank", "triangles",
     "event_attribution", "first_touch", "cooc_pmi", "cooc_components",
+    # new in round 5
+    "xml_elements", "lsh_ann", "ivf_ann",
 ]
 # round 5: lsh_ann and ivf_ann gained exact oracles (plane/centroid
 # literals baked into the SQL) — the registry has no rows-only queries left
