@@ -70,6 +70,51 @@ def parser_names() -> list[str]:
     return sorted(_PARSERS)
 
 
+#: setuptools entry-point group scanned for third-party plugins — the
+#: Ray-side analogue of the reference's pluggy group "dug"
+ENTRY_POINT_GROUP = "dug_ray"
+
+
+def load_entry_point_plugins(group: str = ENTRY_POINT_GROUP) -> int:
+    """Load third-party parser/annotator plugins from setuptools entry
+    points — the equivalent of the reference's
+    ``pm.load_setuptools_entrypoints("dug")`` (``core/__init__.py:29-35``),
+    so an external package extends the registry by declaring::
+
+        [project.entry-points.dug_ray]
+        my_plugin = my_package.plugin_module
+
+    without editing dug_ray.  Each entry point must load to either
+
+    - a module/object exposing ``define_parsers(parser_dict)`` and/or
+      ``define_annotators(annotator_dict)`` — the reference's hookspec
+      names (``hookspecs.py:12-22``); the hook mutates the dict in place
+      exactly like the reference's pluggy impls; or
+    - a callable invoked as ``plugin(parsers=..., annotators=...)``.
+
+    Returns the number of plugins loaded.  Called once at import; safe to
+    re-call after installing a distribution mid-process (re-registration
+    overwrites by name, latest wins — same dict semantics as the
+    reference's name-keyed registry)."""
+    from importlib import metadata
+    try:
+        eps = list(metadata.entry_points(group=group))
+    except TypeError:  # pre-3.10 entry_points() signature
+        eps = list(metadata.entry_points().get(group, []))
+    n = 0
+    for ep in eps:
+        obj = ep.load()
+        if hasattr(obj, "define_parsers") or hasattr(obj, "define_annotators"):
+            if hasattr(obj, "define_parsers"):
+                obj.define_parsers(_PARSERS)
+            if hasattr(obj, "define_annotators"):
+                obj.define_annotators(_ANNOTATORS)
+        else:
+            obj(parsers=_PARSERS, annotators=_ANNOTATORS)
+        n += 1
+    return n
+
+
 def _register_defaults() -> None:
     from dug_ray.stages.annotate import DictionaryNER, ner_batch
     from dug_ray.stages.link import LinkNormalize, link_batch
@@ -84,3 +129,4 @@ def _register_defaults() -> None:
 
 
 _register_defaults()
+load_entry_point_plugins()

@@ -169,3 +169,32 @@ def test_cli_curate(sf_smoke, capsys, tmp_path):
     info2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info2["docs_kept"] == info["docs_kept"]
     assert pq.read_table(out).num_rows == len(want)
+
+
+def test_entry_point_plugin_registration(tmp_path, monkeypatch):
+    """A synthetic installed distribution declaring a [dug_ray] entry point
+    registers a parser by name without editing dug_ray — mirrors the
+    reference's pm.load_setuptools_entrypoints('dug')
+    (core/__init__.py:29-35)."""
+    from dug_ray import registry
+
+    (tmp_path / "my_dug_plugin.py").write_text(
+        "def define_parsers(parser_dict):\n"
+        "    parser_dict['pytest-plugin-parser'] = lambda ds: ds\n"
+        "def define_annotators(annotator_dict):\n"
+        "    annotator_dict['pytest-plugin-annotator'] = object\n")
+    di = tmp_path / "my_dug_plugin-0.1.dist-info"
+    di.mkdir()
+    (di / "METADATA").write_text(
+        "Metadata-Version: 2.1\nName: my-dug-plugin\nVersion: 0.1\n")
+    (di / "entry_points.txt").write_text(
+        "[dug_ray]\nmyplug = my_dug_plugin\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+
+    assert registry.load_entry_point_plugins() >= 1
+    parser = registry.get_parser("pytest-plugin-parser")
+    assert callable(parser)
+    assert registry.get_annotator("pytest-plugin-annotator") is object
+    # cleanup so other tests see the default registry
+    registry._PARSERS.pop("pytest-plugin-parser", None)
+    registry._ANNOTATORS.pop("pytest-plugin-annotator", None)
