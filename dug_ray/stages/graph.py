@@ -98,16 +98,18 @@ def concept_cooccurrence(linked: ray.data.Dataset,
     return bucketed_group_apply(partials, "subj", merge, num_buckets)
 
 
-def pagerank(triples: ray.data.Dataset, iterations: int = 3,
-             scale: int = 10 ** 12, num_buckets: int = 32) -> ray.data.Dataset:
-    """(node, rank_mass) after ``iterations`` rounds of integer PageRank.
+class PageRankEngine:
+    """Shared machinery of ``pagerank`` (in-session) and
+    ``pagerank_resumable`` (manifest-checkpointed): edge pinning, the
+    static spine, and the two-exchange iteration step.
 
     Fixed-point variant chosen for exactness, not an approximation of the
     float algorithm: total mass ``scale`` (int64 units), damping 85/100,
     every division floor division, so the result is bit-identical for any
-    partitioning and any engine (DuckDB oracle uses the same expressions).
-    Mass lost to floor remainders and dangling nodes is dropped, not
-    redistributed — documented semantics of this variant.
+    partitioning and any engine (DuckDB oracle uses the same expressions)
+    — and therefore also across a kill/resume boundary.  Mass lost to
+    floor remainders and dangling nodes is dropped, not redistributed —
+    documented semantics of this variant.
 
     Scale shape (100 TB): Pregel-style fused iteration.  The edge side is
     distinct-ified, tagged and pinned ONCE in the object store; the rank
@@ -128,111 +130,199 @@ def pagerank(triples: ray.data.Dataset, iterations: int = 3,
     not pay ``num_buckets`` task latencies per stage, a 100 TB one needs
     them all.
     """
-    edges = distinct_rows(triples.select_columns(["subj", "obj"]),
-                          ["subj", "obj"], num_buckets)
-    edges = edges.map_batches(
-        lambda b: typed_table(b.to_pandas(), subj=pa.string(),
-                              obj=pa.string()),
-        batch_format="pyarrow", batch_size=None).materialize()
-    n_edges = edges.count()
-    nb = max(2, min(num_buckets, n_edges // 50_000 + 2))
-    if nb < num_buckets:
-        edges = edges.repartition(nb).materialize()
-    num_buckets = nb
 
-    # static spine: every node with its out-degree (0 for pure sinks),
-    # built in one exchange from per-batch partials
-    def _deg_and_nodes(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = (df.groupby("subj").size().reset_index(name="d")
-             .rename(columns={"subj": "node"}))
-        o = pd.DataFrame({"node": df["obj"].drop_duplicates(), "d": 0})
-        return typed_table(pd.concat([g, o], ignore_index=True),
-                           node=pa.string(), d=pa.int64())
+    RANK_SCHEMA = dict(node=pa.string(), d=pa.int64(), rank_mass=pa.int64())
 
-    spine = bucketed_group_apply(
-        edges.map_batches(_deg_and_nodes, batch_format="pyarrow",
-                          batch_size=None),
-        "node",
-        lambda df: typed_table(
-            df.groupby("node", as_index=False).agg(d=("d", "sum")),
-            node=pa.string(), d=pa.int64()),
-        num_buckets).materialize()
+    def __init__(self, triples: ray.data.Dataset, scale: int = 10 ** 12,
+                 num_buckets: int = 32):
+        self.scale = scale
+        edges = distinct_rows(triples.select_columns(["subj", "obj"]),
+                              ["subj", "obj"], num_buckets)
+        edges = edges.map_batches(
+            lambda b: typed_table(b.to_pandas(), subj=pa.string(),
+                                  obj=pa.string()),
+            batch_format="pyarrow", batch_size=None).materialize()
+        n_edges = edges.count()
+        nb = max(2, min(num_buckets, n_edges // 50_000 + 2))
+        if nb < num_buckets:
+            edges = edges.repartition(nb).materialize()
+        self.num_buckets = nb
+        self.edges = edges
 
-    n_nodes = spine.count()
-    if n_nodes == 0:
+        # static spine: every node with its out-degree (0 for pure sinks),
+        # built in one exchange from per-batch partials
+        def _deg_and_nodes(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = (df.groupby("subj").size().reset_index(name="d")
+                 .rename(columns={"subj": "node"}))
+            o = pd.DataFrame({"node": df["obj"].drop_duplicates(), "d": 0})
+            return typed_table(pd.concat([g, o], ignore_index=True),
+                               node=pa.string(), d=pa.int64())
+
+        self.spine = bucketed_group_apply(
+            edges.map_batches(_deg_and_nodes, batch_format="pyarrow",
+                              batch_size=None),
+            "node",
+            lambda df: typed_table(
+                df.groupby("node", as_index=False).agg(d=("d", "sum")),
+                node=pa.string(), d=pa.int64()),
+            self.num_buckets).materialize()
+
+        self.n_nodes = self.spine.count()
+        if self.n_nodes == 0:
+            return
+        self.init = scale // self.n_nodes
+        self.base = (15 * scale) // (100 * self.n_nodes)
+
+        MSG = dict(node=pa.string(), obj=pa.string(), rank_mass=pa.int64(),
+                   d=pa.int64(), side=pa.string())
+
+        def _edge_side(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas().rename(columns={"subj": "node"})
+            df["rank_mass"] = 0
+            df["d"] = 0
+            df["side"] = "e"
+            return typed_table(df, **MSG)
+
+        # lazy: a trivial map over the PINNED edges — re-running it per
+        # iteration is cheaper than holding a second |E| copy in the store
+        self._edge_side = edges.map_batches(_edge_side,
+                                            batch_format="pyarrow",
+                                            batch_size=None)
+
+        def _zero_rows(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["s"] = 0
+            return typed_table(df, node=pa.string(), d=pa.int64(),
+                               s=pa.int64())
+
+        self._zero_rows = self.spine.map_batches(
+            _zero_rows, batch_format="pyarrow", batch_size=None)
+        self._msg_schema = MSG
+
+    def empty_result(self) -> ray.data.Dataset:
         return ray.data.from_arrow(typed_table(
             pd.DataFrame({"node": [], "rank_mass": []}),
             node=pa.string(), rank_mass=pa.int64()))
-    init = scale // n_nodes
-    base = (15 * scale) // (100 * n_nodes)
 
-    MSG = dict(node=pa.string(), obj=pa.string(), rank_mass=pa.int64(),
-               d=pa.int64(), side=pa.string())
+    def initial_ranks(self) -> ray.data.Dataset:
+        def _init_rank(batch: pa.Table, init=self.init) -> pa.Table:
+            df = batch.to_pandas()
+            df["rank_mass"] = init
+            return typed_table(df, **self.RANK_SCHEMA)
 
-    def _edge_side(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().rename(columns={"subj": "node"})
-        df["rank_mass"] = 0
-        df["d"] = 0
-        df["side"] = "e"
-        return typed_table(df, **MSG)
+        return self.spine.map_batches(_init_rank, batch_format="pyarrow",
+                                      batch_size=None)
 
-    # lazy: a trivial map over the PINNED edges — re-running it per
-    # iteration is cheaper than holding a second |E| copy in the store
-    edge_side = edges.map_batches(_edge_side, batch_format="pyarrow",
-                                  batch_size=None)
+    def step(self, ranks: ray.data.Dataset) -> ray.data.Dataset:
+        """One PageRank round: two bucketed exchanges, lazy result."""
+        MSG, base = self._msg_schema, self.base
 
-    def _zero_rows(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["s"] = 0
-        return typed_table(df, node=pa.string(), d=pa.int64(), s=pa.int64())
+        def _rank_side(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["obj"] = None
+            df["side"] = "r"
+            return typed_table(df, **MSG)
 
-    zero_rows = spine.map_batches(_zero_rows, batch_format="pyarrow",
-                                  batch_size=None)
+        def _messages(df: pd.DataFrame) -> pa.Table:
+            r = df[df["side"] == "r"]
+            r = r[r["d"] > 0]
+            shares = pd.DataFrame({
+                "node": r["node"].to_numpy(),
+                "share": r["rank_mass"].to_numpy() // r["d"].to_numpy()})
+            m = df[df["side"] == "e"][["node", "obj"]].merge(shares,
+                                                             on="node")
+            g = (m.groupby("obj", as_index=False).agg(s=("share", "sum"))
+                 .rename(columns={"obj": "node"}))
+            g["d"] = 0
+            return typed_table(g, node=pa.string(), d=pa.int64(),
+                               s=pa.int64())
 
-    def _rank_side(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["obj"] = None
-        df["side"] = "r"
-        return typed_table(df, **MSG)
+        def _update(df: pd.DataFrame) -> pa.Table:
+            g = df.groupby("node", as_index=False).agg(s=("s", "sum"),
+                                                       d=("d", "max"))
+            g["rank_mass"] = base + (85 * g["s"].to_numpy()) // 100
+            return typed_table(g, **self.RANK_SCHEMA)
 
-    def _messages(df: pd.DataFrame) -> pa.Table:
-        r = df[df["side"] == "r"]
-        r = r[r["d"] > 0]
-        shares = pd.DataFrame({
-            "node": r["node"].to_numpy(),
-            "share": r["rank_mass"].to_numpy() // r["d"].to_numpy()})
-        m = df[df["side"] == "e"][["node", "obj"]].merge(shares, on="node")
-        g = (m.groupby("obj", as_index=False).agg(s=("share", "sum"))
-             .rename(columns={"obj": "node"}))
-        g["d"] = 0
-        return typed_table(g, node=pa.string(), d=pa.int64(), s=pa.int64())
-
-    def _update(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("node", as_index=False).agg(s=("s", "sum"),
-                                                   d=("d", "max"))
-        g["rank_mass"] = base + (85 * g["s"].to_numpy()) // 100
-        return typed_table(g, node=pa.string(), d=pa.int64(),
-                           rank_mass=pa.int64())
-
-    def _init_rank(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["rank_mass"] = init
-        return typed_table(df, node=pa.string(), d=pa.int64(),
-                           rank_mass=pa.int64())
-
-    ranks = spine.map_batches(_init_rank, batch_format="pyarrow",
-                              batch_size=None)
-
-    for i in range(iterations):
         rank_side = ranks.map_batches(_rank_side, batch_format="pyarrow",
                                       batch_size=None)
-        msgs = bucketed_group_apply(edge_side.union(rank_side), "node",
-                                    _messages, num_buckets)
-        ranks = bucketed_group_apply(msgs.union(zero_rows), "node",
-                                     _update, num_buckets)
+        msgs = bucketed_group_apply(self._edge_side.union(rank_side),
+                                    "node", _messages, self.num_buckets)
+        return bucketed_group_apply(msgs.union(self._zero_rows), "node",
+                                    _update, self.num_buckets)
+
+
+def pagerank(triples: ray.data.Dataset, iterations: int = 3,
+             scale: int = 10 ** 12, num_buckets: int = 32) -> ray.data.Dataset:
+    """(node, rank_mass) after ``iterations`` rounds of integer PageRank
+    (see PageRankEngine for the semantics and the scale shape)."""
+    eng = PageRankEngine(triples, scale, num_buckets)
+    if eng.n_nodes == 0:
+        return eng.empty_result()
+    ranks = eng.initial_ranks()
+    for i in range(iterations):
+        ranks = eng.step(ranks)
         if (i + 1) % 4 == 0 and (i + 1) < iterations:
             ranks = ranks.materialize()
+    return ranks.select_columns(["node", "rank_mass"])
+
+
+def pagerank_resumable(triples: ray.data.Dataset, out_dir: str,
+                       iterations: int = 3, scale: int = 10 ** 12,
+                       num_buckets: int = 32,
+                       checkpoint_every: int = 1) -> ray.data.Dataset:
+    """Manifest-checkpointed PageRank: the rank frontier is persisted
+    through ``state.manifest.PartitionManifest`` (one atomically-renamed
+    parquet directory per checkpointed iteration, manifest key =
+    iteration index), so an N-iteration run on real scale resumes
+    MID-ITERATION — a restart recomputes no round below the last
+    checkpoint (north-rule resume for the iterative path).
+
+    Resume correctness rests on two facts: (a) the integer fixed-point
+    step is bit-exact for any partitioning, so recomputing rounds k+1..N
+    from the persisted round-k frontier equals the unbroken run; (b) the
+    frontier write is tmp-dir + ``os.rename``, so a kill mid-write leaves
+    only the previous checkpoint visible.  The edge pin + spine rebuild on
+    restart is one distinct exchange over the (already shard-checkpointed,
+    see state/runner.py) triple table — O(|E|) once, independent of how
+    many rounds were already done.  ``checkpoint_every`` trades object-
+    store pressure against recompute-on-kill (1 = every round)."""
+    import os
+    import shutil
+
+    from dug_ray.state.manifest import PartitionManifest
+
+    eng = PageRankEngine(triples, scale, num_buckets)
+    if eng.n_nodes == 0:
+        return eng.empty_result()
+
+    man = PartitionManifest(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    man.ensure_layout(scale=scale, n_nodes=eng.n_nodes,
+                      checkpoint_every=checkpoint_every)
+    done = {b for b in man.completed_buckets() if b <= iterations}
+    start = max(done, default=0)
+
+    def _ckpt_dir(i: int) -> str:
+        return os.path.join(out_dir, f"rank-{i:05d}")
+
+    if start > 0:
+        ranks = ray.data.read_parquet(_ckpt_dir(start))
+    else:
+        ranks = eng.initial_ranks()
+
+    for i in range(start + 1, iterations + 1):
+        ranks = eng.step(ranks)
+        if i % checkpoint_every == 0 or i == iterations:
+            final = _ckpt_dir(i)
+            tmp = final + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(final, ignore_errors=True)
+            ranks.write_parquet(tmp)
+            os.rename(tmp, final)
+            ranks = ray.data.read_parquet(final)
+            man.mark_done(i, eng.n_nodes, final)
+
     return ranks.select_columns(["node", "rank_mass"])
 
 

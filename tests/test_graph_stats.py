@@ -213,3 +213,43 @@ def test_graph_queries_against_oracle(sf_smoke):
         ray_df = selfcheck.to_pandas(q.QUERIES[name](sf_smoke))
         sql_df = selfcheck.oracle_df(sf_smoke, q.ORACLES[name])
         assert selfcheck.compare(name, ray_df, sql_df) == []
+
+
+def test_pagerank_resumable_resumes_without_recompute(tmp_path):
+    """North-rule resume for the iterative path: a run killed after
+    iteration k (simulated by running to k) resumes from the manifest
+    checkpoint and recomputes NO round below k — the round-1/2 checkpoint
+    files are byte-untouched — and the resumed result is bit-identical to
+    an unbroken run (integer fixed-point step)."""
+    import glob
+    import os
+
+    from dug_ray.stages.graph import pagerank, pagerank_resumable
+
+    edges = [("A", "B"), ("B", "C"), ("C", "A"), ("D", "A"), ("D", "B")]
+    triples = ray.data.from_pandas(pd.DataFrame(edges,
+                                                columns=["subj", "obj"]))
+    out = str(tmp_path / "pr")
+
+    pagerank_resumable(triples, out, iterations=2, num_buckets=4).to_pandas()
+
+    def snap(i):
+        files = sorted(glob.glob(os.path.join(out, f"rank-{i:05d}", "*")))
+        return [(f, os.path.getmtime(f), os.path.getsize(f)) for f in files]
+
+    s1, s2 = snap(1), snap(2)
+    assert s1 and s2
+
+    r4 = pagerank_resumable(triples, out, iterations=4,
+                            num_buckets=4).to_pandas()
+    assert snap(1) == s1 and snap(2) == s2       # rounds < k untouched
+    assert os.path.isdir(os.path.join(out, "rank-00004"))
+
+    want = pagerank(triples, iterations=4, num_buckets=4).to_pandas()
+    assert dict(zip(r4["node"], r4["rank_mass"])) == \
+        dict(zip(want["node"], want["rank_mass"]))
+
+    # a resume under a different layout must refuse, not silently mix
+    with pytest.raises(ValueError, match="layout"):
+        pagerank_resumable(triples, out, iterations=4, num_buckets=4,
+                           checkpoint_every=2)
