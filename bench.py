@@ -149,7 +149,8 @@ def _run_leg(name: str, retries: int = 1) -> dict | None:
     for attempt in range(retries + 1):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--leg", name],
-            env=dict(os.environ), capture_output=True, text=True)
+            env=dict(os.environ), capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
         if proc.returncode == 0:
             for line in reversed(proc.stdout.strip().splitlines()):
                 line = line.strip()
@@ -225,7 +226,8 @@ def _scaling_window(n_pairs: int) -> dict:
         for attempt in range(2):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--leg", "headline"],
-                env=env, capture_output=True, text=True)
+                env=env, capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
             if proc.returncode == 0:
                 for line in reversed(proc.stdout.strip().splitlines()):
                     if line.strip().startswith("{"):

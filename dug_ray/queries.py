@@ -3076,8 +3076,8 @@ _DRIVER_FRONT = [
     "dup_chunks", "tfidf_topk", "postings",
     "concept_cooccurrence", "triple_degrees", "pagerank", "triangles",
     "event_attribution", "first_touch", "cooc_pmi", "cooc_components",
-    # new in round 5
-    "xml_elements", "lsh_ann", "ivf_ann",
+    # new or engine-changed in round 5 (ann_topk: distributed finalize)
+    "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
 ]
 # round 5: lsh_ann and ivf_ann gained exact oracles (plane/centroid
 # literals baked into the SQL) — the registry has no rows-only queries left
