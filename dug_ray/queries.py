@@ -3048,6 +3048,86 @@ QUERIES.update({"xml_elements": q_xml_elements})
 ORACLES.update({"xml_elements": SQL_XML_ELEMENTS})
 
 
+def q_regex_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII-style regex redaction (stages/scrub.py): per-doc pattern counts
+    on the original text + the sequentially redacted text itself. Both
+    engines run identical RE2 patterns, so clean_text is hash-pinned."""
+    from dug_ray.stages.scrub import regex_scrub
+    return regex_scrub(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+def _scrub_sql() -> str:
+    from dug_ray.stages.scrub import SCRUB_PATTERNS
+    counts = ",\n       ".join(
+        f"CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in SCRUB_PATTERNS)
+    clean = "text"
+    for _name, pat, repl in SCRUB_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id,
+       {counts},
+       {clean} AS clean_text,
+       CAST(length({clean}) AS BIGINT) AS clean_len
+FROM documents"""
+
+
+SQL_REGEX_SCRUB = _scrub_sql()
+
+
+def q_bigram_top(sf_dir: str) -> ray.data.Dataset:
+    """Top-100 adjacent-token bigrams corpus-wide (count DESC, bigram ASC
+    — a total order, so the LIMIT is deterministic on both sides)."""
+    from dug_ray.stages.scrub import bigram_counts
+    return bigram_counts(read_documents(sf_dir, columns=["doc_id", "text"]),
+                         k=100)
+
+
+SQL_BIGRAM_TOP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+u AS (SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS pos
+      FROM t),
+bg AS (SELECT a.term || ' ' || b.term AS bigram
+       FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+ORDER BY n DESC, bigram ASC LIMIT 100"""
+
+
+def q_seq_packing(sf_dir: str) -> ray.data.Dataset:
+    """Token-budget sequence packing (stages/scrub.pack_sequences): bins of
+    256 whitespace tokens over doc_id order via the two-pass distributed
+    prefix-sum scan; per-bin doc counts / token totals / doc_id range."""
+    from dug_ray.stages.scrub import pack_sequences
+    return pack_sequences(read_documents(sf_dir, columns=["doc_id", "text"]),
+                          budget=256, span=128)
+
+
+SQL_SEQ_PACKING = """
+WITH t AS (SELECT doc_id,
+                  CAST(length(string_split(text, ' ')) AS BIGINT) AS tok
+           FROM documents),
+c AS (SELECT doc_id, tok,
+             COALESCE(SUM(tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t)
+SELECT CAST(cb // 256 AS BIGINT) AS bin, count(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS tok_total,
+       MIN(doc_id) AS doc_lo, MAX(doc_id) AS doc_hi
+FROM c GROUP BY 1"""
+
+
+QUERIES.update({
+    "regex_scrub": q_regex_scrub,
+    "bigram_top": q_bigram_top,
+    "seq_packing": q_seq_packing,
+})
+ORACLES.update({
+    "regex_scrub": SQL_REGEX_SCRUB,
+    "bigram_top": SQL_BIGRAM_TOP,
+    "seq_packing": SQL_SEQ_PACKING,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -3078,6 +3158,7 @@ _DRIVER_FRONT = [
     "event_attribution", "first_touch", "cooc_pmi", "cooc_components",
     # new or engine-changed in round 5 (ann_topk: distributed finalize)
     "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
+    "regex_scrub", "bigram_top", "seq_packing",
 ]
 # round 5: lsh_ann and ivf_ann gained exact oracles (plane/centroid
 # literals baked into the SQL) — the registry has no rows-only queries left

@@ -661,3 +661,65 @@ def test_bloom_null_key_batch_keeps_members():
     mask = probe_mask(pa.array([4, None, 500], pa.int64()), bloom)
     assert mask[0] and mask[2]          # real members survive the null
     assert not mask[1]                  # the null itself never matches
+
+
+def test_regex_scrub_counts_and_redaction():
+    from dug_ray.stages.scrub import regex_scrub
+    ds = docs_ds([
+        {"doc_id": 1, "text": "mail me at bob@example.com or see https://x.io/a now"},
+        {"doc_id": 2, "text": "the a dup theatre 12345678 short 123"},
+        {"doc_id": 3, "text": "nothing special here"},
+    ])
+    out = regex_scrub(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_email"]) == [1, 0, 0]
+    assert list(out["n_url"]) == [1, 0, 0]
+    assert list(out["n_num"]) == [0, 1, 0]   # 123 is below the 7-digit floor
+    # doc 1: the URL path "/a" contains a \b-delimited "a" — counts are
+    # measured on the ORIGINAL text (before URL redaction), so it counts
+    assert list(out["n_stop"]) == [1, 3, 0]  # theatre untouched by \b
+    assert out.loc[0, "clean_text"] == "mail me at <EMAIL> or see <URL> now"
+    assert out.loc[1, "clean_text"] == "<STOP> <STOP> <STOP> theatre <NUM> short 123"
+    assert out.loc[2, "clean_text"] == "nothing special here"
+    assert (out["clean_len"] == out["clean_text"].str.len()).all()
+
+
+def test_bigram_counts_boundaries_and_ties():
+    from dug_ray.stages.scrub import bigram_counts
+    # "b c" appears twice; doc boundary between docs must NOT form "c b"
+    ds = docs_ds([
+        {"doc_id": 1, "text": "a b c"},
+        {"doc_id": 2, "text": "b c"},
+    ])
+    out = bigram_counts(ds, k=10).to_pandas()
+    got = dict(zip(out["bigram"], out["n"]))
+    assert got == {"a b": 1, "b c": 2}
+    # ordering: count DESC then bigram ASC
+    assert list(out["bigram"]) == ["b c", "a b"]
+
+
+def test_pack_sequences_prefix_sum_exact():
+    from dug_ray.stages.scrub import pack_sequences
+    # tokens per doc: 3,4,5,2 -> exclusive cumsum 0,3,7,12; budget 5 ->
+    # bins 0,0,1,2 (doc straddling a boundary stays in the bin it starts in)
+    rows = [{"doc_id": i, "text": " ".join(["w"] * n)}
+            for i, n in enumerate([3, 4, 5, 2])]
+    out = (pack_sequences(docs_ds(rows), budget=5, span=2, num_buckets=2)
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    assert list(out["bin"]) == [0, 1, 2]
+    assert list(out["n_docs"]) == [2, 1, 1]
+    assert list(out["tok_total"]) == [7, 5, 2]
+    assert list(out["doc_lo"]) == [0, 2, 3]
+    assert list(out["doc_hi"]) == [1, 2, 3]
+
+
+def test_pack_sequences_bin_straddles_range_boundary():
+    from dug_ray.stages.scrub import pack_sequences
+    # span=1 puts every doc in its own range; with budget=100 all docs land
+    # in bin 0, whose partials from different ranges must merge exactly
+    rows = [{"doc_id": i, "text": "x y z"} for i in range(6)]
+    out = pack_sequences(docs_ds(rows), budget=100, span=1,
+                         num_buckets=3).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "n_docs"] == 6
+    assert out.loc[0, "tok_total"] == 18
+    assert (out.loc[0, "doc_lo"], out.loc[0, "doc_hi"]) == (0, 5)
