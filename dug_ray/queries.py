@@ -3128,6 +3128,146 @@ ORACLES.update({
 })
 
 
+def q_kmeans_update(sf_dir: str) -> ray.data.Dataset:
+    """One exact Lloyd update step over the pinned seed centroids
+    (stages/similarity.kmeans_update): argmax-cosine assignment + exact
+    integer-quantized per-(centroid, dim) coordinate sums."""
+    from dug_ray.stages.similarity import kmeans_update
+    return kmeans_update(sf_dir)
+
+
+# assignment CTEs identical to SQL_IVF_ASSIGN (same pinned seed centroids);
+# the update step quantizes each coordinate floor(v*1e6) BEFORE summing, so
+# the reduction is exact integer arithmetic on both engines
+SQL_KMEANS_UPDATE = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id >= 4 AND vec_id < 12),
+s AS (SELECT e.vec_id, c.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) AS cos
+      FROM embeddings e, c WHERE e.vec_id >= 4),
+r AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      FROM s),
+assign AS (SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1),
+m AS (SELECT a.centroid_id, e.vec_id, t.v, t.dim
+      FROM assign a JOIN embeddings e USING (vec_id),
+      LATERAL (SELECT unnest(e.embedding) AS v,
+                      generate_subscripts(e.embedding, 1) AS dim) t)
+SELECT centroid_id, CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS q_sum,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM m GROUP BY 1, 2"""
+
+
+Q3_CUTOFF = "1998-06-01"
+
+
+def q_q3_shipping(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q3-shaped THREE-table join: BROADCAST semi-join of orders
+    against the filtered customer key set (small side shipped once via
+    ray.put, probed with a vectorized is_in per batch) composed with the
+    PARTITIONED hash join orders |><| lineitem, per-batch partial revenue
+    sums, per-bucket top-10, and a bounded (10 x num_buckets rows) final
+    rank. Integer-cents revenue (same channel as order_revenue_join)."""
+    import datetime as _dt
+    from dug_ray.shuffle import hash_join
+    cutoff = _dt.datetime.fromisoformat(Q3_CUTOFF)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    keys = (cust.filter(expr="c_mktsegment == 'BUILDING'")
+            .to_pandas()["c_custkey"].to_numpy())  # small side: |customer|/5
+    key_ref = ray.put(np.sort(keys))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt_orders(batch: pa.Table) -> pa.Table:
+        ks = pa.array(ray.get(key_ref), pa.int64())
+        keep = pc.and_(pc.less(batch["o_orderdate"], pa.scalar(cutoff)),
+                       pc.is_in(batch["o_custkey"], value_set=ks))
+        t = batch.filter(keep)
+        o_sec = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), 1_000_000)
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_sec": pc.cast(o_sec, pa.int64())})
+
+    orders_f = orders.map_batches(filt_orders, batch_format="pyarrow",
+                                  batch_size=None)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        # same exact-decimal integer channel as order_revenue_join
+        t = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cutoff)))
+        df = t.to_pandas()
+        price_c = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (df["l_discount"] * 10000).round().astype("int64")
+        df["rev_c"] = price_c * (10000 - disc_bp)
+        return typed_table(df, l_orderkey=pa.int64(), rev_c=pa.int64())
+
+    li_c = li.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    joined = hash_join(li_c, orders_f, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_orderkey", "o_sec"], as_index=False).agg(
+            revenue_cents=("rev_c", "sum"))
+        return typed_table(g, l_orderkey=pa.int64(), o_sec=pa.int64(),
+                           revenue_cents=pa.int64())
+
+    agg = joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def merge_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_orderkey", "o_sec"], as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+        return g.sort_values(["revenue_cents", "l_orderkey"],
+                             ascending=[False, True], kind="mergesort").head(10)
+
+    per_bucket = bucketed_group_apply(agg, "l_orderkey", merge_top, 16)
+    # bounded final: <= 10 x 16 candidate rows
+    df = (per_bucket.to_pandas()
+          .sort_values(["revenue_cents", "l_orderkey"],
+                       ascending=[False, True], kind="mergesort").head(10)
+          .reset_index(drop=True))
+    df["rank"] = df.index + 1
+    return ray.data.from_pandas(df.astype(
+        {c: "int64" for c in ("l_orderkey", "o_sec", "revenue_cents", "rank")}))
+
+
+SQL_Q3_SHIPPING = f"""
+WITH o AS (
+  SELECT o.o_orderkey, CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS o_sec
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'),
+rev AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)) AS rev_c
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'),
+agg AS (
+  SELECT r.l_orderkey, o.o_sec, CAST(sum(rev_c) AS BIGINT) AS revenue_cents
+  FROM rev r JOIN o ON o.o_orderkey = r.l_orderkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY revenue_cents DESC, l_orderkey) AS rank
+  FROM agg)
+SELECT l_orderkey, o_sec, revenue_cents, rank FROM ranked WHERE rank <= 10"""
+
+
+QUERIES.update({
+    "kmeans_update": q_kmeans_update,
+    "q3_shipping": q_q3_shipping,
+})
+ORACLES.update({
+    "kmeans_update": SQL_KMEANS_UPDATE,
+    "q3_shipping": SQL_Q3_SHIPPING,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -3158,7 +3298,8 @@ _DRIVER_FRONT = [
     "event_attribution", "first_touch", "cooc_pmi", "cooc_components",
     # new or engine-changed in round 5 (ann_topk: distributed finalize)
     "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
-    "regex_scrub", "bigram_top", "seq_packing",
+    "regex_scrub", "bigram_top", "seq_packing", "kmeans_update",
+    "q3_shipping",
 ]
 # round 5: lsh_ann and ivf_ann gained exact oracles (plane/centroid
 # literals baked into the SQL) — the registry has no rows-only queries left

@@ -490,3 +490,69 @@ def ivf_ann_topk_pinned(sf_dir: str, n_queries: int = 4, k: int = 10,
 
     partials = emb.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return _finalize_topk(partials, k)
+
+
+def kmeans_update(sf_dir: str, n_queries: int = 4, n_centroids: int = 8,
+                  num_buckets: int = 8) -> ray.data.Dataset:
+    """One exact Lloyd UPDATE step over the pinned seed centroids: assign
+    every corpus vector (vec_id >= n_queries) to its argmax-cosine centroid
+    (identical semantics to ``ivf_assignments`` — first max, so exact ties
+    go to the smallest centroid id), then reduce the per-centroid
+    coordinate sums the new centroids would be computed from.
+
+    Output: (centroid_id, dim, q_sum, n_members) — one row per centroid
+    per 1-based dimension.  Coordinates are quantized ``floor(v * 1e6)``
+    int64 BEFORE summing, so the reduction is exact integer arithmetic and
+    hash-pins against DuckDB (float32 -> float64 is exact on both engines,
+    and the scaled floor is the same IEEE op; the float mean itself is
+    q_sum / (1e6 * n_members) downstream).  The scale shape is the usual
+    combiner: each batch scatter-adds into an (n_centroids x dim) int64
+    array at C speed and emits at most n_centroids*dim partial rows, so
+    the exchange carries partials, never vectors."""
+    from dug_ray.shuffle import bucketed_group_apply, typed_table
+
+    emb = read_embeddings(sf_dir)
+    c_df = emb.filter(expr=f"vec_id < {n_queries + n_centroids}").to_pandas()
+    c_df = c_df[c_df["vec_id"] >= n_queries].sort_values("vec_id")
+    cm = _normalize(_stack(c_df["embedding"]))
+    ref = ray.put((c_df["vec_id"].to_numpy(), cm))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(ref)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = vid >= n_queries
+        empty = pa.table({"centroid_id": pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "q_sum": pa.array([], pa.int64()),
+                          "n_members": pa.array([], pa.int64())})
+        if not mask.any():
+            return empty
+        raw = _matrix(batch)[mask]
+        a = np.argmax(_normalize(raw) @ cmat.T, axis=1)
+        q = np.floor(raw * 1e6).astype(np.int64)
+        uniq, inv = np.unique(a, return_inverse=True)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)                 # vectorized scatter-add
+        counts = np.bincount(inv).astype(np.int64)
+        n_u, dim = sums.shape
+        return pa.table({
+            "centroid_id": pa.array(np.repeat(cids[uniq], dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                    n_u), pa.int64()),
+            "q_sum": pa.array(sums.ravel(), pa.int64()),
+            "n_members": pa.array(np.repeat(counts, dim), pa.int64()),
+        })
+
+    partials = emb.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["centroid_id", "dim"], as_index=False).agg(
+            q_sum=("q_sum", "sum"), n_members=("n_members", "sum"))
+
+    out = bucketed_group_apply(partials, "centroid_id", merge, num_buckets)
+    return out.map_batches(
+        lambda t: typed_table(t.to_pandas(), centroid_id=pa.int64(),
+                              dim=pa.int64(), q_sum=pa.int64(),
+                              n_members=pa.int64()),
+        batch_format="pyarrow", batch_size=None)

@@ -723,3 +723,52 @@ def test_pack_sequences_bin_straddles_range_boundary():
     assert out.loc[0, "n_docs"] == 6
     assert out.loc[0, "tok_total"] == 18
     assert (out.loc[0, "doc_lo"], out.loc[0, "doc_hi"]) == (0, 5)
+
+
+def test_kmeans_update_matches_numpy(sf_smoke):
+    from dug_ray.stages.similarity import kmeans_update
+    out = (kmeans_update(sf_smoke).to_pandas()
+           .sort_values(["centroid_id", "dim"]).reset_index(drop=True))
+    emb = pq.read_table(f"{sf_smoke}/embeddings.parquet").to_pandas()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    vid = emb["vec_id"].to_numpy()
+    cm = m[(vid >= 4) & (vid < 12)]
+    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    members = m[vid >= 4]
+    mn = members / np.linalg.norm(members, axis=1, keepdims=True)
+    assign = np.argmax(mn @ cm.T, axis=1)
+    q = np.floor(members * 1e6).astype(np.int64)
+    dim = q.shape[1]
+    assert len(out) == 8 * dim
+    for c in range(8):
+        sel = assign == c
+        got = out[out["centroid_id"] == c + 4]
+        assert (got["n_members"] == int(sel.sum())).all()
+        np.testing.assert_array_equal(
+            got.sort_values("dim")["q_sum"].to_numpy(), q[sel].sum(axis=0))
+
+
+def test_q3_shipping_matches_pandas(sf_smoke):
+    from dug_ray.queries import Q3_CUTOFF, q_q3_shipping
+    out = q_q3_shipping(sf_smoke).to_pandas()
+    cust = pq.read_table(f"{sf_smoke}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{sf_smoke}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{sf_smoke}/lineitem.parquet").to_pandas()
+    cutoff = pd.Timestamp(Q3_CUTOFF)
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    o = orders[(orders["o_orderdate"] < cutoff)
+               & orders["o_custkey"].isin(keys)].copy()
+    # dtype-agnostic epoch seconds (pyarrow hands pandas datetime64[us])
+    o["o_sec"] = (o["o_orderdate"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+    l = li[li["l_shipdate"] > cutoff].copy()
+    l["rev_c"] = ((l["l_extendedprice"] * 100).round().astype("int64")
+                  * (10000 - (l["l_discount"] * 10000).round().astype("int64")))
+    j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    g = (j.groupby(["l_orderkey", "o_sec"], as_index=False)
+         .agg(revenue_cents=("rev_c", "sum"))
+         .sort_values(["revenue_cents", "l_orderkey"],
+                      ascending=[False, True]).head(10).reset_index(drop=True))
+    g["rank"] = g.index + 1
+    pd.testing.assert_frame_equal(
+        out.sort_values("rank").reset_index(drop=True)[g.columns].astype("int64"),
+        g.astype("int64"))
