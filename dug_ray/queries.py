@@ -3282,24 +3282,25 @@ ORACLES.update({
 # so they never consume an oracle-checked slot.
 
 _DRIVER_FRONT = [
-    # never driver-checked through round 3
+    # new or engine-changed in round 5: new oracles (lsh_ann/ivf_ann/
+    # xml_elements), the distributed ann_topk finalize, and the five new
+    # training-data operators — these MUST land in the driver window
+    "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
+    "regex_scrub", "bigram_top", "seq_packing", "kmeans_update",
+    "q3_shipping",
+    # engine-hardened in round 5 (cooc size gate, PMI float64 marginals,
+    # first_touch head(1), shared distinct reuse)
+    "cooc_components", "cooc_pmi", "first_touch", "pagerank",
+    # round-4 window (green r4; re-confirmed while seats remain)
     "part_brand_stats", "radx_elements", "chunks_overlap", "dedup_clusters",
     "events_asof", "token_counts", "stratified_split", "char_quantiles",
     "search_concepts", "search_kg", "media_features", "media_frames",
     "media_resize", "media_decoded", "group_sample", "mixture_sample",
     "mixture_rows", "decontam", "quality_filters", "curated_corpus",
-    # green in round 2, displaced by round 3's window
     "urgent_lineitems", "segment_order_stats", "region_suppliers",
-    # newly oracle-pinned this round (was no_oracle in rounds 1-3)
-    "hll_distinct",
-    # new in round 4
-    "dup_chunks", "tfidf_topk", "postings",
-    "concept_cooccurrence", "triple_degrees", "pagerank", "triangles",
-    "event_attribution", "first_touch", "cooc_pmi", "cooc_components",
-    # new or engine-changed in round 5 (ann_topk: distributed finalize)
-    "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
-    "regex_scrub", "bigram_top", "seq_packing", "kmeans_update",
-    "q3_shipping",
+    "hll_distinct", "dup_chunks", "tfidf_topk", "postings",
+    "concept_cooccurrence", "triple_degrees", "triangles",
+    "event_attribution",
 ]
 # round 5: lsh_ann and ivf_ann gained exact oracles (plane/centroid
 # literals baked into the SQL) — the registry has no rows-only queries left
