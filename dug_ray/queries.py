@@ -3268,6 +3268,69 @@ ORACLES.update({
 })
 
 
+def q_unigram_logprob(sf_dir: str) -> ray.data.Dataset:
+    """Unigram LM quality score per doc (textstats.unigram_logprob):
+    corpus-wide token counts -> floor(ln(p)*1e6) per DISTINCT term (libm,
+    once) -> exact int64 per-doc scatter-add."""
+    from dug_ray.stages.textstats import unigram_logprob
+    return unigram_logprob(read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+SQL_UNIGRAM_LOGPROB = _with(SQL_TOKS) + """,
+vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM vocab),
+lp AS (SELECT term,
+              CAST(floor(ln(CAST(n AS DOUBLE) / t) * 1000000) AS BIGINT)
+                AS lp_milli
+       FROM vocab, tot)
+SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(lp.lp_milli) AS BIGINT) AS logprob_milli
+FROM toks k JOIN lp USING (term) GROUP BY 1"""
+
+
+def q_ntile_buckets(sf_dir: str) -> ray.data.Dataset:
+    """Per-source NTILE(4) assignment over (n_chars, doc_id) order — the
+    window-function bucketing used for stratified curriculum splits. Exact
+    SQL NTILE semantics: the first n%4 tiles are one row larger."""
+    ds = read_documents(sf_dir, columns=["doc_id", "source", "n_chars"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, g in df.groupby("source", sort=False):
+            g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+            n, k = len(g), 4
+            base = n // k          # small-tile size (0 when n < k)
+            nbig = n % k           # the first n%k tiles get base+1 rows
+            cut = nbig * (base + 1)
+            idx = np.arange(n)
+            tile = np.where(idx < cut, idx // (base + 1),
+                            nbig + (idx - cut) // max(base, 1)) + 1
+            outs.append(pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(), "source": src,
+                "n_chars": g["n_chars"].to_numpy(), "tile": tile}))
+        return pd.concat(outs, ignore_index=True)
+
+    out = bucketed_group_apply(ds, "source", per_bucket, 8)
+    return _norm(out, int_cols=("doc_id", "n_chars", "tile"))
+
+
+SQL_NTILE_BUCKETS = """
+SELECT doc_id, source, n_chars,
+       CAST(ntile(4) OVER (PARTITION BY source
+                           ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+FROM documents"""
+
+
+QUERIES.update({
+    "unigram_logprob": q_unigram_logprob,
+    "ntile_buckets": q_ntile_buckets,
+})
+ORACLES.update({
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "ntile_buckets": SQL_NTILE_BUCKETS,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -3287,7 +3350,7 @@ _DRIVER_FRONT = [
     # training-data operators — these MUST land in the driver window
     "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
     "regex_scrub", "bigram_top", "seq_packing", "kmeans_update",
-    "q3_shipping",
+    "q3_shipping", "unigram_logprob", "ntile_buckets",
     # engine-hardened in round 5 (cooc size gate, PMI float64 marginals,
     # first_touch head(1), shared distinct reuse)
     "cooc_components", "cooc_pmi", "first_touch", "pagerank",

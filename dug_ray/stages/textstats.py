@@ -136,3 +136,70 @@ class LangId:
 def langid(docs: ray.data.Dataset, concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
     return docs.map_batches(LangId, batch_format="pyarrow", batch_size=None,
                             concurrency=concurrency)
+
+
+def unigram_logprob(docs: ray.data.Dataset,
+                    num_buckets: int = 16) -> ray.data.Dataset:
+    """Unigram language-model score per document — the classic LM-based
+    quality filter: logprob(doc) = sum over token occurrences of
+    ln(count(token) / corpus_total).
+
+    Exactness channel: ln is evaluated ONCE per distinct vocabulary term
+    (math.log = libm, the same code path DuckDB's ln takes — np.log's SIMD
+    implementation can differ in the last ulp), quantized
+    floor(ln(p) * 1e6) to int64, and the per-doc reduction is then an
+    exact integer sum — bit-identical to the SQL oracle regardless of
+    summation order.
+
+    Scale shape: pass 1 is the usual count combiner (per-batch Arrow
+    group-count, bucketed merge); the vocabulary table here is broadcast
+    back as a dict (bounded: the synthetic corpus vocabulary; ln is
+    O(vocab)). At web scale the broadcast swaps for a hash join of the
+    token stream against the vocab table — same two-exchange shape as
+    tfidf_topk's document-frequency join."""
+    import math
+
+    from dug_ray.shuffle import bucketed_group_apply, typed_table
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        g = (pa.table({"term": tokens.flatten()})
+             .group_by("term").aggregate([([], "count_all")])
+             .rename_columns(["term", "n"]))
+        return g.set_column(1, "n", pc.cast(g["n"], pa.int64()))
+
+    partial = docs.map_batches(count_batch, batch_format="pyarrow",
+                               batch_size=None)
+    vocab = bucketed_group_apply(
+        partial, "term",
+        lambda df: df.groupby("term", as_index=False).agg(n=("n", "sum")),
+        num_buckets).to_pandas()
+    total = int(vocab["n"].sum())
+    lp = {t: int(math.floor(math.log(int(n) / total) * 1e6))
+          for t, n in zip(vocab["term"], vocab["n"])}
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        # O(unique-per-batch) lookups: dictionary-encode the flat token
+        # stream, map only the dictionary, gather by code
+        enc = tokens.flatten().dictionary_encode()
+        dict_lp = np.array([lp[t] for t in enc.dictionary.to_pylist()],
+                           dtype=np.int64)
+        per_tok = dict_lp[enc.indices.to_numpy(zero_copy_only=False)]
+        parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        n_docs = len(batch)
+        acc = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(acc, parent, per_tok)  # exact int64 scatter-add
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_tokens": pa.array(np.bincount(parent, minlength=n_docs)
+                                 .astype(np.int64), pa.int64()),
+            "logprob_milli": pa.array(acc, pa.int64()),
+        })
+
+    return docs.map_batches(score_batch, batch_format="pyarrow",
+                            batch_size=None)

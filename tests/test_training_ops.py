@@ -772,3 +772,34 @@ def test_q3_shipping_matches_pandas(sf_smoke):
     pd.testing.assert_frame_equal(
         out.sort_values("rank").reset_index(drop=True)[g.columns].astype("int64"),
         g.astype("int64"))
+
+
+def test_unigram_logprob_matches_python():
+    import math
+    from dug_ray.stages.textstats import unigram_logprob
+    rows = [{"doc_id": 1, "text": "a a b"},
+            {"doc_id": 2, "text": "b c"},
+            {"doc_id": 3, "text": "a"}]
+    out = (unigram_logprob(docs_ds(rows)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    counts = {"a": 3, "b": 2, "c": 1}
+    total = 6
+    lp = {t: math.floor(math.log(n / total) * 1e6) for t, n in counts.items()}
+    want = [lp["a"] * 2 + lp["b"], lp["b"] + lp["c"], lp["a"]]
+    assert list(out["logprob_milli"]) == want
+    assert list(out["n_tokens"]) == [3, 2, 1]
+
+
+def test_ntile_buckets_sql_semantics():
+    from dug_ray.queries import q_ntile_buckets
+    import tempfile, os
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+    # n=6 -> tiles sized 2,2,1,1 ; n=2 (< k) -> tiles 1,2 ; ties break by doc_id
+    rows = ([{"doc_id": i, "source": "s6", "n_chars": 10} for i in range(6)]
+            + [{"doc_id": i, "source": "s2", "n_chars": 5} for i in (7, 8)])
+    with tempfile.TemporaryDirectory() as d:
+        pqw.write_table(pa.Table.from_pylist(rows), os.path.join(d, "documents.parquet"))
+        out = q_ntile_buckets(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out[out["source"] == "s6"]["tile"]) == [1, 1, 2, 2, 3, 4]
+    assert list(out[out["source"] == "s2"]["tile"]) == [1, 2]
