@@ -3332,6 +3332,164 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Round-5 session-3 additions: KG reachability (distributed BFS), per-edge
+# neighborhood Jaccard, ROLLUP hierarchy aggregation, lag-window event gaps
+# ---------------------------------------------------------------------------
+
+def q_bfs_levels(sf_dir: str) -> ray.data.Dataset:
+    """Min-hop BFS levels (0..3) over the undirected KG graph from the
+    MONDO: seed set — the "everything within k hops of the disease
+    concepts" reachability sweep a KG curation pass runs (the reference
+    serves only point lookups; src/dug/core/async_search.py)."""
+    from dug_ray.stages.graph import bfs_levels
+    return bfs_levels(kg.kg_triples(sf_dir))
+
+
+def _bfs_sql(max_level: int = 3, seed_prefix: str = "MONDO:") -> str:
+    frags = []
+    for i in range(1, max_level + 1):
+        anti = "\n          AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM bfs_l{j} v WHERE v.node = e.dst)"
+            for j in range(i))
+        frags.append(f""",
+bfs_l{i} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node
+  FROM bfs_edges e JOIN bfs_l{i - 1} f ON e.src = f.node
+  WHERE {anti})""")
+    tail = "\nUNION ALL ".join(
+        f"SELECT node, CAST({i} AS BIGINT) AS lvl FROM bfs_l{i}"
+        for i in range(max_level + 1))
+    return f""",
+bfs_kg AS (SELECT subj, obj FROM expansion
+           UNION ALL
+           SELECT DISTINCT canonical_curie AS subj, element_id AS obj
+           FROM linked_full),
+bfs_base AS MATERIALIZED (SELECT DISTINCT subj, obj FROM bfs_kg),
+bfs_edges AS MATERIALIZED (SELECT subj AS src, obj AS dst FROM bfs_base
+                           UNION SELECT obj, subj FROM bfs_base),
+bfs_l0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM bfs_edges
+                        WHERE src LIKE '{seed_prefix}%')""" + \
+        "".join(frags) + "\n" + tail
+
+
+SQL_BFS_LEVELS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls",
+                     "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + _bfs_sql()
+
+
+def q_neighbor_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """Per-edge neighborhood Jaccard (integer milli) over the concept
+    co-annotation graph — the structural-similarity weight that separates
+    redundant intra-cluster edges from bridges."""
+    from dug_ray.stages.graph import concept_cooccurrence, neighbor_jaccard
+    cooc = concept_cooccurrence(kg.linked_mentions_cached(sf_dir))
+    return neighbor_jaccard(cooc)
+
+
+SQL_NEIGHBOR_JACCARD = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+cooc AS MATERIALIZED (
+  SELECT a.canonical_curie AS subj, b.canonical_curie AS obj
+  FROM dm a JOIN dm b USING (element_id)
+  WHERE a.canonical_curie < b.canonical_curie
+  GROUP BY 1, 2),
+nj_adj AS MATERIALIZED (SELECT subj AS u, obj AS v FROM cooc
+                        UNION ALL SELECT obj, subj FROM cooc),
+nj_deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+           FROM nj_adj GROUP BY u),
+nj_common AS (SELECT a.u AS s, b.u AS o, CAST(count(*) AS BIGINT) AS common
+              FROM nj_adj a JOIN nj_adj b ON a.v = b.v AND a.u < b.u
+              GROUP BY 1, 2)
+SELECT e.subj, e.obj, CAST(COALESCE(c.common, 0) AS BIGINT) AS common,
+       CAST((1000 * COALESCE(c.common, 0))
+            // (d1.deg + d2.deg - COALESCE(c.common, 0)) AS BIGINT)
+         AS jaccard_milli
+FROM cooc e
+LEFT JOIN nj_common c ON c.s = e.subj AND c.o = e.obj
+JOIN nj_deg d1 ON d1.node = e.subj
+JOIN nj_deg d2 ON d2.node = e.obj"""
+
+
+def q_rollup_orders(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): order counts and
+    integer-cents revenue at every prefix level plus the grand total,
+    from ONE input pass (stages/rollup.py)."""
+    from dug_ray.stages.rollup import rollup_aggregate
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prepare(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        # exact 2-decimal values: *100 never lands on a .5 tie
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        return df
+
+    return rollup_aggregate(
+        ds, ["o_orderpriority", "o_orderstatus"], prepare,
+        {"n_orders": ("cents", "count"),
+         "sum_total_cents": ("cents", "sum")})
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_total_cents
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"""
+
+
+def q_event_gaps(sf_dir: str) -> ray.data.Dataset:
+    """Per-user inter-event gap profile (LAG-window analytics): count,
+    sum and max of consecutive-event gaps in exact microseconds, ordered
+    by (ts, event_id).  Users with a single event have no gaps and are
+    omitted (SQL `WHERE gap IS NOT NULL` semantics)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df["us"] = df["ts"].astype("int64")
+        df["gap"] = df["us"] - df.groupby("user_id")["us"].shift(1)
+        g = (df.dropna(subset=["gap"])
+               .groupby("user_id", as_index=False)
+               .agg(n_gaps=("gap", "size"), sum_gap_us=("gap", "sum"),
+                    max_gap_us=("gap", "max")))
+        return typed_table(g, user_id=pa.int64(), n_gaps=pa.int64(),
+                           sum_gap_us=pa.int64(), max_gap_us=pa.int64())
+
+    return bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+
+SQL_EVENT_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id, count(*) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY user_id"""
+
+
+QUERIES.update({
+    "bfs_levels": q_bfs_levels,
+    "neighbor_jaccard": q_neighbor_jaccard,
+    "rollup_orders": q_rollup_orders,
+    "event_gaps": q_event_gaps,
+})
+ORACLES.update({
+    "bfs_levels": SQL_BFS_LEVELS,
+    "neighbor_jaccard": SQL_NEIGHBOR_JACCARD,
+    "rollup_orders": SQL_ROLLUP_ORDERS,
+    "event_gaps": SQL_EVENT_GAPS,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -3346,8 +3504,9 @@ ORACLES.update({
 
 _DRIVER_FRONT = [
     # new or engine-changed in round 5: new oracles (lsh_ann/ivf_ann/
-    # xml_elements), the distributed ann_topk finalize, and the five new
-    # training-data operators — these MUST land in the driver window
+    # xml_elements), the distributed ann_topk finalize, and the nine new
+    # operators — these MUST land in the driver window
+    "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
     "regex_scrub", "bigram_top", "seq_packing", "kmeans_update",
     "q3_shipping", "unigram_logprob", "ntile_buckets",

@@ -609,3 +609,228 @@ def triple_degrees(triples: ray.data.Dataset,
                            n_preds=pa.int64(), n_objs=pa.int64())
 
     return bucketed_group_apply(partials, "subj", finalize, num_buckets)
+
+
+def bfs_levels(triples: ray.data.Dataset,
+               seed_prefix: str = "MONDO:",
+               max_level: int = 3,
+               num_buckets: int = 32) -> ray.data.Dataset:
+    """Multi-source BFS over the UNDIRECTED KG graph: ``(node, lvl)`` =
+    minimum hop distance from any node whose CURIE starts with
+    ``seed_prefix``, up to ``max_level`` hops (unreached nodes omitted).
+
+    The reference's KG is served as point lookups (reference:
+    src/dug/core/async_search.py query-by-id); a curation pass over a
+    10^12-triple table needs reachability sweeps ("everything within k
+    hops of a disease seed set") as a first-class distributed operator.
+
+    Frontier expansion is the textbook distributed BFS, TWO bucketed
+    exchanges per level: (1) a partitioned hash join (frontier |><| edges
+    on src — both sides large: level-1 frontiers already include
+    corpus-sized element ids, so no broadcast); (2) distinct + visited
+    anti-join FUSED into one set-difference exchange — neighbor
+    candidates (per-batch deduped by a combiner first) and the visited
+    node set are tagged, unioned and bucketed on the node id, so one
+    bucket task sees every copy of a node from both sides and emits it
+    once iff it is new (SQL NOT EXISTS semantics).  The visited side is
+    the union of the previous (materialized) frontiers — Ray unions
+    lazily without copying.  Levels are deterministic by construction
+    (min-hop is order-independent), so the DuckDB oracle pins every
+    (node, lvl) row exactly.
+
+    Block-count discipline: every materialized frontier is coalesced to
+    ``coalesce_blocks`` blocks before re-entering the loop.  Each
+    exchange emits >= num_buckets blocks, so without coalescing the
+    level-k union feeds k x num_buckets tiny blocks into the groupby
+    sort-shuffle, whose task count grows with input blocks — measured
+    11x slower by level 3 on a small graph.  At cluster scale raise
+    ``coalesce_blocks`` with the frontier size (it only needs to be
+    large enough that one frontier block fits a worker's heap).
+    """
+    from dug_ray.shuffle import hash_join
+
+    coalesce_blocks = max(2, num_buckets // 8)
+    base = distinct_rows(triples.select_columns(["subj", "obj"]),
+                         ["subj", "obj"], num_buckets)
+    base = base.materialize()  # read once; every level re-probes the edges
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({
+            "src": pd.concat([df["subj"], df["obj"]], ignore_index=True),
+            "dst": pd.concat([df["obj"], df["subj"]], ignore_index=True)})
+        return typed_table(out, src=pa.string(), dst=pa.string())
+
+    # materialize once: every level re-probes this table, and the lazy
+    # chain would re-run _sym per level
+    edges = base.map_batches(_sym, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    def _seeds(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        s = df.loc[df["src"].str.startswith(seed_prefix), ["src"]]
+        s = s.drop_duplicates().rename(columns={"src": "node"})
+        return typed_table(s, node=pa.string())
+
+    # symmetric edges => every node appears as src; seed set needs no
+    # second scan over dst
+    seeds = distinct_rows(
+        edges.map_batches(_seeds, batch_format="pyarrow", batch_size=None),
+        ["node"], num_buckets)
+
+    def _tag(side: str, col: str):
+        def _t(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            # combiner: dedup candidate nodes per batch before the exchange
+            out = pd.DataFrame({"node": df[col].drop_duplicates()})
+            out["side"] = side
+            return typed_table(out, node=pa.string(), side=pa.string())
+        return _t
+
+    def _minus(df: pd.DataFrame) -> pa.Table:
+        seen = df.loc[df["side"] == "s", "node"]
+        cand = df.loc[df["side"] == "c", "node"].drop_duplicates()
+        out = pd.DataFrame({"node": cand[~cand.isin(set(seen))]})
+        return typed_table(out, node=pa.string())
+
+    frontier = seeds.repartition(coalesce_blocks).materialize()
+    frontiers = [frontier]
+    for level in range(1, max_level + 1):
+        hops = hash_join(
+            frontier.map_batches(
+                lambda t: t.rename_columns(["fnode"]),
+                batch_format="pyarrow", batch_size=None),
+            edges, "fnode", "src", num_buckets)
+        cand = hops.map_batches(_tag("c", "dst"), batch_format="pyarrow",
+                                batch_size=None)
+        seen = [f.map_batches(_tag("s", "node"), batch_format="pyarrow",
+                              batch_size=None) for f in frontiers]
+        new = bucketed_group_apply(cand.union(*seen), "node", _minus,
+                                   num_buckets)
+        frontier = new.repartition(coalesce_blocks).materialize()
+        if frontier.count() == 0:
+            break
+        frontiers.append(frontier)
+
+    def _lvl(level: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "lvl", pa.nulls(len(batch), pa.int64()).fill_null(level))
+        return _t
+
+    leveled = [f.map_batches(_lvl(i), batch_format="pyarrow",
+                             batch_size=None)
+               for i, f in enumerate(frontiers)]
+    return leveled[0] if len(leveled) == 1 else \
+        ray.data.Dataset.union(*leveled)
+
+
+def neighbor_jaccard(edges: ray.data.Dataset,
+                     num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-EDGE neighborhood Jaccard similarity over the undirected
+    co-annotation graph: for each edge (subj, obj) — rows ordered
+    subj < obj, distinct, the ``concept_cooccurrence`` contract —
+    ``common`` = |N(subj) ∩ N(obj)| and ``jaccard_milli`` =
+    floor(1000 * common / (deg(subj) + deg(obj) - common)).
+
+    This is the classic structural-similarity edge weight for KG
+    curation (a co-annotation edge whose endpoints share most of their
+    neighborhoods is redundant with the cluster around it; one with
+    jaccard ~ 0 is a bridge).  Integer-milli output keeps the operator
+    bit-exact across engines and partitionings — the same
+    determinism-by-construction discipline as dup_chunks/pagerank.
+
+    Plan: common-neighbor counts reuse the triangle machinery (wedge
+    enumeration at each apex, matched against closing edges under a
+    composite (b, c) bucket — but keeping the per-EDGE match count
+    instead of exploding corners), with a LEFT match so zero-common
+    edges survive.  Degrees are ontology-bounded (nodes are canonical
+    CURIEs), so they broadcast once via ray.put and join map-side —
+    the same marginal-broadcast justification as ``cooccurrence_pmi``.
+    """
+    edges = distinct_rows(edges.select_columns(["subj", "obj"]),
+                          ["subj", "obj"], num_buckets)
+    edges = edges.map_batches(
+        lambda t: typed_table(t.to_pandas(), subj=pa.string(),
+                              obj=pa.string()),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    # degrees: per-batch partial counts over both endpoints -> tiny
+    # bucketed merge -> driver dict (ontology-bounded) -> broadcast
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        nodes = pd.concat([df["subj"], df["obj"]], ignore_index=True)
+        g = nodes.value_counts().rename_axis("node").reset_index(name="d")
+        return typed_table(g, node=pa.string(), d=pa.int64())
+
+    def _deg_final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("node", as_index=False).agg(deg=("d", "sum"))
+        return typed_table(g, node=pa.string(), deg=pa.int64())
+
+    deg = bucketed_group_apply(
+        edges.map_batches(_deg_partial, batch_format="pyarrow",
+                          batch_size=None),
+        "node", _deg_final, num_buckets).to_pandas()
+    deg_ref = ray.put(dict(zip(deg["node"], deg["deg"].astype(np.int64))))
+
+    # wedge enumeration must run over the SYMMETRIC adjacency: a common
+    # neighbor of (b, c) can sort anywhere relative to b and c, so the
+    # triangle-count orientation (apex below both neighbors) undercounts —
+    # each apex pairs ALL its neighbors (ordered b < c), one wedge per
+    # (apex, b, c), so the per-(b, c) wedge count IS |N(b) ∩ N(c)|
+    def _adj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({
+            "apex": pd.concat([df["subj"], df["obj"]], ignore_index=True),
+            "nbr": pd.concat([df["obj"], df["subj"]], ignore_index=True)})
+        return typed_table(out, apex=pa.string(), nbr=pa.string())
+
+    adj = edges.map_batches(_adj, batch_format="pyarrow", batch_size=None)
+
+    def _wedges(df: pd.DataFrame) -> pa.Table:
+        m = df.merge(df, on="apex")
+        m = m[m["nbr_x"] < m["nbr_y"]]
+        out = pd.DataFrame({"b": m["nbr_x"], "c": m["nbr_y"], "side": "w"})
+        return typed_table(out, b=pa.string(), c=pa.string(),
+                           side=pa.string())
+
+    wedges = bucketed_group_apply(adj, "apex", _wedges, num_buckets)
+
+    def _edge_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({"b": df["subj"], "c": df["obj"], "side": "e"})
+        return typed_table(out, b=pa.string(), c=pa.string(),
+                           side=pa.string())
+
+    closing = edges.map_batches(_edge_side, batch_format="pyarrow",
+                                batch_size=None)
+
+    def _common(df: pd.DataFrame) -> pa.Table:
+        w = df[df["side"] == "w"].groupby(["b", "c"]).size() \
+              .reset_index(name="common")
+        e = df[df["side"] == "e"][["b", "c"]]
+        out = e.merge(w, on=["b", "c"], how="left")
+        out["common"] = out["common"].fillna(0).astype(np.int64)
+        return typed_table(out, b=pa.string(), c=pa.string(),
+                           common=pa.int64())
+
+    per_edge = bucketed_group_apply(wedges.union(closing), ["b", "c"],
+                                    _common, num_buckets)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        df = batch.to_pandas()
+        db = df["b"].map(d).astype(np.int64)
+        dc = df["c"].map(d).astype(np.int64)
+        common = df["common"].to_numpy()
+        # an edge's endpoints are in each other's neighborhoods, so the
+        # union is never empty: denom >= 2
+        denom = (db + dc - common).to_numpy()
+        out = pd.DataFrame({"subj": df["b"], "obj": df["c"],
+                            "common": common,
+                            "jaccard_milli": (1000 * common) // denom})
+        return typed_table(out, subj=pa.string(), obj=pa.string(),
+                           common=pa.int64(), jaccard_milli=pa.int64())
+
+    return per_edge.map_batches(_score, batch_format="pyarrow",
+                                batch_size=None)

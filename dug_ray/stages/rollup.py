@@ -1,0 +1,88 @@
+"""GROUP BY ROLLUP — exact hierarchical aggregation in one input pass.
+
+The reference aggregates per-facet counts at a single level (reference:
+src/dug/core/async_search.py facet queries); a curation dashboard over a
+100 TB corpus wants the whole prefix hierarchy (per (a, b), per a, grand
+total) without re-scanning the input per level.  ``rollup_aggregate``
+computes all levels from ONE per-batch combiner pass:
+
+- stage 1: per-batch partial sums/counts at the FINEST key level — the
+  only stage that touches input-sized data;
+- stage 2: exact bucketed merge of the finest level (the one all-to-all,
+  carrying one row per distinct key combination per batch);
+- stage 3+: each coarser level re-aggregates the finest RESULT (bounded
+  by group cardinality, not data size) under its own prefix-key bucket
+  hash; the grand total folds per-batch partials of that small set.
+
+Rolled-up key columns are NULL (SQL ROLLUP semantics).  All measures are
+int64 sums/counts, so every stage is associative and order-independent —
+bit-exact against the DuckDB ``GROUP BY ROLLUP`` oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from dug_ray.shuffle import bucketed_group_apply, typed_table
+
+
+def rollup_aggregate(ds: ray.data.Dataset,
+                     keys: list[str],
+                     prepare: Callable[[pa.Table], pd.DataFrame],
+                     measures: dict[str, tuple[str, str]],
+                     num_buckets: int = 8) -> ray.data.Dataset:
+    """ROLLUP(*keys) over ``ds``.
+
+    ``prepare`` maps an input Arrow batch to a pandas frame holding the
+    key columns plus the raw measure-source columns.  ``measures`` maps
+    output column -> (source column, "sum" | "count"); counts become
+    sums of partial counts after stage 1.
+    """
+    sum_cols = list(measures)
+    key_t = {k: pa.string() for k in keys}
+    msr_t = {m: pa.int64() for m in sum_cols}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = prepare(batch)
+        agg = {out: (src, how if how == "sum" else "size")
+               for out, (src, how) in measures.items()}
+        g = df.groupby(keys, as_index=False, dropna=False).agg(**agg)
+        return typed_table(g, **key_t, **msr_t)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+
+    def _merge_at(level_keys: list[str]):
+        def _m(df: pd.DataFrame) -> pa.Table:
+            g = df.groupby(level_keys, as_index=False, dropna=False).agg(
+                **{m: (m, "sum") for m in sum_cols})
+            for k in keys:
+                if k not in level_keys:
+                    g[k] = pd.Series([None] * len(g), dtype=object)
+            return typed_table(g[keys + sum_cols], **key_t, **msr_t)
+        return _m
+
+    finest = bucketed_group_apply(partials, keys, _merge_at(keys),
+                                  num_buckets).materialize()
+
+    levels = [finest]
+    for depth in range(len(keys) - 1, 0, -1):
+        levels.append(bucketed_group_apply(
+            finest, keys[:depth], _merge_at(keys[:depth]), num_buckets))
+
+    def _total_final(df: pd.DataFrame) -> pa.Table:
+        t = df[sum_cols].sum().to_frame().T.astype("int64")
+        for k in keys:
+            t[k] = pd.Series([None], dtype=object)
+        return typed_table(t[keys + sum_cols], **key_t, **msr_t)
+
+    one = finest.map_batches(
+        lambda t: t.append_column(
+            "_one", pa.nulls(len(t), pa.int64()).fill_null(1)),
+        batch_format="pyarrow", batch_size=None)
+    levels.append(bucketed_group_apply(one, "_one", _total_final, 1))
+    return ray.data.Dataset.union(*levels)

@@ -1,0 +1,109 @@
+"""Round-5 session-3 operators: distributed BFS levels, per-edge
+neighborhood Jaccard, ROLLUP aggregation, lag-window event gaps — exact
+semantics on tiny hand-computable inputs."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from dug_ray.stages.graph import bfs_levels, neighbor_jaccard
+from dug_ray.stages.rollup import rollup_aggregate
+
+
+def _triples(pairs):
+    return ray.data.from_pandas(pd.DataFrame(pairs, columns=["subj", "obj"]))
+
+
+def test_bfs_levels_exact():
+    # chain M:a - b - c - d - e plus an unreachable island (x - y):
+    # levels 0..3 reach d; e is beyond max_level, the island never appears
+    t = _triples([("M:a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+                  ("x", "y")])
+    out = bfs_levels(t, seed_prefix="M:", max_level=3, num_buckets=4) \
+        .to_pandas()
+    got = dict(zip(out["node"], out["lvl"]))
+    assert got == {"M:a": 0, "b": 1, "c": 2, "d": 3}
+    assert out["lvl"].dtype == "int64"
+
+
+def test_bfs_levels_min_hop_and_undirected():
+    # diamond with a shortcut: both directions traversed, min hop wins
+    # (c is reachable in 2 hops via b even though a 3-hop path exists);
+    # edge direction must not matter (seed is the OBJECT of its edge)
+    t = _triples([("b", "M:s"), ("b", "c"), ("M:s", "d"), ("d", "e"),
+                  ("e", "c")])
+    out = bfs_levels(t, seed_prefix="M:", max_level=3, num_buckets=4) \
+        .to_pandas()
+    got = dict(zip(out["node"], out["lvl"]))
+    assert got == {"M:s": 0, "b": 1, "d": 1, "c": 2, "e": 2}
+
+
+def test_bfs_levels_early_frontier_exhaustion():
+    # the whole component is visited by level 1; levels 2-3 are empty and
+    # the loop stops without error
+    t = _triples([("M:a", "b")])
+    out = bfs_levels(t, seed_prefix="M:", max_level=3, num_buckets=2) \
+        .to_pandas()
+    assert dict(zip(out["node"], out["lvl"])) == {"M:a": 0, "b": 1}
+
+
+def test_neighbor_jaccard_exact():
+    # triangle A-B-C plus pendant C-D (edges ordered subj < obj):
+    #   N(A)={B,C} N(B)={A,C} N(C)={A,B,D} N(D)={C}
+    edges = _triples([("A", "B"), ("A", "C"), ("B", "C"), ("C", "D")])
+    out = neighbor_jaccard(edges, num_buckets=4).to_pandas()
+    got = {(r.subj, r.obj): (r.common, r.jaccard_milli)
+           for r in out.itertuples()}
+    assert got == {
+        ("A", "B"): (1, 1000 // 3),   # common {C}, union {A,B,C}
+        ("A", "C"): (1, 250),         # common {B}, union 2+3-1=4
+        ("B", "C"): (1, 250),
+        ("C", "D"): (0, 0),           # pendant edge: no common neighbor
+    }
+    assert out["jaccard_milli"].dtype == "int64"
+
+
+def test_rollup_aggregate_all_levels():
+    df = pd.DataFrame({
+        "k1": ["p", "p", "p", "q"],
+        "k2": ["x", "x", "y", "x"],
+        "v": [1, 2, 4, 8],
+    })
+    ds = ray.data.from_pandas(df)
+    out = rollup_aggregate(
+        ds, ["k1", "k2"], lambda b: b.to_pandas(),
+        {"n": ("v", "count"), "s": ("v", "sum")},
+        num_buckets=2).to_pandas()
+    key = out.fillna("&").set_index(["k1", "k2"])
+    # finest
+    assert key.loc[("p", "x")].tolist() == [2, 3]
+    assert key.loc[("p", "y")].tolist() == [1, 4]
+    assert key.loc[("q", "x")].tolist() == [1, 8]
+    # per-k1 subtotal (k2 rolled up to NULL)
+    assert key.loc[("p", "&")].tolist() == [3, 7]
+    assert key.loc[("q", "&")].tolist() == [1, 8]
+    # grand total
+    assert key.loc[("&", "&")].tolist() == [4, 15]
+    assert len(out) == 6
+    assert out["s"].dtype == "int64"
+
+
+def test_event_gaps_query(tmp_path):
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 9, 9],
+        "ts": pd.to_datetime([
+            "2026-01-01 00:00:00", "2026-01-01 00:00:01",
+            "2026-01-01 00:00:04",                       # gaps 1s, 3s
+            "2026-01-02 00:00:00", "2026-01-02 00:00:00.5",  # gap 0.5s
+        ], format="mixed").astype("datetime64[us]"),
+    })
+    ev.to_parquet(tmp_path / "events.parquet")
+    from dug_ray.queries import q_event_gaps
+    out = q_event_gaps(str(tmp_path)).to_pandas().set_index("user_id")
+    assert out.loc[7, ["n_gaps", "sum_gap_us", "max_gap_us"]].tolist() == \
+        [2, 4_000_000, 3_000_000]
+    assert out.loc[9, ["n_gaps", "sum_gap_us", "max_gap_us"]].tolist() == \
+        [1, 500_000, 500_000]
