@@ -3475,17 +3475,111 @@ SELECT user_id, count(*) AS n_gaps,
 FROM g WHERE gap IS NOT NULL GROUP BY user_id"""
 
 
+def q_cube_orders(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority): all four grouping
+    sets — including the (priority)-only marginal that ROLLUP skips —
+    from the same single input pass (stages/rollup.py grouping sets)."""
+    from dug_ray.stages.rollup import cube_aggregate
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prepare(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        return df
+
+    return cube_aggregate(
+        ds, ["o_orderstatus", "o_orderpriority"], prepare,
+        {"n_orders": ("cents", "count"),
+         "sum_total_cents": ("cents", "sum")})
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_total_cents
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_counts(sf_dir: str) -> ray.data.Dataset:
+    """Ordered conversion funnel over the event stream: how many users
+    have a 'view', a 'click' STRICTLY after their first view, and a
+    'purchase' strictly after that first qualifying click.  The classic
+    sequential-pattern aggregate (windowed MIN-after-MIN per user);
+    per-user work lives in one hash bucket, the final reduce is
+    len(FUNNEL_STEPS) rows."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df[df["event_type"].isin(FUNNEL_STEPS)].copy()
+        df["us"] = df["ts"].astype("int64")
+        # first qualifying timestamp per user, step by step: min 'view',
+        # then min 'click' > that, then min 'purchase' > that
+        prev = None
+        counts = []
+        for step in FUNNEL_STEPS:
+            d = df[df["event_type"] == step]
+            if prev is not None:
+                d = d.merge(prev.rename("prev_us"), left_on="user_id",
+                            right_index=True)
+                d = d[d["us"] > d["prev_us"]]
+            cur = d.groupby("user_id")["us"].min()
+            counts.append(len(cur))
+            prev = cur
+        out = pd.DataFrame({"step": np.arange(1, len(FUNNEL_STEPS) + 1),
+                            "event_type": FUNNEL_STEPS,
+                            "n_users": counts})
+        return typed_table(out, step=pa.int64(), event_type=pa.string(),
+                           n_users=pa.int64())
+
+    partials = bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["step", "event_type"], as_index=False) \
+              .agg(n_users=("n_users", "sum")).sort_values("step")
+        return typed_table(g, step=pa.int64(), event_type=pa.string(),
+                           n_users=pa.int64())
+
+    return bucketed_group_apply(partials, "step", final, 1)
+
+
+SQL_FUNNEL_COUNTS = """
+WITH f1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+f2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+       FROM events e JOIN f1 USING (user_id)
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) > f1.t
+       GROUP BY e.user_id),
+f3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+       FROM events e JOIN f2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f2.t
+       GROUP BY e.user_id)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+       count(*) AS n_users FROM f1
+UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM f2
+UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM f3"""
+
+
 QUERIES.update({
     "bfs_levels": q_bfs_levels,
     "neighbor_jaccard": q_neighbor_jaccard,
     "rollup_orders": q_rollup_orders,
     "event_gaps": q_event_gaps,
+    "cube_orders": q_cube_orders,
+    "funnel_counts": q_funnel_counts,
 })
 ORACLES.update({
     "bfs_levels": SQL_BFS_LEVELS,
     "neighbor_jaccard": SQL_NEIGHBOR_JACCARD,
     "rollup_orders": SQL_ROLLUP_ORDERS,
     "event_gaps": SQL_EVENT_GAPS,
+    "cube_orders": SQL_CUBE_ORDERS,
+    "funnel_counts": SQL_FUNNEL_COUNTS,
 })
 
 
@@ -3507,6 +3601,7 @@ _DRIVER_FRONT = [
     # xml_elements), the distributed ann_topk finalize, and the nine new
     # operators — these MUST land in the driver window
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
+    "cube_orders", "funnel_counts",
     "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
     "regex_scrub", "bigram_top", "seq_packing", "kmeans_update",
     "q3_shipping", "unigram_logprob", "ntile_buckets",

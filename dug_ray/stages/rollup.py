@@ -1,4 +1,5 @@
-"""GROUP BY ROLLUP — exact hierarchical aggregation in one input pass.
+"""GROUP BY ROLLUP / CUBE / GROUPING SETS — exact multi-level
+aggregation in one input pass.
 
 The reference aggregates per-facet counts at a single level (reference:
 src/dug/core/async_search.py facet queries); a curation dashboard over a
@@ -35,7 +36,45 @@ def rollup_aggregate(ds: ray.data.Dataset,
                      prepare: Callable[[pa.Table], pd.DataFrame],
                      measures: dict[str, tuple[str, str]],
                      num_buckets: int = 8) -> ray.data.Dataset:
-    """ROLLUP(*keys) over ``ds``.
+    """ROLLUP(*keys) over ``ds`` — the prefix grouping sets
+    ``(k1..kn), (k1..kn-1), ..., (k1), ()``."""
+    sets = [keys[:d] for d in range(len(keys), -1, -1)]
+    return grouping_sets_aggregate(ds, keys, sets, prepare, measures,
+                                   num_buckets)
+
+
+def cube_aggregate(ds: ray.data.Dataset,
+                   keys: list[str],
+                   prepare: Callable[[pa.Table], pd.DataFrame],
+                   measures: dict[str, tuple[str, str]],
+                   num_buckets: int = 8) -> ray.data.Dataset:
+    """CUBE(*keys) over ``ds`` — every subset of ``keys`` (2^n grouping
+    sets), still from ONE input pass: only the finest level touches the
+    input; the other 2^n - 1 sets re-aggregate its (group-cardinality-
+    bounded) result."""
+    n = len(keys)
+    sets = [[k for i, k in enumerate(keys) if mask & (1 << i)]
+            for mask in range(2 ** n - 1, -1, -1)]
+    return grouping_sets_aggregate(ds, keys, sets, prepare, measures,
+                                   num_buckets)
+
+
+def grouping_sets_aggregate(ds: ray.data.Dataset,
+                            keys: list[str],
+                            sets: list[list[str]],
+                            prepare: Callable[[pa.Table], pd.DataFrame],
+                            measures: dict[str, tuple[str, str]],
+                            num_buckets: int = 8) -> ray.data.Dataset:
+    """GROUP BY GROUPING SETS over ``ds``.
+
+    ``keys`` is the full key-column list (output schema order); every
+    entry of ``sets`` must be a subset of it.  The finest level (the
+    full ``keys`` combination) is computed from one pass over the input
+    (per-batch combiner + one bucketed merge); every other set
+    re-aggregates that bounded result under its own bucket hash —
+    including the grand total ``[]``.  Key columns absent from a set are
+    NULL (SQL semantics).  If the full-``keys`` set is not requested it
+    is still computed internally but not emitted.
 
     ``prepare`` maps an input Arrow batch to a pandas frame holding the
     key columns plus the raw measure-source columns.  ``measures`` maps
@@ -69,20 +108,23 @@ def rollup_aggregate(ds: ray.data.Dataset,
     finest = bucketed_group_apply(partials, keys, _merge_at(keys),
                                   num_buckets).materialize()
 
-    levels = [finest]
-    for depth in range(len(keys) - 1, 0, -1):
-        levels.append(bucketed_group_apply(
-            finest, keys[:depth], _merge_at(keys[:depth]), num_buckets))
-
     def _total_final(df: pd.DataFrame) -> pa.Table:
         t = df[sum_cols].sum().to_frame().T.astype("int64")
         for k in keys:
             t[k] = pd.Series([None], dtype=object)
         return typed_table(t[keys + sum_cols], **key_t, **msr_t)
 
-    one = finest.map_batches(
-        lambda t: t.append_column(
-            "_one", pa.nulls(len(t), pa.int64()).fill_null(1)),
-        batch_format="pyarrow", batch_size=None)
-    levels.append(bucketed_group_apply(one, "_one", _total_final, 1))
-    return ray.data.Dataset.union(*levels)
+    levels = []
+    for s in sets:
+        if list(s) == keys:
+            levels.append(finest)
+        elif not s:
+            one = finest.map_batches(
+                lambda t: t.append_column(
+                    "_one", pa.nulls(len(t), pa.int64()).fill_null(1)),
+                batch_format="pyarrow", batch_size=None)
+            levels.append(bucketed_group_apply(one, "_one", _total_final, 1))
+        else:
+            levels.append(bucketed_group_apply(
+                finest, list(s), _merge_at(list(s)), num_buckets))
+    return levels[0] if len(levels) == 1 else ray.data.Dataset.union(*levels)

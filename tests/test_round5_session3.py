@@ -107,3 +107,67 @@ def test_event_gaps_query(tmp_path):
         [2, 4_000_000, 3_000_000]
     assert out.loc[9, ["n_gaps", "sum_gap_us", "max_gap_us"]].tolist() == \
         [1, 500_000, 500_000]
+
+
+def test_cube_aggregate_all_subsets():
+    from dug_ray.stages.rollup import cube_aggregate
+    df = pd.DataFrame({
+        "k1": ["p", "p", "q"],
+        "k2": ["x", "y", "x"],
+        "v": [1, 2, 4],
+    })
+    out = cube_aggregate(
+        ray.data.from_pandas(df), ["k1", "k2"], lambda b: b.to_pandas(),
+        {"n": ("v", "count"), "s": ("v", "sum")},
+        num_buckets=2).to_pandas()
+    key = out.fillna("&").set_index(["k1", "k2"])
+    assert key.loc[("p", "x")].tolist() == [1, 1]
+    assert key.loc[("p", "y")].tolist() == [1, 2]
+    assert key.loc[("q", "x")].tolist() == [1, 4]
+    assert key.loc[("p", "&")].tolist() == [2, 3]
+    assert key.loc[("q", "&")].tolist() == [1, 4]
+    # the k2-only marginals ROLLUP would skip
+    assert key.loc[("&", "x")].tolist() == [2, 5]
+    assert key.loc[("&", "y")].tolist() == [1, 2]
+    assert key.loc[("&", "&")].tolist() == [3, 7]
+    assert len(out) == 8
+
+
+def test_grouping_sets_subset_selection():
+    from dug_ray.stages.rollup import grouping_sets_aggregate
+    df = pd.DataFrame({"k1": ["p", "q"], "k2": ["x", "x"], "v": [3, 5]})
+    # only the k2 marginal and the grand total — finest is computed
+    # internally but not emitted
+    out = grouping_sets_aggregate(
+        ray.data.from_pandas(df), ["k1", "k2"], [["k2"], []],
+        lambda b: b.to_pandas(), {"s": ("v", "sum")},
+        num_buckets=2).to_pandas()
+    key = out.fillna("&").set_index(["k1", "k2"])["s"]
+    assert key.loc[("&", "x")] == 8
+    assert key.loc[("&", "&")] == 8
+    assert len(out) == 2
+
+
+def test_funnel_counts_strict_order(tmp_path):
+    ev = pd.DataFrame({
+        "event_id": range(1, 9),
+        "user_id": [1, 1, 1, 2, 2, 3, 3, 3],
+        "event_type": ["view", "click", "purchase",   # u1 full funnel
+                       "click", "view",               # u2 click BEFORE view
+                       "view", "purchase", "click"],  # u3 purchase before click
+        "ts": pd.to_datetime([
+            "2026-01-01 00:00", "2026-01-01 00:01", "2026-01-01 00:02",
+            "2026-01-01 00:00", "2026-01-01 00:01",
+            "2026-01-01 00:00", "2026-01-01 00:01", "2026-01-01 00:02",
+        ]).astype("datetime64[us]"),
+        "value": 0.0, "props": "",
+    })
+    ev.to_parquet(tmp_path / "events.parquet")
+    from dug_ray.queries import q_funnel_counts
+    out = q_funnel_counts(str(tmp_path)).to_pandas().set_index("step")
+    # step 1: u1,u2,u3 viewed; step 2: u1 clicked after view (u2's click
+    # precedes the view; u3's click is after view -> counts); step 3:
+    # only u1 purchased after the click
+    assert out.loc[1, "n_users"] == 3
+    assert out.loc[2, "n_users"] == 2
+    assert out.loc[3, "n_users"] == 1
