@@ -650,9 +650,12 @@ def bfs_levels(triples: ray.data.Dataset,
     from dug_ray.shuffle import hash_join
 
     coalesce_blocks = max(2, num_buckets // 8)
+    # the frontier-side exchanges carry node ids only (ontology + element
+    # cardinality, not corpus cardinality) — fewer reduce tasks than the
+    # edge-sized exchanges
+    frontier_buckets = max(coalesce_blocks, num_buckets // 4)
     base = distinct_rows(triples.select_columns(["subj", "obj"]),
                          ["subj", "obj"], num_buckets)
-    base = base.materialize()  # read once; every level re-probes the edges
 
     def _sym(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -662,7 +665,8 @@ def bfs_levels(triples: ray.data.Dataset,
         return typed_table(out, src=pa.string(), dst=pa.string())
 
     # materialize once: every level re-probes this table, and the lazy
-    # chain would re-run _sym per level
+    # chain would re-run the whole distinct + _sym per level; base itself
+    # is never re-read, so only edges needs to persist
     edges = base.map_batches(_sym, batch_format="pyarrow",
                              batch_size=None).materialize()
 
@@ -676,7 +680,7 @@ def bfs_levels(triples: ray.data.Dataset,
     # second scan over dst
     seeds = distinct_rows(
         edges.map_batches(_seeds, batch_format="pyarrow", batch_size=None),
-        ["node"], num_buckets)
+        ["node"], frontier_buckets)
 
     def _tag(side: str, col: str):
         def _t(batch: pa.Table) -> pa.Table:
@@ -706,7 +710,7 @@ def bfs_levels(triples: ray.data.Dataset,
         seen = [f.map_batches(_tag("s", "node"), batch_format="pyarrow",
                               batch_size=None) for f in frontiers]
         new = bucketed_group_apply(cand.union(*seen), "node", _minus,
-                                   num_buckets)
+                                   frontier_buckets)
         frontier = new.repartition(coalesce_blocks).materialize()
         if frontier.count() == 0:
             break
