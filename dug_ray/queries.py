@@ -3475,6 +3475,47 @@ SELECT user_id, count(*) AS n_gaps,
 FROM g WHERE gap IS NOT NULL GROUP BY user_id"""
 
 
+def q_k_core(sf_dir: str) -> ray.data.Dataset:
+    """2-core of the concept co-annotation graph: concepts that survive
+    iterative peeling of degree<2 nodes, with their in-core degree — the
+    density filter separating cycle-supported co-annotation evidence from
+    pendant/chain concepts (stages/graph.k_core)."""
+    from dug_ray.stages.graph import concept_cooccurrence, k_core
+    cooc = concept_cooccurrence(kg.linked_mentions_cached(sf_dir))
+    return k_core(cooc, k=2, max_rounds=12)
+
+
+def _k_core_sql(k: int = 2, max_rounds: int = 12) -> str:
+    frags = []
+    for i in range(1, max_rounds + 1):
+        frags.append(f""",
+kc_s{i - 1} AS (SELECT node FROM (
+    SELECT u AS node, count(*) AS deg FROM
+      (SELECT subj AS u FROM kc_e{i - 1}
+       UNION ALL SELECT obj FROM kc_e{i - 1}) GROUP BY u)
+  WHERE deg >= {k}),
+kc_e{i} AS MATERIALIZED (
+  SELECT e.subj, e.obj FROM kc_e{i - 1} e
+  JOIN kc_s{i - 1} a ON e.subj = a.node
+  JOIN kc_s{i - 1} b ON e.obj = b.node)""")
+    return f""",
+kc_e0 AS MATERIALIZED (SELECT subj, obj FROM cooc)""" + "".join(frags) + f"""
+SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg FROM
+  (SELECT subj AS u FROM kc_e{max_rounds}
+   UNION ALL SELECT obj FROM kc_e{max_rounds}) GROUP BY u"""
+
+
+SQL_K_CORE = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+cooc AS MATERIALIZED (
+  SELECT a.canonical_curie AS subj, b.canonical_curie AS obj
+  FROM dm a JOIN dm b USING (element_id)
+  WHERE a.canonical_curie < b.canonical_curie
+  GROUP BY 1, 2)""" + _k_core_sql()
+
+
 def q_cube_orders(sf_dir: str) -> ray.data.Dataset:
     """GROUP BY CUBE(o_orderstatus, o_orderpriority): all four grouping
     sets — including the (priority)-only marginal that ROLLUP skips —
@@ -3572,6 +3613,7 @@ QUERIES.update({
     "event_gaps": q_event_gaps,
     "cube_orders": q_cube_orders,
     "funnel_counts": q_funnel_counts,
+    "k_core": q_k_core,
 })
 ORACLES.update({
     "bfs_levels": SQL_BFS_LEVELS,
@@ -3580,6 +3622,7 @@ ORACLES.update({
     "event_gaps": SQL_EVENT_GAPS,
     "cube_orders": SQL_CUBE_ORDERS,
     "funnel_counts": SQL_FUNNEL_COUNTS,
+    "k_core": SQL_K_CORE,
 })
 
 
@@ -3601,7 +3644,7 @@ _DRIVER_FRONT = [
     # xml_elements), the distributed ann_topk finalize, and the nine new
     # operators — these MUST land in the driver window
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
-    "cube_orders", "funnel_counts",
+    "cube_orders", "funnel_counts", "k_core",
     "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
     "regex_scrub", "bigram_top", "seq_packing", "kmeans_update",
     "q3_shipping", "unigram_logprob", "ntile_buckets",

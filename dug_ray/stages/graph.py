@@ -838,3 +838,78 @@ def neighbor_jaccard(edges: ray.data.Dataset,
 
     return per_edge.map_batches(_score, batch_format="pyarrow",
                                 batch_size=None)
+
+
+def k_core(edges: ray.data.Dataset,
+           k: int = 2,
+           max_rounds: int = 12,
+           num_buckets: int = 32) -> ray.data.Dataset:
+    """k-core decomposition of the undirected co-annotation graph:
+    iteratively peel nodes of degree < ``k`` until fixpoint (or
+    ``max_rounds``), returning the surviving nodes with their in-core
+    degree.  The k-core is the standard density filter for KG curation —
+    concepts that survive the 2-core participate in at least one cycle
+    of co-annotation evidence; pendant/chain concepts peel away.
+
+    Input contract: distinct undirected edges with subj < obj (the
+    ``concept_cooccurrence`` output shape).
+
+    Exactness across engines: BOTH the oracle and this operator run the
+    same capped iteration — remove-deg<k for ``max_rounds`` rounds.  If
+    the peel reaches a fixpoint earlier this loop stops (the oracle's
+    remaining rounds are no-ops, so results stay identical); if not,
+    both engines stop after the same round count, again identical.
+
+    Scale shape: per round, degrees are computed by a per-batch partial
+    count + one bounded merge (nodes are canonical CURIEs — ontology
+    cardinality, not corpus cardinality), the surviving node set is
+    broadcast via ``ray.put`` and the edge table is filtered map-side —
+    one exchange per round over a monotonically shrinking edge set, no
+    edge-sized shuffle after round 0.
+    """
+    edges = distinct_rows(edges.select_columns(["subj", "obj"]),
+                          ["subj", "obj"], num_buckets)
+    cur = edges.map_batches(
+        lambda t: typed_table(t.to_pandas(), subj=pa.string(),
+                              obj=pa.string()),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        nodes = pd.concat([df["subj"], df["obj"]], ignore_index=True)
+        g = nodes.value_counts().rename_axis("node").reset_index(name="d")
+        return typed_table(g, node=pa.string(), d=pa.int64())
+
+    def _deg_final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("node", as_index=False).agg(deg=("d", "sum"))
+        return typed_table(g, node=pa.string(), deg=pa.int64())
+
+    def _degrees(es: ray.data.Dataset) -> pd.DataFrame:
+        return bucketed_group_apply(
+            es.map_batches(_deg_partial, batch_format="pyarrow",
+                           batch_size=None),
+            "node", _deg_final, num_buckets).to_pandas()
+
+    deg = _degrees(cur)
+    for _ in range(max_rounds):
+        survivors = set(deg.loc[deg["deg"] >= k, "node"])
+        if len(survivors) == len(deg):        # fixpoint: nothing to peel
+            break
+        if not survivors:
+            deg = deg.iloc[0:0]
+            break
+        surv_ref = ray.put(survivors)
+
+        def _filter(batch: pa.Table) -> pa.Table:
+            s = ray.get(surv_ref)
+            df = batch.to_pandas()
+            df = df[df["subj"].isin(s) & df["obj"].isin(s)]
+            return typed_table(df, subj=pa.string(), obj=pa.string())
+
+        cur = cur.map_batches(_filter, batch_format="pyarrow",
+                              batch_size=None).materialize()
+        deg = _degrees(cur)
+
+    out = deg.rename(columns={"deg": "core_deg"})
+    return ray.data.from_arrow(
+        typed_table(out, node=pa.string(), core_deg=pa.int64()))

@@ -171,3 +171,34 @@ def test_funnel_counts_strict_order(tmp_path):
     assert out.loc[1, "n_users"] == 3
     assert out.loc[2, "n_users"] == 2
     assert out.loc[3, "n_users"] == 1
+
+
+def test_k_core_triangle_with_pendant():
+    from dug_ray.stages.graph import k_core
+    # triangle A-B-C survives the 2-core; pendant D and chain D-E peel
+    edges = _triples([("A", "B"), ("A", "C"), ("B", "C"), ("C", "D"),
+                      ("D", "E")])
+    out = k_core(edges, k=2, num_buckets=4).to_pandas()
+    assert dict(zip(out["node"], out["core_deg"])) == \
+        {"A": 2, "B": 2, "C": 2}
+
+
+def test_k_core_path_peels_to_empty_multiround():
+    from dug_ray.stages.graph import k_core
+    # 6-node path: endpoints peel each round; needs 3 rounds to empty
+    edges = _triples([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+                      ("e", "f")])
+    out = k_core(edges, k=2, num_buckets=4).to_pandas()
+    assert len(out) == 0
+
+
+def test_k_core_round_cap_matches_capped_peel():
+    from dug_ray.stages.graph import k_core
+    # with max_rounds=1 the same path keeps its interior after ONE peel:
+    # round 1 removes a,f; remaining b-c-d-e path (deg b=e=1 at that
+    # point is only discovered by the NEXT round, which the cap forbids)
+    edges = _triples([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+                      ("e", "f")])
+    out = k_core(edges, k=2, max_rounds=1, num_buckets=4).to_pandas()
+    assert dict(zip(out["node"], out["core_deg"])) == \
+        {"b": 1, "c": 2, "d": 2, "e": 1}
