@@ -3606,6 +3606,143 @@ UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM f2
 UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM f3"""
 
 
+def q_length_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Per-source length outliers: documents whose n_chars deviates from
+    their source's mean by more than 1.5 population standard deviations
+    (n_chars is near-uniform, whose max deviation is ~1.73 sigma — a
+    2-sigma cut would be vacuously empty).
+    Two-pass grouped statistics: pass 1 reduces per-source (N, sum,
+    sumsq) moments (per-batch combiner + tiny bounded merge -> driver ->
+    ray.put broadcast); pass 2 flags rows map-side — no second shuffle.
+
+    Exactness: the 1.5-sigma test is evaluated as the integer inequality
+    4*(N*x - S)^2 > 9*(N*Q - S^2), computed in arbitrary-precision Python
+    ints per DISTINCT (source, n_chars) pair (bounded set), so no
+    float sqrt and no int64 wrap enters the comparison; the oracle
+    evaluates the same inequality in HUGEINT."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+
+    def m_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("source", as_index=False).agg(
+            n=("n_chars", "size"), s=("n_chars", "sum"))
+        g["q"] = df.assign(sq=df["n_chars"] ** 2) \
+                   .groupby("source")["sq"].sum().to_numpy()
+        return typed_table(g, source=pa.string(), n=pa.int64(),
+                           s=pa.int64(), q=pa.int64())
+
+    def m_final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("source", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), q=("q", "sum"))
+        return typed_table(g, source=pa.string(), n=pa.int64(),
+                           s=pa.int64(), q=pa.int64())
+
+    mom = bucketed_group_apply(
+        ds.map_batches(m_partial, batch_format="pyarrow", batch_size=None),
+        "source", m_final, 8).to_pandas()
+    mom_ref = ray.put({r.source: (int(r.n), int(r.s), int(r.q))
+                       for r in mom.itertuples()})
+
+    def flag(batch: pa.Table) -> pa.Table:
+        m = ray.get(mom_ref)
+        df = batch.to_pandas()
+        uniq = df[["source", "n_chars"]].drop_duplicates()
+        keep = {}
+        for src, x in zip(uniq["source"], uniq["n_chars"]):
+            n, s, q = m[src]
+            keep[(src, int(x))] = 4 * (n * int(x) - s) ** 2 > 9 * (n * q - s * s)
+        mask = [keep[(src, int(x))]
+                for src, x in zip(df["source"], df["n_chars"])]
+        out = df[np.asarray(mask, dtype=bool)]
+        return typed_table(out, doc_id=pa.int64(), source=pa.string(),
+                           n_chars=pa.int64())
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+SQL_LENGTH_OUTLIERS = """
+WITH m AS (SELECT source, count(*) AS n, sum(n_chars) AS s,
+                  sum(n_chars * n_chars) AS q
+           FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN m USING (source)
+WHERE 4 * CAST(m.n * d.n_chars - m.s AS HUGEINT)
+        * CAST(m.n * d.n_chars - m.s AS HUGEINT)
+      > 9 * (CAST(m.n AS HUGEINT) * m.q - CAST(m.s AS HUGEINT) * m.s)"""
+
+
+HIST_BINS = 10
+
+
+def q_value_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Equi-width value histogram per event type: 10 bins spanning each
+    type's [min, max] in exact integer cents.  Two passes: per-type
+    extrema reduced and broadcast, then map-side binning with per-batch
+    partial counts and one tiny merge.  bin = (cents - min) * B //
+    (max - min + 1) is pure integer math — identical in both engines,
+    and the +1 keeps the max value inside the last bin."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["cents"] = (df["value"] * 100).round().astype("int64")
+        return df[["event_type", "cents"]]
+
+    def x_partial(batch: pa.Table) -> pa.Table:
+        g = cents(batch).groupby("event_type", as_index=False).agg(
+            lo=("cents", "min"), hi=("cents", "max"))
+        return typed_table(g, event_type=pa.string(), lo=pa.int64(),
+                           hi=pa.int64())
+
+    def x_final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("event_type", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+        return typed_table(g, event_type=pa.string(), lo=pa.int64(),
+                           hi=pa.int64())
+
+    ext = bucketed_group_apply(
+        ds.map_batches(x_partial, batch_format="pyarrow", batch_size=None),
+        "event_type", x_final, 8).to_pandas()
+    ext_ref = ray.put({r.event_type: (int(r.lo), int(r.hi))
+                       for r in ext.itertuples()})
+
+    def h_partial(batch: pa.Table) -> pa.Table:
+        x = ray.get(ext_ref)
+        df = cents(batch)
+        lo = df["event_type"].map(lambda t: x[t][0]).astype("int64")
+        hi = df["event_type"].map(lambda t: x[t][1]).astype("int64")
+        df["bin"] = (df["cents"] - lo) * HIST_BINS // (hi - lo + 1)
+        g = df.groupby(["event_type", "bin"], as_index=False) \
+              .agg(n=("cents", "size"))
+        return typed_table(g, event_type=pa.string(), bin=pa.int64(),
+                           n=pa.int64())
+
+    def h_final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["event_type", "bin"], as_index=False) \
+              .agg(n_events=("n", "sum"))
+        return typed_table(g, event_type=pa.string(), bin=pa.int64(),
+                           n_events=pa.int64())
+
+    return bucketed_group_apply(
+        ds.map_batches(h_partial, batch_format="pyarrow", batch_size=None),
+        "event_type", h_final, 8)
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+x AS (SELECT event_type, min(cents) AS lo, max(cents) AS hi
+      FROM c GROUP BY event_type)
+SELECT c.event_type,
+       (c.cents - x.lo) * {HIST_BINS} // (x.hi - x.lo + 1) AS bin,
+       count(*) AS n_events
+FROM c JOIN x USING (event_type)
+GROUP BY 1, 2"""
+
+
 QUERIES.update({
     "bfs_levels": q_bfs_levels,
     "neighbor_jaccard": q_neighbor_jaccard,
@@ -3614,6 +3751,8 @@ QUERIES.update({
     "cube_orders": q_cube_orders,
     "funnel_counts": q_funnel_counts,
     "k_core": q_k_core,
+    "length_outliers": q_length_outliers,
+    "value_histogram": q_value_histogram,
 })
 ORACLES.update({
     "bfs_levels": SQL_BFS_LEVELS,
@@ -3623,6 +3762,8 @@ ORACLES.update({
     "cube_orders": SQL_CUBE_ORDERS,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "k_core": SQL_K_CORE,
+    "length_outliers": SQL_LENGTH_OUTLIERS,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
 })
 
 
@@ -3644,7 +3785,8 @@ _DRIVER_FRONT = [
     # xml_elements), the distributed ann_topk finalize, and the nine new
     # operators — these MUST land in the driver window
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
-    "cube_orders", "funnel_counts", "k_core",
+    "cube_orders", "funnel_counts", "k_core", "length_outliers",
+    "value_histogram",
     "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
     "regex_scrub", "bigram_top", "seq_packing", "kmeans_update",
     "q3_shipping", "unigram_logprob", "ntile_buckets",

@@ -202,3 +202,40 @@ def test_k_core_round_cap_matches_capped_peel():
     out = k_core(edges, k=2, max_rounds=1, num_buckets=4).to_pandas()
     assert dict(zip(out["node"], out["core_deg"])) == \
         {"b": 1, "c": 2, "d": 2, "e": 1}
+
+
+def test_length_outliers_exact(tmp_path):
+    # source A: nine 100s and one 1000 — the 1000 is way past 1.5 sigma
+    # and drags the mean enough that the 100s stay inside; source B is
+    # constant (variance 0: nothing can exceed 0 deviation strictly)
+    docs = pd.DataFrame({
+        "doc_id": range(1, 13),
+        "text": "t", "lang": "en",
+        "source": ["A"] * 10 + ["B"] * 2,
+        "n_chars": [100] * 9 + [1000] + [50, 50],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from dug_ray.queries import q_length_outliers
+    out = q_length_outliers(str(tmp_path)).to_pandas()
+    assert out["doc_id"].tolist() == [10]
+    # integer check mirrors the operator: N=10, S=1900, Q=1090000
+    assert 4 * (10 * 1000 - 1900) ** 2 > 9 * (10 * 1090000 - 1900 ** 2)
+    assert not 4 * (10 * 100 - 1900) ** 2 > 9 * (10 * 1090000 - 1900 ** 2)
+
+
+def test_value_histogram_bins(tmp_path):
+    # one type, cents 0..99 -> width formula puts exactly 10 per bin;
+    # the max value lands in the LAST bin, not an 11th
+    ev = pd.DataFrame({
+        "event_id": range(100), "user_id": 1,
+        "ts": pd.Timestamp("2026-01-01"),
+        "event_type": "view",
+        "value": [c / 100 for c in range(100)],
+        "props": "",
+    })
+    ev.to_parquet(tmp_path / "events.parquet")
+    from dug_ray.queries import q_value_histogram
+    out = q_value_histogram(str(tmp_path)).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    assert out["bin"].tolist() == list(range(10))
+    assert out["n_events"].tolist() == [10] * 10
