@@ -3743,6 +3743,75 @@ FROM c JOIN x USING (event_type)
 GROUP BY 1, 2"""
 
 
+SHUFFLE_EPOCH = 7
+
+
+def q_epoch_shuffle(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic training-epoch shuffle: every document gets a global
+    1-based position in a reproducible pseudo-random permutation keyed by
+    md5(doc_id || '#' || epoch) — the standard trick for shuffling a
+    corpus identically across restarts/workers without a stateful RNG.
+
+    Distributed global rank, no global sort: rows are RANGE-partitioned
+    by the first two hex chars of the key (256 ordered ranges); pass 1
+    reduces per-range counts to a driver prefix-sum (256 ints,
+    broadcast); pass 2 buckets rows by range id — each range lands
+    wholly inside one bucket task, which sorts its ranges locally by
+    (key, doc_id) and adds the range's start offset.  At 10^12 rows
+    widen the prefix to 3-4 hex chars so each range fits a task."""
+    from dug_ray.hashing import md5_hex
+    ds = read_documents(sf_dir, columns=["doc_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        k = md5_hex(df["doc_id"].astype(str) + f"#{SHUFFLE_EPOCH}")
+        out = pd.DataFrame({"doc_id": df["doc_id"], "k": k})
+        out["rng"] = out["k"].str[:2]
+        return typed_table(out, doc_id=pa.int64(), k=pa.string(),
+                           rng=pa.string())
+
+    kd = ds.map_batches(keyed, batch_format="pyarrow",
+                        batch_size=None).materialize()
+
+    def c_partial(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas()["rng"].value_counts() \
+                 .rename_axis("rng").reset_index(name="n")
+        return typed_table(g, rng=pa.string(), n=pa.int64())
+
+    def c_final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("rng", as_index=False).agg(n=("n", "sum"))
+        return typed_table(g, rng=pa.string(), n=pa.int64())
+
+    counts = bucketed_group_apply(
+        kd.map_batches(c_partial, batch_format="pyarrow", batch_size=None),
+        "rng", c_final, 4).to_pandas().sort_values("rng")
+    starts = dict(zip(counts["rng"],
+                      np.concatenate([[0], counts["n"].cumsum()[:-1]])))
+    starts_ref = ray.put(starts)
+
+    def rank(df: pd.DataFrame) -> pa.Table:
+        s = ray.get(starts_ref)
+        outs = []
+        for rng, g in df.groupby("rng", sort=False):
+            g = g.sort_values(["k", "doc_id"], kind="mergesort")
+            outs.append(pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(),
+                "pos": s[rng] + np.arange(1, len(g) + 1)}))
+        out = pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"doc_id": [], "pos": []})
+        return typed_table(out, doc_id=pa.int64(), pos=pa.int64())
+
+    return bucketed_group_apply(kd, "rng", rank, 16)
+
+
+SQL_EPOCH_SHUFFLE = f"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || '#{SHUFFLE_EPOCH}'),
+                  doc_id) AS pos
+FROM documents"""
+
+
 QUERIES.update({
     "bfs_levels": q_bfs_levels,
     "neighbor_jaccard": q_neighbor_jaccard,
@@ -3753,6 +3822,7 @@ QUERIES.update({
     "k_core": q_k_core,
     "length_outliers": q_length_outliers,
     "value_histogram": q_value_histogram,
+    "epoch_shuffle": q_epoch_shuffle,
 })
 ORACLES.update({
     "bfs_levels": SQL_BFS_LEVELS,
@@ -3764,6 +3834,7 @@ ORACLES.update({
     "k_core": SQL_K_CORE,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "value_histogram": SQL_VALUE_HISTOGRAM,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
 })
 
 
@@ -3786,7 +3857,7 @@ _DRIVER_FRONT = [
     # operators — these MUST land in the driver window
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
-    "value_histogram",
+    "value_histogram", "epoch_shuffle",
     "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
     "regex_scrub", "bigram_top", "seq_packing", "kmeans_update",
     "q3_shipping", "unigram_logprob", "ntile_buckets",

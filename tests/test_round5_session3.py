@@ -239,3 +239,24 @@ def test_value_histogram_bins(tmp_path):
         .sort_values("bin").reset_index(drop=True)
     assert out["bin"].tolist() == list(range(10))
     assert out["n_events"].tolist() == [10] * 10
+
+
+def test_epoch_shuffle_is_permutation_and_deterministic(tmp_path):
+    import hashlib
+    docs = pd.DataFrame({
+        "doc_id": range(1, 41), "text": "t", "lang": "en", "source": "s",
+        "n_chars": 1,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from dug_ray.queries import q_epoch_shuffle, SHUFFLE_EPOCH
+    out = q_epoch_shuffle(str(tmp_path)).to_pandas()
+    assert sorted(out["pos"]) == list(range(1, 41))     # exact permutation
+    # positions equal the rank of md5(doc_id#epoch) — reproducible
+    expect = sorted(
+        range(1, 41),
+        key=lambda d: (hashlib.md5(f"{d}#{SHUFFLE_EPOCH}".encode())
+                       .hexdigest(), d))
+    got = dict(zip(out["doc_id"], out["pos"]))
+    assert [got[d] for d in expect] == list(range(1, 41))
+    out2 = q_epoch_shuffle(str(tmp_path)).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["pos"])) == got  # restart-stable
