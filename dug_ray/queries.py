@@ -3812,6 +3812,56 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
+    """CDC-style snapshot reconciliation: diff the current documents
+    table against a deterministically derived "previous" snapshot —
+    doc_id % 10 == 0 rows are renumbered (+10^9: they show up as one
+    'deleted' old key plus one 'added' new key) and doc_id % 7 == 0
+    survivors get reversed text ('changed').  Only the delta is emitted
+    (stages/delta.py)."""
+    from dug_ray.stages.delta import snapshot_diff
+    from dug_ray.hashing import md5_hex
+    new = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["fp"] = md5_hex(df["text"])
+        return typed_table(df[["doc_id", "fp"]], doc_id=pa.int64(),
+                           fp=pa.string())
+
+    def as_old(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        moved = df["doc_id"] % 10 == 0
+        changed = ~moved & (df["doc_id"] % 7 == 0)
+        df.loc[moved, "doc_id"] += 10 ** 9
+        df.loc[changed, "text"] = df.loc[changed, "text"].str[::-1]
+        df["fp"] = md5_hex(df["text"])
+        return typed_table(df[["doc_id", "fp"]], doc_id=pa.int64(),
+                           fp=pa.string())
+
+    old = new.map_batches(as_old, batch_format="pyarrow", batch_size=None)
+    cur = new.map_batches(fp, batch_format="pyarrow", batch_size=None)
+    return snapshot_diff(old, cur, "doc_id", "fp")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT CASE WHEN doc_id % 10 = 0 THEN doc_id + 1000000000
+              ELSE doc_id END AS doc_id,
+         md5(CASE WHEN doc_id % 10 <> 0 AND doc_id % 7 = 0
+                  THEN reverse(text) ELSE text END) AS fp
+  FROM documents),
+new AS (SELECT doc_id, md5(text) AS fp FROM documents),
+m AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.fp AS fp_o,
+             n.fp AS fp_n
+      FROM old o FULL OUTER JOIN new n USING (doc_id))
+SELECT doc_id,
+       CASE WHEN fp_o IS NULL THEN 'added'
+            WHEN fp_n IS NULL THEN 'deleted'
+            ELSE 'changed' END AS status
+FROM m WHERE fp_o IS NULL OR fp_n IS NULL OR fp_o <> fp_n"""
+
+
 QUERIES.update({
     "bfs_levels": q_bfs_levels,
     "neighbor_jaccard": q_neighbor_jaccard,
@@ -3823,6 +3873,7 @@ QUERIES.update({
     "length_outliers": q_length_outliers,
     "value_histogram": q_value_histogram,
     "epoch_shuffle": q_epoch_shuffle,
+    "snapshot_diff": q_snapshot_diff,
 })
 ORACLES.update({
     "bfs_levels": SQL_BFS_LEVELS,
@@ -3835,6 +3886,7 @@ ORACLES.update({
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
 })
 
 
@@ -3857,7 +3909,7 @@ _DRIVER_FRONT = [
     # operators — these MUST land in the driver window
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
-    "value_histogram", "epoch_shuffle",
+    "value_histogram", "epoch_shuffle", "snapshot_diff",
     "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
     "regex_scrub", "bigram_top", "seq_packing", "kmeans_update",
     "q3_shipping", "unigram_logprob", "ntile_buckets",

@@ -260,3 +260,15 @@ def test_epoch_shuffle_is_permutation_and_deterministic(tmp_path):
     assert [got[d] for d in expect] == list(range(1, 41))
     out2 = q_epoch_shuffle(str(tmp_path)).to_pandas()
     assert dict(zip(out2["doc_id"], out2["pos"])) == got  # restart-stable
+
+
+def test_snapshot_diff_classification():
+    from dug_ray.stages.delta import snapshot_diff
+    old = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3], "fp": ["a", "b", "c"]}))
+    new = ray.data.from_pandas(pd.DataFrame(
+        {"k": [2, 3, 4], "fp": ["b", "CHANGED", "d"]}))
+    out = snapshot_diff(old, new, "k", "fp", num_buckets=4).to_pandas()
+    got = dict(zip(out["k"], out["status"]))
+    # key 2 is identical -> omitted
+    assert got == {1: "deleted", 3: "changed", 4: "added"}
