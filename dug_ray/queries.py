@@ -3812,6 +3812,50 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_label_spread(sf_dir: str) -> ray.data.Dataset:
+    """Nearest-disease-cluster assignment: every KG node within 3 hops
+    of a MONDO: seed gets the label of its nearest seed (hop count
+    first, then smallest label — stages/graph.label_spread)."""
+    from dug_ray.stages.graph import label_spread
+    return label_spread(kg.kg_triples(sf_dir))
+
+
+def _label_spread_sql(max_level: int = 3,
+                      seed_prefix: str = "MONDO:") -> str:
+    frags = []
+    for i in range(1, max_level + 1):
+        anti = "\n          AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM ls_l{j} v WHERE v.node = e.dst)"
+            for j in range(i))
+        frags.append(f""",
+ls_l{i} AS MATERIALIZED (
+  SELECT e.dst AS node, min(f.label) AS label
+  FROM bfs_edges e JOIN ls_l{i - 1} f ON e.src = f.node
+  WHERE {anti}
+  GROUP BY e.dst)""")
+    tail = "\nUNION ALL ".join(
+        f"SELECT node, label, CAST({i} AS BIGINT) AS lvl FROM ls_l{i}"
+        for i in range(max_level + 1))
+    return f""",
+bfs_kg AS (SELECT subj, obj FROM expansion
+           UNION ALL
+           SELECT DISTINCT canonical_curie AS subj, element_id AS obj
+           FROM linked_full),
+bfs_base AS MATERIALIZED (SELECT DISTINCT subj, obj FROM bfs_kg),
+bfs_edges AS MATERIALIZED (SELECT subj AS src, obj AS dst FROM bfs_base
+                           UNION SELECT obj, subj FROM bfs_base),
+ls_l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
+                       FROM bfs_edges
+                       WHERE src LIKE '{seed_prefix}%')""" + \
+        "".join(frags) + "\n" + tail
+
+
+SQL_LABEL_SPREAD = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls",
+                     "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + _label_spread_sql()
+
+
 def q_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
     """CDC-style snapshot reconciliation: diff the current documents
     table against a deterministically derived "previous" snapshot —
@@ -3874,6 +3918,7 @@ QUERIES.update({
     "value_histogram": q_value_histogram,
     "epoch_shuffle": q_epoch_shuffle,
     "snapshot_diff": q_snapshot_diff,
+    "label_spread": q_label_spread,
 })
 ORACLES.update({
     "bfs_levels": SQL_BFS_LEVELS,
@@ -3887,6 +3932,7 @@ ORACLES.update({
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "label_spread": SQL_LABEL_SPREAD,
 })
 
 
@@ -3909,7 +3955,7 @@ _DRIVER_FRONT = [
     # operators — these MUST land in the driver window
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
-    "value_histogram", "epoch_shuffle", "snapshot_diff",
+    "value_histogram", "epoch_shuffle", "snapshot_diff", "label_spread",
     "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
     "regex_scrub", "bigram_top", "seq_packing", "kmeans_update",
     "q3_shipping", "unigram_logprob", "ntile_buckets",

@@ -913,3 +913,103 @@ def k_core(edges: ray.data.Dataset,
     out = deg.rename(columns={"deg": "core_deg"})
     return ray.data.from_arrow(
         typed_table(out, node=pa.string(), core_deg=pa.int64()))
+
+
+def label_spread(triples: ray.data.Dataset,
+                 seed_prefix: str = "MONDO:",
+                 max_level: int = 3,
+                 num_buckets: int = 32) -> ray.data.Dataset:
+    """Seeded label propagation (graph Voronoi partition): every node
+    within ``max_level`` hops of a seed (CURIE prefix match) is assigned
+    the label of its nearest seed — ties broken by hop count first (a
+    node is labeled at its FIRST reachable level and never relabeled),
+    then by the lexicographically smallest candidate label within that
+    level.  Output: (node, label, lvl).  Deterministic by construction,
+    so the DuckDB oracle (iterated min()-CTEs) pins every row.
+
+    This is the KG-curation "assign every concept/element to its nearest
+    disease cluster" sweep — same frontier machinery as ``bfs_levels``
+    (one partitioned join + one fused set-difference exchange per level,
+    coalesced frontiers), with the label column riding along and a
+    per-node min() folded into the set-difference bucket.
+    """
+    from dug_ray.shuffle import hash_join
+
+    coalesce_blocks = max(2, num_buckets // 8)
+    frontier_buckets = max(coalesce_blocks, num_buckets // 4)
+    base = distinct_rows(triples.select_columns(["subj", "obj"]),
+                         ["subj", "obj"], num_buckets)
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({
+            "src": pd.concat([df["subj"], df["obj"]], ignore_index=True),
+            "dst": pd.concat([df["obj"], df["subj"]], ignore_index=True)})
+        return typed_table(out, src=pa.string(), dst=pa.string())
+
+    edges = base.map_batches(_sym, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    def _seeds(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        s = df.loc[df["src"].str.startswith(seed_prefix), ["src"]]
+        s = s.drop_duplicates().rename(columns={"src": "node"})
+        s["label"] = s["node"]
+        return typed_table(s, node=pa.string(), label=pa.string())
+
+    seeds = distinct_rows(
+        edges.map_batches(_seeds, batch_format="pyarrow", batch_size=None),
+        ["node", "label"], frontier_buckets)
+
+    def _tag(side: str):
+        def _t(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            if side == "c":
+                # combiner: keep the per-batch min label per candidate
+                out = df.groupby("dst", as_index=False)["label"].min() \
+                        .rename(columns={"dst": "node"})
+            else:
+                out = df[["node"]].drop_duplicates().copy()
+                out["label"] = ""          # visited side: label unused
+            out["side"] = side
+            return typed_table(out, node=pa.string(), label=pa.string(),
+                               side=pa.string())
+        return _t
+
+    def _minus_min(df: pd.DataFrame) -> pa.Table:
+        seen = set(df.loc[df["side"] == "s", "node"])
+        cand = df[df["side"] == "c"]
+        cand = cand[~cand["node"].isin(seen)]
+        out = cand.groupby("node", as_index=False)["label"].min()
+        return typed_table(out, node=pa.string(), label=pa.string())
+
+    frontier = seeds.repartition(coalesce_blocks).materialize()
+    frontiers = [frontier]
+    for _level in range(1, max_level + 1):
+        hops = hash_join(
+            frontier.map_batches(
+                lambda t: t.rename_columns(["fnode", "label"]),
+                batch_format="pyarrow", batch_size=None),
+            edges, "fnode", "src", num_buckets)
+        cand = hops.map_batches(_tag("c"), batch_format="pyarrow",
+                                batch_size=None)
+        seen = [f.map_batches(_tag("s"), batch_format="pyarrow",
+                              batch_size=None) for f in frontiers]
+        new = bucketed_group_apply(cand.union(*seen), "node", _minus_min,
+                                   frontier_buckets)
+        frontier = new.repartition(coalesce_blocks).materialize()
+        if frontier.count() == 0:
+            break
+        frontiers.append(frontier)
+
+    def _lvl(level: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "lvl", pa.nulls(len(batch), pa.int64()).fill_null(level))
+        return _t
+
+    leveled = [f.map_batches(_lvl(i), batch_format="pyarrow",
+                             batch_size=None)
+               for i, f in enumerate(frontiers)]
+    return leveled[0] if len(leveled) == 1 else \
+        ray.data.Dataset.union(*leveled)

@@ -272,3 +272,29 @@ def test_snapshot_diff_classification():
     got = dict(zip(out["k"], out["status"]))
     # key 2 is identical -> omitted
     assert got == {1: "deleted", 3: "changed", 4: "added"}
+
+
+def test_label_spread_nearest_seed_min_tiebreak():
+    from dug_ray.stages.graph import label_spread
+    # two seeds M:a and M:z; x is 1 hop from both -> min label M:a wins;
+    # y is 1 hop from M:z only; w is 2 hops (via y) labeled M:z
+    t = _triples([("M:a", "x"), ("M:z", "x"), ("M:z", "y"), ("y", "w")])
+    out = label_spread(t, seed_prefix="M:", max_level=3, num_buckets=4) \
+        .to_pandas()
+    got = {r.node: (r.label, r.lvl) for r in out.itertuples()}
+    assert got == {
+        "M:a": ("M:a", 0), "M:z": ("M:z", 0),
+        "x": ("M:a", 1), "y": ("M:z", 1), "w": ("M:z", 2),
+    }
+
+
+def test_label_spread_hop_beats_label():
+    from dug_ray.stages.graph import label_spread
+    # n is 1 hop from M:z and 2 hops from the smaller M:a — the NEARER
+    # seed wins even though its label sorts larger
+    t = _triples([("M:a", "mid"), ("mid", "n"), ("M:z", "n")])
+    out = label_spread(t, seed_prefix="M:", max_level=3, num_buckets=4) \
+        .to_pandas()
+    got = {r.node: (r.label, r.lvl) for r in out.itertuples()}
+    assert got["n"] == ("M:z", 1)
+    assert got["mid"] == ("M:a", 1)
