@@ -3906,6 +3906,118 @@ SELECT doc_id,
 FROM m WHERE fp_o IS NULL OR fp_n IS NULL OR fp_o <> fp_n"""
 
 
+def q_contrastive_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Self-supervised (anchor, positive) pair generation: adjacent text
+    chunks of the same document — the standard contrastive-training pair
+    source (neighboring passages share topic).  Per-doc work lives in
+    one hash bucket (sort by span offset, zip with the next text span);
+    the output is pair-sized, produced in one exchange."""
+    flat = flatten_spans(read_interleaved(sf_dir))
+    text = flat.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], "text"))
+                   .select(["doc_id", "offset", "text"]),
+        batch_format="pyarrow", batch_size=None)
+
+    def per_doc(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["doc_id", "offset"], kind="mergesort")
+        df["anchor_idx"] = df.groupby("doc_id").cumcount()
+        nxt = df.groupby("doc_id")["text"].shift(-1)
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "anchor_idx": df["anchor_idx"].astype("int64"),
+            "anchor": df["text"], "positive": nxt})
+        out = out[out["positive"].notna()]
+        return typed_table(out, doc_id=pa.int64(), anchor_idx=pa.int64(),
+                           anchor=pa.string(), positive=pa.string())
+
+    return bucketed_group_apply(text, "doc_id", per_doc, 16)
+
+
+SQL_CONTRASTIVE_PAIRS = _with(SQL_TOKS, SQL_CHUNKS) + """
+SELECT a.doc_id, a.chunk AS anchor_idx, a.chunk_text AS anchor,
+       b.chunk_text AS positive
+FROM chunks a JOIN chunks b
+  ON a.doc_id = b.doc_id AND b.chunk = a.chunk + 1"""
+
+
+VOCAB_MIN_COUNT = 5
+
+
+def q_vocab_ids(sf_dir: str) -> ray.data.Dataset:
+    """Tokenizer vocabulary construction: corpus-wide term frequencies,
+    frequency cutoff, and a dense contiguous vocab id assigned by global
+    (count DESC, term ASC) rank — the id layout every frequency-sorted
+    tokenizer vocabulary uses.
+
+    The global rank reuses the range-partitioned two-pass rank (see
+    q_epoch_shuffle) with the COUNT as the range key: distinct counts
+    are few, so per-count term totals reduce to a driver prefix-sum
+    (broadcast) and each count-group sorts its terms locally and adds
+    its offset.  Skew note: at corpus scale the cutoff count's group is
+    the largest; shard it by term prefix with secondary offsets if one
+    task can't hold it."""
+    flat = flatten_spans(read_interleaved(sf_dir))
+
+    def t_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], "text"))
+        tokens = pc.split_pattern(t["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        g = (pa.table({"term": tokens.flatten()})
+             .group_by(["term"]).aggregate([([], "count_all")])
+             .rename_columns(["term", "n"]))
+        return g
+
+    def t_final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("term", as_index=False).agg(n=("n", "sum"))
+        g = g[g["n"] >= VOCAB_MIN_COUNT]
+        return typed_table(g, term=pa.string(), n=pa.int64())
+
+    tc = bucketed_group_apply(
+        flat.map_batches(t_partial, batch_format="pyarrow",
+                         batch_size=None),
+        "term", t_final, 16).materialize()
+
+    def c_partial(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas()["n"].value_counts() \
+                 .rename_axis("n").reset_index(name="terms")
+        return typed_table(g, n=pa.int64(), terms=pa.int64())
+
+    def c_final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("n", as_index=False).agg(terms=("terms", "sum"))
+        return typed_table(g, n=pa.int64(), terms=pa.int64())
+
+    per_n = bucketed_group_apply(
+        tc.map_batches(c_partial, batch_format="pyarrow", batch_size=None),
+        "n", c_final, 4).to_pandas().sort_values("n", ascending=False)
+    starts = dict(zip(per_n["n"].astype(int),
+                      np.concatenate([[0],
+                                      per_n["terms"].cumsum()[:-1]])))
+    starts_ref = ray.put(starts)
+
+    def rank(df: pd.DataFrame) -> pa.Table:
+        s = ray.get(starts_ref)
+        outs = []
+        for n, g in df.groupby("n", sort=False):
+            g = g.sort_values("term", kind="mergesort")
+            outs.append(pd.DataFrame({
+                "term": g["term"].to_numpy(), "n": int(n),
+                "vocab_id": s[int(n)] + np.arange(1, len(g) + 1)}))
+        out = pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"term": [], "n": [], "vocab_id": []})
+        return typed_table(out, term=pa.string(), n=pa.int64(),
+                           vocab_id=pa.int64())
+
+    return bucketed_group_apply(tc, "n", rank, 8)
+
+
+SQL_VOCAB_IDS = _with(SQL_TOKS) + f""",
+tc AS (SELECT term, count(*) AS n FROM toks GROUP BY term)
+SELECT term, n,
+       row_number() OVER (ORDER BY n DESC, term) AS vocab_id
+FROM tc WHERE n >= {VOCAB_MIN_COUNT}"""
+
+
 QUERIES.update({
     "bfs_levels": q_bfs_levels,
     "neighbor_jaccard": q_neighbor_jaccard,
@@ -3919,6 +4031,8 @@ QUERIES.update({
     "epoch_shuffle": q_epoch_shuffle,
     "snapshot_diff": q_snapshot_diff,
     "label_spread": q_label_spread,
+    "contrastive_pairs": q_contrastive_pairs,
+    "vocab_ids": q_vocab_ids,
 })
 ORACLES.update({
     "bfs_levels": SQL_BFS_LEVELS,
@@ -3933,6 +4047,8 @@ ORACLES.update({
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "label_spread": SQL_LABEL_SPREAD,
+    "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
+    "vocab_ids": SQL_VOCAB_IDS,
 })
 
 
@@ -3956,6 +4072,7 @@ _DRIVER_FRONT = [
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
     "value_histogram", "epoch_shuffle", "snapshot_diff", "label_spread",
+    "contrastive_pairs", "vocab_ids",
     "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
     "regex_scrub", "bigram_top", "seq_packing", "kmeans_update",
     "q3_shipping", "unigram_logprob", "ntile_buckets",

@@ -298,3 +298,37 @@ def test_label_spread_hop_beats_label():
     got = {r.node: (r.label, r.lvl) for r in out.itertuples()}
     assert got["n"] == ("M:z", 1)
     assert got["mid"] == ("M:a", 1)
+
+
+def test_vocab_ids_rank_and_cutoff(tmp_path):
+    # counts: "aa" x6, "bb" x6, "cc" x5, "dd" x4 (below cutoff)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["aa bb aa bb aa bb cc cc cc dd dd",
+                 "aa bb aa bb aa bb cc cc dd dd"],
+        "lang": "en", "source": "s",
+        "n_chars": 1,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from dug_ray.queries import q_vocab_ids
+    out = q_vocab_ids(str(tmp_path)).to_pandas().sort_values("vocab_id")
+    assert out[["term", "n", "vocab_id"]].values.tolist() == [
+        ["aa", 6, 1], ["bb", 6, 2], ["cc", 5, 3]]
+
+
+def test_contrastive_pairs_adjacency(tmp_path):
+    # 20 tokens -> chunks of 8: 3 text chunks -> 2 adjacent pairs
+    words = [f"w{i:02d}" for i in range(20)]
+    docs = pd.DataFrame({
+        "doc_id": [5], "text": [" ".join(words)],
+        "lang": "en", "source": "s", "n_chars": 1,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from dug_ray.queries import q_contrastive_pairs
+    out = q_contrastive_pairs(str(tmp_path)).to_pandas() \
+        .sort_values("anchor_idx")
+    assert out["anchor_idx"].tolist() == [0, 1]
+    assert out["anchor"].tolist() == [" ".join(words[:8]),
+                                      " ".join(words[8:16])]
+    assert out["positive"].tolist() == [" ".join(words[8:16]),
+                                        " ".join(words[16:])]
