@@ -4018,6 +4018,101 @@ SELECT term, n,
 FROM tc WHERE n >= {VOCAB_MIN_COUNT}"""
 
 
+def q_winsorized_value(sf_dir: str) -> ray.data.Dataset:
+    """Winsorized (p10/p90-clipped) per-type value totals in exact
+    integer cents — the outlier-robust aggregate a reward/quality score
+    pipeline applies before averaging.  Exact order statistics need the
+    group's values together (char_quantiles shape): one per-type bucket
+    computes the discrete quantiles AND the clipped sum in a single
+    exchange; at corpus scale swap in a mergeable quantile sketch for
+    the cut points and keep the map-side clip."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def per_type(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.sort((g["value"] * 100).round().astype("int64")
+                        .to_numpy())
+            n = len(v)
+            pick = lambda q: int(v[max(int(np.ceil(q * n)), 1) - 1])
+            lo, hi = pick(0.1), pick(0.9)
+            rows.append({"event_type": et, "n_events": n,
+                         "p10_cents": lo, "p90_cents": hi,
+                         "clipped_sum_cents":
+                             int(np.clip(v, lo, hi).sum())})
+        return typed_table(pd.DataFrame(rows), event_type=pa.string(),
+                           n_events=pa.int64(), p10_cents=pa.int64(),
+                           p90_cents=pa.int64(),
+                           clipped_sum_cents=pa.int64())
+
+    return bucketed_group_apply(ds.map_batches(
+        lambda b: b.select(["event_type", "value"]),
+        batch_format="pyarrow", batch_size=None),
+        "event_type", per_type, 8)
+
+
+SQL_WINSORIZED_VALUE = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+q AS (SELECT event_type,
+             CAST(quantile_disc(cents, 0.1) AS BIGINT) AS lo,
+             CAST(quantile_disc(cents, 0.9) AS BIGINT) AS hi
+      FROM c GROUP BY event_type)
+SELECT c.event_type, count(*) AS n_events,
+       min(q.lo) AS p10_cents, min(q.hi) AS p90_cents,
+       CAST(sum(greatest(q.lo, least(q.hi, c.cents))) AS BIGINT)
+         AS clipped_sum_cents
+FROM c JOIN q USING (event_type)
+GROUP BY c.event_type"""
+
+
+def q_value_mode(sf_dir: str) -> ray.data.Dataset:
+    """Per-type modal value (most frequent integer cents, smallest value
+    on ties) — grouped mode via the combiner discipline: per-batch
+    (type, cents) partial counts collapse duplicates BEFORE the
+    exchange, the per-type bucket merges partials and takes the argmax."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = (df["value"] * 100).round().astype("int64")
+        g = df.groupby(["event_type", "cents"], as_index=False) \
+              .agg(n=("cents", "size"))
+        return typed_table(g, event_type=pa.string(), cents=pa.int64(),
+                           n=pa.int64())
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["event_type", "cents"], as_index=False) \
+              .agg(n=("n", "sum"))
+        g = g.sort_values(["event_type", "n", "cents"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("event_type", as_index=False).head(1)
+        out = top.rename(columns={"cents": "mode_cents", "n": "n_mode"})
+        return typed_table(out[["event_type", "mode_cents", "n_mode"]],
+                           event_type=pa.string(), mode_cents=pa.int64(),
+                           n_mode=pa.int64())
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "event_type", final, 8)
+
+
+SQL_VALUE_MODE = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+tc AS (SELECT event_type, cents, count(*) AS n FROM c GROUP BY 1, 2),
+r AS (SELECT event_type, cents, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, cents) AS rk
+      FROM tc)
+SELECT event_type, cents AS mode_cents, n AS n_mode
+FROM r WHERE rk = 1"""
+
+
 QUERIES.update({
     "bfs_levels": q_bfs_levels,
     "neighbor_jaccard": q_neighbor_jaccard,
@@ -4033,6 +4128,8 @@ QUERIES.update({
     "label_spread": q_label_spread,
     "contrastive_pairs": q_contrastive_pairs,
     "vocab_ids": q_vocab_ids,
+    "winsorized_value": q_winsorized_value,
+    "value_mode": q_value_mode,
 })
 ORACLES.update({
     "bfs_levels": SQL_BFS_LEVELS,
@@ -4049,6 +4146,8 @@ ORACLES.update({
     "label_spread": SQL_LABEL_SPREAD,
     "contrastive_pairs": SQL_CONTRASTIVE_PAIRS,
     "vocab_ids": SQL_VOCAB_IDS,
+    "winsorized_value": SQL_WINSORIZED_VALUE,
+    "value_mode": SQL_VALUE_MODE,
 })
 
 
@@ -4072,7 +4171,7 @@ _DRIVER_FRONT = [
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
     "value_histogram", "epoch_shuffle", "snapshot_diff", "label_spread",
-    "contrastive_pairs", "vocab_ids",
+    "contrastive_pairs", "vocab_ids", "winsorized_value", "value_mode",
     "xml_elements", "lsh_ann", "ivf_ann", "ann_topk",
     "regex_scrub", "bigram_top", "seq_packing", "kmeans_update",
     "q3_shipping", "unigram_logprob", "ntile_buckets",

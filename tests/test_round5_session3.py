@@ -332,3 +332,32 @@ def test_contrastive_pairs_adjacency(tmp_path):
                                       " ".join(words[8:16])]
     assert out["positive"].tolist() == [" ".join(words[8:16]),
                                         " ".join(words[16:])]
+
+
+def test_winsorized_value_exact(tmp_path):
+    # ten values 1..9 + outlier 1000 (cents: 100..900, 100000)
+    ev = pd.DataFrame({
+        "event_id": range(10), "user_id": 1,
+        "ts": pd.Timestamp("2026-01-01"), "event_type": "view",
+        "value": [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000.0], "props": "",
+    })
+    ev.to_parquet(tmp_path / "events.parquet")
+    from dug_ray.queries import q_winsorized_value
+    out = q_winsorized_value(str(tmp_path)).to_pandas().iloc[0]
+    # quantile_disc: sorted[ceil(q*10)-1] -> p10 = sorted[0]=100,
+    # p90 = sorted[8]=900; clip turns 100000 into 900
+    assert out["p10_cents"] == 100 and out["p90_cents"] == 900
+    assert out["clipped_sum_cents"] == sum(range(100, 1000, 100)) + 900
+
+
+def test_value_mode_tiebreak_smallest(tmp_path):
+    # 2.00 and 1.00 both appear twice -> smallest cents wins
+    ev = pd.DataFrame({
+        "event_id": range(5), "user_id": 1,
+        "ts": pd.Timestamp("2026-01-01"), "event_type": "click",
+        "value": [2.0, 1.0, 2.0, 1.0, 9.0], "props": "",
+    })
+    ev.to_parquet(tmp_path / "events.parquet")
+    from dug_ray.queries import q_value_mode
+    out = q_value_mode(str(tmp_path)).to_pandas().iloc[0]
+    assert out["mode_cents"] == 100 and out["n_mode"] == 2
