@@ -89,6 +89,23 @@ def linked_mentions_cached(sf_dir: str) -> ray.data.Dataset:
     return _LINKED_CACHE[key]
 
 
+_TRIPLES_CACHE: dict = {}
+
+
+def kg_triples_cached(sf_dir: str) -> ray.data.Dataset:
+    """Materialized full triple set, memoized for the session — same
+    SINGLE-slot discipline as linked_mentions_cached.  Five registry
+    queries (kg_triples, cast_elements, triple_degrees, pagerank,
+    bfs_levels, label_spread) consume the same triple table; in the
+    driver's one-session correctness gate this removes four rebuilds of
+    the concepts+expansion+annotates chain."""
+    key = (sf_dir, _session_key())
+    if key not in _TRIPLES_CACHE:
+        _TRIPLES_CACHE.clear()
+        _TRIPLES_CACHE[key] = kg_triples(sf_dir).materialize()
+    return _TRIPLES_CACHE[key]
+
+
 def kg_triples(sf_dir: str) -> ray.data.Dataset:
     """Full triple set: expansion triples U annotates edges.
 

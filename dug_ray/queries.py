@@ -321,7 +321,7 @@ FROM linked_full"""
 
 
 def q_kg_triples(sf_dir: str) -> ray.data.Dataset:
-    return kg.kg_triples(sf_dir)
+    return kg.kg_triples_cached(sf_dir)
 
 
 SQL_KG_TRIPLES = _with(
@@ -336,7 +336,7 @@ FROM linked_full"""
 
 
 def q_cast_elements(sf_dir: str) -> ray.data.Dataset:
-    return cast_elements_from_triples(kg.kg_triples(sf_dir))
+    return cast_elements_from_triples(kg.kg_triples_cached(sf_dir))
 
 
 SQL_CAST_ELEMENTS = _with(
@@ -2741,7 +2741,7 @@ def q_triple_degrees(sf_dir: str) -> ray.data.Dataset:
     distinct predicates, distinct objects — the hub/skew census the
     canonicalize/expand salting plans against."""
     from dug_ray.stages.graph import triple_degrees
-    return triple_degrees(kg.kg_triples(sf_dir))
+    return triple_degrees(kg.kg_triples_cached(sf_dir))
 
 
 SQL_TRIPLE_DEGREES = _with(
@@ -2768,7 +2768,7 @@ def q_pagerank(sf_dir: str) -> ray.data.Dataset:
     the DuckDB oracle pins every rank value, not just shapes — the same
     determinism-by-construction discipline as dup_chunks/hll_distinct."""
     from dug_ray.stages.graph import pagerank
-    return pagerank(kg.kg_triples(sf_dir))
+    return pagerank(kg.kg_triples_cached(sf_dir))
 
 
 def _pr_sql(iterations: int = 3, scale: int = 10 ** 12) -> str:
@@ -3342,7 +3342,7 @@ def q_bfs_levels(sf_dir: str) -> ray.data.Dataset:
     concepts" reachability sweep a KG curation pass runs (the reference
     serves only point lookups; src/dug/core/async_search.py)."""
     from dug_ray.stages.graph import bfs_levels
-    return bfs_levels(kg.kg_triples(sf_dir))
+    return bfs_levels(kg.kg_triples_cached(sf_dir))
 
 
 def _bfs_sql(max_level: int = 3, seed_prefix: str = "MONDO:") -> str:
@@ -3817,7 +3817,7 @@ def q_label_spread(sf_dir: str) -> ray.data.Dataset:
     of a MONDO: seed gets the label of its nearest seed (hop count
     first, then smallest label — stages/graph.label_spread)."""
     from dug_ray.stages.graph import label_spread
-    return label_spread(kg.kg_triples(sf_dir))
+    return label_spread(kg.kg_triples_cached(sf_dir))
 
 
 def _label_spread_sql(max_level: int = 3,
