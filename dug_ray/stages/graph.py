@@ -401,8 +401,19 @@ def cooccurrence_pmi(linked: ray.data.Dataset,
     return cooc.map_batches(_score, batch_format="pyarrow", batch_size=None)
 
 
+def _local_adjacency(df: pd.DataFrame) -> dict[str, set]:
+    """Driver-local set adjacency over a bounded distinct edge list
+    (shared by the triangle / Jaccard small-graph fast paths)."""
+    adj: dict[str, set] = {}
+    for a, b in zip(df["subj"], df["obj"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
 def triangle_counts(edges: ray.data.Dataset,
-                    num_buckets: int = 32) -> ray.data.Dataset:
+                    num_buckets: int = 32,
+                    max_driver_edges: int = 5_000_000) -> ray.data.Dataset:
     """(node, n_triangles) over an undirected simple graph whose edges
     arrive as lexicographically ordered rows (subj < obj, distinct) — the
     contract ``concept_cooccurrence`` emits.  Nodes in no triangle are
@@ -419,6 +430,12 @@ def triangle_counts(edges: ray.data.Dataset,
     degree census from ``triple_degrees`` before stage 1 — not needed at
     the corpus' co-annotation densities, where the 8-token chunking bounds
     per-element concept counts and hence co-occurrence degrees.
+
+    Size gate (``cooc_components`` discipline): the distinct edge list is
+    reduced distributedly first; when it fits the driver the corners are
+    counted locally via set-intersection per edge (each triangle is found
+    once per edge, incrementing only the opposite apex — exact per-node
+    counts, no 3x correction).  Both paths pinned equal by pytest.
     """
     edges = distinct_rows(edges.select_columns(["subj", "obj"]),
                           ["subj", "obj"], num_buckets)
@@ -426,6 +443,20 @@ def triangle_counts(edges: ray.data.Dataset,
         lambda t: typed_table(t.to_pandas(), subj=pa.string(),
                               obj=pa.string()),
         batch_format="pyarrow", batch_size=None).materialize()
+
+    if edges.count() <= max_driver_edges:
+        pdf = edges.to_pandas()
+        if not {"subj", "obj"} <= set(pdf.columns):  # edge-free graph
+            pdf = pd.DataFrame({"subj": [], "obj": []})
+        adj = _local_adjacency(pdf)
+        counts: dict[str, int] = {}
+        for b, c in zip(pdf["subj"], pdf["obj"]):
+            for a in adj[b] & adj[c]:
+                counts[a] = counts.get(a, 0) + 1
+        out = pd.DataFrame(sorted(counts.items()),
+                           columns=["node", "n_triangles"])
+        return ray.data.from_arrow(typed_table(
+            out, node=pa.string(), n_triangles=pa.int64()))
 
     def _wedges(df: pd.DataFrame) -> pa.Table:
         m = df.merge(df, on="subj")
@@ -611,10 +642,52 @@ def triple_degrees(triples: ray.data.Dataset,
     return bucketed_group_apply(partials, "subj", finalize, num_buckets)
 
 
+def _local_frontier_sweep(edges_df: pd.DataFrame, seed_prefix: str,
+                          max_level: int, with_labels: bool):
+    """Driver-local BFS / nearest-seed sweep over a bounded DISTINCT edge
+    list (the small-graph fast path shared by ``bfs_levels`` and
+    ``label_spread`` — same semantics as their distributed loops: min-hop
+    levels; for labels, min candidate label at the FIRST reachable level).
+
+    Returns (nodes, lvls[, labels]) parallel lists."""
+    from collections import defaultdict
+
+    adj: dict[str, list[str]] = defaultdict(list)
+    for a, b in zip(edges_df["subj"], edges_df["obj"]):
+        adj[a].append(b)
+        adj[b].append(a)
+    seeds = sorted(n for n in adj if n.startswith(seed_prefix))
+    label: dict[str, str] = {s: s for s in seeds}
+    level: dict[str, int] = {s: 0 for s in seeds}
+    frontier: list[str] = seeds
+    for lvl in range(1, max_level + 1):
+        cand: dict[str, str] = {}
+        for u in frontier:
+            lu = label[u]
+            for v in adj[u]:
+                if v in level:
+                    continue
+                cur = cand.get(v)
+                if cur is None or lu < cur:
+                    cand[v] = lu
+        if not cand:
+            break
+        for v, lb in cand.items():
+            level[v] = lvl
+            label[v] = lb
+        frontier = list(cand)
+    nodes = list(level)
+    lvls = [level[n] for n in nodes]
+    if with_labels:
+        return nodes, lvls, [label[n] for n in nodes]
+    return nodes, lvls
+
+
 def bfs_levels(triples: ray.data.Dataset,
                seed_prefix: str = "MONDO:",
                max_level: int = 3,
-               num_buckets: int = 32) -> ray.data.Dataset:
+               num_buckets: int = 32,
+               max_driver_edges: int = 5_000_000) -> ray.data.Dataset:
     """Multi-source BFS over the UNDIRECTED KG graph: ``(node, lvl)`` =
     minimum hop distance from any node whose CURIE starts with
     ``seed_prefix``, up to ``max_level`` hops (unreached nodes omitted).
@@ -646,6 +719,13 @@ def bfs_levels(triples: ray.data.Dataset,
     11x slower by level 3 on a small graph.  At cluster scale raise
     ``coalesce_blocks`` with the frontier size (it only needs to be
     large enough that one frontier block fits a worker's heap).
+
+    Size gate (same discipline as ``cooc_components``): the DISTINCT
+    edge list is reduced distributedly first; when it fits the driver
+    (<= ``max_driver_edges``) the sweep runs locally — a 3-level BFS is
+    then dict lookups, not 3 x 2 cluster exchanges.  Larger graphs take
+    the distributed frontier loop; both paths are pinned equal by
+    ``tests/test_round5_session4.py``.
     """
     from dug_ray.shuffle import hash_join
 
@@ -655,7 +735,17 @@ def bfs_levels(triples: ray.data.Dataset,
     # edge-sized exchanges
     frontier_buckets = max(coalesce_blocks, num_buckets // 4)
     base = distinct_rows(triples.select_columns(["subj", "obj"]),
-                         ["subj", "obj"], num_buckets)
+                         ["subj", "obj"], num_buckets).materialize()
+
+    if base.count() <= max_driver_edges:
+        pdf = base.to_pandas()
+        if not {"subj", "obj"} <= set(pdf.columns):  # edge-free KG
+            pdf = pd.DataFrame({"subj": [], "obj": []})
+        nodes, lvls = _local_frontier_sweep(pdf, seed_prefix, max_level,
+                                            with_labels=False)
+        return ray.data.from_arrow(typed_table(
+            pd.DataFrame({"node": nodes, "lvl": lvls}),
+            node=pa.string(), lvl=pa.int64()))
 
     def _sym(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -730,7 +820,8 @@ def bfs_levels(triples: ray.data.Dataset,
 
 
 def neighbor_jaccard(edges: ray.data.Dataset,
-                     num_buckets: int = 32) -> ray.data.Dataset:
+                     num_buckets: int = 32,
+                     max_driver_edges: int = 5_000_000) -> ray.data.Dataset:
     """Per-EDGE neighborhood Jaccard similarity over the undirected
     co-annotation graph: for each edge (subj, obj) — rows ordered
     subj < obj, distinct, the ``concept_cooccurrence`` contract —
@@ -758,6 +849,24 @@ def neighbor_jaccard(edges: ray.data.Dataset,
         lambda t: typed_table(t.to_pandas(), subj=pa.string(),
                               obj=pa.string()),
         batch_format="pyarrow", batch_size=None).materialize()
+
+    # size gate (cooc_components discipline): bounded edge lists score
+    # locally via per-edge set intersection; pytest pins both paths equal
+    if edges.count() <= max_driver_edges:
+        pdf = edges.to_pandas()
+        if not {"subj", "obj"} <= set(pdf.columns):  # edge-free graph
+            pdf = pd.DataFrame({"subj": [], "obj": []})
+        al = _local_adjacency(pdf)
+        rows = []
+        for b, c in zip(pdf["subj"], pdf["obj"]):
+            common = len(al[b] & al[c])
+            denom = len(al[b]) + len(al[c]) - common
+            rows.append((b, c, common, (1000 * common) // denom))
+        out = pd.DataFrame(rows, columns=["subj", "obj", "common",
+                                          "jaccard_milli"])
+        return ray.data.from_arrow(typed_table(
+            out, subj=pa.string(), obj=pa.string(), common=pa.int64(),
+            jaccard_milli=pa.int64()))
 
     # degrees: per-batch partial counts over both endpoints -> tiny
     # bucketed merge -> driver dict (ontology-bounded) -> broadcast
@@ -918,7 +1027,8 @@ def k_core(edges: ray.data.Dataset,
 def label_spread(triples: ray.data.Dataset,
                  seed_prefix: str = "MONDO:",
                  max_level: int = 3,
-                 num_buckets: int = 32) -> ray.data.Dataset:
+                 num_buckets: int = 32,
+                 max_driver_edges: int = 5_000_000) -> ray.data.Dataset:
     """Seeded label propagation (graph Voronoi partition): every node
     within ``max_level`` hops of a seed (CURIE prefix match) is assigned
     the label of its nearest seed — ties broken by hop count first (a
@@ -932,13 +1042,27 @@ def label_spread(triples: ray.data.Dataset,
     (one partitioned join + one fused set-difference exchange per level,
     coalesced frontiers), with the label column riding along and a
     per-node min() folded into the set-difference bucket.
+
+    Size gate: same ``max_driver_edges`` bounded-driver-pull fast path
+    as ``bfs_levels`` (shared ``_local_frontier_sweep``); distributed
+    loop above the gate, both paths pinned equal by pytest.
     """
     from dug_ray.shuffle import hash_join
 
     coalesce_blocks = max(2, num_buckets // 8)
     frontier_buckets = max(coalesce_blocks, num_buckets // 4)
     base = distinct_rows(triples.select_columns(["subj", "obj"]),
-                         ["subj", "obj"], num_buckets)
+                         ["subj", "obj"], num_buckets).materialize()
+
+    if base.count() <= max_driver_edges:
+        pdf = base.to_pandas()
+        if not {"subj", "obj"} <= set(pdf.columns):  # edge-free KG
+            pdf = pd.DataFrame({"subj": [], "obj": []})
+        nodes, lvls, labels = _local_frontier_sweep(
+            pdf, seed_prefix, max_level, with_labels=True)
+        return ray.data.from_arrow(typed_table(
+            pd.DataFrame({"node": nodes, "label": labels, "lvl": lvls}),
+            node=pa.string(), label=pa.string(), lvl=pa.int64()))
 
     def _sym(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
