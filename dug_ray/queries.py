@@ -3116,15 +3116,40 @@ SELECT CAST(cb // 256 AS BIGINT) AS bin, count(*) AS n_docs,
 FROM c GROUP BY 1"""
 
 
+def q_boilerplate_scrub(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style boilerplate removal (stages/text_index.boilerplate_
+    scrub): drop every 8-token chunk occurring >1 time corpus-wide,
+    reassemble each doc from surviving chunks in order. clean_text is
+    string-exact, so the oracle hash-pins the rebuilt corpus."""
+    from dug_ray.stages.text_index import boilerplate_scrub
+    return boilerplate_scrub(
+        read_documents(sf_dir, columns=["doc_id", "text"]))
+
+
+SQL_BOILERPLATE_SCRUB = _with(SQL_TOKS, SQL_CHUNKS) + """,
+gc AS (SELECT chunk_text, CAST(count(*) AS BIGINT) AS total
+       FROM chunks GROUP BY chunk_text),
+k AS (SELECT c.doc_id, c.chunk, c.chunk_text, g.total <= 1 AS keep
+      FROM chunks c JOIN gc g USING (chunk_text))
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+                           ORDER BY chunk), '') AS clean_text,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM k GROUP BY doc_id"""
+
+
 QUERIES.update({
     "regex_scrub": q_regex_scrub,
     "bigram_top": q_bigram_top,
     "seq_packing": q_seq_packing,
+    "boilerplate_scrub": q_boilerplate_scrub,
 })
 ORACLES.update({
     "regex_scrub": SQL_REGEX_SCRUB,
     "bigram_top": SQL_BIGRAM_TOP,
     "seq_packing": SQL_SEQ_PACKING,
+    "boilerplate_scrub": SQL_BOILERPLATE_SCRUB,
 })
 
 
@@ -4168,6 +4193,7 @@ _DRIVER_FRONT = [
     # new or engine-changed in round 5: new oracles (lsh_ann/ivf_ann/
     # xml_elements), the distributed ann_topk finalize, and the nine new
     # operators — these MUST land in the driver window
+    "boilerplate_scrub",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
     "value_histogram", "epoch_shuffle", "snapshot_diff", "label_spread",

@@ -74,6 +74,7 @@ def _doc_chunks(batch: pa.Table) -> pd.DataFrame:
         batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), n_chunks)
     return pd.DataFrame({
         "doc_id": doc_ids,
+        "pos": within,  # 0-based within-doc chunk ordinal
         "chunk": chunks.to_numpy(zero_copy_only=False),
     })
 
@@ -213,6 +214,69 @@ def build_postings(docs: ray.data.Dataset, k: int = 5,
             "term": pc.cast(batch["term"], pa.string()),
             "df": pc.cast(batch["df"], pa.int64()),
             "postings": pc.cast(batch["postings"], pa.string()),
+        })
+
+    return final.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def boilerplate_scrub(docs: ray.data.Dataset,
+                      max_occurrences: int = 1,
+                      num_buckets: int = 32) -> ray.data.Dataset:
+    """CCNet/RefinedWeb-style boilerplate removal: drop every 8-token
+    chunk whose exact text occurs more than ``max_occurrences`` times in
+    the CORPUS, then reassemble each document from its surviving chunks
+    in original order.  Output: (doc_id, clean_text, n_kept, n_removed);
+    a fully-boilerplate doc survives with clean_text = ''.
+
+    Where ``dup_chunk_ratio`` only SCORES repetition, this is the removal
+    step a web-scale curation pipeline actually runs (the reference's
+    pipeline has no equivalent — its inputs are curated data
+    dictionaries; at 100 TB of crawled text this is the first pass).
+
+    Two bucketed exchanges, no driver-side chunk set (the frequent-chunk
+    list of a 10^12-doc corpus need not fit anywhere central):
+
+    1. chunk-keyed: every occurrence of a chunk lands in one bucket, so
+       the global count is exact; each occurrence row leaves tagged
+       keep/remove — a join-with-counts fused into the counting bucket.
+    2. doc-keyed: surviving chunks sort by within-doc position and
+       space-join; counts ride along.
+    """
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = _doc_chunks(batch)
+        return typed_table(df, doc_id=pa.int64(), pos=pa.int64(),
+                           chunk=pa.string())
+
+    occ = docs.map_batches(per_batch, batch_format="pyarrow",
+                           batch_size=None)
+
+    def per_chunk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        total = df.groupby("chunk")["chunk"].transform("size")
+        return df.assign(keep=(total <= max_occurrences).astype(np.int64))
+
+    tagged = bucketed_group_apply(occ, "chunk", per_chunk_bucket,
+                                  num_buckets)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        kept = df[df["keep"] == 1]
+        text = kept.groupby("doc_id")["chunk"].agg(" ".join)
+        g = df.groupby("doc_id").agg(
+            n_kept=("keep", "sum"),
+            n_total=("keep", "size")).reset_index()
+        g["clean_text"] = g["doc_id"].map(text).fillna("")
+        g["n_removed"] = g["n_total"] - g["n_kept"]
+        return g[["doc_id", "clean_text", "n_kept", "n_removed"]]
+
+    final = bucketed_group_apply(tagged, "doc_id", per_doc, num_buckets)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "clean_text": pc.cast(batch["clean_text"], pa.string()),
+            "n_kept": pc.cast(batch["n_kept"], pa.int64()),
+            "n_removed": pc.cast(batch["n_removed"], pa.int64()),
         })
 
     return final.map_batches(fin, batch_format="pyarrow", batch_size=None)

@@ -80,6 +80,40 @@ def test_neighbor_jaccard_local_vs_distributed():
     assert local.set_index(["subj", "obj"]).loc[("d", "e"), "common"] == 0
 
 
+def test_boilerplate_scrub_removes_global_chunks():
+    from dug_ray.stages.text_index import boilerplate_scrub
+    shared = "a b c d e f g h"          # one exact 8-token chunk
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [shared + " t1 t2",      # chunk + unique 2-token tail
+                 shared + " u1",         # same chunk + different tail
+                 shared],                # fully boilerplate
+    }))
+    out = boilerplate_scrub(docs, num_buckets=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "clean_text"] == "t1 t2"
+    assert out.loc[2, "clean_text"] == "u1"
+    assert out.loc[3, "clean_text"] == ""          # doc survives, empty
+    assert out["n_removed"].tolist() == [1, 1, 1]
+    assert out["n_kept"].tolist() == [1, 1, 0]
+
+
+def test_boilerplate_scrub_keeps_order_and_unique_docs():
+    from dug_ray.stages.text_index import boilerplate_scrub
+    dup = " ".join(f"d{i}" for i in range(8))
+    keep1 = " ".join(f"k{i}" for i in range(8))
+    keep2 = " ".join(f"m{i}" for i in range(8))
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [7, 8],
+        # kept chunks must re-join in original order around the removed one
+        "text": [f"{keep1} {dup} {keep2}", dup],
+    }))
+    out = boilerplate_scrub(docs, num_buckets=4).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[7, "clean_text"] == f"{keep1} {keep2}"
+    assert out.loc[7, "n_kept"] == 2 and out.loc[7, "n_removed"] == 1
+
+
 def test_bfs_levels_edge_free_graph():
     t = ray.data.from_pandas(
         pd.DataFrame({"subj": pd.Series([], dtype=object),
