@@ -2334,6 +2334,29 @@ SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM r WHERE sample_rank <= 5"""
 
 
+def q_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    """Efraimidis-Spirakis weighted sample without replacement (stages/
+    sampling.weighted_sample): top-20 docs by exponential arrival key
+    -ln((md5_32(doc_id)+1)/2^32) / n_chars — libm-exact on both engines."""
+    from dug_ray.stages.sampling import weighted_sample
+    return weighted_sample(
+        read_documents(sf_dir, columns=["doc_id", "source", "n_chars"]))
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH h AS (SELECT doc_id, source, n_chars,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS h32
+           FROM documents),
+s AS (SELECT doc_id, source, n_chars,
+             -ln((CAST(h32 AS DOUBLE) + 1.0) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS skey
+      FROM h)
+SELECT doc_id, source, n_chars, skey,
+       CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS rank
+FROM s ORDER BY skey, doc_id LIMIT 20"""
+
+
 def _sql_wq(col: str = "source") -> str:
     """Render the MIXTURE_WEIGHTS fixture (sampling.mixture_quarters) as
     the equivalent SQL: explicit CASE arms for mapped sources, the
@@ -2398,12 +2421,14 @@ GROUP BY s.doc_id"""
 
 QUERIES.update({
     "group_sample": q_group_sample,
+    "weighted_sample": q_weighted_sample,
     "mixture_sample": q_mixture_sample,
     "mixture_rows": q_mixture_rows,
     "decontam": q_decontam,
 })
 ORACLES.update({
     "group_sample": SQL_GROUP_SAMPLE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "mixture_rows": SQL_MIXTURE_ROWS,
     "decontam": SQL_DECONTAM,
@@ -4193,7 +4218,7 @@ _DRIVER_FRONT = [
     # new or engine-changed in round 5: new oracles (lsh_ann/ivf_ann/
     # xml_elements), the distributed ann_topk finalize, and the nine new
     # operators — these MUST land in the driver window
-    "boilerplate_scrub",
+    "boilerplate_scrub", "weighted_sample",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
     "value_histogram", "epoch_shuffle", "snapshot_diff", "label_spread",

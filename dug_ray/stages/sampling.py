@@ -222,3 +222,59 @@ def decontaminate(docs: ray.data.Dataset, bench_mod: int = 97) -> ray.data.Datas
                          "n_contam": pa.array(g["n_contam"], pa.int64())})
 
     return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+
+def weighted_sample(docs: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement: the
+    ``k`` docs with the smallest exponential arrival key
+    ``-ln(u) / w`` where ``u = (md5_32(doc_id) + 1) / 2^32`` and the
+    weight ``w`` is ``n_chars`` — longer docs proportionally likelier,
+    the standard one-pass weighted reservoir at corpus scale (A-ES,
+    Efraimidis & Spirakis 2006).
+
+    Deterministic and oracle-exact: ``u`` is integer-derived (same md5
+    bridge as every sampler here), and the key is ONE float expression
+    over exact ints evaluated by libm ``log`` on both engines (the
+    tf-idf discipline).  Shape: per-batch key + local top-k combiner,
+    so only ``k`` rows per block reach the bounded final merge — the
+    whole corpus is never sorted.
+
+    Output: (doc_id, source, n_chars, skey, rank), rank 1..k by
+    (skey asc, doc_id asc)."""
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["doc_id", "source", "n_chars"]]
+        h = md5_int(df["doc_id"].to_numpy())
+        # u in (0, 1]: never ln(0); floats exact (h+1 <= 2^32 << 2^53)
+        u = (h.astype(np.float64) + 1.0) * 2.0 ** -32
+        w = df["n_chars"].to_numpy().astype(np.float64)
+        # libm log (math.log), not np.log: DuckDB's ln is libm, np.log's
+        # SIMD path can differ in the last ulp (tf-idf/PMI discipline).
+        # The scalar loop is not this stage's bottleneck — the md5 above
+        # costs more per row than libm log.
+        logs = np.fromiter((math.log(x) for x in u), dtype=np.float64,
+                           count=len(u))
+        df["skey"] = -logs / w
+        df = df.sort_values(["skey", "doc_id"], kind="mergesort").head(k)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "source": pa.array(df["source"], pa.string()),
+            "n_chars": pa.array(df["n_chars"].to_numpy(), pa.int64()),
+            "skey": pa.array(df["skey"].to_numpy(), pa.float64()),
+        })
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+    # bounded final: <= k x num_blocks candidate rows
+    df = (partials.to_pandas()
+          .sort_values(["skey", "doc_id"], kind="mergesort").head(k)
+          .reset_index(drop=True))
+    df["rank"] = (df.index + 1).astype("int64")
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+        "source": pa.array(df["source"], pa.string()),
+        "n_chars": pa.array(df["n_chars"].to_numpy(), pa.int64()),
+        "skey": pa.array(df["skey"].to_numpy(), pa.float64()),
+        "rank": pa.array(df["rank"].to_numpy(), pa.int64()),
+    }))

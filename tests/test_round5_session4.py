@@ -114,6 +114,31 @@ def test_boilerplate_scrub_keeps_order_and_unique_docs():
     assert out.loc[7, "n_kept"] == 2 and out.loc[7, "n_removed"] == 1
 
 
+def test_weighted_sample_matches_reference_keys():
+    import hashlib
+    import math
+
+    from dug_ray.stages.sampling import weighted_sample
+    docs = pd.DataFrame({
+        "doc_id": list(range(1, 41)),
+        "source": [f"s{i % 3}" for i in range(40)],
+        "n_chars": [50 + 13 * (i % 7) for i in range(40)],
+    })
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return -math.log((h + 1) / 2 ** 32) / w
+
+    expect = docs.assign(skey=[key(d, w) for d, w in
+                               zip(docs["doc_id"], docs["n_chars"])])
+    expect = expect.sort_values(["skey", "doc_id"]).head(20) \
+                   .reset_index(drop=True)
+    got = weighted_sample(ray.data.from_pandas(docs), k=20).to_pandas()
+    assert got["doc_id"].tolist() == expect["doc_id"].tolist()
+    assert got["skey"].tolist() == expect["skey"].tolist()  # bit-exact
+    assert got["rank"].tolist() == list(range(1, 21))
+
+
 def test_bfs_levels_edge_free_graph():
     t = ray.data.from_pandas(
         pd.DataFrame({"subj": pd.Series([], dtype=object),
