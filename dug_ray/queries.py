@@ -4163,7 +4163,32 @@ SELECT event_type, cents AS mode_cents, n AS n_mode
 FROM r WHERE rk = 1"""
 
 
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]  # declared pivot domain
+
+
+def q_lang_pivot(sf_dir: str) -> ray.data.Dataset:
+    """PIVOT (stages/rollup.pivot_counts): per source, one count column
+    per declared language plus n_other / n_total — the schema is fixed
+    by the declared domain, never by the data."""
+    from dug_ray.stages.rollup import pivot_counts
+    return pivot_counts(
+        read_documents(sf_dir, columns=["doc_id", "source", "lang"]),
+        "source", "lang", PIVOT_LANGS)
+
+
+SQL_LANG_PIVOT = ("SELECT source, "
+                  + ", ".join(
+                      f"CAST(sum(CASE WHEN lang = '{v}' THEN 1 ELSE 0 END)"
+                      f" AS BIGINT) AS n_{v}" for v in PIVOT_LANGS)
+                  + ", CAST(sum(CASE WHEN lang NOT IN ("
+                  + ", ".join(f"'{v}'" for v in PIVOT_LANGS)
+                  + ") THEN 1 ELSE 0 END) AS BIGINT) AS n_other"
+                  + ", CAST(count(*) AS BIGINT) AS n_total"
+                  + " FROM documents GROUP BY source")
+
+
 QUERIES.update({
+    "lang_pivot": q_lang_pivot,
     "bfs_levels": q_bfs_levels,
     "neighbor_jaccard": q_neighbor_jaccard,
     "rollup_orders": q_rollup_orders,
@@ -4182,6 +4207,7 @@ QUERIES.update({
     "value_mode": q_value_mode,
 })
 ORACLES.update({
+    "lang_pivot": SQL_LANG_PIVOT,
     "bfs_levels": SQL_BFS_LEVELS,
     "neighbor_jaccard": SQL_NEIGHBOR_JACCARD,
     "rollup_orders": SQL_ROLLUP_ORDERS,
@@ -4218,7 +4244,7 @@ _DRIVER_FRONT = [
     # new or engine-changed in round 5: new oracles (lsh_ann/ivf_ann/
     # xml_elements), the distributed ann_topk finalize, and the nine new
     # operators — these MUST land in the driver window
-    "boilerplate_scrub", "weighted_sample",
+    "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
     "value_histogram", "epoch_shuffle", "snapshot_diff", "label_spread",

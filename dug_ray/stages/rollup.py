@@ -128,3 +128,51 @@ def grouping_sets_aggregate(ds: ray.data.Dataset,
             levels.append(bucketed_group_apply(
                 finest, list(s), _merge_at(list(s)), num_buckets))
     return levels[0] if len(levels) == 1 else ray.data.Dataset.union(*levels)
+
+
+def pivot_counts(ds: ray.data.Dataset,
+                 group_col: str,
+                 pivot_col: str,
+                 domain: list[str],
+                 num_buckets: int = 8) -> ray.data.Dataset:
+    """PIVOT: per ``group_col`` row, one int64 count column per declared
+    ``domain`` value of ``pivot_col`` (``n_<value>``), plus ``n_other``
+    (values outside the domain) and ``n_total``.
+
+    The pivot contract REQUIRES a declared column domain — a schema
+    cannot depend on the data at 10^12 rows (a late block discovering a
+    new value cannot retroactively widen every earlier block), so
+    undeclared values fold into ``n_other`` instead of new columns; the
+    SQL oracle is the matching conditional-sum projection.
+
+    Shape: per-batch crosstab partial (one row per (group, declared
+    column) per batch — already wide, so the single exchange carries
+    group-cardinality rows), then an exact bucketed column-wise sum.
+    """
+    cols = [f"n_{v}" for v in domain]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[[group_col, pivot_col]]
+        out = pd.DataFrame({group_col: df[group_col].unique()})
+        out = out.set_index(group_col)
+        for v, c in zip(domain, cols):
+            out[c] = df[df[pivot_col] == v].groupby(group_col).size()
+        out["n_other"] = df[~df[pivot_col].isin(set(domain))] \
+            .groupby(group_col).size()
+        out["n_total"] = df.groupby(group_col).size()
+        out = out.fillna(0).astype("int64").reset_index()
+        return typed_table(out, **{group_col: pa.string()},
+                           **{c: pa.int64() for c in
+                              cols + ["n_other", "n_total"]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(group_col, as_index=False)[
+            cols + ["n_other", "n_total"]].sum()
+        return typed_table(g, **{group_col: pa.string()},
+                           **{c: pa.int64() for c in
+                              cols + ["n_other", "n_total"]})
+
+    return bucketed_group_apply(partials, group_col, merge, num_buckets)

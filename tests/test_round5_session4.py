@@ -139,6 +139,19 @@ def test_weighted_sample_matches_reference_keys():
     assert got["rank"].tolist() == list(range(1, 21))
 
 
+def test_pivot_counts_declared_domain_and_other():
+    from dug_ray.stages.rollup import pivot_counts
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "source": ["a", "a", "a", "b", "b"],
+        "lang": ["en", "en", "xx", "de", "yy"],   # xx/yy undeclared
+    }))
+    out = pivot_counts(ds, "source", "lang", ["de", "en"], num_buckets=2) \
+        .to_pandas().set_index("source").sort_index()
+    assert out.loc["a"].tolist() == [0, 2, 1, 3]  # n_de n_en n_other n_total
+    assert out.loc["b"].tolist() == [1, 0, 1, 2]
+    assert list(out.columns) == ["n_de", "n_en", "n_other", "n_total"]
+
+
 def test_bfs_levels_edge_free_graph():
     t = ray.data.from_pandas(
         pd.DataFrame({"subj": pd.Series([], dtype=object),
