@@ -4227,6 +4227,124 @@ ORACLES.update({
 })
 
 
+def q_measure_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """UNPIVOT (stages/rollup.unpivot): lineitem's four money/quantity
+    measures melted to long (orderkey, linenumber, measure, cents) rows —
+    map-only, zero shuffle; the long form streams and is never
+    materialized whole.  Bounded to the l_orderkey % 20 slice so the
+    driver compare stays compact."""
+    from dug_ray.stages.rollup import unpivot
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_orderkey"] % 20 == 0]
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "l_linenumber": df["l_linenumber"].astype("int64"),
+            "qty_c": (df["l_quantity"] * 100).round().astype("int64"),
+            "price_c": (df["l_extendedprice"] * 100).round().astype("int64"),
+            "disc_c": (df["l_discount"] * 100).round().astype("int64"),
+            "tax_c": (df["l_tax"] * 100).round().astype("int64"),
+        })
+
+    prepared = ds.map_batches(to_cents, batch_format="pandas",
+                              batch_size=None)
+    melted = unpivot(prepared, ["l_orderkey", "l_linenumber"],
+                     ["qty_c", "price_c", "disc_c", "tax_c"],
+                     var_name="measure", value_name="cents")
+    return _norm(melted, int_cols=("cents",))
+
+
+SQL_MEASURE_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, measure, cents FROM (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_c,
+         CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_c
+  FROM lineitem WHERE l_orderkey % 20 = 0
+) UNPIVOT (cents FOR measure IN (qty_c, price_c, disc_c, tax_c))"""
+
+
+def q_table_checksum(sf_dir: str) -> ray.data.Dataset:
+    """Order-independent per-source fingerprint of the documents table
+    (stages/integrity.table_checksum): wrapping uint64 sum of per-row
+    md5s — identical regardless of partitioning/order, the integrity
+    check for a resumed or re-exported 100 TB ingest."""
+    from dug_ray.stages.integrity import table_checksum
+    return table_checksum(
+        read_documents(sf_dir,
+                       columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]),
+        "source", ["doc_id", "text", "lang", "n_chars"])
+
+
+SQL_TABLE_CHECKSUM = """
+WITH h AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) || lang
+           || chr(31) || CAST(n_chars AS VARCHAR)), 1, 16)) AS UBIGINT)
+           AS hv
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       lower(lpad(to_hex(
+              CAST(sum(CAST(hv AS HUGEINT))
+                   % 18446744073709551616 AS UBIGINT)), 16, '0')) AS checksum
+FROM h GROUP BY source"""
+
+
+def q_scd2_intervals(sf_dir: str) -> ray.data.Dataset:
+    """SCD2 temporal-table build: each user's event stream becomes
+    closed validity intervals [valid_from, valid_to) in exact
+    microseconds, state = event_type — the LEAD-window history-table
+    shape.  Per-user work lands in one hash bucket (bucketed mergesort +
+    vectorized shift); open (last) intervals are omitted per SQL
+    ``WHERE valid_to IS NOT NULL``."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df["valid_from"] = df["ts"].astype("int64")
+        df["valid_to"] = df.groupby("user_id")["valid_from"].shift(-1)
+        out = df.dropna(subset=["valid_to"])
+        return typed_table(
+            out.rename(columns={"event_type": "state"}),
+            user_id=pa.int64(), event_id=pa.int64(), state=pa.string(),
+            valid_from=pa.int64(), valid_to=pa.int64())
+
+    return bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+
+SQL_SCD2_INTERVALS = """
+WITH e AS (
+  SELECT user_id, event_id, event_type AS state,
+         epoch_us(ts) AS valid_from,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+  FROM events)
+SELECT user_id, event_id, state, valid_from,
+       CAST(valid_to AS BIGINT) AS valid_to
+FROM e WHERE valid_to IS NOT NULL"""
+
+
+QUERIES.update({
+    "measure_unpivot": q_measure_unpivot,
+    "table_checksum": q_table_checksum,
+    "scd2_intervals": q_scd2_intervals,
+})
+ORACLES.update({
+    "measure_unpivot": SQL_MEASURE_UNPIVOT,
+    "table_checksum": SQL_TABLE_CHECKSUM,
+    "scd2_intervals": SQL_SCD2_INTERVALS,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

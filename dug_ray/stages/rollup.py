@@ -176,3 +176,28 @@ def pivot_counts(ds: ray.data.Dataset,
                               cols + ["n_other", "n_total"]})
 
     return bucketed_group_apply(partials, group_col, merge, num_buckets)
+
+
+def unpivot(ds: ray.data.Dataset,
+            id_cols: list[str],
+            value_cols: list[str],
+            var_name: str = "measure",
+            value_name: str = "value") -> ray.data.Dataset:
+    """UNPIVOT / melt — wide measure columns to long (id, measure, value)
+    rows, the inverse of ``pivot_counts``.
+
+    Map-only: each batch melts independently (pandas ``melt`` is a C-speed
+    tile + repeat), so the operator is ZERO-shuffle and streams — output
+    size is rows x len(value_cols) but no block ever holds more than one
+    melted batch, which is what makes it safe at corpus scale where the
+    long form would never fit materialized.  All ``value_cols`` must share
+    one dtype (melt would otherwise upcast to object); callers convert
+    money to integer cents first.
+    """
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(id_vars=id_cols, value_vars=value_cols,
+                      var_name=var_name, value_name=value_name)
+        out[var_name] = out[var_name].astype(str)
+        return out
+
+    return ds.map_batches(melt, batch_format="pandas", batch_size=None)
