@@ -4345,6 +4345,128 @@ ORACLES.update({
 })
 
 
+def q_price_regression(sf_dir: str) -> ray.data.Dataset:
+    """Per-returnflag OLS of price on quantity (stages/stats.grouped_ols):
+    mergeable integer moment sums (n, Sx, Sy, Sxy, Sxx) per batch, final
+    slope/intercept from unbounded Python ints — bit-identical to a
+    single-machine pass for any partitioning, no streaming-float drift."""
+    from dug_ray.stages.stats import grouped_ols
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "x": (df["l_quantity"] * 100).round().astype("int64"),
+            "y": (df["l_extendedprice"] * 100).round().astype("int64"),
+        })
+
+    prepared = ds.map_batches(to_cents, batch_format="pandas",
+                              batch_size=None)
+    return grouped_ols(prepared, "l_returnflag", "x", "y", num_buckets=4)
+
+
+SQL_PRICE_REGRESSION = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM m GROUP BY l_returnflag),
+r AS (
+  SELECT l_returnflag, n, sx, sy,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+  FROM s WHERE n * sxx - sx * sx != 0)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n, slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM r"""
+
+
+def q_lang_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-language doc-length quantiles via a value-count histogram
+    (stages/stats.histogram_quantiles): the exchange carries
+    O(langs x distinct lengths) count rows, not O(docs) values — the
+    quantile shape that survives 100 TB, unlike char_quantiles' per-group
+    sort which ships every row to its bucket."""
+    from dug_ray.stages.stats import histogram_quantiles
+    ds = read_documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    return histogram_quantiles(
+        ds, "lang", "n_chars",
+        {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99}, num_buckets=4)
+
+
+SQL_LANG_QUANTILES = """
+SELECT lang, count(*) AS n,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+FROM documents GROUP BY lang"""
+
+
+def q_interval_concurrency(sf_dir: str) -> ray.data.Dataset:
+    """Sweep-line max concurrency (stages/stats.sweep_concurrency): each
+    event opens a 5-minute [ts, ts+300s) window; per event_type, the
+    maximum number of simultaneously-open windows and the earliest
+    microsecond it is reached.  Boundary explode is map-only; per-type
+    streams co-locate in one hash bucket; ends retire before same-instant
+    starts (closed-open)."""
+    from dug_ray.stages.stats import sweep_concurrency
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def to_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        start = df["ts"].astype("int64")
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "start_us": start,
+                             "end_us": start + 300_000_000})
+
+    prepared = ds.map_batches(to_intervals, batch_format="pandas",
+                              batch_size=None)
+    return sweep_concurrency(prepared, "event_type", "start_us", "end_us",
+                             num_buckets=4)
+
+
+SQL_INTERVAL_CONCURRENCY = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + 300000000 AS t, -1 AS delta
+  FROM events),
+c AS (
+  SELECT event_type, t, delta,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS open
+  FROM b),
+r AS (
+  SELECT event_type, open, t,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY open DESC, t, delta) AS rn
+  FROM c)
+SELECT event_type, CAST(open AS BIGINT) AS max_open, t AS at_t
+FROM r WHERE rn = 1"""
+
+
+QUERIES.update({
+    "price_regression": q_price_regression,
+    "lang_quantiles": q_lang_quantiles,
+    "interval_concurrency": q_interval_concurrency,
+})
+ORACLES.update({
+    "price_regression": SQL_PRICE_REGRESSION,
+    "lang_quantiles": SQL_LANG_QUANTILES,
+    "interval_concurrency": SQL_INTERVAL_CONCURRENCY,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -4360,8 +4482,10 @@ ORACLES.update({
 
 _DRIVER_FRONT = [
     # new or engine-changed in round 5: new oracles (lsh_ann/ivf_ann/
-    # xml_elements), the distributed ann_topk finalize, and the nine new
+    # xml_elements), the distributed ann_topk finalize, and the new
     # operators — these MUST land in the driver window
+    "measure_unpivot", "table_checksum", "scd2_intervals",
+    "price_regression", "lang_quantiles", "interval_concurrency",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -22,6 +22,55 @@ def test_unpivot_melts_wide_to_long():
         {(1, "a"), (1, "b"), (2, "a"), (2, "b")}
 
 
+def test_grouped_ols_partition_independent_and_exact():
+    from dug_ray.stages.stats import grouped_ols
+    rng = pd.DataFrame({
+        "g": ["a"] * 6 + ["b"] * 4 + ["c"] * 2,
+        "x": [1, 2, 3, 4, 5, 6, 10, 20, 30, 40, 7, 7],
+        "y": [3, 5, 7, 9, 11, 13, 5, 4, 3, 2, 1, 9],
+    })
+    one = grouped_ols(ray.data.from_pandas(rng), "g", "x", "y",
+                      num_buckets=2).to_pandas().set_index("g").sort_index()
+    two = grouped_ols(
+        ray.data.from_pandas(rng.sample(frac=1.0, random_state=3))
+        .repartition(4), "g", "x", "y",
+        num_buckets=3).to_pandas().set_index("g").sort_index()
+    pd.testing.assert_frame_equal(one, two)  # bit-identical across splits
+    # a: y = 2x + 1 exactly; c: x constant -> degenerate, dropped
+    assert one.loc["a", "slope"] == 2.0 and one.loc["a", "intercept"] == 1.0
+    assert "c" not in one.index and one.loc["b", "n"] == 4
+
+
+def test_histogram_quantiles_matches_sort_pick():
+    from dug_ray.stages.stats import histogram_quantiles
+    import numpy as np
+    vals = np.array([5, 1, 9, 1, 7, 3, 3, 3, 8, 2], dtype="int64")
+    df = pd.DataFrame({"g": ["x"] * len(vals), "v": vals})
+    out = histogram_quantiles(ray.data.from_pandas(df).repartition(3),
+                              "g", "v", {"p50": 0.5, "p90": 0.9},
+                              num_buckets=2).to_pandas().iloc[0]
+    s = np.sort(vals)
+    # quantile_disc: sorted[ceil(q*n)] 1-based
+    assert out["p50"] == s[int(np.ceil(0.5 * len(s))) - 1]
+    assert out["p90"] == s[int(np.ceil(0.9 * len(s))) - 1]
+    assert out["n"] == len(vals)
+
+
+def test_sweep_concurrency_closed_open_ties():
+    from dug_ray.stages.stats import sweep_concurrency
+    # [0,10) [10,20): end-at-10 retires before start-at-10 -> max 1;
+    # [0,10) [5,15) overlap on [5,10) -> max 2 first reached at t=5
+    df = pd.DataFrame({
+        "g": ["chain", "chain", "lap", "lap"],
+        "s": [0, 10, 0, 5],
+        "e": [10, 20, 10, 15],
+    })
+    out = sweep_concurrency(ray.data.from_pandas(df), "g", "s", "e",
+                            num_buckets=2).to_pandas().set_index("g")
+    assert out.loc["chain", "max_open"] == 1
+    assert out.loc["lap", "max_open"] == 2 and out.loc["lap", "at_t"] == 5
+
+
 def test_table_checksum_order_and_partition_independent():
     df = pd.DataFrame({
         "grp": ["x", "x", "y", "x", "y"],
