@@ -4467,6 +4467,265 @@ ORACLES.update({
 })
 
 
+def q_table_profile(sf_dir: str) -> ray.data.Dataset:
+    """Data-quality profile of documents (stages/integrity.table_profile):
+    per-column row/null counts, exact distinct count, lexicographic
+    min/max — one pass, one O(distinct) exchange."""
+    from dug_ray.stages.integrity import table_profile
+    ds = read_documents(sf_dir,
+                        columns=["doc_id", "lang", "source", "n_chars"])
+    return table_profile(ds, ["doc_id", "lang", "source", "n_chars"])
+
+
+SQL_TABLE_PROFILE = """
+SELECT 'doc_id' AS col, count(*) AS n_rows,
+       count(*) - count(doc_id) AS n_null,
+       count(DISTINCT doc_id) AS n_distinct,
+       min(CAST(doc_id AS VARCHAR)) AS min_val,
+       max(CAST(doc_id AS VARCHAR)) AS max_val FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+       min(lang), max(lang) FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source),
+       count(DISTINCT source), min(source), max(source) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars),
+       count(DISTINCT n_chars), min(CAST(n_chars AS VARCHAR)),
+       max(CAST(n_chars AS VARCHAR)) FROM documents"""
+
+
+def q_props_extract(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured extraction: pull the integer ``k`` field out of the
+    events ``props`` JSON string with a vectorized (C-regex) matcher, then
+    per-type stats.  The fixed ``{"k": int}`` contract makes the regex
+    exact here; for arbitrary JSON swap the extractor for a per-actor
+    orjson loop — the pipeline shape (map-only extract -> combiner ->
+    tiny groupby) is unchanged."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "k": k.astype("float64")})
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), n_k=("k", "count"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"))
+        return typed_table(g, event_type=pa.string(), n=pa.int64(),
+                           n_k=pa.int64(), sum_k=pa.float64(),
+                           min_k=pa.float64(), max_k=pa.float64())
+
+    parts = (ds.map_batches(extract, batch_format="pandas",
+                            batch_size=None)
+             .map_batches(partial, batch_format="pandas", batch_size=None))
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), n_k=("n_k", "sum"), sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"), max_k=("max_k", "max"))
+        return typed_table(g, event_type=pa.string(), n=pa.int64(),
+                           n_k=pa.int64(), sum_k=pa.int64(),
+                           min_k=pa.int64(), max_k=pa.int64())
+
+    return bucketed_group_apply(parts, "event_type", final, 4)
+
+
+SQL_PROPS_EXTRACT = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, count(*) AS n, count(k) AS n_k,
+       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM e GROUP BY event_type"""
+
+
+def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER join surface (shuffle.hash_left_join): every customer
+    with order count and integer-cent spend, INCLUDING zero-order
+    customers (null right side filled to 0).  The order side is
+    pre-collapsed by a per-batch combiner so the join's right input is
+    one row per customer key, not the orders table."""
+    from dug_ray.shuffle import hash_left_join
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        g = df.groupby("o_custkey", as_index=False).agg(
+            pn=("cents", "size"), pc_=("cents", "sum"))
+        return typed_table(g, o_custkey=pa.int64(), pn=pa.int64(),
+                           pc_=pa.int64())
+
+    def merge_cust(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("pn", "sum"), spend_cents=("pc_", "sum"))
+        return typed_table(g, o_custkey=pa.int64(), n_orders=pa.int64(),
+                           spend_cents=pa.int64())
+
+    per_cust = bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=None), "o_custkey", merge_cust, 8)
+
+    joined = hash_left_join(cust, per_cust, "c_custkey", "o_custkey")
+
+    def fill(df: pd.DataFrame) -> pa.Table:
+        df["n_orders"] = df["n_orders"].fillna(0).astype("int64")
+        df["spend_cents"] = df["spend_cents"].fillna(0).astype("int64")
+        return typed_table(df, c_custkey=pa.int64(),
+                           c_mktsegment=pa.string(), n_orders=pa.int64(),
+                           spend_cents=pa.int64())
+
+    return joined.map_batches(fill, batch_format="pandas", batch_size=None)
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+WITH o AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders GROUP BY o_custkey)
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(o.spend_cents, 0) AS BIGINT) AS spend_cents
+FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey"""
+
+
+def q_q5_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q5-shaped FIVE-table join: revenue per ASIA nation for 1996
+    orders where supplier and customer share the nation.  Plan: nation x
+    region and the supplier->nation map broadcast once (ray.put);
+    customer |><| orders and orders |><| lineitem are PARTITIONED hash
+    joins (both sides corpus-sized at scale); the supplier-nation check
+    is a per-batch broadcast probe after the wide joins, so the only
+    exchanges are the two key-bucketed joins.  Integer-cents revenue
+    (price_c x (10000 - disc_bp), q3_shipping channel)."""
+    import datetime as _dt
+    from dug_ray.shuffle import hash_join
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1997, 1, 1)
+
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    asia = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(asia)]
+    nation_name = dict(zip(nat["n_nationkey"].astype("int64"),
+                           nat["n_name"]))  # tiny: |nations in region|
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"]
+                                ).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nation_name)]
+    # broadcast: suppkey -> nationkey for ASIA suppliers (|S|/5 rows —
+    # ray.put once, read per batch, never re-shipped)
+    sup_ref = ray.put(dict(zip(sup["s_suppkey"].astype("int64"),
+                               sup["s_nationkey"].astype("int64"))))
+    nat_ref = ray.put(nation_name)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+
+    def cust_asia(df: pd.DataFrame) -> pa.Table:
+        names = ray.get(nat_ref)
+        df = df[df["c_nationkey"].isin(names)]
+        return typed_table(df, c_custkey=pa.int64(),
+                           c_nationkey=pa.int64())
+
+    cust_f = cust.map_batches(cust_asia, batch_format="pandas",
+                              batch_size=None)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_1996(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["o_orderdate"],
+                                        pa.scalar(lo)),
+                       pc.less(batch["o_orderdate"], pa.scalar(hi)))
+        t = batch.filter(keep)
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    orders_f = orders.map_batches(ord_1996, batch_format="pyarrow",
+                                  batch_size=None)
+    co = hash_join(orders_f, cust_f, "o_custkey", "c_custkey")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def li_cents(df: pd.DataFrame) -> pa.Table:
+        price_c = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (df["l_discount"] * 10000).round().astype("int64")
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"],
+                            "l_suppkey": df["l_suppkey"],
+                            "rev_c": price_c * (10000 - disc_bp)})
+        return typed_table(out, l_orderkey=pa.int64(),
+                           l_suppkey=pa.int64(), rev_c=pa.int64())
+
+    li_c = li.map_batches(li_cents, batch_format="pandas", batch_size=None)
+    wide = hash_join(li_c, co, "l_orderkey", "o_orderkey")
+
+    def nation_rev(df: pd.DataFrame) -> pa.Table:
+        sup_nat = ray.get(sup_ref)
+        names = ray.get(nat_ref)
+        s_nat = df["l_suppkey"].map(sup_nat)
+        df = df[s_nat.notna() & (s_nat == df["c_nationkey"])]
+        df = df.assign(n_name=df["c_nationkey"].map(names))
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue_cents=("rev_c", "sum"))
+        return typed_table(g, n_name=pa.string(),
+                           revenue_cents=pa.int64())
+
+    parts = wide.map_batches(nation_rev, batch_format="pandas",
+                             batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"))
+        return typed_table(g, n_name=pa.string(),
+                           revenue_cents=pa.int64())
+
+    return bucketed_group_apply(parts, "n_name", final, 4)
+
+
+SQL_Q5_REVENUE = """
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (10000 - CAST(round(l.l_discount * 10000, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name"""
+
+
+QUERIES.update({
+    "table_profile": q_table_profile,
+    "props_extract": q_props_extract,
+    "customer_order_counts": q_customer_order_counts,
+    "q5_revenue": q_q5_revenue,
+})
+ORACLES.update({
+    "table_profile": SQL_TABLE_PROFILE,
+    "props_extract": SQL_PROPS_EXTRACT,
+    "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
+    "q5_revenue": SQL_Q5_REVENUE,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -4486,6 +4745,8 @@ _DRIVER_FRONT = [
     # operators — these MUST land in the driver window
     "measure_unpivot", "table_checksum", "scd2_intervals",
     "price_regression", "lang_quantiles", "interval_concurrency",
+    "table_profile", "props_extract", "customer_order_counts",
+    "q5_revenue",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

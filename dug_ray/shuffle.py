@@ -228,6 +228,34 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     return bucketed_group_apply(u, "_jk", per_bucket, num_buckets)
 
 
+def hash_left_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                   left_key: str, right_key: str,
+                   num_buckets: int = 32) -> ray.data.Dataset:
+    """Partitioned LEFT OUTER join: every ``left`` row appears exactly
+    once per match, or once with the right columns null when unmatched.
+
+    SQL semantics throughout: a null left key matches nothing but the
+    row is KEPT (pandas ``merge`` would match NaN==NaN, so null-keyed
+    left rows bypass the merge and are appended with null right columns).
+    Same single exchange as ``hash_join``; unmatched right columns come
+    back as NaN/None — callers fill + retype (see
+    queries.q_customer_order_counts)."""
+    u, lcols, rcols = _tagged_union(left, right, left_key, right_key)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        li = df[df["_side"] == "l"]
+        lm, ln = li[li["_jk"].notna()], li[li["_jk"].isna()]
+        ri = df[(df["_side"] == "r") & df["_jk"].notna()][rcols + ["_jk"]]
+        out = lm[lcols + ["_jk"]].merge(ri, on="_jk", how="left",
+                                        sort=False).drop(columns=["_jk"])
+        if len(ln):
+            out = pd.concat([out, ln[lcols].reindex(columns=out.columns)],
+                            ignore_index=True)
+        return out
+
+    return bucketed_group_apply(u, "_jk", per_bucket, num_buckets)
+
+
 def hash_anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
                    left_key: str, right_key: str,
                    num_buckets: int = 32) -> ray.data.Dataset:

@@ -35,6 +35,64 @@ def _wrap_sum(s: pd.Series) -> np.uint64:
     return np.add.reduce(s.to_numpy(dtype=np.uint64), dtype=np.uint64)
 
 
+def table_profile(ds: ray.data.Dataset, cols: list[str],
+                  num_buckets: int = 8) -> ray.data.Dataset:
+    """Per-column data-quality profile: row/null counts, EXACT distinct
+    count, lexicographic min/max of the string form.
+
+    One pass, one exchange: each batch melts the profiled columns to
+    (col, val) string pairs, keeps the batch-DISTINCT pairs plus one
+    count row per column (val NULL, n_rows/n_null populated) — so the
+    exchange carries O(cols x distinct values + cols x blocks) rows,
+    never the corpus.  Final per-column reduce inside the (col,) bucket.
+    Output: ``(col, n_rows, n_null, n_distinct, min_val, max_val)``;
+    min/max are over the STRING cast (the SQL mirror casts before
+    min/max too, so int columns compare lexicographically on both
+    sides).  At 100 TB a column whose distinct count approaches the row
+    count (a key) still only moves its values once, pre-deduped per
+    batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        frames = []
+        for c in cols:
+            s = pc.cast(batch[c], pa.string()).to_pandas()
+            vals = s.dropna().drop_duplicates()
+            frames.append(pd.DataFrame({
+                "col": c, "val": vals, "n_rows": 0, "n_null": 0}))
+            frames.append(pd.DataFrame({
+                "col": [c], "val": [None], "n_rows": [len(s)],
+                "n_null": [int(s.isna().sum())]}))
+        out = pd.concat(frames, ignore_index=True)
+        return typed_table(out, col=pa.string(), val=pa.string(),
+                           n_rows=pa.int64(), n_null=pa.int64())
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for c, g in df.groupby("col", sort=False):
+            # distinct-value rows carry a non-null val (count rows never
+            # do: their val is NULL by construction, even for empty batches)
+            vals = g.loc[g["val"].notna(), "val"].drop_duplicates()
+            rows.append({
+                "col": c,
+                "n_rows": int(g["n_rows"].sum()),
+                "n_null": int(g["n_null"].sum()),
+                "n_distinct": int(len(vals)),
+                "min_val": vals.min() if len(vals) else None,
+                "max_val": vals.max() if len(vals) else None,
+            })
+        out = pd.DataFrame(rows, columns=["col", "n_rows", "n_null",
+                                          "n_distinct", "min_val",
+                                          "max_val"])
+        return typed_table(out, col=pa.string(), n_rows=pa.int64(),
+                           n_null=pa.int64(), n_distinct=pa.int64(),
+                           min_val=pa.string(), max_val=pa.string())
+
+    return bucketed_group_apply(partials, "col", final, num_buckets)
+
+
 def table_checksum(ds: ray.data.Dataset, group_col: str,
                    cols: list[str], num_buckets: int = 8) -> ray.data.Dataset:
     """Per-``group_col`` order-independent fingerprint of ``cols``.

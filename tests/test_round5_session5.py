@@ -71,6 +71,40 @@ def test_sweep_concurrency_closed_open_ties():
     assert out.loc["lap", "max_open"] == 2 and out.loc["lap", "at_t"] == 5
 
 
+def test_hash_left_join_keeps_unmatched_and_null_keys():
+    from dug_ray.shuffle import hash_left_join
+    left = ray.data.from_pandas(pd.DataFrame({
+        "lk": pd.array([1, 2, None, 1], dtype="Int64"),
+        "lval": ["a", "b", "c", "d"]}))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "rk": pd.array([1, 3, None], dtype="Int64"),
+        "rval": ["X", "Y", "Z"]}))
+    out = hash_left_join(left, right, "lk", "rk").to_pandas()
+    # every left row survives; only lk=1 matches (twice); the right-side
+    # null key matches nothing (SQL semantics)
+    assert len(out) == 4
+    got = out.set_index("lval")["rval"].to_dict()
+    assert got["a"] == "X" and got["d"] == "X"
+    assert pd.isna(got["b"]) and pd.isna(got["c"])
+
+
+def test_table_profile_counts_nulls_and_distinct():
+    from dug_ray.stages.integrity import table_profile
+    df = pd.DataFrame({
+        "s": ["b", None, "a", "b", None],
+        "n": [5, 2, 2, 9, 2],
+    })
+    out = (table_profile(ray.data.from_pandas(df).repartition(3),
+                         ["s", "n"], num_buckets=2)
+           .to_pandas().set_index("col"))
+    assert out.loc["s", "n_rows"] == 5 and out.loc["s", "n_null"] == 2
+    assert out.loc["s", "n_distinct"] == 2
+    assert out.loc["s", "min_val"] == "a" and out.loc["s", "max_val"] == "b"
+    assert out.loc["n", "n_null"] == 0 and out.loc["n", "n_distinct"] == 3
+    # min/max are over the STRING cast: lexicographic, so "2" < "5" < "9"
+    assert out.loc["n", "min_val"] == "2" and out.loc["n", "max_val"] == "9"
+
+
 def test_table_checksum_order_and_partition_independent():
     df = pd.DataFrame({
         "grp": ["x", "x", "y", "x", "y"],
