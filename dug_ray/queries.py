@@ -4726,6 +4726,129 @@ ORACLES.update({
 })
 
 
+def q_embedding_dim_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-dimension feature moments over the embeddings list<float>
+    column — the scaler-fit primitive of a training pipeline.  Each batch
+    collapses to ONE row per dimension (column sums of the micro-unit
+    fixed-point matrix), so the exchange is O(dims x blocks); nothing
+    row-shaped moves.  Integer channel: q = floor(float64(v) * 1e6)
+    (floor, not round — round-half rules differ between numpy and SQL on
+    arbitrary floats; float32->float64 is exact so both engines floor the
+    identical product)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from dug_ray.stages.similarity import _matrix
+        m = _matrix(batch)
+        q = np.floor(m * 1e6).astype("int64")
+        dims = np.arange(1, q.shape[1] + 1, dtype="int64")
+        out = pd.DataFrame({"dim": dims, "n": len(q),
+                            "sum_micro": q.sum(axis=0),
+                            "sumsq_micro": (q * q).sum(axis=0)})
+        return typed_table(out, dim=pa.int64(), n=pa.int64(),
+                           sum_micro=pa.int64(), sumsq_micro=pa.int64())
+
+    partials = emb.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("dim", as_index=False).agg(
+            n=("n", "sum"), sum_micro=("sum_micro", "sum"),
+            sumsq_micro=("sumsq_micro", "sum"))
+        return typed_table(g, dim=pa.int64(), n=pa.int64(),
+                           sum_micro=pa.int64(), sumsq_micro=pa.int64())
+
+    return bucketed_group_apply(partials, "dim", final, 4)
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH u AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings)
+SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_micro,
+       CAST(sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS BIGINT)
+         AS sumsq_micro
+FROM u GROUP BY dim"""
+
+
+def q_name_editdist(sf_dir: str) -> ray.data.Dataset:
+    """Entity-resolution candidate scoring (stages/resolve): block part
+    names on the first token, score every same-block pair with exact
+    batch-vectorized Levenshtein, emit the (block, distance, n_pairs)
+    histogram for dist <= 4.  Pairs never cross the exchange — only one
+    row per record moves; refine the block_fn (not the operator) when a
+    block outgrows one task."""
+    from dug_ray.stages.resolve import editdist_histogram
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                  columns=["p_partkey", "p_name"])
+    return editdist_histogram(parts, "p_partkey", "p_name", max_dist=4,
+                              num_buckets=4)
+
+
+SQL_NAME_EDITDIST = """
+WITH p AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+  FROM part),
+d AS (
+  SELECT a.blk, levenshtein(a.p_name, b.p_name) AS dist
+  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+SELECT blk, CAST(dist AS BIGINT) AS dist, count(*) AS n_pairs
+FROM d WHERE dist <= 4 GROUP BY blk, dist"""
+
+
+def q_pareto_orders(sf_dir: str) -> ray.data.Dataset:
+    """Per-returnflag skyline (stages/stats.pareto_front): the distinct
+    (price, quantity) cent points not dominated by any cheaper-and-bigger
+    point.  Local skylines are mergeable, so each batch ships only its
+    own frontier."""
+    from dug_ray.stages.stats import pareto_front
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "price_c": (df["l_extendedprice"] * 100).round().astype("int64"),
+            "qty_c": (df["l_quantity"] * 100).round().astype("int64"),
+        })
+
+    prepared = ds.map_batches(to_cents, batch_format="pandas",
+                              batch_size=None)
+    return pareto_front(prepared, "l_returnflag", "price_c", "qty_c",
+                        num_buckets=4)
+
+
+SQL_PARETO_ORDERS = """
+WITH pts AS (
+  SELECT DISTINCT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_c
+  FROM lineitem)
+SELECT l_returnflag, price_c, qty_c FROM pts t
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts o
+  WHERE o.l_returnflag = t.l_returnflag
+    AND o.price_c <= t.price_c AND o.qty_c >= t.qty_c
+    AND (o.price_c < t.price_c OR o.qty_c > t.qty_c))"""
+
+
+QUERIES.update({
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "name_editdist": q_name_editdist,
+    "pareto_orders": q_pareto_orders,
+})
+ORACLES.update({
+    "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
+    "name_editdist": SQL_NAME_EDITDIST,
+    "pareto_orders": SQL_PARETO_ORDERS,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -4746,7 +4869,7 @@ _DRIVER_FRONT = [
     "measure_unpivot", "table_checksum", "scd2_intervals",
     "price_regression", "lang_quantiles", "interval_concurrency",
     "table_profile", "props_extract", "customer_order_counts",
-    "q5_revenue",
+    "q5_revenue", "embedding_dim_stats", "name_editdist", "pareto_orders",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -136,6 +136,50 @@ def histogram_quantiles(ds: ray.data.Dataset, group_col: str,
     return bucketed_group_apply(partials, group_col, final, num_buckets)
 
 
+def pareto_front(ds: ray.data.Dataset, group_col: str,
+                 min_col: str, max_col: str,
+                 num_buckets: int = 8) -> ray.data.Dataset:
+    """Per-group skyline over DISTINCT integer points: the rows not
+    dominated by any other (dominate = ``min_col`` <= AND ``max_col`` >=
+    with one strict).  Output: ``(group_col, min_col, max_col)``.
+
+    Skylines are mergeable — skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B) —
+    so each batch emits only its LOCAL skyline and the exchange carries
+    O(skyline x blocks) rows, not the corpus; the per-group final pass
+    re-runs the same scan on the surviving candidates.  The scan itself
+    is a sort + vectorized strictly-increasing filter: sort (min asc,
+    max desc), keep the best ``max_col`` per ``min_col`` value, then keep
+    points whose ``max_col`` strictly exceeds the running max of all
+    cheaper points.
+    """
+
+    def _skyline(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df.sort_values([group_col, min_col, max_col],
+                            ascending=[True, True, False], kind="mergesort")
+             .drop_duplicates(subset=[group_col, min_col]))
+        prior = (d.groupby(group_col)[max_col]
+                 .transform(lambda s: s.cummax().shift(1)))
+        return d[prior.isna() | (d[max_col] > prior)]
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = _skyline(df[[group_col, min_col, max_col]]
+                       .drop_duplicates())
+        return typed_table(out, **{group_col: pa.string(),
+                                   min_col: pa.int64(),
+                                   max_col: pa.int64()})
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        out = _skyline(df.drop_duplicates())
+        return typed_table(out, **{group_col: pa.string(),
+                                   min_col: pa.int64(),
+                                   max_col: pa.int64()})
+
+    return bucketed_group_apply(partials, group_col, final, num_buckets)
+
+
 def sweep_concurrency(ds: ray.data.Dataset, group_col: str,
                       start_col: str, end_col: str,
                       num_buckets: int = 8) -> ray.data.Dataset:

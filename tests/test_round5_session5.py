@@ -105,6 +105,45 @@ def test_table_profile_counts_nulls_and_distinct():
     assert out.loc["n", "min_val"] == "2" and out.loc["n", "max_val"] == "9"
 
 
+def test_levenshtein_batch_matches_scalar_dp():
+    from dug_ray.stages.resolve import _block_pair_hist
+
+    def ref(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    import numpy as np
+    names = ["ring", "rings", "rung", "wrong", "ring", "bolt", ""]
+    hist = _block_pair_hist(np.arange(len(names)), names, max_dist=10)
+    want: dict[int, int] = {}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            d = ref(names[i], names[j])
+            want[d] = want.get(d, 0) + 1
+    assert hist == want
+
+
+def test_pareto_front_merge_invariant():
+    from dug_ray.stages.stats import pareto_front
+    df = pd.DataFrame({
+        "g": ["a"] * 6,
+        "price": [1, 2, 2, 3, 5, 5],
+        "qty": [4, 9, 1, 9, 9, 12],
+    })
+    out = pareto_front(ray.data.from_pandas(df).repartition(4),
+                       "g", "price", "qty", num_buckets=2).to_pandas()
+    got = set(zip(out["price"], out["qty"]))
+    # (1,4) survives (cheapest); (2,9) dominates (3,9); (5,12) biggest;
+    # (2,1), (3,9), (5,9) dominated
+    assert got == {(1, 4), (2, 9), (5, 12)}
+
+
 def test_table_checksum_order_and_partition_independent():
     df = pd.DataFrame({
         "grp": ["x", "x", "y", "x", "y"],
