@@ -4849,6 +4849,106 @@ ORACLES.update({
 })
 
 
+def _events_ds(sf_dir: str, cols: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+
+def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Markov transition matrix of the event stream (stages/sequence):
+    consecutive-pair counts per user ordered by (ts, event_id), reduced
+    corpus-wide.  Per-user pairing in one bucket; only |types|^2 partial
+    counts cross the final exchange."""
+    from dug_ray.stages.sequence import event_transitions
+    return event_transitions(
+        _events_ds(sf_dir, ["user_id", "ts", "event_id", "event_type"]))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, next_type, count(*) AS n
+FROM s WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type"""
+
+
+def q_retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention triangle: first-active day x day offset distinct
+    user counts.  Distinct (user, day) combiner -> user-bucketed cohort
+    derivation -> bounded (cohort, offset) merge."""
+    from dug_ray.stages.sequence import retention_cohorts
+    return retention_cohorts(_events_ds(sf_dir, ["user_id", "ts"]))
+
+
+SQL_RETENTION_COHORTS = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events),
+c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT c.cohort_day, d.day - c.cohort_day AS offset_days,
+       count(*) AS n_users
+FROM d JOIN c USING (user_id) GROUP BY 1, 2"""
+
+
+def q_daily_actives(sf_dir: str) -> ray.data.Dataset:
+    """Per-day distinct actives / new users / cumulative distinct users
+    (running COUNT(DISTINCT) without a global distinct per day): the
+    first-seen-day trick makes the cumulative exact from bounded per-day
+    partials."""
+    from dug_ray.stages.sequence import daily_actives
+    return daily_actives(_events_ds(sf_dir, ["user_id", "ts"]))
+
+
+SQL_DAILY_ACTIVES = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events),
+f AS (SELECT user_id, min(day) AS fday FROM d GROUP BY user_id),
+a AS (SELECT day, count(*) AS n_active FROM d GROUP BY day),
+nn AS (SELECT fday AS day, count(*) AS n_new FROM f GROUP BY fday)
+SELECT a.day, a.n_active, COALESCE(nn.n_new, 0) AS n_new,
+       CAST(sum(COALESCE(nn.n_new, 0)) OVER (ORDER BY a.day) AS BIGINT)
+         AS cum_users
+FROM a LEFT JOIN nn USING (day)"""
+
+
+def q_date_spine(sf_dir: str) -> ray.data.Dataset:
+    """Calendar gap-fill scaffold: zero-filled (day, event_type) counts
+    over the full observed day range x type domain."""
+    from dug_ray.stages.sequence import date_spine_counts
+    return date_spine_counts(_events_ds(sf_dir, ["ts", "event_type"]))
+
+
+SQL_DATE_SPINE = """
+WITH e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day, event_type
+  FROM events),
+b AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
+spine AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+ty AS (SELECT DISTINCT event_type FROM e),
+c AS (SELECT day, event_type, count(*) AS n FROM e GROUP BY day, event_type)
+SELECT s.day, t.event_type, COALESCE(c.n, 0) AS n_events
+FROM spine s CROSS JOIN ty t
+LEFT JOIN c ON c.day = s.day AND c.event_type = t.event_type"""
+
+
+QUERIES.update({
+    "event_transitions": q_event_transitions,
+    "retention_cohorts": q_retention_cohorts,
+    "daily_actives": q_daily_actives,
+    "date_spine": q_date_spine,
+})
+ORACLES.update({
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
+    "daily_actives": SQL_DAILY_ACTIVES,
+    "date_spine": SQL_DATE_SPINE,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -4870,6 +4970,7 @@ _DRIVER_FRONT = [
     "price_regression", "lang_quantiles", "interval_concurrency",
     "table_profile", "props_extract", "customer_order_counts",
     "q5_revenue", "embedding_dim_stats", "name_editdist", "pareto_orders",
+    "event_transitions", "retention_cohorts", "daily_actives", "date_spine",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
