@@ -4950,6 +4950,251 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# integrity audit, Q4-shaped semi-join, temporal holdout, unigram LM ops
+# ---------------------------------------------------------------------------
+
+_FK_SPECS = [
+    ("orders", "o_custkey", "customer", "c_custkey", "orders->customer"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders"),
+    ("lineitem", "l_partkey", "part", "p_partkey", "lineitem->part"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey",
+     "lineitem->supplier"),
+    ("events", "user_id", "documents", "doc_id", "events->documents"),
+]
+
+
+def q_fk_audit(sf_dir: str) -> pa.Table:
+    """Referential-integrity profile across the table graph's five FK
+    relations (stages/integrity): dangling child rows/keys + unreferenced
+    parent keys per relation — ALL relations share one composite-keyed
+    exchange fed by one multi-role tagging pass per table."""
+    from dug_ray.stages.integrity import fk_audit_many
+    # one read per table, branched: lineitem feeds three relations and
+    # orders two, so the scan+decode runs once per table, not per relation
+    tables: dict[str, set] = {}
+    for ct, ck, pt, pk, _rel in _FK_SPECS:
+        tables.setdefault(ct, set()).add(ck)
+        tables.setdefault(pt, set()).add(pk)
+    reads = {t: ray.data.read_parquet(f"{sf_dir}/{t}.parquet",
+                                      columns=sorted(ks))
+             for t, ks in tables.items()}
+    specs = [(reads[ct], ck, reads[pt], pk, rel)
+             for ct, ck, pt, pk, rel in _FK_SPECS]
+    return fk_audit_many(specs)
+
+
+def _fk_sql(child: str, ckey: str, parent: str, pkey: str,
+            rel: str) -> str:
+    return f"""
+SELECT '{rel}' AS relation,
+       CAST(sum(n) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN NOT has_p THEN n ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       CAST(sum(CASE WHEN has_c AND NOT has_p THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan_keys,
+       CAST(sum(CASE WHEN has_p THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_parent_keys,
+       CAST(sum(CASE WHEN has_p AND NOT has_c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_childless_parents
+FROM (
+  SELECT coalesce(c.n, 0) AS n, c.k IS NOT NULL AS has_c,
+         p.k IS NOT NULL AS has_p
+  FROM (SELECT {ckey} AS k, count(*) AS n FROM {child} GROUP BY 1) c
+  FULL OUTER JOIN (SELECT DISTINCT {pkey} AS k FROM {parent}) p
+    ON c.k = p.k)"""
+
+
+SQL_FK_AUDIT = "\nUNION ALL\n".join(_fk_sql(*s) for s in _FK_SPECS)
+
+_LATE_LO = "1996-07-01"
+_LATE_HI = "1996-10-01"
+_LATE_GRACE_US = 60 * 86_400_000_000  # 60 days
+
+
+def q_late_priority(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q4-shaped EXISTS semi-join: orders placed in 1996Q3 counted
+    per priority when ANY lineitem shipped more than 60 days after the
+    order date.  EXISTS(l_shipdate > o_orderdate + 60d) folds to
+    max(l_shipdate) > o_orderdate + 60d, so the lineitem side collapses
+    to one row per order via a per-batch max combiner BEFORE the join;
+    the date window prunes orders map-side; the final reduce is the 5
+    priority rows."""
+    import datetime as _dt
+    from dug_ray.shuffle import hash_join
+    lo = _dt.datetime.fromisoformat(_LATE_LO)
+    hi = _dt.datetime.fromisoformat(_LATE_HI)
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+
+    def li_partial(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(
+            ship_us=df["l_shipdate"].astype("datetime64[us]")
+            .astype("int64"))
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            max_ship_us=("ship_us", "max"))
+        return typed_table(g, l_orderkey=pa.int64(),
+                           max_ship_us=pa.int64())
+
+    def li_merge(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            max_ship_us=("max_ship_us", "max"))
+        return typed_table(g, l_orderkey=pa.int64(),
+                           max_ship_us=pa.int64())
+
+    per_order = bucketed_group_apply(
+        li.map_batches(li_partial, batch_format="pandas",
+                       batch_size=None), "l_orderkey", li_merge, 16)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def ord_window(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)))
+        t = batch.filter(keep)
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_us": pc.cast(pc.cast(t["o_orderdate"],
+                                    pa.timestamp("us")), pa.int64()),
+            "o_orderpriority": t["o_orderpriority"]})
+
+    orders_f = orders.map_batches(ord_window, batch_format="pyarrow",
+                                  batch_size=None)
+    joined = hash_join(orders_f, per_order, "o_orderkey", "l_orderkey")
+
+    def late_partial(df: pd.DataFrame) -> pa.Table:
+        late = df[df["max_ship_us"] > df["o_us"] + _LATE_GRACE_US]
+        g = (late.groupby("o_orderpriority", as_index=False)
+             .size().rename(columns={"size": "n_late"}))
+        return typed_table(g, o_orderpriority=pa.string(),
+                           n_late=pa.int64())
+
+    parts = joined.map_batches(late_partial, batch_format="pandas",
+                               batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_late=("n_late", "sum"))
+        return typed_table(g, o_orderpriority=pa.string(),
+                           n_late=pa.int64())
+
+    return bucketed_group_apply(parts, "o_orderpriority", final, 2)
+
+
+SQL_LATE_PRIORITY = f"""
+WITH lm AS (SELECT l_orderkey, max(l_shipdate) AS ms
+            FROM lineitem GROUP BY 1)
+SELECT o.o_orderpriority, count(*) AS n_late
+FROM orders o JOIN lm ON lm.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '{_LATE_LO}'
+  AND o.o_orderdate < TIMESTAMP '{_LATE_HI}'
+  AND lm.ms > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1"""
+
+
+def q_temporal_holdout(sf_dir: str) -> ray.data.Dataset:
+    """Per-user temporal train/test split: each user's LAST event (by ts,
+    event_id) is the held-out test example; the rest train.  The split
+    decision needs only that user's rows — one user-bucketed exchange,
+    argmax + count fused in the bucket."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(ts_us=df["ts"].astype("datetime64[us]")
+                       .astype("int64"))
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            ascending=[True, False, False],
+                            kind="mergesort")
+        top = df.groupby("user_id", as_index=False).head(1)
+        n = df.groupby("user_id").size()
+        out = pd.DataFrame({
+            "user_id": top["user_id"].to_numpy(),
+            "test_event_id": top["event_id"].to_numpy(),
+            "test_ts_us": top["ts_us"].to_numpy(),
+            "n_train": n.loc[top["user_id"]].to_numpy() - 1})
+        return typed_table(out, user_id=pa.int64(),
+                           test_event_id=pa.int64(),
+                           test_ts_us=pa.int64(), n_train=pa.int64())
+
+    return bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+
+SQL_TEMPORAL_HOLDOUT = """
+WITH r AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events)
+SELECT user_id, event_id AS test_event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS test_ts_us,
+       CAST(n - 1 AS BIGINT) AS n_train
+FROM r WHERE rn = 1"""
+
+
+def q_doc_surprisal(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc unigram negative log-likelihood in exact integer
+    micro-nats (stages/text_index.doc_surprisal) — the corpus-model
+    'perplexity' quality signal."""
+    from dug_ray.stages.text_index import doc_surprisal
+    return doc_surprisal(read_documents(sf_dir,
+                                        columns=["doc_id", "text"]))
+
+
+SQL_DOC_SURPRISAL = _with(SQL_TOKS) + """,
+dt AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY 1, 2),
+tc AS (SELECT term, CAST(sum(n) AS BIGINT) AS nt FROM dt GROUP BY 1),
+tot AS (SELECT CAST(sum(nt) AS BIGINT) AS n FROM tc),
+w AS (SELECT term,
+             CAST(floor(-ln(CAST(nt AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                        * 1000000) AS BIGINT) AS w
+      FROM tc, tot)
+SELECT dt.doc_id, CAST(sum(dt.n) AS BIGINT) AS n_tokens,
+       CAST(sum(dt.n * w.w) AS BIGINT) AS surprisal_unats
+FROM dt JOIN w USING (term) GROUP BY 1"""
+
+_PHRASE = ("fast", "sort")
+
+
+def q_phrase_search(sf_dir: str) -> ray.data.Dataset:
+    """Exact adjacent-token phrase lookup ('fast sort') — zero-exchange
+    map-side scan (stages/text_index.phrase_search)."""
+    from dug_ray.stages.text_index import phrase_search
+    return phrase_search(read_documents(sf_dir,
+                                        columns=["doc_id", "text"]),
+                         *_PHRASE)
+
+
+SQL_PHRASE_SEARCH = _with(SQL_TOKS) + f""",
+h AS (SELECT a.doc_id, a.pos
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.term = '{_PHRASE[0]}' AND b.term = '{_PHRASE[1]}')
+SELECT doc_id, count(*) AS n_hits, CAST(min(pos) AS BIGINT) AS first_pos
+FROM h GROUP BY 1"""
+
+
+QUERIES.update({
+    "fk_audit": q_fk_audit,
+    "late_priority": q_late_priority,
+    "temporal_holdout": q_temporal_holdout,
+    "doc_surprisal": q_doc_surprisal,
+    "phrase_search": q_phrase_search,
+})
+ORACLES.update({
+    "fk_audit": SQL_FK_AUDIT,
+    "late_priority": SQL_LATE_PRIORITY,
+    "temporal_holdout": SQL_TEMPORAL_HOLDOUT,
+    "doc_surprisal": SQL_DOC_SURPRISAL,
+    "phrase_search": SQL_PHRASE_SEARCH,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -4971,6 +5216,8 @@ _DRIVER_FRONT = [
     "table_profile", "props_extract", "customer_order_counts",
     "q5_revenue", "embedding_dim_stats", "name_editdist", "pareto_orders",
     "event_transitions", "retention_cohorts", "daily_actives", "date_spine",
+    "fk_audit", "late_priority", "temporal_holdout", "doc_surprisal",
+    "phrase_search",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -280,3 +280,119 @@ def boilerplate_scrub(docs: ray.data.Dataset,
         })
 
     return final.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def doc_surprisal(docs: ray.data.Dataset,
+                  num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-document unigram negative log-likelihood under the corpus's own
+    unigram model — the classic cheap "perplexity" quality signal (docs
+    made of globally rare tokens score high; boilerplate scores low).
+
+    Output: ``(doc_id, n_tokens, surprisal_unats)`` where each token
+    occurrence contributes ``floor(-ln(n_t / N) * 1e6)`` micro-nats
+    (``n_t`` = corpus count of the term, ``N`` = corpus token total).
+    Quantizing PER TERM and summing in int64 makes the result exact and
+    order-independent — no float accumulation crosses engines, the same
+    pinning discipline as ``dup_chunk_ratio``'s milli-ratio.  The single
+    float expression ``-ln(n_t/N)`` is evaluated with ``math.log`` (libm,
+    == DuckDB ``ln``) once per DISTINCT ratio.
+
+    Scale shape: per-batch (doc, term, n) combiners; ONE term-keyed
+    exchange where each bucket holds every row of its terms, so the term
+    total AND the weighted per-doc partials are computed in-bucket (no
+    separate term-count table is built or broadcast — at corpus scale the
+    vocabulary is itself too large to ship); one doc-keyed exchange sums
+    the bounded per-(bucket, doc) partials.  ``N`` is the only global: a
+    scalar tree-reduce over the pair partials."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens)
+        t = pa.table({"doc_id": pc.take(batch["doc_id"], parent),
+                      "term": tokens.flatten()})
+        return (t.group_by(["doc_id", "term"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["doc_id", "term", "n"]))
+
+    dt = docs.map_batches(pairs, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    n_total = int(dt.sum("n"))
+
+    def per_term_bucket(df: pd.DataFrame) -> pa.Table:
+        nt = df.groupby("term")["n"].transform("sum").to_numpy()
+        ratio = nt.astype("float64") / float(n_total)
+        # libm log per distinct ratio, gathered (PMI/tfidf discipline)
+        uniq, inv = np.unique(ratio, return_inverse=True)
+        logs = np.fromiter((math.log(x) for x in uniq), dtype=np.float64,
+                           count=len(uniq))
+        w = np.floor(-logs[inv] * 1e6).astype("int64")
+        part = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "ptoks": df["n"].to_numpy(),
+                             "psur": df["n"].to_numpy() * w})
+        g = part.groupby("doc_id", as_index=False).agg(
+            ptoks=("ptoks", "sum"), psur=("psur", "sum"))
+        return typed_table(g, doc_id=pa.int64(), ptoks=pa.int64(),
+                           psur=pa.int64())
+
+    partials = bucketed_group_apply(dt, "term", per_term_bucket,
+                                    num_buckets)
+
+    def per_doc(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_tokens=("ptoks", "sum"), surprisal_unats=("psur", "sum"))
+        return typed_table(g, doc_id=pa.int64(), n_tokens=pa.int64(),
+                           surprisal_unats=pa.int64())
+
+    return bucketed_group_apply(partials, "doc_id", per_doc, num_buckets)
+
+
+def phrase_search(docs: ray.data.Dataset, first: str,
+                  second: str) -> ray.data.Dataset:
+    """Exact two-token phrase lookup over the corpus: documents where
+    ``first`` is immediately followed by ``second`` in whitespace token
+    order.  Output: ``(doc_id, n_hits, first_pos)`` (1-based position of
+    the phrase's first token, matching SQL ``generate_subscripts``).
+
+    Entirely map-side — each document's text is one row, so adjacency is
+    a shifted-array compare inside the batch (flat token buffer + parent
+    indices at C speed; the doc-boundary mask is ``parent[i] ==
+    parent[i+1]``, the bigram_counts trick) and NO exchange happens at
+    any scale.  The streaming executor prunes to (doc_id, text) at the
+    read."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False).astype("int64")
+        flat = tokens.flatten()
+        # 1-based position within each doc: parent is nondecreasing, so
+        # searchsorted(parent, parent) is each row's doc-start index
+        # (robust to sliced list arrays, unlike raw .offsets)
+        pos = (np.arange(len(flat), dtype="int64")
+               - np.searchsorted(parent, parent) + 1)
+        is1 = pc.equal(flat, first).to_numpy(zero_copy_only=False)
+        is2 = pc.equal(flat, second).to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            hit = np.zeros(0, dtype=bool)
+        else:
+            hit = is1[:-1] & is2[1:] & (parent[:-1] == parent[1:])
+        idx = np.flatnonzero(hit)
+        out = (pd.DataFrame({"row": parent[idx], "pos": pos[idx]})
+               .groupby("row").agg(n_hits=("pos", "size"),
+                                   first_pos=("pos", "min")).reset_index())
+        dids = batch["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        doc_ids = dids[out["row"].to_numpy(dtype="int64")] if len(out) \
+            else np.array([], dtype="int64")
+        res = pd.DataFrame({"doc_id": doc_ids,
+                            "n_hits": out["n_hits"].to_numpy(),
+                            "first_pos": out["first_pos"].to_numpy()})
+        return typed_table(res, doc_id=pa.int64(), n_hits=pa.int64(),
+                           first_pos=pa.int64())
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            batch_size=None)
