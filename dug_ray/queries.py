@@ -5195,6 +5195,184 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch, distribution drift (KS / KL), embedding Gram moments
+# ---------------------------------------------------------------------------
+
+def q_cms_registers(sf_dir: str) -> ray.data.Dataset:
+    """Dense Count-Min register table over corpus term frequencies
+    (stages/sketch.cms_registers) — the second mergeable sketch family
+    next to HLL, bounded at CMS_D x CMS_W rows at any corpus size."""
+    from dug_ray.stages.sketch import cms_registers
+    return cms_registers(read_documents(sf_dir, columns=["text"]))
+
+
+# shared CTE chain: term counts -> 64-bit md5 prefix -> CMS_D byte-sliced
+# indices -> sparse registers -> dense CMS_D x CMS_W grid
+_SQL_CMS_CHAIN = """
+tc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+th AS (SELECT term, cnt,
+              CAST(('0x' || substr(md5(term), 1, 16)) AS UBIGINT) AS hv
+       FROM tc),
+sparse AS (
+  SELECT s.range AS salt,
+         CAST((hv >> CAST(8 * s.range AS INTEGER)) & 15 AS BIGINT) AS idx,
+         sum(cnt) AS cnt
+  FROM th, range(4) s GROUP BY 1, 2),
+dense AS (
+  SELECT CAST(g.salt AS BIGINT) AS salt, CAST(g.idx AS BIGINT) AS idx,
+         CAST(coalesce(sparse.cnt, 0) AS BIGINT) AS cnt
+  FROM (SELECT a.range AS salt, b.range AS idx
+        FROM range(4) a, range(16) b) g
+  LEFT JOIN sparse ON sparse.salt = g.salt AND sparse.idx = g.idx)"""
+
+SQL_CMS_REGISTERS = _with(SQL_TOKS, _SQL_CMS_CHAIN) + """
+SELECT salt, idx, cnt FROM dense"""
+
+_CMS_PROBES = ["join", "hash", "scan", "slow", "zz_absent"]
+
+
+def q_cms_heavy(sf_dir: str) -> pa.Table:
+    """Point-frequency estimates from the merged CMS for a fixed probe
+    list, beside the exact counts (stages/sketch.cms_estimate) — the
+    min-over-rows lookup, overestimating where terms collide."""
+    from dug_ray.stages.sketch import cms_estimate
+    return cms_estimate(read_documents(sf_dir, columns=["text"]),
+                        _CMS_PROBES)
+
+
+SQL_CMS_HEAVY = _with(SQL_TOKS, _SQL_CMS_CHAIN) + f""",
+p(term) AS (VALUES {", ".join(f"('{t}')" for t in _CMS_PROBES)}),
+ph AS (SELECT term,
+              CAST(('0x' || substr(md5(term), 1, 16)) AS UBIGINT) AS hv
+       FROM p),
+pe AS (SELECT ph.term, min(dense.cnt) AS est_count
+       FROM ph CROSS JOIN range(4) s
+       JOIN dense
+         ON dense.salt = s.range
+        AND dense.idx = CAST((ph.hv >> CAST(8 * s.range AS INTEGER)) & 15
+                             AS BIGINT)
+       GROUP BY 1)
+SELECT pe.term, pe.est_count,
+       CAST(coalesce(tc.cnt, 0) AS BIGINT) AS true_count
+FROM pe LEFT JOIN tc ON tc.term = pe.term"""
+
+
+def q_ks_drift(sf_dir: str) -> pa.Table:
+    """Two-sample Kolmogorov-Smirnov over document lengths: English docs
+    vs the rest (stages/drift.ks_statistic), exact integer ppm."""
+    from dug_ray.stages.drift import ks_statistic
+    return ks_statistic(
+        read_documents(sf_dir, columns=["lang", "n_chars"]),
+        "n_chars", "lang", "en")
+
+
+SQL_KS_DRIFT = """
+WITH v AS (
+  SELECT n_chars AS val,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a_n,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS b_n
+  FROM documents GROUP BY 1),
+c AS (SELECT val, sum(a_n) OVER (ORDER BY val) AS ca,
+             sum(b_n) OVER (ORDER BY val) AS cb
+      FROM v),
+t AS (SELECT CAST(sum(a_n) AS BIGINT) AS na,
+             CAST(sum(b_n) AS BIGINT) AS nb FROM v)
+SELECT na AS n_a, nb AS n_b,
+       CAST(max(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+            * 1000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS d_ppm
+FROM c, t GROUP BY na, nb"""
+
+
+def q_corpus_kl(sf_dir: str) -> ray.data.Dataset:
+    """Per-language KL(lang ‖ corpus) over unigram distributions with
+    add-one smoothing (stages/drift.kl_by_group), in exact integer
+    micro-nats x group token count."""
+    from dug_ray.stages.drift import kl_by_group
+    return kl_by_group(read_documents(sf_dir, columns=["lang", "text"]),
+                       "lang")
+
+
+SQL_CORPUS_KL = _with(SQL_TOKS) + """,
+lt AS (SELECT lang, term, count(*) AS n FROM toks GROUP BY 1, 2),
+ct AS (SELECT term, sum(n) AS c FROM lt GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS v FROM ct),
+nl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM lt GROUP BY 1),
+w AS (SELECT lt.lang, lt.n,
+             CAST(floor(ln((CAST(lt.n AS DOUBLE)
+                            * CAST(tot.n + tot.v AS DOUBLE))
+                           / (CAST(nl.nl AS DOUBLE)
+                              * CAST(ct.c + 1 AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS w
+      FROM lt JOIN ct USING (term) JOIN nl USING (lang), tot)
+SELECT lang AS "group", CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(n * w) AS BIGINT) AS kl_unats_xn
+FROM w GROUP BY 1"""
+
+
+def q_embedding_gram(sf_dir: str) -> ray.data.Dataset:
+    """Upper-triangle Gram moments of the embedding matrix in exact
+    fixed-point milli-units — the covariance/PCA building block.  Each
+    batch collapses to ONE row per dim pair (a 64x64 int64 matmul), so
+    the exchange is O(dims^2 x blocks); nothing row-shaped moves.
+    q = floor(float64(v) * 1e3): coarser than dim_stats' 1e6 so the
+    pair-product sums stay within int64 out to ~10^12 rows."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from dug_ray.stages.similarity import _matrix
+        m = _matrix(batch)
+        q = np.floor(m.astype("float64") * 1e3).astype("int64")
+        g = q.T @ q
+        iu = np.triu_indices(q.shape[1])
+        out = pd.DataFrame({"dim_i": iu[0] + 1, "dim_j": iu[1] + 1,
+                            "n": len(q), "sumprod_milli": g[iu]})
+        return typed_table(out, dim_i=pa.int64(), dim_j=pa.int64(),
+                           n=pa.int64(), sumprod_milli=pa.int64())
+
+    partials = emb.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["dim_i", "dim_j"], as_index=False).agg(
+            n=("n", "sum"), sumprod_milli=("sumprod_milli", "sum"))
+        return typed_table(g, dim_i=pa.int64(), dim_j=pa.int64(),
+                           n=pa.int64(), sumprod_milli=pa.int64())
+
+    return bucketed_group_apply(partials, ["dim_i", "dim_j"], final, 8)
+
+
+SQL_EMBEDDING_GRAM = """
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+           AS q
+  FROM embeddings)
+SELECT CAST(a.dim AS BIGINT) AS dim_i, CAST(b.dim AS BIGINT) AS dim_j,
+       count(*) AS n,
+       CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS BIGINT) AS sumprod_milli
+FROM u a JOIN u b ON b.vec_id = a.vec_id AND b.dim >= a.dim
+GROUP BY 1, 2"""
+
+
+QUERIES.update({
+    "cms_registers": q_cms_registers,
+    "cms_heavy": q_cms_heavy,
+    "ks_drift": q_ks_drift,
+    "corpus_kl": q_corpus_kl,
+    "embedding_gram": q_embedding_gram,
+})
+ORACLES.update({
+    "cms_registers": SQL_CMS_REGISTERS,
+    "cms_heavy": SQL_CMS_HEAVY,
+    "ks_drift": SQL_KS_DRIFT,
+    "corpus_kl": SQL_CORPUS_KL,
+    "embedding_gram": SQL_EMBEDDING_GRAM,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -5217,7 +5395,8 @@ _DRIVER_FRONT = [
     "q5_revenue", "embedding_dim_stats", "name_editdist", "pareto_orders",
     "event_transitions", "retention_cohorts", "daily_actives", "date_spine",
     "fk_audit", "late_priority", "temporal_holdout", "doc_surprisal",
-    "phrase_search",
+    "phrase_search", "cms_registers", "cms_heavy", "ks_drift",
+    "corpus_kl", "embedding_gram",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -161,3 +161,112 @@ def hll_register_summary(docs: ray.data.Dataset, by: str) -> pd.DataFrame:
         rows.append({"key": k, "n_regs": int(len(nz)),
                      "reg_sum": int(regs[nz].sum()), "reg_digest": digest})
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency estimation
+# ---------------------------------------------------------------------------
+
+CMS_D = 4    # hash rows
+CMS_W = 16   # counters per row (small so collisions actually occur on the
+             # synthetic 31-term vocabulary; at real scale raise to 2^16+)
+
+
+def _cms_indices(hv: np.ndarray, salt: int) -> np.ndarray:
+    """Row-``salt``'s counter index: byte ``salt`` of the 64-bit md5 prefix
+    masked to CMS_W.  One md5 pass yields all CMS_D hash functions (md5
+    bytes are independent uniform), and the SQL oracle reproduces the
+    expression verbatim: ``(hv >> 8*s) & (CMS_W-1)``."""
+    return ((hv >> np.uint64(8 * salt)) & np.uint64(CMS_W - 1)).astype("int64")
+
+
+def cms_registers(docs: ray.data.Dataset,
+                  num_buckets: int = 4) -> ray.data.Dataset:
+    """Count-Min sketch of corpus term frequencies (occurrences WITH
+    multiplicity, unlike HLL's distinct stream).  Output: the dense
+    register table ``(salt, idx, cnt)`` — CMS_D x CMS_W rows at any corpus
+    size, the defining mergeable-sketch property (point additions commute,
+    so per-batch partial registers sum associatively across blocks,
+    retries, and resumed partitions).
+
+    Scale shape: each batch collapses to at most CMS_D x CMS_W partial
+    rows (value_counts + one md5 over DISTINCT batch terms, byte-sliced
+    into the D indices); the exchange is O(blocks x D x W); the final
+    per-salt merge densifies missing counters to 0."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        vc = tokens.flatten().value_counts()
+        from dug_ray.hashing import md5_uint64
+        hv = md5_uint64(vc.field("values"))
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        frames = [pd.DataFrame({"salt": s, "idx": _cms_indices(hv, s),
+                                "cnt": counts}) for s in range(CMS_D)]
+        g = (pd.concat(frames, ignore_index=True)
+             .groupby(["salt", "idx"], as_index=False)["cnt"].sum())
+        return pa.table({"salt": pa.array(g["salt"], pa.int64()),
+                         "idx": pa.array(g["idx"], pa.int64()),
+                         "cnt": pa.array(g["cnt"], pa.int64())})
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for s, g in df.groupby("salt", sort=False):
+            dense = np.zeros(CMS_W, dtype=np.int64)
+            np.add.at(dense, g["idx"].to_numpy(), g["cnt"].to_numpy())
+            out.append(pd.DataFrame({"salt": int(s),
+                                     "idx": np.arange(CMS_W, dtype=np.int64),
+                                     "cnt": dense}))
+        res = pd.concat(out, ignore_index=True)
+        return pa.table({"salt": pa.array(res["salt"], pa.int64()),
+                         "idx": pa.array(res["idx"], pa.int64()),
+                         "cnt": pa.array(res["cnt"], pa.int64())}).to_pandas()
+
+    from dug_ray.shuffle import bucketed_group_apply
+    return bucketed_group_apply(partials, "salt", per_salt, num_buckets)
+
+
+def cms_estimate(docs: ray.data.Dataset, probes: list[str]) -> pa.Table:
+    """Point-frequency estimates for ``probes`` from the merged CMS,
+    side-by-side with the exact counts (the overestimate is visible where
+    terms collide).  The register table is CMS_D x CMS_W rows at ANY
+    corpus size, so pulling it to the driver for the probe lookup is a
+    bounded O(1) read, not a materialization; the exact counts come from a
+    per-batch ``is_in`` combiner (O(probes x blocks) exchange)."""
+    regs = cms_registers(docs).to_pandas()
+    grid = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    grid[regs["salt"].to_numpy(), regs["idx"].to_numpy()] = \
+        regs["cnt"].to_numpy()
+
+    from dug_ray.hashing import md5_uint64
+    hv = md5_uint64(np.asarray(probes, dtype=object))
+    est = np.min(np.stack([grid[s, _cms_indices(hv, s)]
+                           for s in range(CMS_D)]), axis=0)
+
+    probe_set = pa.array(probes, pa.string())
+
+    def true_partial(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = tokens.flatten()
+        hit = flat.filter(pc.is_in(flat, value_set=probe_set))
+        vc = hit.value_counts()
+        return pa.table({"term": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    tp = (docs.map_batches(true_partial, batch_format="pyarrow",
+                           batch_size=None)
+          .groupby("term").sum("n").to_pandas())
+    true_map = dict(zip(tp["term"], tp["sum(n)"].astype("int64")))
+
+    return pa.table({
+        "term": pa.array(probes, pa.string()),
+        "est_count": pa.array(est, pa.int64()),
+        "true_count": pa.array([int(true_map.get(t, 0)) for t in probes],
+                               pa.int64()),
+    })
