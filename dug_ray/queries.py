@@ -5373,6 +5373,180 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranking, point-in-time state snapshots, bigram conditional LM
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["fast", "join", "sort"]
+
+
+def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
+    """Per-query-term BM25 top-5 documents
+    (stages/text_index.bm25_topk) — one candidate list per term, every
+    float a single mirrored expression over exact ints."""
+    from dug_ray.stages.text_index import bm25_topk
+    return bm25_topk(read_documents(sf_dir, columns=["doc_id", "text"]),
+                     _BM25_TERMS, k=5)
+
+
+# float sub-expressions composed EXACTLY as the engine evaluates them:
+# (1.2 + 1.0) not 2.2 (the literal is a different double than the sum),
+# (1.0 - 0.75) grouped left-to-right by precedence on both sides.
+SQL_BM25_TOPK = _with(SQL_TOKS) + f""",
+dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         FROM toks GROUP BY 1),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+tf AS (SELECT t.term, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM toks t JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             (SELECT CAST(count(*) AS BIGINT) FROM toks) AS n_tokens
+      FROM documents),
+s AS (SELECT tf.term, tf.doc_id, tf.tf, dlen.dl,
+             ln((CAST(g.n_docs - dft.df AS DOUBLE) + 0.5)
+                / (CAST(dft.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dlen.dl AS DOUBLE)
+                     / (CAST(g.n_tokens AS DOUBLE)
+                        / CAST(g.n_docs AS DOUBLE))))) AS score
+      FROM tf JOIN dft USING (term) JOIN dlen USING (doc_id), g),
+r AS (SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM s)
+SELECT term, doc_id, tf, dl, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5"""
+
+_SNAP_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+_SNAP_DAYS = (2, 31)  # day boundaries 2..30 inclusive
+_US_PER_DAY = 86_400_000_000
+
+
+def q_state_snapshots(sf_dir: str) -> ray.data.Dataset:
+    """Point-in-time reconstruction of the SCD2 change log: each user's
+    state (latest event_type strictly BEFORE each midnight boundary of
+    Jan 2024) — the daily-snapshot probe against validity intervals.
+    Per-user bucket, one sort + one searchsorted against the constant
+    day grid; no interval self-join."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+    days = np.arange(*_SNAP_DAYS, dtype="int64")
+    bounds = _SNAP_EPOCH_US + (days - 1) * _US_PER_DAY
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(us=df["ts"].astype("datetime64[us]")
+                       .astype("int64"))
+        df = df.sort_values(["user_id", "us", "event_id"],
+                            kind="mergesort")
+        out = []
+        for uid, g in df.groupby("user_id", sort=False):
+            # last event strictly before each boundary; ts ties resolve
+            # to max event_id via the sort order
+            idx = np.searchsorted(g["us"].to_numpy(), bounds,
+                                  side="left") - 1
+            ok = idx >= 0
+            out.append(pd.DataFrame({
+                "user_id": uid, "day": days[ok],
+                "state": g["event_type"].to_numpy()[idx[ok]]}))
+        res = pd.concat(out, ignore_index=True) if out else \
+            pd.DataFrame(columns=["user_id", "day", "state"])
+        return typed_table(res, user_id=pa.int64(), day=pa.int64(),
+                           state=pa.string())
+
+    return bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+
+SQL_STATE_SNAPSHOTS = f"""
+WITH b AS (SELECT CAST(d.range AS BIGINT) AS day,
+                  {_SNAP_EPOCH_US} + (d.range - 1) * {_US_PER_DAY} AS bus
+           FROM range({_SNAP_DAYS[0]}, {_SNAP_DAYS[1]}) d),
+e AS (SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+j AS (SELECT e.user_id, b.day, e.event_type,
+             row_number() OVER (PARTITION BY e.user_id, b.day
+                                ORDER BY e.us DESC, e.event_id DESC) AS rn
+      FROM e JOIN b ON e.us < b.bus)
+SELECT user_id, day, event_type AS state FROM j WHERE rn = 1"""
+
+
+def q_bigram_lm(sf_dir: str) -> ray.data.Dataset:
+    """Bigram conditional next-token model: per previous token, the top-3
+    next tokens with exact integer milli-probability
+    floor(1000 * c(prev,next) / c(prev, *)).  Per-batch pair combiner;
+    ONE prev-keyed exchange computes the conditional total in-bucket and
+    ranks — the vocabulary-sized table never touches the driver."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        flat = tokens.flatten().to_pandas().to_numpy(dtype=object)
+        if len(flat) < 2:
+            adj = np.zeros(0, dtype=bool)
+        else:
+            adj = parent[:-1] == parent[1:]
+        g = (pd.DataFrame({"prev": flat[:-1][adj], "next": flat[1:][adj]})
+             .groupby(["prev", "next"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return typed_table(g, prev=pa.string(), next=pa.string(),
+                           n=pa.int64())
+
+    pairs = docs.map_batches(pair_partial, batch_format="pyarrow",
+                             batch_size=None)
+
+    def per_prev(df: pd.DataFrame) -> pa.Table:
+        df = df.groupby(["prev", "next"], as_index=False)["n"].sum()
+        tot = df.groupby("prev")["n"].transform("sum").to_numpy()
+        df = df.assign(
+            p_milli=(df["n"].to_numpy() * 1000) // tot,
+            prev_total=tot)
+        df = df.sort_values(["prev", "n", "next"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df["rank"] = df.groupby("prev").cumcount() + 1
+        df = df[df["rank"] <= 3]
+        return typed_table(
+            df[["prev", "next", "n", "prev_total", "p_milli", "rank"]],
+            prev=pa.string(), next=pa.string(), n=pa.int64(),
+            prev_total=pa.int64(), p_milli=pa.int64(), rank=pa.int64())
+
+    return bucketed_group_apply(pairs, "prev", per_prev, 16)
+
+
+SQL_BIGRAM_LM = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+u AS (SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS pos
+      FROM t),
+bg AS (SELECT a.term AS prev, b.term AS next, count(*) AS n
+       FROM u a JOIN u b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       GROUP BY 1, 2),
+w AS (SELECT prev, next, CAST(n AS BIGINT) AS n,
+             CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS prev_total,
+             row_number() OVER (PARTITION BY prev
+                                ORDER BY n DESC, next) AS rank
+      FROM bg)
+SELECT prev, next, n, prev_total,
+       CAST(n * 1000 // prev_total AS BIGINT) AS p_milli,
+       CAST(rank AS BIGINT) AS rank
+FROM w WHERE rank <= 3"""
+
+
+QUERIES.update({
+    "bm25_topk": q_bm25_topk,
+    "state_snapshots": q_state_snapshots,
+    "bigram_lm": q_bigram_lm,
+})
+ORACLES.update({
+    "bm25_topk": SQL_BM25_TOPK,
+    "state_snapshots": SQL_STATE_SNAPSHOTS,
+    "bigram_lm": SQL_BIGRAM_LM,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -5396,7 +5570,8 @@ _DRIVER_FRONT = [
     "event_transitions", "retention_cohorts", "daily_actives", "date_spine",
     "fk_audit", "late_priority", "temporal_holdout", "doc_surprisal",
     "phrase_search", "cms_registers", "cms_heavy", "ks_drift",
-    "corpus_kl", "embedding_gram",
+    "corpus_kl", "embedding_gram", "bm25_topk", "state_snapshots",
+    "bigram_lm",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -396,3 +396,94 @@ def phrase_search(docs: ray.data.Dataset, first: str,
 
     return docs.map_batches(per_batch, batch_format="pyarrow",
                             batch_size=None)
+
+
+def bm25_topk(docs: ray.data.Dataset, query_terms: list[str], k: int = 5,
+              k1: float = 1.2, b: float = 0.75,
+              num_buckets: int = 8) -> ray.data.Dataset:
+    """Per-query-term BM25 component ranking: for each term in
+    ``query_terms``, the top-``k`` documents by
+
+        idf(t) * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl))
+        idf(t) = ln((N - df + 0.5) / (df + 0.5))
+
+    Output: ``(term, doc_id, tf, dl, score, rank)``.  Components are
+    ranked PER TERM (the serving shape: one candidate list per query
+    term, like link.py's per-term top-k) — no cross-term float sum, so
+    every float is one expression over exact ints that the SQL oracle
+    mirrors token for token (libm ln, IEEE mul/div in the same order).
+
+    Scale shape: the corpus-sized pass is ONE map_batches emitting only
+    rows for the |Q| query terms (per-doc tf via is_in + value_counts)
+    plus per-batch (n_docs, n_tokens) scalars; df per term and the two
+    global scalars are tiny tree-reduces; ranking is a |Q|-bucket
+    exchange over candidate rows only."""
+    import math as _math
+
+    probe_set = pa.array(sorted(set(query_terms)), pa.string())
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        flat = tokens.flatten()
+        dl = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hit = pc.is_in(flat, value_set=probe_set).to_numpy(
+            zero_copy_only=False)
+        hf = pd.DataFrame({
+            "doc_id": ids[parent[hit]],
+            "dl": dl[parent[hit]].astype("int64"),
+            "term": flat.to_pandas().to_numpy(dtype=object)[hit]})
+        g = hf.groupby(["term", "doc_id", "dl"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        return typed_table(g, term=pa.string(), doc_id=pa.int64(),
+                           dl=pa.int64(), tf=pa.int64())
+
+    cands = docs.map_batches(per_batch, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    # global scalars: docs and token total from metadata-cheap aggregates
+    n_docs = docs.count()
+
+    def len_partial(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        n = int(pc.sum(pc.list_value_length(tokens)).as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    n_tokens = int(docs.map_batches(len_partial, batch_format="pyarrow",
+                                    batch_size=None).sum("n"))
+    avgdl = float(n_tokens) / float(n_docs)
+
+    # df per probe term: |Q| rows — tiny driver dict
+    dfc = cands.groupby("term").count().to_pandas()
+    df_map = dict(zip(dfc["term"], dfc["count()"].astype("int64")))
+
+    def per_term(df: pd.DataFrame) -> pa.Table:
+        # candidate rows are already distinct (doc batches partition docs)
+        out = []
+        for t, g in df.groupby("term", sort=False):
+            dfq = int(df_map[t])
+            idf = _math.log((float(n_docs - dfq) + 0.5) / (float(dfq) + 0.5))
+            tf = g["tf"].to_numpy(dtype="float64")
+            dln = g["dl"].to_numpy(dtype="float64")
+            score = idf * (tf * (k1 + 1.0)) / \
+                (tf + k1 * (1.0 - b + b * (dln / avgdl)))
+            gg = g.assign(score=score).sort_values(
+                ["score", "doc_id"], ascending=[False, True],
+                kind="mergesort").head(k)
+            gg["rank"] = np.arange(1, len(gg) + 1, dtype="int64")
+            out.append(gg)
+        res = pd.concat(out, ignore_index=True) if out else \
+            pd.DataFrame(columns=["term", "doc_id", "tf", "dl", "score",
+                                  "rank"])
+        return typed_table(
+            res[["term", "doc_id", "tf", "dl", "score", "rank"]],
+            term=pa.string(), doc_id=pa.int64(), tf=pa.int64(),
+            dl=pa.int64(), score=pa.float64(), rank=pa.int64())
+
+    return bucketed_group_apply(cands, "term", per_term, num_buckets)
