@@ -5547,6 +5547,250 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# rank distributions, Z-order layout keys, langid confusion, association rules
+# ---------------------------------------------------------------------------
+
+def q_length_percentile(sf_dir: str) -> ray.data.Dataset:
+    """Per-language percent_rank / cume_dist of documents by length, in
+    exact integer milli (tie-aware: strictly-smaller count over n-1 for
+    percent_rank, <=-count over n for cume_dist — SQL window semantics).
+    One lang-keyed exchange; two searchsorted probes per bucket, no
+    per-row Python."""
+    ds = read_documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        out = []
+        for lang, g in df.groupby("lang", sort=False):
+            v = np.sort(g["n_chars"].to_numpy(dtype="int64"))
+            x = g["n_chars"].to_numpy(dtype="int64")
+            n = len(g)
+            lo = np.searchsorted(v, x, side="left").astype("int64")
+            hi = np.searchsorted(v, x, side="right").astype("int64")
+            pr = (lo * 1000) // max(n - 1, 1)
+            cd = (hi * 1000) // n
+            out.append(pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(), "lang": lang,
+                "n_chars": x, "pr_milli": pr, "cd_milli": cd}))
+        res = pd.concat(out, ignore_index=True) if out else \
+            pd.DataFrame(columns=["doc_id", "lang", "n_chars", "pr_milli",
+                                  "cd_milli"])
+        return typed_table(res, doc_id=pa.int64(), lang=pa.string(),
+                           n_chars=pa.int64(), pr_milli=pa.int64(),
+                           cd_milli=pa.int64())
+
+    return bucketed_group_apply(ds, "lang", per_bucket, 8)
+
+
+SQL_LENGTH_PERCENTILE = """
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         count(*) OVER (PARTITION BY lang) AS n,
+         rank() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+         count(*) OVER (PARTITION BY lang ORDER BY n_chars
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS le
+  FROM documents)
+SELECT doc_id, lang, n_chars,
+       CAST((rk - 1) * 1000 // greatest(n - 1, 1) AS BIGINT) AS pr_milli,
+       CAST(le * 1000 // n AS BIGINT) AS cd_milli
+FROM w"""
+
+
+def q_zorder_keys(sf_dir: str) -> ray.data.Dataset:
+    """Z-order (Morton) layout keys over events: interleave the low 16
+    bits of user_id with the day-of-month so co-accessed (user, time)
+    ranges land in the same file bucket — the multi-dimensional
+    clustering primitive for partitioned parquet layout.  Pure map-side
+    vectorized bit math (one numpy pass per bit), zero exchanges."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = pc.day(batch["ts"]).to_numpy(zero_copy_only=False) \
+            .astype("int64")
+        ux = uid & 0xFFFF
+        z = np.zeros(len(ux), dtype="int64")
+        for i in range(16):
+            z |= ((ux >> i) & 1) << (2 * i)
+            z |= ((day >> i) & 1) << (2 * i + 1)
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "ux": pa.array(ux, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "zval": pa.array(z, pa.int64()),
+            "zbucket": pa.array(z >> 8, pa.int64())})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
+SQL_ZORDER_KEYS = """
+WITH e AS (
+  SELECT event_id, user_id & 65535 AS ux,
+         CAST(day(ts) AS BIGINT) AS day
+  FROM events),
+z AS (
+  SELECT event_id, ux, day,
+         sum((((ux >> CAST(i.range AS INTEGER)) & 1)
+              << CAST(2 * i.range AS INTEGER))
+             + (((day >> CAST(i.range AS INTEGER)) & 1)
+                << CAST(2 * i.range + 1 AS INTEGER))) AS zval
+  FROM e, range(16) i GROUP BY 1, 2, 3)
+SELECT event_id, CAST(ux AS BIGINT) AS ux, day,
+       CAST(zval AS BIGINT) AS zval,
+       CAST(zval >> 8 AS BIGINT) AS zbucket
+FROM z"""
+
+
+def q_langid_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Language-ID quality audit: confusion matrix of the char-trigram
+    classifier's prediction against the stored label — the composition
+    of the langid stage with a doc-keyed join and a tiny count reduce."""
+    from dug_ray.shuffle import hash_join
+    from dug_ray.stages.textstats import langid
+    pred = langid(read_documents(sf_dir, columns=["doc_id", "text"]))
+    # the partitioned join requires fully disjoint column names
+    truth = read_documents(sf_dir, columns=["doc_id", "lang"]) \
+        .map_batches(lambda b: b.rename_columns(["tdoc_id", "lang"]),
+                     batch_format="pyarrow", batch_size=None)
+    j = hash_join(pred.select_columns(["doc_id", "pred_lang"]), truth,
+                  "doc_id", "tdoc_id")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby(["lang", "pred_lang"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return typed_table(g, lang=pa.string(), pred_lang=pa.string(),
+                           n=pa.int64())
+
+    parts = j.map_batches(partial, batch_format="pandas",
+                          batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["lang", "pred_lang"], as_index=False)["n"].sum()
+        return typed_table(g, lang=pa.string(), pred_lang=pa.string(),
+                           n=pa.int64())
+
+    return bucketed_group_apply(parts, ["lang", "pred_lang"], final, 4)
+
+
+def _sql_langid_pred() -> str:
+    """The langid oracle's CTE chain, reusable as a subquery."""
+    return SQL_LANGID
+
+
+SQL_LANGID_CONFUSION = """
+WITH p AS ({pred})
+SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM p JOIN documents d USING (doc_id)
+GROUP BY 1, 2"""
+
+
+def q_assoc_rules(sf_dir: str) -> ray.data.Dataset:
+    """Association rules over per-user event-type baskets: for each
+    ordered pair (ante -> cons), support (users with both), exact
+    integer milli-confidence and ppm-lift.  Per-batch distinct
+    (user, type) combiner; ONE user-keyed exchange generates each
+    user's pairs; type marginals are a bounded broadcast (event types
+    are an enum, not data-sized)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        df = (batch.select(["user_id", "event_type"]).to_pandas()
+              .drop_duplicates())
+        return typed_table(df, user_id=pa.int64(),
+                           event_type=pa.string())
+
+    ut = ds.map_batches(distinct_partial, batch_format="pyarrow",
+                        batch_size=None)
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates()
+        # vectorized basket pairs: per-user self-merge (baskets are
+        # enum-bounded, so the blowup is |types|^2 per user, not data^2)
+        m2 = df.merge(df, on="user_id")
+        m2 = m2[m2["event_type_x"] != m2["event_type_y"]]
+        res = (m2.groupby(["event_type_x", "event_type_y"],
+                          as_index=False).size()
+               .rename(columns={"event_type_x": "ante",
+                                "event_type_y": "cons",
+                                "size": "supp"}))
+        return typed_table(res, ante=pa.string(), cons=pa.string(),
+                           supp=pa.int64())
+
+    pair_partials = bucketed_group_apply(ut, "user_id", per_user, 16)
+
+    def merge_pairs(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["ante", "cons"], as_index=False)["supp"].sum()
+        return typed_table(g, ante=pa.string(), cons=pa.string(),
+                           supp=pa.int64())
+
+    pairs = bucketed_group_apply(pair_partials, ["ante", "cons"],
+                                 merge_pairs, 4)
+
+    from dug_ray.shuffle import distinct_rows
+
+    # marginals: users per type + total users — enum-bounded broadcast
+    marg = (distinct_rows(ut, ["user_id", "event_type"])
+            .groupby("event_type").count().to_pandas())
+    m = dict(zip(marg["event_type"], marg["count()"].astype("int64")))
+    n_users = distinct_rows(ut.select_columns(["user_id"]),
+                            ["user_id"]).count()
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        # Python ints over the enum^2-bounded rule set: lift's
+        # supp*1e6*n_users product wraps int64 past ~1e9 users
+        sa = [int(m[a]) for a in df["ante"]]
+        sb = [int(m[b]) for b in df["cons"]]
+        supp = [int(v) for v in df["supp"]]
+        df = df.assign(
+            conf_milli=[(s * 1000) // a for s, a in zip(supp, sa)],
+            lift_ppm=[(s * 1_000_000 * n_users) // (a * b)
+                      for s, a, b in zip(supp, sa, sb)])
+        return typed_table(
+            df[["ante", "cons", "supp", "conf_milli", "lift_ppm"]],
+            ante=pa.string(), cons=pa.string(), supp=pa.int64(),
+            conf_milli=pa.int64(), lift_ppm=pa.int64())
+
+    return pairs.map_batches(score, batch_format="pandas",
+                             batch_size=None)
+
+
+SQL_ASSOC_RULES = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (SELECT a.event_type AS ante, b.event_type AS cons,
+                 CAST(count(*) AS BIGINT) AS supp
+          FROM ut a JOIN ut b
+            ON b.user_id = a.user_id AND b.event_type <> a.event_type
+          GROUP BY 1, 2),
+marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         FROM ut GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM ut)
+SELECT p.ante, p.cons, p.supp,
+       CAST(p.supp * 1000 // ma.n AS BIGINT) AS conf_milli,
+       CAST(p.supp * 1000000 * tot.nu // (CAST(ma.n AS HUGEINT) * mb.n)
+            AS BIGINT) AS lift_ppm
+FROM pairs p JOIN marg ma ON ma.event_type = p.ante
+JOIN marg mb ON mb.event_type = p.cons, tot"""
+
+
+QUERIES.update({
+    "length_percentile": q_length_percentile,
+    "zorder_keys": q_zorder_keys,
+    "langid_confusion": q_langid_confusion,
+    "assoc_rules": q_assoc_rules,
+})
+ORACLES.update({
+    "length_percentile": SQL_LENGTH_PERCENTILE,
+    "zorder_keys": SQL_ZORDER_KEYS,
+    "langid_confusion": SQL_LANGID_CONFUSION.format(pred=SQL_LANGID),
+    "assoc_rules": SQL_ASSOC_RULES,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -5571,7 +5815,8 @@ _DRIVER_FRONT = [
     "fk_audit", "late_priority", "temporal_holdout", "doc_surprisal",
     "phrase_search", "cms_registers", "cms_heavy", "ks_drift",
     "corpus_kl", "embedding_gram", "bm25_topk", "state_snapshots",
-    "bigram_lm",
+    "bigram_lm", "length_percentile", "zorder_keys", "langid_confusion",
+    "assoc_rules",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
