@@ -5791,6 +5791,195 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# weighted SSSP, time-weighted value, state dwell, trailing-window actives
+# ---------------------------------------------------------------------------
+
+def q_sssp(sf_dir: str) -> ray.data.Dataset:
+    """Bounded-round Bellman-Ford over the co-annotation graph with
+    inverse-frequency integer weights (stages/graph.sssp_weighted) —
+    the weighted companion to bfs_levels."""
+    from dug_ray.stages.graph import sssp_weighted
+    return sssp_weighted(kg.linked_mentions_cached(sf_dir))
+
+
+def _sssp_rounds_sql(rounds: int = 3) -> str:
+    frags = []
+    for i in range(1, rounds + 1):
+        frags.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst, d.dist + e.w FROM d{i - 1} d JOIN ed e ON e.src = d.node)
+  GROUP BY 1)""")
+    return ",".join(frags)
+
+
+SQL_SSSP = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls"),
+    SQL_TOKS, SQL_LINKED) + f""",
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+cooc AS (SELECT a.canonical_curie AS subj, b.canonical_curie AS obj,
+                CAST(count(*) AS BIGINT) AS n
+         FROM dm a JOIN dm b USING (element_id)
+         WHERE a.canonical_curie < b.canonical_curie GROUP BY 1, 2),
+ed AS (SELECT subj AS src, obj AS dst, 1 + 1000 // n AS w FROM cooc
+       UNION ALL SELECT obj, subj, 1 + 1000 // n FROM cooc),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+  FROM ed WHERE src LIKE 'MONDO:%'),{_sssp_rounds_sql(3)}
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d3"""
+
+
+def q_time_weighted_value(sf_dir: str) -> ray.data.Dataset:
+    """Per-user time-weighted value aggregate: each event's integer cents
+    weighted by its holding interval to the next event, as the exact
+    integer numerator + span (the division stays with the consumer — no
+    float ratio crosses engines).  One user-keyed exchange: sort + shift
+    + grouped sums fused in the bucket."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(us=df["ts"].astype("datetime64[us]")
+                       .astype("int64"),
+                       cents=np.floor(df["value"].to_numpy() * 100)
+                       .astype("int64"))
+        df = df.sort_values(["user_id", "us", "event_id"],
+                            kind="mergesort")
+        df["nxt"] = df.groupby("user_id")["us"].shift(-1)
+        span = df.groupby("user_id")["us"].agg(["min", "max"])
+        seg = df.dropna(subset=["nxt"])
+        num = (seg["cents"].to_numpy()
+               * (seg["nxt"].to_numpy().astype("int64")
+                  - seg["us"].to_numpy()))
+        g = (seg.assign(num=num).groupby("user_id", as_index=False)
+             .agg(twv_num=("num", "sum"), n_segments=("num", "size")))
+        g["span_us"] = (span["max"] - span["min"]).loc[
+            g["user_id"]].to_numpy()
+        return typed_table(g[["user_id", "span_us", "twv_num",
+                              "n_segments"]],
+                           user_id=pa.int64(), span_us=pa.int64(),
+                           twv_num=pa.int64(), n_segments=pa.int64())
+
+    return bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+
+SQL_TIME_WEIGHTED_VALUE = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         lead(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT user_id,
+       CAST(max(us) - min(us) AS BIGINT) AS span_us,
+       CAST(sum(cents * (nxt - us)) AS BIGINT) AS twv_num,
+       CAST(count(nxt) AS BIGINT) AS n_segments
+FROM e GROUP BY 1 HAVING count(nxt) > 0"""
+
+
+def q_state_dwell(sf_dir: str) -> ray.data.Dataset:
+    """Time spent in each state per user (the SCD2 interval durations
+    rolled up by state) — the dwell-time profile of the change log.
+    Same single-bucket shape as scd2_intervals with the reduce fused."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(us=df["ts"].astype("datetime64[us]")
+                       .astype("int64"))
+        df = df.sort_values(["user_id", "us", "event_id"],
+                            kind="mergesort")
+        df["nxt"] = df.groupby("user_id")["us"].shift(-1)
+        seg = df.dropna(subset=["nxt"])
+        dur = seg["nxt"].to_numpy().astype("int64") - seg["us"].to_numpy()
+        g = (seg.assign(dur=dur)
+             .groupby(["user_id", "event_type"], as_index=False)
+             .agg(dwell_us=("dur", "sum"), n_intervals=("dur", "size")))
+        g = g.rename(columns={"event_type": "state"})
+        return typed_table(g, user_id=pa.int64(), state=pa.string(),
+                           dwell_us=pa.int64(), n_intervals=pa.int64())
+
+    return bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+
+SQL_STATE_DWELL = """
+WITH e AS (
+  SELECT user_id, event_type AS state, CAST(epoch_us(ts) AS BIGINT) AS us,
+         lead(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT user_id, state, CAST(sum(nxt - us) AS BIGINT) AS dwell_us,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2"""
+
+_WEEK_MAX_DAY = 30
+
+
+def q_weekly_actives(sf_dir: str) -> ray.data.Dataset:
+    """Trailing-7-day distinct active users per day — the windowed
+    DISTINCT that daily_actives can't express.  Per-batch distinct
+    (user, day) combiner, a bounded x7 day explode, then ONE day-keyed
+    exchange where the bucket counts distinct users (all rows of a day
+    land together); the corpus never re-exchanges per window position."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "d": pc.day(batch["ts"]).to_numpy(zero_copy_only=False)
+            .astype("int64")}).drop_duplicates()
+        u = np.repeat(df["user_id"].to_numpy(), 7)
+        day = (df["d"].to_numpy()[:, None]
+               + np.arange(7, dtype="int64")).ravel()
+        ok = day <= _WEEK_MAX_DAY
+        out = pd.DataFrame({"user_id": u[ok],
+                            "day": day[ok]}).drop_duplicates()
+        return typed_table(out, user_id=pa.int64(), day=pa.int64())
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow",
+                           batch_size=None)
+
+    def per_day(df: pd.DataFrame) -> pa.Table:
+        g = (df.drop_duplicates()
+             .groupby("day", as_index=False)["user_id"].nunique()
+             .rename(columns={"user_id": "n_active"}))
+        return typed_table(g, day=pa.int64(), n_active=pa.int64())
+
+    return bucketed_group_apply(pairs, "day", per_day, 8)
+
+
+SQL_WEEKLY_ACTIVES = f"""
+WITH ud AS (SELECT DISTINCT user_id, CAST(day(ts) AS BIGINT) AS d
+            FROM events),
+days AS (SELECT CAST(r.range AS BIGINT) AS day
+         FROM range(1, {_WEEK_MAX_DAY + 1}) r),
+hit AS (SELECT DISTINCT ud.user_id, days.day
+        FROM days JOIN ud ON ud.d BETWEEN days.day - 6 AND days.day)
+SELECT day, CAST(count(*) AS BIGINT) AS n_active
+FROM hit GROUP BY 1"""
+
+
+QUERIES.update({
+    "sssp": q_sssp,
+    "time_weighted_value": q_time_weighted_value,
+    "state_dwell": q_state_dwell,
+    "weekly_actives": q_weekly_actives,
+})
+ORACLES.update({
+    "sssp": SQL_SSSP,
+    "time_weighted_value": SQL_TIME_WEIGHTED_VALUE,
+    "state_dwell": SQL_STATE_DWELL,
+    "weekly_actives": SQL_WEEKLY_ACTIVES,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -5816,7 +6005,8 @@ _DRIVER_FRONT = [
     "phrase_search", "cms_registers", "cms_heavy", "ks_drift",
     "corpus_kl", "embedding_gram", "bm25_topk", "state_snapshots",
     "bigram_lm", "length_percentile", "zorder_keys", "langid_confusion",
-    "assoc_rules",
+    "assoc_rules", "sssp", "time_weighted_value", "state_dwell",
+    "weekly_actives",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -1137,3 +1137,102 @@ def label_spread(triples: ray.data.Dataset,
                for i, f in enumerate(frontiers)]
     return leveled[0] if len(leveled) == 1 else \
         ray.data.Dataset.union(*leveled)
+
+
+def sssp_weighted(linked: ray.data.Dataset, seed_prefix: str = "MONDO:",
+                  rounds: int = 3, num_buckets: int = 16,
+                  distinct_mentions: ray.data.Dataset | None = None,
+                  max_driver_edges: int = 5_000_000) -> ray.data.Dataset:
+    """Weighted single-source (multi-seed) shortest paths over the
+    co-annotation graph: ``(node, dist)`` = minimum total weight from any
+    node with ``seed_prefix``, relaxed for ``rounds`` Bellman-Ford rounds
+    (paths of <= rounds edges — identical to the round-bounded oracle
+    whether or not a fixpoint is reached, the k_core capped-round
+    discipline).
+
+    Edge weight = ``1 + 1000 // n_elements`` — rarer co-annotations cost
+    more, so the metric is an integer inverse-frequency distance.
+
+    Scale shape: one relaxation round = TWO bucketed exchanges — a
+    partitioned hash join (dist frontier |><| edges on the source node;
+    no broadcast, the dist table grows toward node count) and a min-merge
+    of (old dists ∪ relaxed candidates) under a node-keyed bucket, with
+    per-batch min combiners ahead of it.  The edge table is pinned once
+    by ``materialize()`` and re-read each round from the object store.
+    Min-dist is order-independent, so the result is deterministic and the
+    iterated-CTE oracle pins every row."""
+    import pyarrow.compute as pc
+
+    from dug_ray.shuffle import hash_join
+
+    cooc = concept_cooccurrence(linked, num_buckets, distinct_mentions)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        n = batch["n_elements"].to_numpy(zero_copy_only=False)
+        w = 1 + 1000 // n
+        subj = batch["subj"].to_pandas().to_numpy(dtype=object)
+        obj = batch["obj"].to_pandas().to_numpy(dtype=object)
+        return pa.table({
+            "src": pa.array(np.concatenate([subj, obj]), pa.string()),
+            "dst": pa.array(np.concatenate([obj, subj]), pa.string()),
+            "w": pa.array(np.concatenate([w, w]), pa.int64())})
+
+    edges = cooc.map_batches(to_edges, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    # small-graph fast path (the bfs_levels/label_spread/cooc_components
+    # gate): a bounded co-annotation graph relaxes in microseconds on the
+    # driver; above the gate the distributed loop below takes over
+    if edges.count() <= max_driver_edges:
+        pdf = edges.to_pandas()
+        dist_map: dict[str, int] = {
+            n: 0 for n in pdf["src"] if n.startswith(seed_prefix)}
+        triples = list(zip(pdf["src"], pdf["dst"],
+                           (int(x) for x in pdf["w"])))
+        for _ in range(rounds):
+            cand: dict[str, int] = {}
+            for s, d, w in triples:
+                ds_ = dist_map.get(s)
+                if ds_ is None:
+                    continue
+                nd = ds_ + w
+                if nd < dist_map.get(d, nd + 1) and nd < cand.get(d, nd + 1):
+                    cand[d] = nd
+            if not cand:
+                break
+            dist_map.update(cand)
+        out = pd.DataFrame(
+            {"node": list(dist_map), "dist": list(dist_map.values())})
+        return ray.data.from_arrow(typed_table(
+            out, node=pa.string(), dist=pa.int64()))
+
+    def seed_batch(batch: pa.Table) -> pa.Table:
+        keep = pc.starts_with(batch["src"], seed_prefix)
+        t = batch.filter(keep)
+        return pa.table({"node": t["src"],
+                         "dist": pa.nulls(len(t), pa.int64())
+                         .fill_null(0)})
+
+    dist = distinct_rows(
+        edges.map_batches(seed_batch, batch_format="pyarrow",
+                          batch_size=None), ["node", "dist"],
+        num_buckets).materialize()
+
+    def min_merge(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("node", as_index=False)["dist"].min()
+        return typed_table(g, node=pa.string(), dist=pa.int64())
+
+    for _ in range(rounds):
+        relax = hash_join(dist, edges, "node", "src", num_buckets)
+
+        def cand(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch["dst"],
+                "dist": pc.add(batch["dist"], batch["w"])})
+
+        cands = relax.map_batches(cand, batch_format="pyarrow",
+                                  batch_size=None)
+        dist = bucketed_group_apply(dist.union(cands), "node", min_merge,
+                                    num_buckets).materialize()
+
+    return dist
