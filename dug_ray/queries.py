@@ -5980,6 +5980,72 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# dedup survivor corpus, JSONL codec roundtrip
+# ---------------------------------------------------------------------------
+
+def q_dedup_canonical(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end near-dup dedup APPLY: the surviving corpus after
+    keeping one canonical doc (the min doc_id — exactly the cluster
+    label the min-label propagation converges to) per near-dup cluster.
+    Survivor filter is map-side over the cluster assignment; metadata
+    rides back via a doc-keyed partitioned join."""
+    from dug_ray.shuffle import hash_join
+    from dug_ray.stages.cluster import connected_components
+    clusters = connected_components(
+        read_documents(sf_dir, columns=["doc_id", "text"]))
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["doc_id"], batch["cluster_id"])
+        return pa.table({"sdoc_id": pc.cast(
+            batch.filter(keep)["doc_id"], pa.int64())})
+
+    surv = clusters.map_batches(survivors, batch_format="pyarrow",
+                                batch_size=None)
+    meta = read_documents(sf_dir, columns=["doc_id", "lang", "source",
+                                           "n_chars"])
+    j = hash_join(surv, meta, "sdoc_id", "doc_id")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "lang": batch["lang"], "source": batch["source"],
+            "n_chars": pc.cast(batch["n_chars"], pa.int64())})
+
+    return j.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DEDUP_CANONICAL = _with(SQL_TOKS, SQL_SHINGLES, SQL_CC) + """
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM cc JOIN documents d USING (doc_id)
+WHERE cc.doc_id = cc.cluster_id"""
+
+
+def q_jsonl_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """JSONL codec roundtrip: documents rendered to canonical JSON lines
+    and decoded back against the DECLARED schema
+    (sources/jsonl_source.py) — the newline-delimited-JSON loader path,
+    exercised end to end."""
+    from dug_ray.sources.jsonl_source import parse_jsonl, render_jsonl
+    docs = read_documents(sf_dir, columns=["doc_id", "text", "lang",
+                                           "source", "n_chars"])
+    return parse_jsonl(render_jsonl(docs))
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang, source, n_chars FROM documents"""
+
+
+QUERIES.update({
+    "dedup_canonical": q_dedup_canonical,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+})
+ORACLES.update({
+    "dedup_canonical": SQL_DEDUP_CANONICAL,
+    "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -6006,7 +6072,7 @@ _DRIVER_FRONT = [
     "corpus_kl", "embedding_gram", "bm25_topk", "state_snapshots",
     "bigram_lm", "length_percentile", "zorder_keys", "langid_confusion",
     "assoc_rules", "sssp", "time_weighted_value", "state_dwell",
-    "weekly_actives",
+    "weekly_actives", "dedup_canonical", "jsonl_roundtrip",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
