@@ -6046,6 +6046,169 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# label centroids, Benford first-digit audit, per-doc char entropy
+# ---------------------------------------------------------------------------
+
+def q_label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label embedding centroid moments in exact fixed-point
+    micro-units — the supervised companion to embedding_dim_stats (one
+    row per (label, dim); centroid = sum_micro / n at the consumer).
+    Each batch collapses to O(labels x dims) partial rows."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from dug_ray.stages.similarity import _matrix
+        m = _matrix(batch)
+        q = np.floor(m.astype("float64") * 1e6).astype("int64")
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype("int64")
+        frames = []
+        for lv in np.unique(lab):
+            sel = q[lab == lv]
+            dims = np.arange(1, q.shape[1] + 1, dtype="int64")
+            frames.append(pd.DataFrame({
+                "label": lv, "dim": dims, "n": len(sel),
+                "sum_micro": sel.sum(axis=0)}))
+        out = pd.concat(frames, ignore_index=True)
+        return typed_table(out, label=pa.int64(), dim=pa.int64(),
+                           n=pa.int64(), sum_micro=pa.int64())
+
+    partials = emb.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["label", "dim"], as_index=False).agg(
+            n=("n", "sum"), sum_micro=("sum_micro", "sum"))
+        return typed_table(g, label=pa.int64(), dim=pa.int64(),
+                           n=pa.int64(), sum_micro=pa.int64())
+
+    return bucketed_group_apply(partials, ["label", "dim"], final, 8)
+
+
+SQL_LABEL_CENTROIDS = """
+WITH u AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings)
+SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_micro
+FROM u GROUP BY 1, 2"""
+
+
+def q_benford_digits(sf_dir: str) -> ray.data.Dataset:
+    """Benford first-digit audit over order totals: observed counts and
+    exact milli-frequency per leading digit of the integer cents — the
+    fraud/data-quality screen.  Map-side digit extraction (vectorized
+    string head), one bounded 9-row reduce."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype("int64")
+        first = pd.Series(cents).astype(str).str[0].astype("int64")
+        g = (pd.DataFrame({"digit": first}).groupby("digit")
+             .size().rename("n").reset_index())
+        return typed_table(g, digit=pa.int64(), n=pa.int64())
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("digit", as_index=False)["n"].sum()
+        tot = int(g["n"].sum())
+        g["freq_milli"] = (g["n"].to_numpy() * 1000) // tot
+        return typed_table(g, digit=pa.int64(), n=pa.int64(),
+                           freq_milli=pa.int64())
+
+    return bucketed_group_apply(partials, "digit", final, 1)
+
+
+SQL_BENFORD_DIGITS = """
+WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM c),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+SELECT digit, n, CAST(n * 1000 // tot AS BIGINT) AS freq_milli
+FROM g, t"""
+
+
+def q_char_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-document character-distribution Shannon entropy in exact
+    integer micro-nats x length: sum_c n_c * floor(ln(n/n_c) * 1e6) —
+    the local randomness quality signal (gibberish scores high,
+    repeated-char spam scores low).  Entirely map-side: each doc's char
+    histogram lives in its own row; one libm log per distinct
+    (n_c, n) ratio in the batch."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import math as _math
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # vectorize over the batch's flattened char stream: one byte/char
+        # table per batch, pandas value_counts per (doc, char)
+        doc_idx = np.repeat(np.arange(len(texts)), [len(t) for t in texts])
+        chars = np.frombuffer("".join(texts).encode("utf-32-le"),
+                              dtype=np.uint32)
+        cc = (pd.DataFrame({"i": doc_idx, "ch": chars})
+              .groupby(["i", "ch"]).size().rename("nc").reset_index())
+        tot = cc.groupby("i")["nc"].transform("sum").to_numpy()
+        nc = cc["nc"].to_numpy()
+        pairs = np.stack([nc, tot], axis=1)
+        u, inv = np.unique(pairs, axis=0, return_inverse=True)
+        w = np.array([_math.floor(_math.log(t / c) * 1e6)
+                      for c, t in u], dtype="int64")
+        contrib = nc * w[inv]
+        g = (pd.DataFrame({"i": cc["i"], "n_chars_counted": nc,
+                           "part": contrib})
+             .groupby("i", as_index=False).sum())
+        out = pd.DataFrame({
+            "doc_id": ids[g["i"].to_numpy()],
+            "n_chars_counted": g["n_chars_counted"].to_numpy(),
+            "ent_unats_xn": g["part"].to_numpy()})
+        return typed_table(out, doc_id=pa.int64(),
+                           n_chars_counted=pa.int64(),
+                           ent_unats_xn=pa.int64())
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            batch_size=None)
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, substr(text, i, 1) AS c
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(1, length(text))) AS i) t),
+cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS nc
+       FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n FROM cc GROUP BY 1)
+SELECT cc.doc_id,
+       CAST(sum(cc.nc) AS BIGINT) AS n_chars_counted,
+       CAST(sum(cc.nc * CAST(floor(ln(CAST(tot.n AS DOUBLE)
+                                      / CAST(cc.nc AS DOUBLE)) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS ent_unats_xn
+FROM cc JOIN tot USING (doc_id)
+GROUP BY 1"""
+
+
+QUERIES.update({
+    "label_centroids": q_label_centroids,
+    "benford_digits": q_benford_digits,
+    "char_entropy": q_char_entropy,
+})
+ORACLES.update({
+    "label_centroids": SQL_LABEL_CENTROIDS,
+    "benford_digits": SQL_BENFORD_DIGITS,
+    "char_entropy": SQL_CHAR_ENTROPY,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -6073,6 +6236,7 @@ _DRIVER_FRONT = [
     "bigram_lm", "length_percentile", "zorder_keys", "langid_confusion",
     "assoc_rules", "sssp", "time_weighted_value", "state_dwell",
     "weekly_actives", "dedup_canonical", "jsonl_roundtrip",
+    "label_centroids", "benford_digits", "char_entropy",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
