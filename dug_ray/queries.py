@@ -6209,6 +6209,146 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# exact distributed selection, stream debounce, coordinated sampling
+# ---------------------------------------------------------------------------
+
+_KTH_QS = [500, 990]
+
+
+def q_exact_kth(sf_dir: str) -> pa.Table:
+    """Exact unbounded-domain order statistics over lineitem price cents
+    (stages/selection.exact_quantiles): histogram-descent selection —
+    each round is one map-side combiner pass; only the final bounded bin
+    is ever pulled.  The exact-when-domain-is-huge companion to the
+    bounded-domain lang/char quantiles."""
+    from dug_ray.stages.selection import exact_quantiles
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"cents": pa.array(
+            np.floor(v * 100).astype("int64"), pa.int64())})
+
+    cents = li.map_batches(to_cents, batch_format="pyarrow",
+                           batch_size=None).materialize()
+    return exact_quantiles(cents, "cents", _KTH_QS)
+
+
+SQL_EXACT_KTH = f"""
+WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+q(q_milli) AS (VALUES {", ".join(f"({q})" for q in _KTH_QS)}),
+kq AS (SELECT q_milli, CAST(-((-q_milli * n.n) // 1000) AS BIGINT) AS k
+       FROM q, n),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c)
+SELECT CAST(kq.q_milli AS BIGINT) AS q_milli, kq.k, r.cents AS value
+FROM kq JOIN r ON r.rn = kq.k"""
+
+
+_DEBOUNCE_US = 3_600_000_000  # 1 hour
+
+
+def q_debounce_events(sf_dir: str) -> ray.data.Dataset:
+    """Stream debounce: drop an event when the SAME (user, type) fired
+    within the previous hour — the repeated-signal suppression every
+    event pipeline runs before counting.  One (user, type)-keyed
+    exchange, sort + shift inside the bucket; survivors only."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(us=df["ts"].astype("datetime64[us]")
+                       .astype("int64"))
+        df = df.sort_values(["user_id", "event_type", "us", "event_id"],
+                            kind="mergesort")
+        prev = df.groupby(["user_id", "event_type"])["us"].shift(1)
+        keep = prev.isna() | (df["us"] - prev > _DEBOUNCE_US)
+        out = df[keep]
+        return typed_table(out[["event_id", "user_id", "event_type",
+                                "us"]],
+                           event_id=pa.int64(), user_id=pa.int64(),
+                           event_type=pa.string(), us=pa.int64())
+
+    return bucketed_group_apply(ds, ["user_id", "event_type"],
+                                per_bucket, 16)
+
+
+SQL_DEBOUNCE_EVENTS = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS us,
+         lag(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT event_id, user_id, event_type, us
+FROM e WHERE prev IS NULL OR us - prev > {_DEBOUNCE_US}"""
+
+
+def q_coordinated_sample(sf_dir: str) -> pa.Table:
+    """Referential-integrity-preserving sample across RELATED tables:
+    documents and their events are sampled by the SAME md5 threshold on
+    the shared key (doc_id == the events' user_id domain), so the child
+    rows of every sampled parent ride along WITHOUT any join — the
+    coordinated-sampling trick that keeps a downsampled dev corpus
+    joinable.  Output: per-table sampled counts plus the orphan count of
+    the sampled child side (zero by construction)."""
+    from dug_ray.hashing import md5_int
+    from dug_ray.stages.integrity import fk_audit
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+
+    def keep(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch[col].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(md5_int(ids) % 5 == 0))
+        return f
+
+    sd = docs.map_batches(keep("doc_id"), batch_format="pyarrow",
+                          batch_size=None)
+    se = ev.map_batches(keep("user_id"), batch_format="pyarrow",
+                        batch_size=None)
+    audit = fk_audit(se, "user_id", sd, "doc_id",
+                     "sampled").to_pandas().iloc[0]
+    return pa.table({
+        "n_docs_sampled": pa.array([int(sd.count())], pa.int64()),
+        "n_events_sampled": pa.array([int(audit["n_child"])], pa.int64()),
+        "n_event_orphans": pa.array([int(audit["n_orphans"])],
+                                    pa.int64())})
+
+
+SQL_COORDINATED_SAMPLE = """
+WITH sd AS (SELECT doc_id FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 5 = 0),
+se AS (SELECT user_id FROM events
+       WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 5 = 0)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM sd) AS n_docs_sampled,
+       (SELECT CAST(count(*) AS BIGINT) FROM se) AS n_events_sampled,
+       (SELECT CAST(count(*) AS BIGINT) FROM se
+        WHERE user_id NOT IN (SELECT doc_id FROM sd))
+         AS n_event_orphans"""
+
+
+QUERIES.update({
+    "exact_kth": q_exact_kth,
+    "debounce_events": q_debounce_events,
+    "coordinated_sample": q_coordinated_sample,
+})
+ORACLES.update({
+    "exact_kth": SQL_EXACT_KTH,
+    "debounce_events": SQL_DEBOUNCE_EVENTS,
+    "coordinated_sample": SQL_COORDINATED_SAMPLE,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -6236,7 +6376,8 @@ _DRIVER_FRONT = [
     "bigram_lm", "length_percentile", "zorder_keys", "langid_confusion",
     "assoc_rules", "sssp", "time_weighted_value", "state_dwell",
     "weekly_actives", "dedup_canonical", "jsonl_roundtrip",
-    "label_centroids", "benford_digits", "char_entropy",
+    "label_centroids", "benford_digits", "char_entropy", "exact_kth",
+    "debounce_events", "coordinated_sample",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
