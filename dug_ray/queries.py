@@ -6349,6 +6349,105 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# banded simhash pairs, feature hashing
+# ---------------------------------------------------------------------------
+
+def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    """SimHash near-dup pairs at hamming <= 3 via pigeonhole banding
+    (stages/dedup.simhash_pairs) — completes the dedup matrix: exact,
+    MinHash-LSH, n-gram Jaccard, embedding cosine, and now banded
+    SimHash pair generation with no all-pairs pass."""
+    from dug_ray.stages.dedup import simhash_pairs
+    return simhash_pairs(read_documents(sf_dir,
+                                        columns=["doc_id", "text"]))
+
+
+# the oracle verifies by brute force (n^2 is fine at oracle scale);
+# the ENGINE's banding is the scale path the pigeonhole proof covers
+SQL_SIMHASH_PAIRS = _with(SQL_TOKS) + """,
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+bits AS (
+  SELECT doc_id, d.d,
+         CASE WHEN sum(strpos('0123456789abcdef', substr(md5(term), d.d + 1, 1))
+                       - 1 - 7.5) > 0 THEN 1 ELSE 0 END AS bit
+  FROM dt CROSS JOIN generate_series(0, 15) AS d(d)
+  GROUP BY doc_id, d.d),
+fp AS (SELECT doc_id,
+              CAST(sum(bit * (CAST(1 AS BIGINT) << d)) AS BIGINT) AS f
+       FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3"""
+
+_FH_DIMS = 64
+
+
+def q_feature_hashing(sf_dir: str) -> ray.data.Dataset:
+    """Signed feature hashing (the hashing trick): terms fold into
+    _FH_DIMS dimensions with a +/-1 sign from the same md5, weights =
+    signed term counts.  Entirely map-side (each doc's rows live in its
+    batch; one md5 pass over the batch's DISTINCT terms); output is the
+    sparse (doc_id, dim, weight) matrix with zeros dropped."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        from dug_ray.hashing import md5_uint64
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        flat = tokens.flatten()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": ids[parent],
+            "term": flat.to_pandas().to_numpy(dtype=object)})
+        tc = df.groupby(["doc_id", "term"], as_index=False).size()
+        uniq = tc["term"].unique()
+        hv = md5_uint64(uniq)
+        dim = (hv % np.uint64(_FH_DIMS)).astype("int64")
+        sign = np.where((hv >> np.uint64(6)) & np.uint64(1), 1,
+                        -1).astype("int64")
+        lut = pd.DataFrame({"term": uniq, "dim": dim, "sign": sign})
+        tc = tc.merge(lut, on="term")
+        tc["w"] = tc["sign"] * tc["size"]
+        g = tc.groupby(["doc_id", "dim"], as_index=False)["w"].sum()
+        g = g[g["w"] != 0]
+        return typed_table(g.rename(columns={"w": "weight"}),
+                           doc_id=pa.int64(), dim=pa.int64(),
+                           weight=pa.int64())
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            batch_size=None)
+
+
+SQL_FEATURE_HASHING = _with(SQL_TOKS) + f""",
+tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n
+       FROM toks GROUP BY 1, 2),
+h AS (SELECT term,
+             CAST(('0x' || substr(md5(term), 1, 16)) AS UBIGINT) AS hv
+      FROM (SELECT DISTINCT term FROM tc)),
+lut AS (SELECT term, CAST(hv % {_FH_DIMS} AS BIGINT) AS dim,
+               CASE WHEN (hv >> 6) & 1 = 1 THEN 1 ELSE -1 END AS sign
+        FROM h),
+w AS (SELECT tc.doc_id, lut.dim,
+             CAST(sum(lut.sign * tc.n) AS BIGINT) AS weight
+      FROM tc JOIN lut USING (term) GROUP BY 1, 2)
+SELECT doc_id, dim, weight FROM w WHERE weight <> 0"""
+
+
+QUERIES.update({
+    "simhash_pairs": q_simhash_pairs,
+    "feature_hashing": q_feature_hashing,
+})
+ORACLES.update({
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "feature_hashing": SQL_FEATURE_HASHING,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -6377,7 +6476,8 @@ _DRIVER_FRONT = [
     "assoc_rules", "sssp", "time_weighted_value", "state_dwell",
     "weekly_actives", "dedup_canonical", "jsonl_roundtrip",
     "label_centroids", "benford_digits", "char_entropy", "exact_kth",
-    "debounce_events", "coordinated_sample",
+    "debounce_events", "coordinated_sample", "simhash_pairs",
+    "feature_hashing",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

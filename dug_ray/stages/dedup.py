@@ -287,3 +287,71 @@ def simhash_fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
         })
 
     return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
+
+
+def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
+                  num_buckets: int = 16) -> ray.data.Dataset:
+    """Near-dup candidate pairs at hamming distance <= ``max_hamming``
+    over the 16-bit simhash, WITHOUT an all-pairs comparison: the
+    fingerprint splits into ``max_hamming + 1`` bands (4 x 4 bits), and
+    by pigeonhole any pair within the distance budget agrees on at least
+    one whole band — so candidates are generated per (band, band-value)
+    bucket, verified by exact popcount, and deduped across bands in a
+    pair-keyed exchange.  Output: ``(doc_a, doc_b, hamming)``.
+
+    Scale shape: the exchange carries docs x bands band rows plus the
+    (verified) candidate pairs — never the n^2 cross product; a hot band
+    value (a simhash collision cluster) bounds per-bucket work the same
+    way MinHash-LSH's band buckets do."""
+    n_bands = max_hamming + 1
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+
+    fps = simhash_fingerprints(docs)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        fp = batch["simhash"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        frames = [pd.DataFrame({
+            "band": b, "bval": (fp >> (band_bits * b)) & mask,
+            "doc_id": ids, "fp": fp}) for b in range(n_bands)]
+        out = pd.concat(frames, ignore_index=True)
+        return pa.table({
+            "band": pa.array(out["band"], pa.int64()),
+            "bval": pa.array(out["bval"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "fp": pa.array(out["fp"], pa.int64())})
+
+    bands = fps.map_batches(to_bands, batch_format="pyarrow",
+                            batch_size=None)
+
+    def per_band_bucket(df: pd.DataFrame) -> pa.Table:
+        m = df.drop_duplicates(["band", "bval", "doc_id"])
+        j = m.merge(m, on=["band", "bval"])
+        j = j[j["doc_id_x"] < j["doc_id_y"]]
+        ham = np.zeros(len(j), dtype="int64")
+        x = (j["fp_x"].to_numpy() ^ j["fp_y"].to_numpy()).astype("int64")
+        for _ in range(SIMHASH_BITS):  # 16-step vectorized popcount
+            ham += x & 1
+            x >>= 1
+        j = j.assign(hamming=ham)
+        j = j[j["hamming"] <= max_hamming]
+        out = j.rename(columns={"doc_id_x": "doc_a",
+                                "doc_id_y": "doc_b"})
+        return pa.table({
+            "doc_a": pa.array(out["doc_a"], pa.int64()),
+            "doc_b": pa.array(out["doc_b"], pa.int64()),
+            "hamming": pa.array(out["hamming"], pa.int64())})
+
+    cand = bucketed_group_apply(bands, ["band", "bval"], per_band_bucket,
+                                num_buckets)
+
+    def dedup_pairs(df: pd.DataFrame) -> pa.Table:
+        out = df.drop_duplicates(["doc_a", "doc_b"])
+        return pa.table({
+            "doc_a": pa.array(out["doc_a"], pa.int64()),
+            "doc_b": pa.array(out["doc_b"], pa.int64()),
+            "hamming": pa.array(out["hamming"], pa.int64())})
+
+    return bucketed_group_apply(cand, ["doc_a", "doc_b"], dedup_pairs,
+                                num_buckets)
