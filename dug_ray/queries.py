@@ -6448,6 +6448,96 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# read-time predicate pushdown, k-fold assignment
+# ---------------------------------------------------------------------------
+
+def q_pruned_read(sf_dir: str) -> ray.data.Dataset:
+    """Predicate pushdown at the READ: one day of events selected by a
+    pyarrow dataset filter expression handed to ``read_parquet`` — the
+    row groups outside the window never leave storage (at 100 TB the
+    difference between scanning a day and scanning a year); counts per
+    event_type on the pruned stream."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    lo = _dt.datetime(2024, 1, 10)
+    hi = _dt.datetime(2024, 1, 11)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"],
+        filter=(pads.field("ts") >= lo) & (pads.field("ts") < hi))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch["event_type"].combine_chunks().value_counts() \
+            if isinstance(batch["event_type"], pa.ChunkedArray) \
+            else batch["event_type"].value_counts()
+        return pa.table({"event_type": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("event_type", as_index=False)["n"].sum()
+        return typed_table(g, event_type=pa.string(), n=pa.int64())
+
+    return bucketed_group_apply(parts, "event_type", final, 2)
+
+
+SQL_PRUNED_READ = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+GROUP BY 1"""
+
+
+def q_kfold_assign(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic k-fold cross-validation assignment (fold =
+    md5(doc_id) % 5) with the per-(fold, lang) census that checks the
+    folds stay language-balanced — map-side assignment, one bounded
+    count exchange."""
+    docs = read_documents(sf_dir, columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from dug_ray.hashing import md5_int
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        fold = (md5_int(ids) % 5).astype("int64")
+        df = pd.DataFrame({
+            "fold": fold,
+            "lang": batch["lang"].to_pandas().to_numpy(dtype=object)})
+        g = df.groupby(["fold", "lang"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return typed_table(g, fold=pa.int64(), lang=pa.string(),
+                           n=pa.int64())
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["fold", "lang"], as_index=False)["n"].sum()
+        return typed_table(g, fold=pa.int64(), lang=pa.string(),
+                           n=pa.int64())
+
+    return bucketed_group_apply(parts, ["fold", "lang"], final, 4)
+
+
+SQL_KFOLD_ASSIGN = """
+SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % 5 AS fold,
+       lang, CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2"""
+
+
+QUERIES.update({
+    "pruned_read": q_pruned_read,
+    "kfold_assign": q_kfold_assign,
+})
+ORACLES.update({
+    "pruned_read": SQL_PRUNED_READ,
+    "kfold_assign": SQL_KFOLD_ASSIGN,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -6477,7 +6567,7 @@ _DRIVER_FRONT = [
     "weekly_actives", "dedup_canonical", "jsonl_roundtrip",
     "label_centroids", "benford_digits", "char_entropy", "exact_kth",
     "debounce_events", "coordinated_sample", "simhash_pairs",
-    "feature_hashing",
+    "feature_hashing", "pruned_read", "kfold_assign",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
