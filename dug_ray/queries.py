@@ -6538,6 +6538,147 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# KWIC concordance, exact join-cardinality profile
+# ---------------------------------------------------------------------------
+
+_KWIC_TERM = "stream"
+_KWIC_CTX = 3
+
+
+def q_kwic_concordance(sf_dir: str) -> ray.data.Dataset:
+    """Key-word-in-context concordance for one term: every occurrence
+    with its +/-3-token context windows — the corpus-inspection tool
+    behind every 'show me how this token is used' request.  Entirely
+    map-side on the flat token buffer (doc boundaries clamp the window);
+    output (doc_id, pos, left_ctx, right_ctx), pos 1-based."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False).astype("int64")
+        flat = tokens.flatten().to_pandas().to_numpy(dtype=object)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        start = np.searchsorted(parent, parent)  # doc-start flat index
+        # doc end (exclusive) via right-side search
+        end = np.searchsorted(parent, parent, side="right")
+        hit = np.flatnonzero(flat == _KWIC_TERM)
+        rows = []
+        for i in hit:
+            lo = max(int(start[i]), i - _KWIC_CTX)
+            hi = min(int(end[i]), i + _KWIC_CTX + 1)
+            rows.append((int(ids[parent[i]]), int(i - start[i] + 1),
+                         " ".join(flat[lo:i]),
+                         " ".join(flat[i + 1:hi])))
+        out = pd.DataFrame(rows, columns=["doc_id", "pos", "left_ctx",
+                                          "right_ctx"])
+        return typed_table(out, doc_id=pa.int64(), pos=pa.int64(),
+                           left_ctx=pa.string(), right_ctx=pa.string())
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            batch_size=None)
+
+
+SQL_KWIC_CONCORDANCE = _with(SQL_TOKS) + f""",
+h AS (SELECT doc_id, pos FROM toks WHERE term = '{_KWIC_TERM}')
+SELECT h.doc_id, CAST(h.pos AS BIGINT) AS pos,
+       coalesce((SELECT string_agg(t.term, ' ' ORDER BY t.pos) FROM toks t
+                 WHERE t.doc_id = h.doc_id
+                   AND t.pos BETWEEN h.pos - {_KWIC_CTX} AND h.pos - 1),
+                '') AS left_ctx,
+       coalesce((SELECT string_agg(t.term, ' ' ORDER BY t.pos) FROM toks t
+                 WHERE t.doc_id = h.doc_id
+                   AND t.pos BETWEEN h.pos + 1 AND h.pos + {_KWIC_CTX}),
+                '') AS right_ctx
+FROM h"""
+
+_JOINCARD_SPECS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey",
+     "lineitem*orders"),
+    ("events", "user_id", "documents", "doc_id", "events*documents"),
+]
+
+
+def q_join_cardinality(sf_dir: str) -> ray.data.Dataset:
+    """EXACT join-output cardinality per declared key pair —
+    sum over keys of count_left(k) * count_right(k) — the planner's
+    join-size profile computed without running the join.  Per-batch
+    per-key count combiners on both sides; ONE tagged key-bucketed
+    exchange multiplies the marginals in-bucket; bounded final."""
+    outs = []
+    for lt, lk, rt, rk, rel in _JOINCARD_SPECS:
+        left = ray.data.read_parquet(f"{sf_dir}/{lt}.parquet",
+                                     columns=[lk])
+        right = ray.data.read_parquet(f"{sf_dir}/{rt}.parquet",
+                                      columns=[rk])
+
+        def side_counts(key: str, side: int):
+            def f(df: pd.DataFrame) -> pa.Table:
+                g = (df.groupby(key, as_index=False).size()
+                     .rename(columns={key: "k", "size": "n"}))
+                g["side"] = side
+                return typed_table(g[["k", "n", "side"]], k=pa.int64(),
+                                   n=pa.int64(), side=pa.int32())
+            return f
+
+        tagged = left.map_batches(side_counts(lk, 0),
+                                  batch_format="pandas",
+                                  batch_size=None).union(
+            right.map_batches(side_counts(rk, 1), batch_format="pandas",
+                              batch_size=None))
+
+        def per_bucket(df: pd.DataFrame, rel=rel) -> pa.Table:
+            g = (df.groupby(["k", "side"], as_index=False)["n"].sum()
+                 .pivot(index="k", columns="side", values="n")
+                 .reindex(columns=[0, 1]).fillna(0))
+            # Python ints: the per-key product wraps int64 under hot-key
+            # skew at corpus scale
+            est = sum(int(a) * int(b)
+                      for a, b in zip(g[0], g[1]))
+            return pa.table({"relation": pa.array([rel], pa.string()),
+                             "est_rows": pa.array([est], pa.int64())})
+
+        parts = bucketed_group_apply(tagged, "k", per_bucket, 8)
+
+        def final(df: pd.DataFrame, rel=rel) -> pa.Table:
+            return pa.table({
+                "relation": pa.array([rel], pa.string()),
+                "est_rows": pa.array([int(df["est_rows"].sum())],
+                                     pa.int64())})
+
+        outs.append(bucketed_group_apply(parts, "relation", final, 1))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res
+
+
+def _joincard_sql(lt, lk, rt, rk, rel):
+    return f"""
+SELECT '{rel}' AS relation,
+       CAST(coalesce(sum(l.n * r.n), 0) AS BIGINT) AS est_rows
+FROM (SELECT {lk} AS k, count(*) AS n FROM {lt} GROUP BY 1) l
+JOIN (SELECT {rk} AS k, count(*) AS n FROM {rt} GROUP BY 1) r
+  ON r.k = l.k"""
+
+
+SQL_JOIN_CARDINALITY = "\nUNION ALL\n".join(
+    _joincard_sql(*s) for s in _JOINCARD_SPECS)
+
+
+QUERIES.update({
+    "kwic_concordance": q_kwic_concordance,
+    "join_cardinality": q_join_cardinality,
+})
+ORACLES.update({
+    "kwic_concordance": SQL_KWIC_CONCORDANCE,
+    "join_cardinality": SQL_JOIN_CARDINALITY,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -6568,6 +6709,7 @@ _DRIVER_FRONT = [
     "label_centroids", "benford_digits", "char_entropy", "exact_kth",
     "debounce_events", "coordinated_sample", "simhash_pairs",
     "feature_hashing", "pruned_read", "kfold_assign",
+    "kwic_concordance", "join_cardinality",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
