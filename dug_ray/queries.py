@@ -6679,6 +6679,133 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# reciprocal-rank fusion, integer-exact Cohen's kappa
+# ---------------------------------------------------------------------------
+
+def q_rrf_fusion(sf_dir: str) -> ray.data.Dataset:
+    """Reciprocal-rank fusion of two retrieval rankings (BM25 components
+    for 'fast' and 'sort'): rrf = 1/(60+rank_a) + 1/(60+rank_b), docs
+    present in both top-5 lists — the standard score-free rank combiner
+    for hybrid search.  Both input rankings come from the bm25 stage;
+    the fuse is a doc-keyed join over two k-bounded lists, and the one
+    float is composed term-by-term identically in SQL (left list's
+    reciprocal added first)."""
+    from dug_ray.stages.text_index import bm25_topk
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    ranks = bm25_topk(docs, ["fast", "sort"], k=5)
+
+    def fuse(df: pd.DataFrame) -> pa.Table:
+        # UNION fusion (standard RRF): a doc missing from one list
+        # contributes only the other reciprocal; -1 sentinel marks the
+        # absent rank (typed int64 on both engines, no null-vs-NaN skew)
+        p = (df.pivot(index="doc_id", columns="term", values="rank")
+             .reindex(columns=["fast", "sort"]))
+        ra = p["fast"].to_numpy(dtype="float64")
+        rb = p["sort"].to_numpy(dtype="float64")
+        rrf = np.where(np.isnan(ra), 0.0, 1.0 / (60.0 + ra)) \
+            + np.where(np.isnan(rb), 0.0, 1.0 / (60.0 + rb))
+        out = pd.DataFrame({
+            "doc_id": p.index.to_numpy(),
+            "rank_fast": np.where(np.isnan(ra), -1, ra).astype("int64"),
+            "rank_sort": np.where(np.isnan(rb), -1, rb).astype("int64"),
+            "rrf": rrf})
+        return typed_table(out, doc_id=pa.int64(), rank_fast=pa.int64(),
+                           rank_sort=pa.int64(), rrf=pa.float64())
+
+    return bucketed_group_apply(ranks, "doc_id", fuse, 4)
+
+
+# rebuild the two BM25 top-5 lists with the bm25_topk oracle chain, then
+# fuse; the reciprocal sum composes left-then-right exactly as the engine
+SQL_RRF_FUSION = _with(SQL_TOKS) + """,
+dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         FROM toks GROUP BY 1),
+q(term) AS (VALUES ('fast'), ('sort')),
+tf AS (SELECT t.term, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM toks t JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             (SELECT CAST(count(*) AS BIGINT) FROM toks) AS n_tokens
+      FROM documents),
+s AS (SELECT tf.term, tf.doc_id,
+             ln((CAST(g.n_docs - dft.df AS DOUBLE) + 0.5)
+                / (CAST(dft.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dlen.dl AS DOUBLE)
+                     / (CAST(g.n_tokens AS DOUBLE)
+                        / CAST(g.n_docs AS DOUBLE))))) AS score
+      FROM tf JOIN dft USING (term) JOIN dlen USING (doc_id), g),
+r AS (SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM s),
+t5 AS (SELECT term, doc_id, CAST(rank AS BIGINT) AS rank
+       FROM r WHERE rank <= 5),
+fa AS (SELECT doc_id, rank FROM t5 WHERE term = 'fast'),
+sa AS (SELECT doc_id, rank FROM t5 WHERE term = 'sort')
+SELECT coalesce(fa.doc_id, sa.doc_id) AS doc_id,
+       CAST(coalesce(fa.rank, -1) AS BIGINT) AS rank_fast,
+       CAST(coalesce(sa.rank, -1) AS BIGINT) AS rank_sort,
+       coalesce(1.0 / (60.0 + CAST(fa.rank AS DOUBLE)), 0.0)
+         + coalesce(1.0 / (60.0 + CAST(sa.rank AS DOUBLE)), 0.0) AS rrf
+FROM fa FULL OUTER JOIN sa ON sa.doc_id = fa.doc_id"""
+
+
+def q_langid_kappa(sf_dir: str) -> pa.Table:
+    """Cohen's kappa of the langid classifier against the stored labels,
+    as an EXACT integer: kappa_ppm = (n*agree - S) * 1e6 // (n^2 - S)
+    with S = sum over classes of row_total x col_total — pure integer
+    identity of (po-pe)/(1-pe), no float crosses engines.  Derived from
+    the bounded confusion matrix (classes^2 rows at any corpus size)."""
+    cm = q_langid_confusion(sf_dir).to_pandas()
+    n = int(cm["n"].sum())
+    agree = int(cm.loc[cm["lang"] == cm["pred_lang"], "n"].sum())
+    row = cm.groupby("lang")["n"].sum()
+    col = cm.groupby("pred_lang")["n"].sum()
+    classes = sorted(set(row.index) | set(col.index))
+    s = sum(int(row.get(c, 0)) * int(col.get(c, 0)) for c in classes)
+    num, den = (n * agree - s) * 1_000_000, n * n - s
+    # TRUNCATED integer division (SQL // truncates toward zero; Python
+    # floors) — split the sign so a negative kappa matches the oracle
+    kappa_ppm = num // den if num >= 0 else -((-num) // den)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_agree": pa.array([agree], pa.int64()),
+        "kappa_ppm": pa.array([kappa_ppm], pa.int64())})
+
+
+SQL_LANGID_KAPPA = """
+WITH cm AS ({confusion}),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+                    AS BIGINT) AS agree
+        FROM cm),
+rows_ AS (SELECT lang AS c, CAST(sum(n) AS BIGINT) AS rn
+          FROM cm GROUP BY 1),
+cols_ AS (SELECT pred_lang AS c, CAST(sum(n) AS BIGINT) AS cn
+          FROM cm GROUP BY 1),
+s AS (SELECT CAST(coalesce(sum(CAST(rows_.rn AS HUGEINT) * cols_.cn), 0)
+              AS HUGEINT) AS s
+      FROM rows_ JOIN cols_ USING (c))
+SELECT tot.n, tot.agree AS n_agree,
+       CAST((CAST(tot.n AS HUGEINT) * tot.agree - s.s) * 1000000
+            // (CAST(tot.n AS HUGEINT) * tot.n - s.s) AS BIGINT)
+         AS kappa_ppm
+FROM tot, s"""
+
+
+QUERIES.update({
+    "rrf_fusion": q_rrf_fusion,
+    "langid_kappa": q_langid_kappa,
+})
+ORACLES.update({
+    "rrf_fusion": SQL_RRF_FUSION,
+    "langid_kappa": SQL_LANGID_KAPPA.format(
+        confusion=SQL_LANGID_CONFUSION.format(pred=SQL_LANGID)),
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -6709,7 +6836,7 @@ _DRIVER_FRONT = [
     "label_centroids", "benford_digits", "char_entropy", "exact_kth",
     "debounce_events", "coordinated_sample", "simhash_pairs",
     "feature_hashing", "pruned_read", "kfold_assign",
-    "kwic_concordance", "join_cardinality",
+    "kwic_concordance", "join_cardinality", "rrf_fusion", "langid_kappa",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
