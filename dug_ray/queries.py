@@ -4652,7 +4652,8 @@ def q_q5_revenue(sf_dir: str) -> ray.data.Dataset:
 
     orders_f = orders.map_batches(ord_1996, batch_format="pyarrow",
                                   batch_size=None)
-    co = hash_join(orders_f, cust_f, "o_custkey", "c_custkey")
+    co = hash_join(orders_f, cust_f, "o_custkey", "c_custkey",
+                   coalesce_blocks=32)
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -4669,7 +4670,8 @@ def q_q5_revenue(sf_dir: str) -> ray.data.Dataset:
                            l_suppkey=pa.int64(), rev_c=pa.int64())
 
     li_c = li.map_batches(li_cents, batch_format="pandas", batch_size=None)
-    wide = hash_join(li_c, co, "l_orderkey", "o_orderkey")
+    wide = hash_join(li_c, co, "l_orderkey", "o_orderkey",
+                     coalesce_blocks=32)
 
     def nation_rev(df: pd.DataFrame) -> pa.Table:
         sup_nat = ray.get(sup_ref)
@@ -5063,7 +5065,10 @@ def q_late_priority(sf_dir: str) -> ray.data.Dataset:
 
     orders_f = orders.map_batches(ord_window, batch_format="pyarrow",
                                   batch_size=None)
-    joined = hash_join(orders_f, per_order, "o_orderkey", "l_orderkey")
+    # both sides are combiner/filter outputs (many tiny blocks): coalesce
+    # ahead of the join exchange (fk_audit block-count discipline)
+    joined = hash_join(orders_f, per_order, "o_orderkey", "l_orderkey",
+                       coalesce_blocks=32)
 
     def late_partial(df: pd.DataFrame) -> pa.Table:
         late = df[df["max_ship_us"] > df["o_us"] + _LATE_GRACE_US]

@@ -201,7 +201,8 @@ def _tagged_union(left: ray.data.Dataset, right: ray.data.Dataset,
 
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
               left_key: str, right_key: str,
-              num_buckets: int = 32) -> ray.data.Dataset:
+              num_buckets: int = 32,
+              coalesce_blocks: int | None = None) -> ray.data.Dataset:
     """Partitioned hash join for two LARGE sides (neither is broadcast).
 
     The portable Ray Data pattern (no reliance on a Dataset.join API):
@@ -213,8 +214,14 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     canonicalization shuffle). Quirk: a fully-empty result Dataset loses
     its column schema (Ray pandas-block behavior) — guard consumers.
     Column names on the two sides must be fully disjoint (see
-    ``_tagged_union``)."""
+    ``_tagged_union``). ``coalesce_blocks``: repartition the tagged union
+    before the exchange — set it when BOTH sides are combiner outputs
+    (many tiny blocks), where the sort exchange otherwise pays per-block
+    fixed cost (the fk_audit/bfs block-count discipline); leave None for
+    corpus-sized sides."""
     u, lcols, rcols = _tagged_union(left, right, left_key, right_key)
+    if coalesce_blocks:
+        u = u.repartition(coalesce_blocks)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # SQL inner-join semantics: null keys never match. (They all route
