@@ -3259,7 +3259,8 @@ def q_q3_shipping(sf_dir: str) -> ray.data.Dataset:
         return typed_table(df, l_orderkey=pa.int64(), rev_c=pa.int64())
 
     li_c = li.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
-    joined = hash_join(li_c, orders_f, "l_orderkey", "o_orderkey")
+    joined = hash_join(li_c, orders_f, "l_orderkey", "o_orderkey",
+                       coalesce_blocks=32)
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
