@@ -6800,14 +6800,128 @@ SELECT tot.n, tot.agree AS n_agree,
 FROM tot, s"""
 
 
+# ---------------------------------------------------------------------------
+# hourly seasonality profile, degree assortativity moments
+# ---------------------------------------------------------------------------
+
+def q_hourly_profile(sf_dir: str) -> ray.data.Dataset:
+    """Hour-of-day seasonality per event type: the 24-slot count profile
+    plus each type's peak hour (argmax, smallest hour on ties) — the
+    load-shape census capacity planning reads.  Per-batch (type, hour)
+    combiners; ONE type-keyed exchange computes counts AND the argmax in
+    the same bucket."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas()
+            .to_numpy(dtype=object),
+            "hour": pc.hour(batch["ts"]).to_numpy(zero_copy_only=False)
+            .astype("int64")})
+        g = df.groupby(["event_type", "hour"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return typed_table(g, event_type=pa.string(), hour=pa.int64(),
+                           n=pa.int64())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def per_type(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["event_type", "hour"], as_index=False)["n"].sum()
+        peak = (g.sort_values(["event_type", "n", "hour"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+                .groupby("event_type").head(1)
+                .rename(columns={"hour": "peak_hour"}))
+        g = g.merge(peak[["event_type", "peak_hour"]], on="event_type")
+        return typed_table(g[["event_type", "hour", "n", "peak_hour"]],
+                           event_type=pa.string(), hour=pa.int64(),
+                           n=pa.int64(), peak_hour=pa.int64())
+
+    return bucketed_group_apply(parts, "event_type", per_type, 4)
+
+
+SQL_HOURLY_PROFILE = """
+WITH g AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+p AS (SELECT event_type, hour AS peak_hour,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, hour) AS rn
+      FROM g)
+SELECT g.event_type, g.hour, g.n, p.peak_hour
+FROM g JOIN p ON p.event_type = g.event_type AND p.rn = 1"""
+
+
+def q_degree_assortativity(sf_dir: str) -> pa.Table:
+    """Degree-assortativity moments of the co-annotation graph: over
+    every directed edge (both orientations), the exact integer sums the
+    Pearson correlation of endpoint degrees is assembled from —
+    (m, sum_x, sum_y, sum_xy, sum_x2, sum_y2) as Python-int-safe int64.
+    The division stays with the consumer; no float crosses engines.
+    Degrees are computed from the same bounded edge table the graph
+    family shares."""
+    from dug_ray.stages.graph import concept_cooccurrence
+    cooc = concept_cooccurrence(kg.linked_mentions_cached(sf_dir)) \
+        .to_pandas()  # ontology-bounded (documented gate in graph.py)
+    deg = pd.concat([cooc["subj"], cooc["obj"]]).value_counts()
+    x = cooc["subj"].map(deg).to_numpy(dtype="int64")
+    y = cooc["obj"].map(deg).to_numpy(dtype="int64")
+    # both orientations: symmetric moments
+    xs = np.concatenate([x, y]).astype(object)
+    ys = np.concatenate([y, x]).astype(object)
+    m = len(xs)
+    return pa.table({
+        "m": pa.array([m], pa.int64()),
+        "sum_x": pa.array([int(sum(xs))], pa.int64()),
+        "sum_y": pa.array([int(sum(ys))], pa.int64()),
+        "sum_xy": pa.array([int(sum(a * b for a, b in zip(xs, ys)))],
+                           pa.int64()),
+        "sum_x2": pa.array([int(sum(a * a for a in xs))], pa.int64()),
+        "sum_y2": pa.array([int(sum(b * b for b in ys))], pa.int64())})
+
+
+SQL_DEGREE_ASSORTATIVITY = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+cooc AS (SELECT a.canonical_curie AS subj, b.canonical_curie AS obj
+         FROM dm a JOIN dm b USING (element_id)
+         WHERE a.canonical_curie < b.canonical_curie
+         GROUP BY 1, 2),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT subj AS node FROM cooc
+          UNION ALL SELECT obj FROM cooc) GROUP BY 1),
+ed AS (SELECT da.d AS x, db.d AS y
+       FROM cooc JOIN deg da ON da.node = cooc.subj
+       JOIN deg db ON db.node = cooc.obj
+       UNION ALL
+       SELECT db.d, da.d
+       FROM cooc JOIN deg da ON da.node = cooc.subj
+       JOIN deg db ON db.node = cooc.obj)
+SELECT CAST(count(*) AS BIGINT) AS m,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sum_xy,
+       CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sum_x2,
+       CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS sum_y2
+FROM ed"""
+
+
 QUERIES.update({
     "rrf_fusion": q_rrf_fusion,
     "langid_kappa": q_langid_kappa,
+    "hourly_profile": q_hourly_profile,
+    "degree_assortativity": q_degree_assortativity,
 })
 ORACLES.update({
     "rrf_fusion": SQL_RRF_FUSION,
     "langid_kappa": SQL_LANGID_KAPPA.format(
         confusion=SQL_LANGID_CONFUSION.format(pred=SQL_LANGID)),
+    "hourly_profile": SQL_HOURLY_PROFILE,
+    "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
 })
 
 
@@ -6843,6 +6957,7 @@ _DRIVER_FRONT = [
     "debounce_events", "coordinated_sample", "simhash_pairs",
     "feature_hashing", "pruned_read", "kfold_assign",
     "kwic_concordance", "join_cardinality", "rrf_fusion", "langid_kappa",
+    "hourly_profile", "degree_assortativity",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
