@@ -6910,11 +6910,115 @@ SELECT CAST(count(*) AS BIGINT) AS m,
 FROM ed"""
 
 
+_RFM_QS = [200, 400, 600, 800]
+
+
+def q_rfm_segments(sf_dir: str) -> ray.data.Dataset:
+    """RFM customer segmentation: per-customer recency (days since last
+    order vs the corpus max date), frequency (order count) and monetary
+    (integer cents), each scored 1-5 by EXACT global quintile boundaries
+    from the histogram-descent selection operator (stages/selection) —
+    value-threshold semantics (bucket = 1 + #boundaries strictly below),
+    so ties are deterministic with no row-order dependence.  One
+    customer-keyed exchange builds the metrics; 3 x 4 boundary probes are
+    bounded multi-pass scans; scoring is map-side against the broadcast
+    12-number boundary set."""
+    from dug_ray.stages.selection import exact_quantiles
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(us=df["o_orderdate"].astype("datetime64[us]")
+                       .astype("int64"),
+                       cents=np.floor(df["o_totalprice"].to_numpy()
+                                      * 100).astype("int64"))
+        g = df.groupby("o_custkey", as_index=False).agg(
+            last_us=("us", "max"), frequency=("us", "size"),
+            monetary_cents=("cents", "sum"))
+        return typed_table(g, o_custkey=pa.int64(), last_us=pa.int64(),
+                           frequency=pa.int64(), monetary_cents=pa.int64())
+
+    parts = orders.map_batches(partial, batch_format="pandas",
+                               batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            last_us=("last_us", "max"), frequency=("frequency", "sum"),
+            monetary_cents=("monetary_cents", "sum"))
+        return typed_table(g, o_custkey=pa.int64(), last_us=pa.int64(),
+                           frequency=pa.int64(), monetary_cents=pa.int64())
+
+    m = bucketed_group_apply(parts, "o_custkey", merge, 8).materialize()
+    max_us = int(m.max("last_us"))
+
+    def add_recency(batch: pa.Table) -> pa.Table:
+        last = batch["last_us"].to_numpy(zero_copy_only=False)
+        rec = (max_us - last) // 86_400_000_000
+        return batch.append_column("recency_days",
+                                   pa.array(rec, pa.int64()))
+
+    mr = m.map_batches(add_recency, batch_format="pyarrow",
+                       batch_size=None).materialize()
+
+    bounds = {
+        col: np.sort(exact_quantiles(mr, col, _RFM_QS)
+                     .column("value").to_numpy(zero_copy_only=False))
+        for col in ("recency_days", "frequency", "monetary_cents")}
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = {"c_custkey": pc.cast(batch["o_custkey"], pa.int64())}
+        for col in ("recency_days", "frequency", "monetary_cents"):
+            v = batch[col].to_numpy(zero_copy_only=False)
+            out[col] = pa.array(v, pa.int64())
+            out[f"{col[0]}_bucket"] = pa.array(
+                1 + np.searchsorted(bounds[col], v, side="left"),
+                pa.int64())
+        return pa.table(out)
+
+    return mr.map_batches(score, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def _rfm_bounds_sql(col: str) -> str:
+    return f"""
+r_{col} AS (SELECT {col} AS v,
+                   row_number() OVER (ORDER BY {col}) AS rn FROM m),
+b_{col} AS (SELECT r.v FROM qs, n
+            JOIN r_{col} r ON r.rn = -((-qs.q * n.c) // 1000))"""
+
+
+SQL_RFM_SEGMENTS = f"""
+WITH mx AS (SELECT CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS u
+            FROM orders),
+m AS (SELECT o_custkey,
+             CAST((mx.u - max(epoch_us(o_orderdate))) // 86400000000
+                  AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders, mx GROUP BY o_custkey, mx.u),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM m),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in _RFM_QS)}),
+{_rfm_bounds_sql("recency_days").lstrip()},
+{_rfm_bounds_sql("frequency").lstrip()},
+{_rfm_bounds_sql("monetary_cents").lstrip()}
+SELECT o_custkey AS c_custkey, recency_days, frequency, monetary_cents,
+       CAST(1 + (SELECT count(*) FROM b_recency_days b
+                 WHERE b.v < m.recency_days) AS BIGINT) AS r_bucket,
+       CAST(1 + (SELECT count(*) FROM b_frequency b
+                 WHERE b.v < m.frequency) AS BIGINT) AS f_bucket,
+       CAST(1 + (SELECT count(*) FROM b_monetary_cents b
+                 WHERE b.v < m.monetary_cents) AS BIGINT) AS m_bucket
+FROM m"""
+
+
 QUERIES.update({
     "rrf_fusion": q_rrf_fusion,
     "langid_kappa": q_langid_kappa,
     "hourly_profile": q_hourly_profile,
     "degree_assortativity": q_degree_assortativity,
+    "rfm_segments": q_rfm_segments,
 })
 ORACLES.update({
     "rrf_fusion": SQL_RRF_FUSION,
@@ -6922,6 +7026,7 @@ ORACLES.update({
         confusion=SQL_LANGID_CONFUSION.format(pred=SQL_LANGID)),
     "hourly_profile": SQL_HOURLY_PROFILE,
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
+    "rfm_segments": SQL_RFM_SEGMENTS,
 })
 
 
@@ -6957,7 +7062,7 @@ _DRIVER_FRONT = [
     "debounce_events", "coordinated_sample", "simhash_pairs",
     "feature_hashing", "pruned_read", "kfold_assign",
     "kwic_concordance", "join_cardinality", "rrf_fusion", "langid_kappa",
-    "hourly_profile", "degree_assortativity",
+    "hourly_profile", "degree_assortativity", "rfm_segments",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
