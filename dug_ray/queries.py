@@ -7031,6 +7031,41 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# WAV/PCM audio codec roundtrip (multimodal audio path)
+# ---------------------------------------------------------------------------
+
+def q_wav_stats(sf_dir: str) -> ray.data.Dataset:
+    """Audio-shard decode path with a REAL RIFF/WAVE PCM16 codec
+    (sources/wav_source.py — zero libraries): each user's event values
+    rendered into a canonical WAV file, strictly re-parsed, per-file
+    integer stats emitted map-side.  The oracle reproduces the stats
+    from the raw event columns, so the container roundtrip is what the
+    hash pins."""
+    from dug_ray.sources.wav_source import render_user_wavs, wav_stats
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])
+    return wav_stats(render_user_wavs(ev))
+
+
+SQL_WAV_STATS = """
+WITH s AS (
+  SELECT user_id,
+         CAST(greatest(least(floor(value * 100), 32767), -32768)
+              AS BIGINT) AS c
+  FROM events)
+SELECT user_id, CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(abs(c)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(c)) AS BIGINT) AS peak
+FROM s GROUP BY 1"""
+
+
+QUERIES.update({"wav_stats": q_wav_stats})
+ORACLES.update({"wav_stats": SQL_WAV_STATS})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -7063,6 +7098,7 @@ _DRIVER_FRONT = [
     "feature_hashing", "pruned_read", "kfold_assign",
     "kwic_concordance", "join_cardinality", "rrf_fusion", "langid_kappa",
     "hourly_profile", "degree_assortativity", "rfm_segments",
+    "wav_stats",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
