@@ -7066,6 +7066,154 @@ ORACLES.update({"wav_stats": SQL_WAV_STATS})
 
 
 # ---------------------------------------------------------------------------
+# distinctive terms per language, top session paths
+# ---------------------------------------------------------------------------
+
+def q_distinctive_terms(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 distinctive terms per language by exact integer lift:
+    lift_ppm = (c_Lt * N * 1e6) // (n_L * C_t) — how over-represented a
+    term is in the language vs the corpus.  Same two-exchange shape as
+    corpus_kl (corpus marginal computed IN the term bucket, never
+    broadcast), plus a lang-keyed top-k."""
+    docs = read_documents(sf_dir, columns=["lang", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens)
+        t = pa.table({"lang": pc.take(batch["lang"], parent),
+                      "term": tokens.flatten()})
+        return (t.group_by(["lang", "term"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["lang", "term", "n"]))
+
+    lt = docs.map_batches(pairs, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    n_total = int(lt.sum("n"))
+    nl = lt.groupby("lang").sum("n").to_pandas()
+    nl_map = {k: int(v) for k, v in zip(nl["lang"], nl["sum(n)"])}
+
+    def per_term_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.groupby(["lang", "term"], as_index=False)["n"].sum()
+        ct = df.groupby("term")["n"].transform("sum")
+        # Python-int products: c*N*1e6 wraps int64 on a web corpus
+        lift = [(int(c) * n_total * 1_000_000)
+                // (nl_map[la] * int(t))
+                for c, la, t in zip(df["n"], df["lang"], ct)]
+        out = df.assign(corpus_n=ct.to_numpy(), lift_ppm=lift)
+        return typed_table(out[["lang", "term", "n", "corpus_n",
+                                "lift_ppm"]],
+                           lang=pa.string(), term=pa.string(),
+                           n=pa.int64(), corpus_n=pa.int64(),
+                           lift_ppm=pa.int64())
+
+    scored = bucketed_group_apply(lt, "term", per_term_bucket, 16)
+
+    def topk(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["lang", "lift_ppm", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df["rank"] = df.groupby("lang").cumcount() + 1
+        df = df[df["rank"] <= 3]
+        return typed_table(df[["lang", "term", "n", "corpus_n",
+                               "lift_ppm", "rank"]],
+                           lang=pa.string(), term=pa.string(),
+                           n=pa.int64(), corpus_n=pa.int64(),
+                           lift_ppm=pa.int64(), rank=pa.int64())
+
+    return bucketed_group_apply(scored, "lang", topk, 4)
+
+
+SQL_DISTINCTIVE_TERMS = _with(SQL_TOKS) + """,
+lt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+       FROM toks GROUP BY 1, 2),
+ct AS (SELECT term, CAST(sum(n) AS BIGINT) AS corpus_n FROM lt GROUP BY 1),
+nl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM lt GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM lt),
+s AS (SELECT lt.lang, lt.term, lt.n, ct.corpus_n,
+             CAST(CAST(lt.n AS HUGEINT) * tot.n * 1000000
+                  // (CAST(nl.nl AS HUGEINT) * ct.corpus_n) AS BIGINT)
+               AS lift_ppm
+      FROM lt JOIN ct USING (term) JOIN nl USING (lang), tot),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY lift_ppm DESC, term) AS rank
+      FROM s)
+SELECT lang, term, n, corpus_n, lift_ppm, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3"""
+
+_SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+def q_session_paths(sf_dir: str) -> ray.data.Dataset:
+    """Top-10 session paths: sessions cut at 30-minute idle gaps per
+    user, each session's ordered event-type sequence joined with '>',
+    ranked by frequency (path asc on ties).  Per-user sessionization in
+    ONE bucket (sort + cumulative gap counter), path-keyed count
+    exchange, bounded top-10."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(us=df["ts"].astype("datetime64[us]")
+                       .astype("int64"))
+        df = df.sort_values(["user_id", "us", "event_id"],
+                            kind="mergesort")
+        gap = df.groupby("user_id")["us"].diff()
+        df["sess"] = (gap > _SESSION_GAP_US).fillna(False) \
+            .groupby(df["user_id"]).cumsum()
+        g = (df.groupby(["user_id", "sess"])["event_type"]
+             .agg(">".join).rename("path").reset_index())
+        p = g.groupby("path", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return typed_table(p, path=pa.string(), n=pa.int64())
+
+    parts = bucketed_group_apply(ds, "user_id", per_user, 16)
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("path", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "path"], ascending=[False, True],
+                          kind="mergesort").head(10)
+        return typed_table(g, path=pa.string(), n=pa.int64())
+
+    # single-bucket final: the path-count table is bounded by distinct
+    # paths; a 2-stage (per-bucket topk -> global) upgrade is the
+    # documented scale path if paths ever explode
+    return bucketed_group_apply(parts, "path", merge, 1)
+
+
+SQL_SESSION_PATHS = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events),
+g AS (SELECT *,
+             CASE WHEN us - lag(us) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS sess
+      FROM g),
+p AS (SELECT user_id, sess,
+             string_agg(event_type, '>' ORDER BY us, event_id) AS path
+      FROM s GROUP BY 1, 2)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1
+ORDER BY n DESC, path LIMIT 10"""
+
+
+QUERIES.update({
+    "distinctive_terms": q_distinctive_terms,
+    "session_paths": q_session_paths,
+})
+ORACLES.update({
+    "distinctive_terms": SQL_DISTINCTIVE_TERMS,
+    "session_paths": SQL_SESSION_PATHS,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -7098,7 +7246,7 @@ _DRIVER_FRONT = [
     "feature_hashing", "pruned_read", "kfold_assign",
     "kwic_concordance", "join_cardinality", "rrf_fusion", "langid_kappa",
     "hourly_profile", "degree_assortativity", "rfm_segments",
-    "wav_stats",
+    "wav_stats", "distinctive_terms", "session_paths",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
