@@ -5650,10 +5650,19 @@ SELECT event_id, CAST(ux AS BIGINT) AS ux, day,
 FROM z"""
 
 
+_CONFUSION_CACHE: dict = {}
+
+
 def q_langid_confusion(sf_dir: str) -> ray.data.Dataset:
     """Language-ID quality audit: confusion matrix of the char-trigram
     classifier's prediction against the stored label — the composition
-    of the langid stage with a doc-keyed join and a tiny count reduce."""
+    of the langid stage with a doc-keyed join and a tiny count reduce.
+    The bounded (classes^2) result is session-memoized (the
+    linked_mentions_cached discipline): langid_kappa consumes it
+    without re-running the classifier actor pool."""
+    key = (sf_dir, kg._session_key())
+    if key in _CONFUSION_CACHE:
+        return _CONFUSION_CACHE[key]
     from dug_ray.shuffle import hash_join
     from dug_ray.stages.textstats import langid
     pred = langid(read_documents(sf_dir, columns=["doc_id", "text"]))
@@ -5678,7 +5687,11 @@ def q_langid_confusion(sf_dir: str) -> ray.data.Dataset:
         return typed_table(g, lang=pa.string(), pred_lang=pa.string(),
                            n=pa.int64())
 
-    return bucketed_group_apply(parts, ["lang", "pred_lang"], final, 4)
+    out = bucketed_group_apply(parts, ["lang", "pred_lang"], final,
+                               4).materialize()
+    _CONFUSION_CACHE.clear()
+    _CONFUSION_CACHE[key] = out
+    return out
 
 
 def _sql_langid_pred() -> str:
