@@ -7227,6 +7227,64 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# iterative Lloyd k-means
+# ---------------------------------------------------------------------------
+
+_LLOYD_ROUNDS = 3
+
+
+def q_kmeans_lloyd(sf_dir: str) -> ray.data.Dataset:
+    """Full 3-round Lloyd loop (stages/similarity.kmeans_lloyd):
+    assign -> exact integer update -> truncated-micro centroids ->
+    reassign, empties carrying their previous centroid; output the final
+    round's per-(centroid, dim) reduction."""
+    from dug_ray.stages.similarity import kmeans_lloyd
+    return kmeans_lloyd(sf_dir, rounds=_LLOYD_ROUNDS)
+
+
+def _lloyd_round_sql(i: int) -> str:
+    ce = "c0" if i == 1 else f"""(
+  SELECT cid, list(CAST(cmic AS DOUBLE) / 1000000.0 ORDER BY dim) AS ce
+  FROM q{i - 1} GROUP BY cid)"""
+    return f""",
+a{i} AS (SELECT vec_id, cid FROM (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.ce)
+                                     DESC, c.cid) AS rn
+  FROM e, {ce} c) WHERE rn = 1),
+m{i} AS (SELECT a.cid, u.dim, CAST(sum(u.q) AS BIGINT) AS q_sum,
+                CAST(count(*) AS BIGINT) AS n
+         FROM a{i} a JOIN u USING (vec_id) GROUP BY 1, 2),
+q{i} AS (SELECT p.cid, p.dim,
+                CASE WHEN m.n IS NULL THEN p.cmic
+                     ELSE m.q_sum // m.n END AS cmic
+         FROM q{i - 1} p LEFT JOIN m{i} m
+           ON m.cid = p.cid AND m.dim = p.dim)"""
+
+
+SQL_KMEANS_LLOYD = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id >= 4),
+u AS (SELECT vec_id, t.dim,
+             CAST(floor(t.x * 1000000.0) AS BIGINT) AS q
+      FROM e, LATERAL (SELECT unnest(v) AS x,
+                              generate_subscripts(v, 1) AS dim) t),
+c0 AS (SELECT vec_id AS cid, v AS ce FROM e
+       WHERE vec_id >= 4 AND vec_id < 12),
+q0 AS (SELECT vec_id AS cid, dim, q AS cmic FROM u
+       WHERE vec_id >= 4 AND vec_id < 12)
+{"".join(_lloyd_round_sql(i) for i in range(1, _LLOYD_ROUNDS + 1))}
+SELECT cid AS centroid_id, CAST(dim AS BIGINT) AS dim, q_sum,
+       n AS n_members
+FROM m{_LLOYD_ROUNDS}"""
+
+
+QUERIES.update({"kmeans_lloyd": q_kmeans_lloyd})
+ORACLES.update({"kmeans_lloyd": SQL_KMEANS_LLOYD})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -7259,7 +7317,7 @@ _DRIVER_FRONT = [
     "feature_hashing", "pruned_read", "kfold_assign",
     "kwic_concordance", "join_cardinality", "rrf_fusion", "langid_kappa",
     "hourly_profile", "degree_assortativity", "rfm_segments",
-    "wav_stats", "distinctive_terms", "session_paths",
+    "wav_stats", "distinctive_terms", "session_paths", "kmeans_lloyd",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

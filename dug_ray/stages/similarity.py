@@ -556,3 +556,94 @@ def kmeans_update(sf_dir: str, n_queries: int = 4, n_centroids: int = 8,
                               dim=pa.int64(), q_sum=pa.int64(),
                               n_members=pa.int64()),
         batch_format="pyarrow", batch_size=None)
+
+
+def kmeans_lloyd(sf_dir: str, rounds: int = 3, n_queries: int = 4,
+                 n_centroids: int = 8,
+                 num_buckets: int = 8) -> ray.data.Dataset:
+    """FULL iterative Lloyd loop (``rounds`` assign+update cycles) over
+    the pinned seed centroids — the iterative companion to the single
+    ``kmeans_update`` step.  Exactness discipline per round:
+
+    * assignment = argmax cosine, exact ties to the smallest centroid id
+      (ivf_assign semantics, same well-separated-ranking robustness);
+    * member coordinate sums are quantized ``floor(v*1e6)`` int64
+      (exact reduction);
+    * the NEXT round's centroid coordinate is the TRUNCATED integer
+      division ``q_sum / n`` in micro-units (SQL ``//`` truncates toward
+      zero; the engine sign-splits to match), cast to float once — so
+      both engines enter every round with bit-identical centroids;
+    * an empty cluster keeps its previous centroid.
+
+    Output: the FINAL round's ``(centroid_id, dim, q_sum, n_members)``.
+
+    Scale shape: one combiner pass over the corpus per round (per-batch
+    scatter-add into an (k x dim) int64 grid, partials-only exchange);
+    the centroid state between rounds is a k x dim micro-int matrix —
+    driver-held and re-broadcast via ray.put each round, never
+    data-sized."""
+    from dug_ray.shuffle import bucketed_group_apply, typed_table
+
+    emb = read_embeddings(sf_dir).filter(
+        expr=f"vec_id >= {n_queries}").materialize()
+    c_df = emb.filter(
+        expr=f"vec_id < {n_queries + n_centroids}").to_pandas()
+    c_df = c_df.sort_values("vec_id")
+    cids = c_df["vec_id"].to_numpy()
+    # centroid state in micro-units so every round starts from the same
+    # integers on both engines
+    cmic = np.floor(_stack(c_df["embedding"]).astype("float64")
+                    * 1e6).astype("int64")
+    # round 1 must rank against the RAW stored centroids (the oracle's
+    # c0 is the embedding itself, not its quantization)
+    cmat = _normalize(_stack(c_df["embedding"]))
+
+    merged = None
+    for _ in range(rounds):
+        ref = ray.put(cmat)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cm = ray.get(ref)
+            raw = _matrix(batch)
+            a = np.argmax(_normalize(raw) @ cm.T, axis=1)
+            q = np.floor(raw.astype("float64") * 1e6).astype(np.int64)
+            uniq, inv = np.unique(a, return_inverse=True)
+            sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+            np.add.at(sums, inv, q)
+            counts = np.bincount(inv).astype(np.int64)
+            n_u, dim = sums.shape
+            return pa.table({
+                "centroid_id": pa.array(np.repeat(cids[uniq], dim),
+                                        pa.int64()),
+                "dim": pa.array(np.tile(
+                    np.arange(1, dim + 1, dtype=np.int64), n_u),
+                    pa.int64()),
+                "q_sum": pa.array(sums.ravel(), pa.int64()),
+                "n_members": pa.array(np.repeat(counts, dim),
+                                      pa.int64())})
+
+        partials = emb.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None)
+
+        def merge(df: pd.DataFrame) -> pa.Table:
+            g = df.groupby(["centroid_id", "dim"], as_index=False).agg(
+                q_sum=("q_sum", "sum"), n_members=("n_members", "sum"))
+            return typed_table(g, centroid_id=pa.int64(), dim=pa.int64(),
+                               q_sum=pa.int64(), n_members=pa.int64())
+
+        out = bucketed_group_apply(partials, "centroid_id", merge,
+                                   num_buckets).materialize()
+        merged = out
+        # next-round centroids: truncated micro division, empties carry
+        mdf = out.to_pandas()
+        new_mic = cmic.copy()
+        ci = {int(c): i for i, c in enumerate(cids)}
+        qs = mdf["q_sum"].to_numpy()
+        ns = mdf["n_members"].to_numpy()
+        tr = np.where(qs >= 0, qs // ns, -((-qs) // ns))
+        new_mic[[ci[int(c)] for c in mdf["centroid_id"]],
+                mdf["dim"].to_numpy() - 1] = tr
+        cmic = new_mic
+        cmat = _normalize(cmic.astype("float64") / 1e6)
+
+    return merged
