@@ -7285,6 +7285,66 @@ ORACLES.update({"kmeans_lloyd": SQL_KMEANS_LLOYD})
 
 
 # ---------------------------------------------------------------------------
+# Merkle-style partition digests over the exported triple table
+# ---------------------------------------------------------------------------
+
+def q_partition_digests(sf_dir: str) -> ray.data.Dataset:
+    """Order-pinned digest per subject-prefix partition of the KG triple
+    table — the Merkle leaves a verifiable export publishes so a
+    consumer can diff/revalidate ONE partition without rereading the
+    corpus (complements table_checksum, which is order-independent and
+    whole-table).  Rows are RANGE-partitioned by the subject's leading
+    character (the sorted-export layout), sorted (subj, pred, obj)
+    within the partition, and digested as md5 over the canonical
+    '\\x1f'-joined rows with '\\x1e' row separators."""
+    import hashlib
+    triples = kg.kg_triples_cached(sf_dir) \
+        .select_columns(["subj", "pred", "obj"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pc.utf8_slice_codeunits(batch["subj"], 0, 1))
+
+    parts = triples.map_batches(add_part, batch_format="pyarrow",
+                                batch_size=None)
+
+    def digest(df: pd.DataFrame) -> pa.Table:
+        out = []
+        for p, g in df.groupby("part", sort=False):
+            g = g.sort_values(["subj", "pred", "obj"], kind="mergesort")
+            h = hashlib.md5()
+            canon = (g["subj"] + "\x1f" + g["pred"] + "\x1f"
+                     + g["obj"]).str.cat(sep="\x1e")
+            h.update(canon.encode())
+            out.append((p, len(g), h.hexdigest()))
+        res = pd.DataFrame(out, columns=["part", "n_rows", "digest"])
+        return typed_table(res, part=pa.string(), n_rows=pa.int64(),
+                           digest=pa.string())
+
+    return bucketed_group_apply(parts, "part", digest, 8)
+
+
+SQL_PARTITION_DIGESTS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls", "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION, """
+triples AS (
+  SELECT subj, pred, obj FROM expansion
+  UNION ALL
+  SELECT DISTINCT canonical_curie AS subj, 'dug:annotates' AS pred,
+         element_id AS obj
+  FROM linked_full)""") + """
+SELECT substr(subj, 1, 1) AS part, CAST(count(*) AS BIGINT) AS n_rows,
+       md5(string_agg(subj || chr(31) || pred || chr(31) || obj,
+                      chr(30) ORDER BY subj, pred, obj)) AS digest
+FROM triples GROUP BY 1"""
+
+
+QUERIES.update({"partition_digests": q_partition_digests})
+ORACLES.update({"partition_digests": SQL_PARTITION_DIGESTS})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -7317,7 +7377,7 @@ _DRIVER_FRONT = [
     "feature_hashing", "pruned_read", "kfold_assign",
     "kwic_concordance", "join_cardinality", "rrf_fusion", "langid_kappa",
     "hourly_profile", "degree_assortativity", "rfm_segments",
-    "wav_stats", "distinctive_terms", "session_paths", "kmeans_lloyd",
+    "wav_stats", "distinctive_terms", "session_paths", "kmeans_lloyd", "partition_digests",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
