@@ -7345,6 +7345,62 @@ ORACLES.update({"partition_digests": SQL_PARTITION_DIGESTS})
 
 
 # ---------------------------------------------------------------------------
+# integer fixed-point HITS (hubs & authorities)
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 2
+_HITS_SCALE = 1_000_000
+
+
+def q_hits(sf_dir: str) -> ray.data.Dataset:
+    """HITS hub/authority mass over the directed KG triple graph
+    (stages/graph.hits_scores) — the second eigen-iteration operator
+    beside PageRank, bit-exact via integer rescaled rounds."""
+    from dug_ray.stages.graph import hits_scores
+    return hits_scores(kg.kg_triples_cached(sf_dir),
+                       rounds=_HITS_ROUNDS, scale=_HITS_SCALE)
+
+
+def _hits_round_sql(i: int) -> str:
+    s = _HITS_SCALE
+    return f""",
+h{i}r AS (SELECT n.node, CAST(coalesce(sum(ap.s), 0) AS BIGINT) AS s
+          FROM nodes n LEFT JOIN ed ON ed.subj = n.node
+          LEFT JOIN a{i - 1} ap ON ap.node = ed.obj GROUP BY 1),
+h{i} AS (SELECT node, CAST(s // ((SELECT max(s) FROM h{i}r) // {s} + 1)
+                           AS BIGINT) AS s
+         FROM h{i}r),
+a{i}r AS (SELECT n.node, CAST(coalesce(sum(hp.s), 0) AS BIGINT) AS s
+          FROM nodes n LEFT JOIN ed ON ed.obj = n.node
+          LEFT JOIN h{i} hp ON hp.node = ed.subj GROUP BY 1),
+a{i} AS (SELECT node, CAST(s // ((SELECT max(s) FROM a{i}r) // {s} + 1)
+                           AS BIGINT) AS s
+         FROM a{i}r)"""
+
+
+SQL_HITS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls", "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION, """
+triples AS (
+  SELECT subj, obj FROM expansion
+  UNION ALL
+  SELECT DISTINCT canonical_curie AS subj, element_id AS obj
+  FROM linked_full)""") + f""",
+ed AS (SELECT DISTINCT subj, obj FROM triples),
+nodes AS (SELECT subj AS node FROM ed UNION SELECT obj FROM ed),
+a0 AS (SELECT node, CAST({_HITS_SCALE} AS BIGINT) AS s FROM nodes)
+{"".join(_hits_round_sql(i) for i in range(1, _HITS_ROUNDS + 1))}
+SELECT h{_HITS_ROUNDS}.node, h{_HITS_ROUNDS}.s AS hub_mass,
+       a{_HITS_ROUNDS}.s AS auth_mass
+FROM h{_HITS_ROUNDS} JOIN a{_HITS_ROUNDS} USING (node)"""
+
+
+QUERIES.update({"hits": q_hits})
+ORACLES.update({"hits": SQL_HITS})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -7377,7 +7433,7 @@ _DRIVER_FRONT = [
     "feature_hashing", "pruned_read", "kfold_assign",
     "kwic_concordance", "join_cardinality", "rrf_fusion", "langid_kappa",
     "hourly_profile", "degree_assortativity", "rfm_segments",
-    "wav_stats", "distinctive_terms", "session_paths", "kmeans_lloyd", "partition_digests",
+    "wav_stats", "distinctive_terms", "session_paths", "kmeans_lloyd", "partition_digests", "hits",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -1236,3 +1236,155 @@ def sssp_weighted(linked: ray.data.Dataset, seed_prefix: str = "MONDO:",
                                     num_buckets).materialize()
 
     return dist
+
+
+def hits_scores(triples: ray.data.Dataset, rounds: int = 2,
+                scale: int = 1_000_000, num_buckets: int = 16,
+                max_driver_edges: int = 5_000_000) -> ray.data.Dataset:
+    """Integer fixed-point HITS over the directed triple graph:
+    ``(node, hub_mass, auth_mass)`` after ``rounds`` of the classic
+    sequential update (h <- sum of successors' a, then a <- sum of
+    predecessors' NEW h), each side rescaled by the truncated divisor
+    ``max(score) // scale + 1`` so values stay near ``scale`` and int64
+    NEVER wraps regardless of degree skew — every operation is integer
+    (nonnegative, so floor == trunc), making the result bit-identical to
+    the iterated-CTE oracle for any partitioning (the PageRankEngine
+    exactness discipline).
+
+    Scale shape: the distinct edge list is pinned once; one half-step =
+    one partitioned join (scores co-located with edges on the scored
+    endpoint) + one endpoint-keyed sum exchange rebuilt on the static
+    node spine (zero for nodes with no such edges); the rescale divisor
+    is a scalar tree-reduce.  Nothing node- or edge-shaped touches the
+    driver."""
+    import pyarrow.compute as pc
+
+    from dug_ray.shuffle import hash_join
+
+    edges = distinct_rows(triples.select_columns(["subj", "obj"]),
+                          ["subj", "obj"], num_buckets)
+    edges = edges.map_batches(
+        lambda b: typed_table(b.to_pandas(), subj=pa.string(),
+                              obj=pa.string()),
+        batch_format="pyarrow", batch_size=None).materialize()
+    n_edges = edges.count()
+
+    # small-graph fast path (the bfs/sssp/cooc gate): the SAME integer
+    # recurrence as the distributed loop, run as numpy scatter-adds on
+    # the driver — bit-identical output, proven by the gate-forced test
+    if n_edges <= max_driver_edges:
+        pdf = edges.to_pandas()
+        nodes = pd.Index(pd.concat([pdf["subj"], pdf["obj"]])
+                         .drop_duplicates().sort_values())
+        si = nodes.get_indexer(pdf["subj"]).astype("int64")
+        oi = nodes.get_indexer(pdf["obj"]).astype("int64")
+        h = np.full(len(nodes), scale, dtype="int64")
+        a = h.copy()
+
+        def _resc(v: np.ndarray) -> np.ndarray:
+            return v // (int(v.max()) // scale + 1)
+
+        for _ in range(rounds):
+            nh = np.zeros(len(nodes), dtype="int64")
+            np.add.at(nh, si, a[oi])
+            h = _resc(nh)
+            na = np.zeros(len(nodes), dtype="int64")
+            np.add.at(na, oi, h[si])
+            a = _resc(na)
+        out = pd.DataFrame({"node": nodes.to_numpy(), "hub_mass": h,
+                            "auth_mass": a})
+        return ray.data.from_arrow(typed_table(
+            out, node=pa.string(), hub_mass=pa.int64(),
+            auth_mass=pa.int64()))
+
+    # adaptive exchange width + block coalescing (the PageRankEngine
+    # economics): a bounded graph must not pay num_buckets task
+    # latencies per half-step, and the spine/partial unions must not
+    # feed the sort exchange a pile of tiny blocks
+    num_buckets = max(2, min(num_buckets, n_edges // 50_000 + 2))
+    edges = edges.repartition(num_buckets).materialize()
+
+    def _node_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        nodes = pd.concat([df["subj"], df["obj"]]).drop_duplicates()
+        return typed_table(pd.DataFrame({"node": nodes}),
+                           node=pa.string())
+
+    spine = distinct_rows(
+        edges.map_batches(_node_partial, batch_format="pyarrow",
+                          batch_size=None), ["node"],
+        num_buckets).materialize()
+
+    def init_scores(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "s": pa.nulls(len(batch), pa.int64()).fill_null(scale)})
+
+    def _zero(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "part": pa.nulls(len(batch), pa.int64()).fill_null(0)})
+
+    zero_spine = spine.map_batches(_zero, batch_format="pyarrow",
+                                   batch_size=None).materialize()
+
+    def half_step(scores: ray.data.Dataset, score_side: str,
+                  out_side: str) -> ray.data.Dataset:
+        """New score of each ``out_side`` node = sum over edges of the
+        current score at ``score_side`` — rebuilt on the full spine."""
+        j = hash_join(scores, edges, "node", score_side, num_buckets,
+                      coalesce_blocks=num_buckets)
+
+        def partial(df: pd.DataFrame) -> pa.Table:
+            g = (df.groupby(out_side, as_index=False)["s"].sum()
+                 .rename(columns={out_side: "node", "s": "part"}))
+            return typed_table(g, node=pa.string(), part=pa.int64())
+
+        parts = j.map_batches(partial, batch_format="pandas",
+                              batch_size=None)
+
+        def fold(df: pd.DataFrame) -> pa.Table:
+            g = df.groupby("node", as_index=False)["part"].sum() \
+                .rename(columns={"part": "s"})
+            return typed_table(g, node=pa.string(), s=pa.int64())
+
+        return bucketed_group_apply(
+            parts.union(zero_spine).repartition(num_buckets), "node",
+            fold, num_buckets)
+
+    def rescale(scores: ray.data.Dataset) -> ray.data.Dataset:
+        scores = scores.materialize()
+        d = int(scores.max("s")) // scale + 1
+
+        def f(batch: pa.Table) -> pa.Table:
+            s = batch["s"].to_numpy(zero_copy_only=False)
+            return pa.table({"node": batch["node"],
+                             "s": pa.array(s // d, pa.int64())})
+
+        return scores.map_batches(f, batch_format="pyarrow",
+                                  batch_size=None).materialize()
+
+    h = spine.map_batches(init_scores, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    a = h
+    for _ in range(rounds):
+        h = rescale(half_step(a, "obj", "subj"))    # h(u) = sum a(succ)
+        a = rescale(half_step(h, "subj", "obj"))    # a(v) = sum h(pred)
+
+    hj = hash_join(
+        h.map_batches(lambda b: pa.table({"hnode": b["node"],
+                                          "hub_mass": b["s"]}),
+                      batch_format="pyarrow", batch_size=None),
+        a.map_batches(lambda b: pa.table({"anode": b["node"],
+                                          "auth_mass": b["s"]}),
+                      batch_format="pyarrow", batch_size=None),
+        "hnode", "anode", num_buckets, coalesce_blocks=num_buckets)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["hnode"],
+                         "hub_mass": pc.cast(batch["hub_mass"],
+                                             pa.int64()),
+                         "auth_mass": pc.cast(batch["auth_mass"],
+                                              pa.int64())})
+
+    return hj.map_batches(fin, batch_format="pyarrow", batch_size=None)
