@@ -7401,6 +7401,119 @@ ORACLES.update({"hits": SQL_HITS})
 
 
 # ---------------------------------------------------------------------------
+# deterministic negative sampling, md5-guided random walks
+# ---------------------------------------------------------------------------
+
+def q_negative_samples(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic negative sampling for contrastive training: each
+    document draws 2 negatives by hash index into the dense doc_id
+    domain (md5(doc#j) % n), with the one possible self-collision fixed
+    by a deterministic +1 wrap — reproducible across runs/engines with
+    NO shuffle and no RNG state; entirely map-side."""
+    docs = read_documents(sf_dir, columns=["doc_id"])
+    n = docs.count()
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        from dug_ray.hashing import md5_int
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        frames = []
+        for j in (1, 2):
+            keys = np.array([f"{d}#{j}" for d in ids], dtype=object)
+            cand = md5_int(keys) % n
+            neg = np.where(cand == ids, (cand + 1) % n, cand)
+            frames.append(pd.DataFrame({
+                "doc_id": ids, "j": j, "neg_id": neg}))
+        out = pd.concat(frames, ignore_index=True)
+        return typed_table(out, doc_id=pa.int64(), j=pa.int64(),
+                           neg_id=pa.int64())
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            batch_size=None)
+
+
+SQL_NEGATIVE_SAMPLES = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+c AS (SELECT d.doc_id, j.j,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#'
+                                      || CAST(j.j AS VARCHAR)), 1, 8))
+                  AS BIGINT) % n.n AS cand,
+             n.n AS n
+      FROM documents d, (VALUES (1), (2)) j(j), n)
+SELECT doc_id, CAST(j AS BIGINT) AS j,
+       CAST(CASE WHEN cand = doc_id THEN (cand + 1) % n
+                 ELSE cand END AS BIGINT) AS neg_id
+FROM c"""
+
+_WALK_STEPS = 3
+
+
+def q_random_walks(sf_dir: str) -> ray.data.Dataset:
+    """md5-guided deterministic random walks over the co-annotation
+    graph: from every MONDO seed, 3 steps where the next hop is the
+    neighbor minimizing md5(cur#step#neighbor) — the node2vec-style walk
+    corpus an embedding trainer consumes, reproducible with no RNG.
+    Bounded graph -> driver sweep (the bfs/sssp gate discipline); the
+    per-step shape at scale is frontier |><| edges + per-walk argmin."""
+    from dug_ray.stages.graph import concept_cooccurrence
+    import hashlib
+    cooc = concept_cooccurrence(kg.linked_mentions_cached(sf_dir)) \
+        .to_pandas()  # ontology-bounded (documented gate, graph.py)
+    adj: dict[str, list[str]] = {}
+    for s, o in zip(cooc["subj"], cooc["obj"]):
+        adj.setdefault(s, []).append(o)
+        adj.setdefault(o, []).append(s)
+    rows = []
+    for seed in sorted(n for n in adj if n.startswith("MONDO:")):
+        cur = seed
+        for step in range(1, _WALK_STEPS + 1):
+            cur = min(adj[cur], key=lambda v: (hashlib.md5(
+                f"{cur}#{step}#{v}".encode()).hexdigest(), v))
+            rows.append((seed, step, cur))
+    out = pd.DataFrame(rows, columns=["walk", "step", "node"])
+    return ray.data.from_arrow(typed_table(
+        out, walk=pa.string(), step=pa.int64(), node=pa.string()))
+
+
+def _walk_round_sql(i: int) -> str:
+    return f""",
+s{i} AS (SELECT w.walk, e.dst,
+                md5(w.cur || '#{i}#' || e.dst) AS h
+         FROM w{i - 1} w JOIN ed e ON e.src = w.cur),
+w{i} AS (SELECT walk, dst AS cur FROM (
+           SELECT *, row_number() OVER (PARTITION BY walk
+                                        ORDER BY h, dst) AS rn
+           FROM s{i}) WHERE rn = 1)"""
+
+
+SQL_RANDOM_WALKS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls"),
+    SQL_TOKS, SQL_LINKED) + f""",
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+cooc AS (SELECT a.canonical_curie AS subj, b.canonical_curie AS obj
+         FROM dm a JOIN dm b USING (element_id)
+         WHERE a.canonical_curie < b.canonical_curie GROUP BY 1, 2),
+ed AS (SELECT subj AS src, obj AS dst FROM cooc
+       UNION ALL SELECT obj, subj FROM cooc),
+w0 AS (SELECT DISTINCT src AS walk, src AS cur FROM ed
+       WHERE src LIKE 'MONDO:%')
+{"".join(_walk_round_sql(i) for i in range(1, _WALK_STEPS + 1))}
+{" UNION ALL ".join(f'''
+SELECT walk, CAST({i} AS BIGINT) AS step, cur AS node FROM w{i}'''
+                    for i in range(1, _WALK_STEPS + 1))}"""
+
+
+QUERIES.update({
+    "negative_samples": q_negative_samples,
+    "random_walks": q_random_walks,
+})
+ORACLES.update({
+    "negative_samples": SQL_NEGATIVE_SAMPLES,
+    "random_walks": SQL_RANDOM_WALKS,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -7434,6 +7547,7 @@ _DRIVER_FRONT = [
     "kwic_concordance", "join_cardinality", "rrf_fusion", "langid_kappa",
     "hourly_profile", "degree_assortativity", "rfm_segments",
     "wav_stats", "distinctive_terms", "session_paths", "kmeans_lloyd", "partition_digests", "hits",
+    "negative_samples", "random_walks",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
