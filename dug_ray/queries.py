@@ -7514,6 +7514,158 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q10-shaped returns analysis, balanced per-group sample
+# ---------------------------------------------------------------------------
+
+_Q10_LO, _Q10_HI = "1996-01-01", "1996-04-01"
+
+
+def q_q10_returns(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q10-shaped returned-item revenue: top-20 customers by
+    revenue on RETURNED lineitems of 1996Q1 orders.  Returned lines and
+    the quarter window prune map-side; two partitioned joins (coalesced
+    combiner sides); per-batch partial revenue; bounded top-20 final."""
+    import datetime as _dt
+    from dug_ray.shuffle import hash_join
+    lo = _dt.datetime.fromisoformat(_Q10_LO)
+    hi = _dt.datetime.fromisoformat(_Q10_HI)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+
+    def li_ret(df: pd.DataFrame) -> pa.Table:
+        df = df[df["l_returnflag"] == "R"]
+        price_c = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (df["l_discount"] * 10000).round().astype("int64")
+        g = (df.assign(rev_c=price_c * (10000 - disc_bp))
+             .groupby("l_orderkey", as_index=False)["rev_c"].sum())
+        return typed_table(g, l_orderkey=pa.int64(), rev_c=pa.int64())
+
+    li_c = li.map_batches(li_ret, batch_format="pandas", batch_size=None)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_q(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)))
+        t = batch.filter(keep)
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    orders_f = orders.map_batches(ord_q, batch_format="pyarrow",
+                                  batch_size=None)
+    j1 = hash_join(li_c, orders_f, "l_orderkey", "o_orderkey",
+                   coalesce_blocks=32)
+
+    def per_cust(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("o_custkey", as_index=False)["rev_c"].sum()
+        return typed_table(g, o_custkey=pa.int64(), rev_c=pa.int64())
+
+    pc_rev = bucketed_group_apply(j1, "o_custkey", per_cust, 8)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"])
+    j2 = hash_join(pc_rev, cust, "o_custkey", "c_custkey",
+                   coalesce_blocks=32)
+
+    def topk(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby(["c_custkey", "c_name", "c_nationkey"],
+                        as_index=False)["rev_c"].sum()
+             .rename(columns={"rev_c": "revenue_cents"}))
+        g = g.sort_values(["revenue_cents", "c_custkey"],
+                          ascending=[False, True],
+                          kind="mergesort").head(20)
+        return typed_table(g, c_custkey=pa.int64(), c_name=pa.string(),
+                           c_nationkey=pa.int64(),
+                           revenue_cents=pa.int64())
+
+    # per-customer rows are unique after j2; single bounded final
+    return bucketed_group_apply(j2, "c_custkey", topk, 1)
+
+
+SQL_Q10_RETURNS = f"""
+WITH r AS (
+  SELECT o.o_custkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                  * (10000 - CAST(round(l.l_discount * 10000, 0)
+                                  AS BIGINT))) AS BIGINT) AS revenue_cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '{_Q10_LO}'
+    AND o.o_orderdate < TIMESTAMP '{_Q10_HI}'
+  GROUP BY 1)
+SELECT c.c_custkey, c.c_name, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       r.revenue_cents
+FROM r JOIN customer c ON c.c_custkey = r.o_custkey
+ORDER BY r.revenue_cents DESC, c.c_custkey LIMIT 20"""
+
+
+def q_balanced_sample(sf_dir: str) -> ray.data.Dataset:
+    """Balanced fixed-size sample: exactly 20 docs per language by
+    ascending md5(doc_id) rank — the equal-quota counterpart to the
+    threshold-based group_sample.  Per-batch per-group partial top-k
+    combiner (only 20 x langs rows per block survive), lang-keyed final
+    rank; the corpus never globally sorts."""
+    docs = read_documents(sf_dir, columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from dug_ray.hashing import md5_int
+        df = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "lang": batch["lang"].to_pandas().to_numpy(dtype=object)})
+        df["hv"] = md5_int(df["doc_id"].to_numpy())
+        df = df.sort_values(["lang", "hv", "doc_id"], kind="mergesort")
+        df = df.groupby("lang").head(20)
+        return typed_table(df[["doc_id", "lang", "hv"]],
+                           doc_id=pa.int64(), lang=pa.string(),
+                           hv=pa.int64())
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["lang", "hv", "doc_id"], kind="mergesort")
+        df = df.groupby("lang").head(20)
+        df["rank"] = df.groupby("lang").cumcount() + 1
+        return typed_table(df[["lang", "doc_id", "rank"]],
+                           lang=pa.string(), doc_id=pa.int64(),
+                           rank=pa.int64())
+
+    return bucketed_group_apply(parts, "lang", final, 4)
+
+
+SQL_BALANCED_SAMPLE = """
+WITH h AS (
+  SELECT lang, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS hv
+  FROM documents),
+r AS (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY hv, doc_id) AS rank
+      FROM h)
+SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 20"""
+
+
+QUERIES.update({
+    "q10_returns": q_q10_returns,
+    "balanced_sample": q_balanced_sample,
+})
+ORACLES.update({
+    "q10_returns": SQL_Q10_RETURNS,
+    "balanced_sample": SQL_BALANCED_SAMPLE,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -7547,7 +7699,7 @@ _DRIVER_FRONT = [
     "kwic_concordance", "join_cardinality", "rrf_fusion", "langid_kappa",
     "hourly_profile", "degree_assortativity", "rfm_segments",
     "wav_stats", "distinctive_terms", "session_paths", "kmeans_lloyd", "partition_digests", "hits",
-    "negative_samples", "random_walks",
+    "negative_samples", "random_walks", "q10_returns", "balanced_sample",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
