@@ -7666,6 +7666,59 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# per-user burst score (max events in any sliding hour)
+# ---------------------------------------------------------------------------
+
+_BURST_US = 3_600_000_000
+
+
+def q_burst_score(sf_dir: str) -> ray.data.Dataset:
+    """Per-user burst score: the max number of that user's events inside
+    ANY sliding 1-hour window (anchored at each event) — the
+    rate-anomaly screen a continuous window would need a stream
+    processor for, exact here via a vectorized two-pointer (searchsorted
+    of ts+1h against the user's sorted timestamps) inside one user
+    bucket.  Output: (user_id, n_events, max_burst)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(us=df["ts"].astype("datetime64[us]")
+                       .astype("int64"))
+        df = df.sort_values(["user_id", "us"], kind="mergesort")
+        out = []
+        for uid, g in df.groupby("user_id", sort=False):
+            us = g["us"].to_numpy()
+            # window [t, t+1h): count = idx(first >= t+1h) - idx(anchor)
+            hi = np.searchsorted(us, us + _BURST_US, side="left")
+            burst = int((hi - np.arange(len(us))).max())
+            out.append((int(uid), len(us), burst))
+        res = pd.DataFrame(out, columns=["user_id", "n_events",
+                                         "max_burst"])
+        return typed_table(res, user_id=pa.int64(), n_events=pa.int64(),
+                           max_burst=pa.int64())
+
+    return bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+
+SQL_BURST_SCORE = f"""
+WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+           FROM events),
+w AS (SELECT a.user_id, a.us,
+             (SELECT count(*) FROM e b
+              WHERE b.user_id = a.user_id
+                AND b.us >= a.us AND b.us < a.us + {_BURST_US}) AS c
+      FROM e a)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(c) AS BIGINT) AS max_burst
+FROM w GROUP BY 1"""
+
+
+QUERIES.update({"burst_score": q_burst_score})
+ORACLES.update({"burst_score": SQL_BURST_SCORE})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -7700,6 +7753,7 @@ _DRIVER_FRONT = [
     "hourly_profile", "degree_assortativity", "rfm_segments",
     "wav_stats", "distinctive_terms", "session_paths", "kmeans_lloyd", "partition_digests", "hits",
     "negative_samples", "random_walks", "q10_returns", "balanced_sample",
+    "burst_score",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

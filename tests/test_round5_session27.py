@@ -60,3 +60,27 @@ def test_balanced_sample_exact_quota_and_rank():
         str(i).encode()).hexdigest()[:8], 16), i))
     got_first = out[(out["lang"] == "en") & (out["rank"] == 1)]
     assert got_first.iloc[0]["doc_id"] == exp_first
+
+
+def test_burst_score_sliding_hour():
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: 3 events within 10 min, then one 2h later
+        (1, 1, t0), (2, 1, t0 + 5 * m), (3, 1, t0 + 10 * m),
+        (4, 1, t0 + 130 * m),
+        # user 2: two events exactly 60 min apart (half-open: burst 1)
+        (5, 2, t0), (6, 2, t0 + 60 * m),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    df["event_type"] = "v"
+    df["value"] = 0.0
+    df["props"] = ""
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "events.parquet"))
+        out = (q.QUERIES["burst_score"](d).to_pandas()
+               .set_index("user_id"))
+    assert out.loc[1, "max_burst"] == 3 and out.loc[1, "n_events"] == 4
+    assert out.loc[2, "max_burst"] == 1  # [t, t+1h) excludes the +60min
