@@ -7719,6 +7719,122 @@ ORACLES.update({"burst_score": SQL_BURST_SCORE})
 
 
 # ---------------------------------------------------------------------------
+# skip-gram window pairs, Zipf rank-size check
+# ---------------------------------------------------------------------------
+
+_SKIP_WINDOW = 2
+
+
+def q_skipgram_pairs(sf_dir: str) -> ray.data.Dataset:
+    """word2vec-style skip-gram pair counts: forward (center, context)
+    pairs within a +/-2 token window (each unordered pair counted once,
+    at its forward occurrence), top-50 by count then pair.  The pair
+    stream is generated map-side from the flat token buffer with one
+    shifted boundary mask per offset — no tokenization shuffle; only
+    per-batch pair counts exchange."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        flat = tokens.flatten().to_pandas().to_numpy(dtype=object)
+        frames = []
+        for off in range(1, _SKIP_WINDOW + 1):
+            if len(flat) <= off:
+                continue
+            adj = parent[:-off] == parent[off:]
+            frames.append(pd.DataFrame({"w1": flat[:-off][adj],
+                                        "w2": flat[off:][adj]}))
+        if not frames:
+            return typed_table(pd.DataFrame(
+                columns=["w1", "w2", "n"]), w1=pa.string(),
+                w2=pa.string(), n=pa.int64())
+        g = (pd.concat(frames, ignore_index=True)
+             .groupby(["w1", "w2"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return typed_table(g, w1=pa.string(), w2=pa.string(),
+                           n=pa.int64())
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["w1", "w2"], as_index=False)["n"].sum()
+        g = g.sort_values(["n", "w1", "w2"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(50)
+        return typed_table(g, w1=pa.string(), w2=pa.string(),
+                           n=pa.int64())
+
+    return bucketed_group_apply(parts, ["w1", "w2"], final, 1)
+
+
+SQL_SKIPGRAM_PAIRS = _with(SQL_TOKS) + f"""
+SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS n
+FROM toks a JOIN toks b
+  ON b.doc_id = a.doc_id
+ AND b.pos - a.pos BETWEEN 1 AND {_SKIP_WINDOW}
+GROUP BY 1, 2
+ORDER BY n DESC, w1, w2 LIMIT 50"""
+
+
+def q_zipf_check(sf_dir: str) -> ray.data.Dataset:
+    """Zipf rank-size audit of the corpus unigram distribution: top-30
+    terms by count (rank ties by term) with the rank x count product in
+    exact ppm of the top term's count — flat means Zipf-ish, the quick
+    'is this corpus natural' screen."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        vc = tokens.flatten().value_counts()
+        return pa.table({"term": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = docs.map_batches(counts, batch_format="pyarrow",
+                             batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("term", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "term"], ascending=[False, True],
+                          kind="mergesort").head(30)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        top = int(g["n"].iloc[0]) if len(g) else 1
+        g["zipf_ppm"] = (g["rank"].to_numpy() * g["n"].to_numpy()
+                         * 1_000_000) // top
+        return typed_table(g[["rank", "term", "n", "zipf_ppm"]],
+                           rank=pa.int64(), term=pa.string(),
+                           n=pa.int64(), zipf_ppm=pa.int64())
+
+    return bucketed_group_apply(parts, "term", final, 1)
+
+
+SQL_ZIPF_CHECK = _with(SQL_TOKS) + """,
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+r AS (SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank
+      FROM tc),
+t AS (SELECT max(n) AS top FROM tc)
+SELECT CAST(rank AS BIGINT) AS rank, term, n,
+       CAST(rank * n * 1000000 // t.top AS BIGINT) AS zipf_ppm
+FROM r, t WHERE rank <= 30"""
+
+
+QUERIES.update({
+    "skipgram_pairs": q_skipgram_pairs,
+    "zipf_check": q_zipf_check,
+})
+ORACLES.update({
+    "skipgram_pairs": SQL_SKIPGRAM_PAIRS,
+    "zipf_check": SQL_ZIPF_CHECK,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -7753,7 +7869,7 @@ _DRIVER_FRONT = [
     "hourly_profile", "degree_assortativity", "rfm_segments",
     "wav_stats", "distinctive_terms", "session_paths", "kmeans_lloyd", "partition_digests", "hits",
     "negative_samples", "random_walks", "q10_returns", "balanced_sample",
-    "burst_score",
+    "burst_score", "skipgram_pairs", "zipf_check",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
