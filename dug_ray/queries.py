@@ -7835,6 +7835,136 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# langid ambiguity margin, inter-arrival moments
+# ---------------------------------------------------------------------------
+
+def q_langid_margin(sf_dir: str) -> ray.data.Dataset:
+    """Classifier-confidence audit: per doc, the winning language, the
+    runner-up, and the integer score margin between them — docs with
+    margin 0 are the code-switching/ambiguous ones a curation pass
+    routes to review.  Same trigram state and tie rule (score DESC,
+    lang ASC) as langid, one actor map."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    from dug_ray.stages.textstats import _LANG_PROFILES
+
+    class Margin:
+        def __init__(self):
+            self.profiles = {lang: set(t) for lang, t in
+                             _LANG_PROFILES.items()}
+            self.langs = sorted(self.profiles)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = []
+            for did, t in zip(batch["doc_id"].to_pylist(),
+                              batch["text"].to_pylist()):
+                tris = {t[i:i + 3] for i in range(len(t) - 2)}
+                scored = sorted(
+                    ((len(tris & self.profiles[lg]), lg)
+                     for lg in self.langs),
+                    key=lambda x: (-x[0], x[1]))
+                (s1, l1), (s2, l2) = scored[0], scored[1]
+                rows.append((int(did), l1, l2, int(s1 - s2)))
+            out = pd.DataFrame(rows, columns=["doc_id", "pred_lang",
+                                              "second_lang", "margin"])
+            return typed_table(out, doc_id=pa.int64(),
+                               pred_lang=pa.string(),
+                               second_lang=pa.string(),
+                               margin=pa.int64())
+
+    return docs.map_batches(Margin, batch_format="pyarrow",
+                            batch_size=None, concurrency=(1, 4))
+
+
+SQL_LANGID_MARGIN = ("WITH " + _langid_profiles_cte() + """,
+tris AS (
+  SELECT DISTINCT doc_id, substr(text, i, 3) AS tri
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(text) - 2, 0)))
+      AS i) t),
+scores AS (
+  SELECT d.doc_id, l.lang, count(p.tri) AS s
+  FROM documents d
+  CROSS JOIN (SELECT DISTINCT lang FROM profiles) l
+  LEFT JOIN tris tr ON tr.doc_id = d.doc_id
+  LEFT JOIN profiles p ON p.lang = l.lang AND p.tri = tr.tri
+  GROUP BY d.doc_id, l.lang),
+ranked AS (
+  SELECT doc_id, lang, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, lang) AS rn
+  FROM scores)
+SELECT a.doc_id, a.lang AS pred_lang, b.lang AS second_lang,
+       CAST(a.s - b.s AS BIGINT) AS margin
+FROM ranked a JOIN ranked b
+  ON b.doc_id = a.doc_id AND a.rn = 1 AND b.rn = 2""")
+
+
+def q_arrival_moments(sf_dir: str) -> ray.data.Dataset:
+    """Inter-arrival time moments per event type (gaps within each
+    (user, type) stream, in whole seconds so the square-sum stays in
+    int64 out to ~10^16 gap-seconds) — the exponential-fit inputs for
+    rate modeling.  One composite-keyed exchange, shift + integer
+    reduce."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(us=df["ts"].astype("datetime64[us]")
+                       .astype("int64"))
+        df = df.sort_values(["user_id", "event_type", "us", "event_id"],
+                            kind="mergesort")
+        nxt = df.groupby(["user_id", "event_type"])["us"].shift(-1)
+        seg = df[nxt.notna()].copy()
+        gap_s = (nxt.dropna().to_numpy().astype("int64")
+                 - seg["us"].to_numpy()) // 1_000_000
+        g = (seg.assign(gap=gap_s, gap2=gap_s * gap_s)
+             .groupby("event_type", as_index=False)
+             .agg(n_gaps=("gap", "size"), sum_gap_s=("gap", "sum"),
+                  sumsq_gap_s=("gap2", "sum")))
+        return typed_table(g, event_type=pa.string(), n_gaps=pa.int64(),
+                           sum_gap_s=pa.int64(), sumsq_gap_s=pa.int64())
+
+    parts = bucketed_group_apply(ds, ["user_id", "event_type"],
+                                 per_bucket, 16)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("event_type", as_index=False).agg(
+            n_gaps=("n_gaps", "sum"), sum_gap_s=("sum_gap_s", "sum"),
+            sumsq_gap_s=("sumsq_gap_s", "sum"))
+        return typed_table(g, event_type=pa.string(), n_gaps=pa.int64(),
+                           sum_gap_s=pa.int64(), sumsq_gap_s=pa.int64())
+
+    return bucketed_group_apply(parts, "event_type", final, 2)
+
+
+SQL_ARRIVAL_MOMENTS = """
+WITH e AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
+         lead(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS nxt
+  FROM events),
+g AS (SELECT event_type, (nxt - us) // 1000000 AS gap
+      FROM e WHERE nxt IS NOT NULL)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_s,
+       CAST(sum(CAST(gap AS HUGEINT) * gap) AS BIGINT) AS sumsq_gap_s
+FROM g GROUP BY 1"""
+
+
+QUERIES.update({
+    "langid_margin": q_langid_margin,
+    "arrival_moments": q_arrival_moments,
+})
+ORACLES.update({
+    "langid_margin": SQL_LANGID_MARGIN,
+    "arrival_moments": SQL_ARRIVAL_MOMENTS,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -7870,6 +8000,7 @@ _DRIVER_FRONT = [
     "wav_stats", "distinctive_terms", "session_paths", "kmeans_lloyd", "partition_digests", "hits",
     "negative_samples", "random_walks", "q10_returns", "balanced_sample",
     "burst_score", "skipgram_pairs", "zipf_check",
+    "langid_margin", "arrival_moments",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
