@@ -7965,6 +7965,69 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# per-concept co-annotation recommendations
+# ---------------------------------------------------------------------------
+
+def q_concept_recs(sf_dir: str) -> ray.data.Dataset:
+    """'Related concepts' serving lists: for every concept, its top-3
+    co-annotation partners (count DESC, partner ASC) — the
+    recommendation surface the KG's concept pages would serve.  The
+    undirected edge list doubles map-side, then ONE concept-keyed
+    exchange ranks each concept's partners."""
+    from dug_ray.stages.graph import concept_cooccurrence
+    cooc = concept_cooccurrence(kg.linked_mentions_cached(sf_dir))
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.concat([
+            df.rename(columns={"subj": "concept", "obj": "partner"}),
+            df.rename(columns={"obj": "concept", "subj": "partner"})],
+            ignore_index=True)
+        return typed_table(out[["concept", "partner", "n_elements"]],
+                           concept=pa.string(), partner=pa.string(),
+                           n_elements=pa.int64())
+
+    edges = cooc.map_batches(both_dirs, batch_format="pyarrow",
+                             batch_size=None)
+
+    def topk(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["concept", "n_elements", "partner"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df["rank"] = df.groupby("concept").cumcount() + 1
+        df = df[df["rank"] <= 3]
+        return typed_table(df[["concept", "partner", "n_elements",
+                               "rank"]],
+                           concept=pa.string(), partner=pa.string(),
+                           n_elements=pa.int64(), rank=pa.int64())
+
+    return bucketed_group_apply(edges, "concept", topk, 8)
+
+
+SQL_CONCEPT_RECS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+cooc AS (SELECT a.canonical_curie AS subj, b.canonical_curie AS obj,
+                CAST(count(*) AS BIGINT) AS n_elements
+         FROM dm a JOIN dm b USING (element_id)
+         WHERE a.canonical_curie < b.canonical_curie GROUP BY 1, 2),
+ed AS (SELECT subj AS concept, obj AS partner, n_elements FROM cooc
+       UNION ALL SELECT obj, subj, n_elements FROM cooc),
+r AS (SELECT *, row_number() OVER (PARTITION BY concept
+                                   ORDER BY n_elements DESC, partner)
+             AS rank
+      FROM ed)
+SELECT concept, partner, n_elements, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3"""
+
+
+QUERIES.update({"concept_recs": q_concept_recs})
+ORACLES.update({"concept_recs": SQL_CONCEPT_RECS})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -8000,7 +8063,7 @@ _DRIVER_FRONT = [
     "wav_stats", "distinctive_terms", "session_paths", "kmeans_lloyd", "partition_digests", "hits",
     "negative_samples", "random_walks", "q10_returns", "balanced_sample",
     "burst_score", "skipgram_pairs", "zipf_check",
-    "langid_margin", "arrival_moments",
+    "langid_margin", "arrival_moments", "concept_recs",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
