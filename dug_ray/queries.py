@@ -8028,6 +8028,40 @@ ORACLES.update({"concept_recs": SQL_CONCEPT_RECS})
 
 
 # ---------------------------------------------------------------------------
+# PPJoin prefix-filtered set-similarity join
+# ---------------------------------------------------------------------------
+
+def q_ppjoin_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Exact token-set Jaccard >= 0.5 pairs via PPJoin prefix filtering
+    (stages/dedup.ppjoin_pairs): only each doc's rarest-token prefix
+    enters the candidate exchange, yet the result equals the brute-force
+    oracle — the candidate-minimizing blocker beside MinHash-LSH."""
+    from dug_ray.stages.dedup import ppjoin_pairs
+    return ppjoin_pairs(read_documents(sf_dir,
+                                       columns=["doc_id", "text"]))
+
+
+SQL_PPJOIN_PAIRS = _with(SQL_TOKS) + """,
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM dt a JOIN dt b ON b.term = a.term AND b.doc_id > a.doc_id
+      GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.inter,
+       CAST(sa.n + sb.n - p.inter AS BIGINT) AS uni,
+       CAST(p.inter * 1000 // (sa.n + sb.n - p.inter) AS BIGINT)
+         AS jac_milli
+FROM p JOIN sz sa ON sa.doc_id = p.doc_a
+JOIN sz sb ON sb.doc_id = p.doc_b
+WHERE 1000 * p.inter >= 500 * (sa.n + sb.n - p.inter)"""
+
+
+QUERIES.update({"ppjoin_pairs": q_ppjoin_pairs})
+ORACLES.update({"ppjoin_pairs": SQL_PPJOIN_PAIRS})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -8063,7 +8097,7 @@ _DRIVER_FRONT = [
     "wav_stats", "distinctive_terms", "session_paths", "kmeans_lloyd", "partition_digests", "hits",
     "negative_samples", "random_walks", "q10_returns", "balanced_sample",
     "burst_score", "skipgram_pairs", "zipf_check",
-    "langid_margin", "arrival_moments", "concept_recs",
+    "langid_margin", "arrival_moments", "concept_recs", "ppjoin_pairs",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

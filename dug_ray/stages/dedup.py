@@ -355,3 +355,107 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
 
     return bucketed_group_apply(cand, ["doc_a", "doc_b"], dedup_pairs,
                                 num_buckets)
+
+
+def ppjoin_pairs(docs: ray.data.Dataset, threshold_milli: int = 500,
+                 num_buckets: int = 16) -> ray.data.Dataset:
+    """Prefix-filtered set-similarity join (PPJoin-style blocking): all
+    doc pairs whose DISTINCT-token Jaccard >= threshold, generated from
+    prefix buckets instead of the full inverted index.
+
+    Under a global token order (document frequency ASC, term ASC — rare
+    tokens first), any pair with Jaccard >= t must share a token inside
+    each side's first ``len - ceil(t*len) + 1`` tokens, so only prefix
+    tokens enter the candidate exchange — strictly fewer candidates than
+    the full-index join at the same exactness (candidates are then
+    verified with the integer test ``(1000+t)*inter >= t*(sa+sb)`` and
+    exact intersection sizes).
+
+    Output: ``(doc_a, doc_b, inter, uni, jac_milli)``.
+
+    Scale shape: token df counts reduce via the usual combiner (the
+    global order is a BOUNDED broadcast here — vocabulary-sized; at web
+    scale it swaps for a rank join, the tfidf df-exchange shape); each
+    doc emits only its prefix tokens; candidate pairs dedup in a
+    pair-keyed exchange where both sides' sorted token lists ride along,
+    so verification is local to the bucket."""
+    import math
+
+    from dug_ray.shuffle import typed_table
+
+    t = threshold_milli
+
+    def tokset(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        flat = tokens.flatten().to_pandas().to_numpy(dtype=object)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_id": ids[parent],
+                           "term": flat}).drop_duplicates()
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"], pa.int64()),
+            "term": pa.array(df["term"], pa.string())})
+
+    dt = docs.map_batches(tokset, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+    # global order: df ASC, term ASC (rare-first maximizes pruning)
+    dfc = dt.groupby("term").count().to_pandas()
+    order = {term: i for i, (_, term) in enumerate(
+        sorted(zip(dfc["count()"], dfc["term"])))}
+
+    def prefix_rows(df: pd.DataFrame) -> pa.Table:
+        out = []
+        for did, g in df.groupby("doc_id", sort=False):
+            toks = sorted(g["term"], key=lambda x: order[x])
+            n = len(toks)
+            plen = n - math.ceil(t * n / 1000) + 1
+            canon = "|".join(toks)
+            out.extend((tok, int(did), n, canon)
+                       for tok in toks[:plen])
+        res = pd.DataFrame(out, columns=["term", "doc_id", "sz",
+                                         "toks"])
+        return typed_table(res, term=pa.string(), doc_id=pa.int64(),
+                           sz=pa.int64(), toks=pa.string())
+
+    prefixes = bucketed_group_apply(dt, "doc_id", prefix_rows,
+                                    num_buckets)
+
+    def candidates(df: pd.DataFrame) -> pa.Table:
+        m = df.drop_duplicates(["term", "doc_id"])
+        j = m.merge(m, on="term")
+        j = j[j["doc_id_x"] < j["doc_id_y"]]
+        j = j.drop_duplicates(["doc_id_x", "doc_id_y"])
+        return typed_table(
+            j.rename(columns={
+                "doc_id_x": "doc_a", "doc_id_y": "doc_b",
+                "sz_x": "sa", "sz_y": "sb",
+                "toks_x": "ta", "toks_y": "tb"})[
+                ["doc_a", "doc_b", "sa", "sb", "ta", "tb"]],
+            doc_a=pa.int64(), doc_b=pa.int64(), sa=pa.int64(),
+            sb=pa.int64(), ta=pa.string(), tb=pa.string())
+
+    cand = bucketed_group_apply(prefixes, "term", candidates,
+                                num_buckets)
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["doc_a", "doc_b"])
+        rows = []
+        for r in df.itertuples():
+            inter = len(set(r.ta.split("|")) & set(r.tb.split("|")))
+            uni = int(r.sa) + int(r.sb) - inter
+            if 1000 * inter >= t * uni:
+                rows.append((r.doc_a, r.doc_b, inter, uni,
+                             (inter * 1000) // uni))
+        res = pd.DataFrame(rows, columns=["doc_a", "doc_b", "inter",
+                                          "uni", "jac_milli"])
+        return typed_table(res, doc_a=pa.int64(), doc_b=pa.int64(),
+                           inter=pa.int64(), uni=pa.int64(),
+                           jac_milli=pa.int64())
+
+    return bucketed_group_apply(cand, ["doc_a", "doc_b"], verify,
+                                num_buckets)
