@@ -8062,6 +8062,101 @@ ORACLES.update({"ppjoin_pairs": SQL_PPJOIN_PAIRS})
 
 
 # ---------------------------------------------------------------------------
+# late-arrival (watermark) audit via distributed prefix-max
+# ---------------------------------------------------------------------------
+
+_WATERMARK_US = 600_000_000  # 10 minutes
+_LATE_RANGES = 64
+
+
+def q_late_arrivals(sf_dir: str) -> ray.data.Dataset:
+    """Streaming watermark audit: an event is LATE when its timestamp
+    sits more than 10 minutes behind the maximum timestamp already seen
+    in arrival order (event_id = the stream's arrival sequence) — the
+    out-of-order profile that sizes a stream processor's allowed
+    lateness.  The global running max needs a sequential scan; it
+    distributes as the classic TWO-PASS prefix scan (the epoch_shuffle
+    discipline, with MAX for SUM): per arrival-range maxima -> driver
+    prefix-max broadcast (range count x 8 bytes) -> per-range local
+    running max with the carried offset.  Output per 5-minute event-time
+    window: on-time vs late counts."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"])
+    n = ds.count()
+
+    def tag_range(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        us = pc.cast(batch["ts"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("int64")
+        rng = eid * _LATE_RANGES // n
+        return pa.table({"rng": pa.array(rng, pa.int64()),
+                         "event_id": pa.array(eid, pa.int64()),
+                         "us": pa.array(us, pa.int64())})
+
+    tagged = ds.map_batches(tag_range, batch_format="pyarrow",
+                            batch_size=None).materialize()
+
+    # pass 1: per-range max -> driver prefix-max (bounded: _LATE_RANGES)
+    rmax = tagged.groupby("rng").max("us").to_pandas() \
+        .sort_values("rng")
+    prefix = {}
+    run = -(1 << 62)
+    for r, m in zip(rmax["rng"], rmax["max(us)"]):
+        prefix[int(r)] = run          # max of all EARLIER ranges
+        run = max(run, int(m))
+
+    def per_range(df: pd.DataFrame) -> pa.Table:
+        out = []
+        for r, g in df.groupby("rng", sort=False):
+            g = g.sort_values("event_id", kind="mergesort")
+            us = g["us"].to_numpy()
+            # running max of PRIOR events: shift the cummax, seed with
+            # the carried prefix from earlier ranges
+            seen = np.maximum.accumulate(
+                np.concatenate(([prefix[int(r)]], us[:-1])))
+            seen = np.maximum(seen, prefix[int(r)])
+            late = us < seen - _WATERMARK_US
+            win = (us // 300_000_000) * 300_000_000
+            out.append(pd.DataFrame({"window_us": win, "late": late}))
+        res = pd.concat(out, ignore_index=True)
+        g = (res.groupby("window_us", as_index=False)
+             .agg(n_events=("late", "size"), n_late=("late", "sum")))
+        g["n_late"] = g["n_late"].astype("int64")
+        return typed_table(g, window_us=pa.int64(), n_events=pa.int64(),
+                           n_late=pa.int64())
+
+    parts = bucketed_group_apply(tagged, "rng", per_range, 8)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("window_us", as_index=False).agg(
+            n_events=("n_events", "sum"), n_late=("n_late", "sum"))
+        return typed_table(g, window_us=pa.int64(), n_events=pa.int64(),
+                           n_late=pa.int64())
+
+    return bucketed_group_apply(parts, "window_us", final, 4)
+
+
+SQL_LATE_ARRIVALS = f"""
+WITH e AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS us
+           FROM events),
+w AS (SELECT us,
+             max(us) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS seen
+      FROM e)
+SELECT CAST(us // 300000000 * 300000000 AS BIGINT) AS window_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN seen IS NOT NULL
+                      AND us < seen - {_WATERMARK_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY 1"""
+
+
+QUERIES.update({"late_arrivals": q_late_arrivals})
+ORACLES.update({"late_arrivals": SQL_LATE_ARRIVALS})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -8097,7 +8192,7 @@ _DRIVER_FRONT = [
     "wav_stats", "distinctive_terms", "session_paths", "kmeans_lloyd", "partition_digests", "hits",
     "negative_samples", "random_walks", "q10_returns", "balanced_sample",
     "burst_score", "skipgram_pairs", "zipf_check",
-    "langid_margin", "arrival_moments", "concept_recs", "ppjoin_pairs",
+    "langid_margin", "arrival_moments", "concept_recs", "ppjoin_pairs", "late_arrivals",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
