@@ -6259,7 +6259,7 @@ WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
            FROM lineitem),
 n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
 q(q_milli) AS (VALUES {", ".join(f"({q})" for q in _KTH_QS)}),
-kq AS (SELECT q_milli, CAST(-((-q_milli * n.n) // 1000) AS BIGINT) AS k
+kq AS (SELECT q_milli, CAST((q_milli * n.n + 999) // 1000 AS BIGINT) AS k
        FROM q, n),
 r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c)
 SELECT CAST(kq.q_milli AS BIGINT) AS q_milli, kq.k, r.cents AS value
@@ -6998,7 +6998,7 @@ def _rfm_bounds_sql(col: str) -> str:
 r_{col} AS (SELECT {col} AS v,
                    row_number() OVER (ORDER BY {col}) AS rn FROM m),
 b_{col} AS (SELECT r.v FROM qs, n
-            JOIN r_{col} r ON r.rn = -((-qs.q * n.c) // 1000))"""
+            JOIN r_{col} r ON r.rn = (qs.q * n.c + 999) // 1000)"""
 
 
 SQL_RFM_SEGMENTS = f"""
@@ -8157,6 +8157,158 @@ ORACLES.update({"late_arrivals": SQL_LATE_ARRIVALS})
 
 
 # ---------------------------------------------------------------------------
+# ship-latency SLO quantiles, integer FIR moving average
+# ---------------------------------------------------------------------------
+
+def q_ship_latency_slo(sf_dir: str) -> ray.data.Dataset:
+    """Per-priority ship-latency SLO report: exact p50/p95 of
+    order-to-ship days (discrete quantile, k = ceil(q*n)) — the
+    bounded-domain grouped-quantile shape (latency days are a small
+    integer domain, so each priority's distinct-day histogram fits its
+    bucket; the unbounded-domain path is stages/selection).  One join
+    to attach the order date, per-batch (priority, days) count
+    combiners, one priority-keyed quantile fold."""
+    from dug_ray.shuffle import hash_join
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+
+    def li_p(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(ship_us=df["l_shipdate"]
+                       .astype("datetime64[us]").astype("int64"))
+        return typed_table(df[["l_orderkey", "ship_us"]],
+                           l_orderkey=pa.int64(), ship_us=pa.int64())
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def ord_p(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(ord_us=df["o_orderdate"]
+                       .astype("datetime64[us]").astype("int64"))
+        return typed_table(df[["o_orderkey", "ord_us",
+                               "o_orderpriority"]],
+                           o_orderkey=pa.int64(), ord_us=pa.int64(),
+                           o_orderpriority=pa.string())
+
+    j = hash_join(li.map_batches(li_p, batch_format="pandas",
+                                 batch_size=None),
+                  orders.map_batches(ord_p, batch_format="pandas",
+                                     batch_size=None),
+                  "l_orderkey", "o_orderkey", coalesce_blocks=32)
+
+    def day_counts(df: pd.DataFrame) -> pa.Table:
+        days = (df["ship_us"].to_numpy()
+                - df["ord_us"].to_numpy()) // 86_400_000_000
+        g = (pd.DataFrame({"pri": df["o_orderpriority"], "days": days})
+             .groupby(["pri", "days"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return typed_table(g, pri=pa.string(), days=pa.int64(),
+                           n=pa.int64())
+
+    parts = j.map_batches(day_counts, batch_format="pandas",
+                          batch_size=None)
+
+    def quantiles(df: pd.DataFrame) -> pa.Table:
+        out = []
+        for pri, g in df.groupby("pri", sort=False):
+            g = g.groupby("days", as_index=False)["n"].sum() \
+                .sort_values("days")
+            cum = g["n"].cumsum().to_numpy()
+            n = int(cum[-1])
+            row = {"o_orderpriority": pri, "n_lines": n}
+            for name, qm in (("p50_days", 500), ("p95_days", 950)):
+                k = -(-qm * n // 1000)
+                row[name] = int(g["days"].to_numpy()[
+                    np.searchsorted(cum, k, side="left")])
+            out.append(row)
+        res = pd.DataFrame(out, columns=["o_orderpriority", "n_lines",
+                                         "p50_days", "p95_days"])
+        return typed_table(res, o_orderpriority=pa.string(),
+                           n_lines=pa.int64(), p50_days=pa.int64(),
+                           p95_days=pa.int64())
+
+    return bucketed_group_apply(parts, "pri", quantiles, 2)
+
+
+SQL_SHIP_LATENCY_SLO = """
+WITH d AS (
+  SELECT o.o_orderpriority AS pri,
+         CAST((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+              // 86400000000 AS BIGINT) AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+r AS (SELECT pri, days,
+             row_number() OVER (PARTITION BY pri ORDER BY days) AS rn,
+             count(*) OVER (PARTITION BY pri) AS n
+      FROM d)
+SELECT pri AS o_orderpriority, CAST(max(n) AS BIGINT) AS n_lines,
+       CAST(max(CASE WHEN rn = (500 * n + 999) // 1000 THEN days END)
+            AS BIGINT) AS p50_days,
+       CAST(max(CASE WHEN rn = (950 * n + 999) // 1000 THEN days END)
+            AS BIGINT) AS p95_days
+FROM r GROUP BY 1"""
+
+_WMA_W = (8, 4, 2, 1)
+
+
+def q_wma_value(sf_dir: str) -> ray.data.Dataset:
+    """Integer FIR moving average over each user's value stream: at
+    every event with >= 3 predecessors, wma_milli = (8*c0 + 4*c1 +
+    2*c2 + c3) * 1000 // 15 over the last four integer-cent values —
+    the exact-arithmetic stand-in for an EWMA (whose infinite tail
+    cannot stay integer).  One user-keyed exchange, vectorized
+    shifts."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(us=df["ts"].astype("datetime64[us]")
+                       .astype("int64"),
+                       cents=np.floor(df["value"].to_numpy() * 100)
+                       .astype("int64"))
+        df = df.sort_values(["user_id", "us", "event_id"],
+                            kind="mergesort")
+        g = df.groupby("user_id")["cents"]
+        num = sum(w * g.shift(i) for i, w in enumerate(_WMA_W))
+        ok = num.notna()
+        out = pd.DataFrame({
+            "event_id": df.loc[ok, "event_id"].to_numpy(),
+            "user_id": df.loc[ok, "user_id"].to_numpy(),
+            "wma_milli": (num[ok].to_numpy().astype("int64") * 1000)
+            // sum(_WMA_W)})
+        return typed_table(out, event_id=pa.int64(), user_id=pa.int64(),
+                           wma_milli=pa.int64())
+
+    return bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+
+SQL_WMA_VALUE = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100) AS BIGINT) AS c,
+         row_number() OVER w AS rn,
+         lag(CAST(floor(value * 100) AS BIGINT), 1) OVER w AS c1,
+         lag(CAST(floor(value * 100) AS BIGINT), 2) OVER w AS c2,
+         lag(CAST(floor(value * 100) AS BIGINT), 3) OVER w AS c3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+       CAST((8 * c + 4 * c1 + 2 * c2 + c3) * 1000 // 15 AS BIGINT)
+         AS wma_milli
+FROM e WHERE rn >= 4"""
+
+
+QUERIES.update({
+    "ship_latency_slo": q_ship_latency_slo,
+    "wma_value": q_wma_value,
+})
+ORACLES.update({
+    "ship_latency_slo": SQL_SHIP_LATENCY_SLO,
+    "wma_value": SQL_WMA_VALUE,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -8193,6 +8345,7 @@ _DRIVER_FRONT = [
     "negative_samples", "random_walks", "q10_returns", "balanced_sample",
     "burst_score", "skipgram_pairs", "zipf_check",
     "langid_margin", "arrival_moments", "concept_recs", "ppjoin_pairs", "late_arrivals",
+    "ship_latency_slo", "wma_value",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
