@@ -8309,6 +8309,114 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# temporal value drift (KS reuse), per-source duplicate rate
+# ---------------------------------------------------------------------------
+
+def q_value_drift(sf_dir: str) -> pa.Table:
+    """Temporal drift check on the event-value distribution: two-sample
+    KS between week-1 events and the rest, in exact integer ppm — the
+    drift stage composed over a derived (flag, integer-cents) stream;
+    at 100 TB this is the weekly data-quality gate that catches a
+    payments-pipeline unit change."""
+    from dug_ray.stages.drift import ks_statistic
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        day = pc.day(batch["ts"]).to_numpy(zero_copy_only=False)
+        cents = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype("int64")
+        flag = np.where(day <= 7, "w1", "rest")
+        return pa.table({"flag": pa.array(flag, pa.string()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    d = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    return ks_statistic(d, "cents", "flag", "w1")
+
+
+SQL_VALUE_DRIFT = """
+WITH d AS (SELECT CASE WHEN day(ts) <= 7 THEN 1 ELSE 0 END AS isa,
+                  CAST(floor(value * 100) AS BIGINT) AS val
+           FROM events),
+v AS (SELECT val, sum(isa) AS a_n, sum(1 - isa) AS b_n
+      FROM d GROUP BY 1),
+c AS (SELECT val, sum(a_n) OVER (ORDER BY val) AS ca,
+             sum(b_n) OVER (ORDER BY val) AS cb
+      FROM v),
+t AS (SELECT CAST(sum(a_n) AS BIGINT) AS na,
+             CAST(sum(b_n) AS BIGINT) AS nb FROM v)
+SELECT na AS n_a, nb AS n_b,
+       CAST(max(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+            * 1000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS d_ppm
+FROM c, t GROUP BY na, nb"""
+
+
+def q_dup_rate(sf_dir: str) -> ray.data.Dataset:
+    """Per-source exact-duplicate KPI: docs, distinct texts, and the
+    duplicate fraction in exact ppm — the ingest-quality number a corpus
+    dashboard tracks per feed.  Only (source, content-hash) pairs move;
+    the distinct count folds in the hash bucket."""
+    docs = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from dug_ray.hashing import md5_hex
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas()
+            .to_numpy(dtype=object),
+            "h": md5_hex(batch["text"])})
+        g = (df.groupby(["source", "h"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return typed_table(g, source=pa.string(), h=pa.string(),
+                           n=pa.int64())
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["source", "h"], as_index=False)["n"].sum()
+        s = g.groupby("source", as_index=False).agg(
+            n_docs=("n", "sum"), n_distinct=("h", "size"))
+        return typed_table(s, source=pa.string(), n_docs=pa.int64(),
+                           n_distinct=pa.int64())
+
+    # hash-bucketed so all copies of a text land together; the per-source
+    # partials then fold in a bounded final
+    per_hash = bucketed_group_apply(parts, "h", per_bucket, 16)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_distinct=("n_distinct", "sum"))
+        g["dup_ppm"] = ((g["n_docs"] - g["n_distinct"]) * 1_000_000) \
+            // g["n_docs"]
+        return typed_table(g, source=pa.string(), n_docs=pa.int64(),
+                           n_distinct=pa.int64(), dup_ppm=pa.int64())
+
+    return bucketed_group_apply(per_hash, "source", final, 4)
+
+
+SQL_DUP_RATE = """
+WITH g AS (SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM g GROUP BY 1)
+SELECT source, n_docs, n_distinct,
+       CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT)
+         AS dup_ppm
+FROM s"""
+
+
+QUERIES.update({
+    "value_drift": q_value_drift,
+    "dup_rate": q_dup_rate,
+})
+ORACLES.update({
+    "value_drift": SQL_VALUE_DRIFT,
+    "dup_rate": SQL_DUP_RATE,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -8345,7 +8453,7 @@ _DRIVER_FRONT = [
     "negative_samples", "random_walks", "q10_returns", "balanced_sample",
     "burst_score", "skipgram_pairs", "zipf_check",
     "langid_margin", "arrival_moments", "concept_recs", "ppjoin_pairs", "late_arrivals",
-    "ship_latency_slo", "wma_value",
+    "ship_latency_slo", "wma_value", "value_drift", "dup_rate",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

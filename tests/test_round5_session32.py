@@ -66,3 +66,24 @@ def test_ship_latency_slo_discrete_quantiles():
     assert out["n_lines"] == 7
     assert out["p50_days"] == 4   # ceil(0.5*7) = 4
     assert out["p95_days"] == 7   # ceil(0.95*7) = 7
+
+
+def test_dup_rate_per_source():
+    import dug_ray.queries as q
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["same", "same", "same", "x", "y", "y"],
+        "lang": ["en"] * 6,
+        "source": ["a", "a", "a", "a", "b", "b"],
+        "n_chars": [4, 4, 4, 1, 1, 1]})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "documents.parquet"))
+        out = (q.QUERIES["dup_rate"](d).to_pandas()
+               .set_index("source"))
+    # source a: 4 docs, 2 distinct texts -> 2 dups -> 500000 ppm
+    assert out.loc["a", "n_docs"] == 4
+    assert out.loc["a", "n_distinct"] == 2
+    assert out.loc["a", "dup_ppm"] == 500_000
+    # source b: 2 docs, 1 distinct
+    assert out.loc["b", "dup_ppm"] == 500_000
