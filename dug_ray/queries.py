@@ -8417,6 +8417,68 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# conversion latency quantiles
+# ---------------------------------------------------------------------------
+
+def q_conversion_latency(sf_dir: str) -> pa.Table:
+    """Time-to-convert funnel metric: for every user whose first
+    'purchase' follows their first 'view', the gap in whole seconds;
+    reported as exact p50/p90 (k = ceil(q*n)) plus the converter count.
+    Per-user firsts fold in one bucket; the gap table is user-bounded,
+    so the quantile fold is a bounded driver final (the selection
+    operator is the unbounded-domain path)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(us=df["ts"].astype("datetime64[us]")
+                       .astype("int64"))
+        v = df[df["event_type"] == "view"].groupby("user_id")["us"].min()
+        p = df[df["event_type"] == "purchase"] \
+            .groupby("user_id")["us"].min()
+        j = pd.concat([v.rename("v"), p.rename("p")], axis=1).dropna()
+        j = j[j["p"] > j["v"]]
+        gaps = ((j["p"] - j["v"]) // 1_000_000).astype("int64")
+        out = pd.DataFrame({"gap_s": gaps.to_numpy()})
+        return typed_table(out, gap_s=pa.int64())
+
+    gaps = bucketed_group_apply(ds, "user_id", per_user, 16).to_pandas()
+    g = np.sort(gaps["gap_s"].to_numpy())
+    n = len(g)
+    rows = {"n_converters": n}
+    for name, qm in (("p50_gap_s", 500), ("p90_gap_s", 900)):
+        k = (qm * n + 999) // 1000
+        rows[name] = int(g[k - 1]) if n else 0
+    return pa.table({k: pa.array([v], pa.int64())
+                     for k, v in rows.items()})
+
+
+SQL_CONVERSION_LATENCY = """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view'
+                  THEN CAST(epoch_us(ts) AS BIGINT) END) AS v,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(epoch_us(ts) AS BIGINT) END) AS p
+  FROM events GROUP BY 1),
+g AS (SELECT (p - v) // 1000000 AS gap_s FROM f
+      WHERE v IS NOT NULL AND p IS NOT NULL AND p > v),
+r AS (SELECT gap_s, row_number() OVER (ORDER BY gap_s) AS rn,
+             count(*) OVER () AS n
+      FROM g)
+SELECT CAST(max(n) AS BIGINT) AS n_converters,
+       CAST(max(CASE WHEN rn = (500 * n + 999) // 1000
+                     THEN gap_s END) AS BIGINT) AS p50_gap_s,
+       CAST(max(CASE WHEN rn = (900 * n + 999) // 1000
+                     THEN gap_s END) AS BIGINT) AS p90_gap_s
+FROM r"""
+
+
+QUERIES.update({"conversion_latency": q_conversion_latency})
+ORACLES.update({"conversion_latency": SQL_CONVERSION_LATENCY})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -8454,6 +8516,7 @@ _DRIVER_FRONT = [
     "burst_score", "skipgram_pairs", "zipf_check",
     "langid_margin", "arrival_moments", "concept_recs", "ppjoin_pairs", "late_arrivals",
     "ship_latency_slo", "wma_value", "value_drift", "dup_rate",
+    "conversion_latency",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -87,3 +87,31 @@ def test_dup_rate_per_source():
     assert out.loc["a", "dup_ppm"] == 500_000
     # source b: 2 docs, 1 distinct
     assert out.loc["b", "dup_ppm"] == 500_000
+
+
+def test_conversion_latency_firsts_and_quantiles():
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # user 1: view@0, purchase@10 -> gap 10
+        (1, 1, t0, "view"), (2, 1, t0 + 10 * s, "purchase"),
+        # user 2: purchase BEFORE view -> not a converter
+        (3, 2, t0, "purchase"), (4, 2, t0 + 5 * s, "view"),
+        # user 3: view@0, purchases @100 and @50 -> first purchase 50
+        (5, 3, t0, "view"), (6, 3, t0 + 100 * s, "purchase"),
+        (7, 3, t0 + 50 * s, "purchase"),
+        # user 4: view only
+        (8, 4, t0, "view"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    df["value"] = 0.0
+    df["props"] = ""
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "events.parquet"))
+        out = q.QUERIES["conversion_latency"](d).to_pandas().iloc[0]
+    assert out["n_converters"] == 2
+    assert out["p50_gap_s"] == 10   # ceil(0.5*2)=1st of sorted [10, 50]
+    assert out["p90_gap_s"] == 50
