@@ -8478,6 +8478,116 @@ QUERIES.update({"conversion_latency": q_conversion_latency})
 ORACLES.update({"conversion_latency": SQL_CONVERSION_LATENCY})
 
 
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient, Adamic-Adar link prediction
+# ---------------------------------------------------------------------------
+
+def q_clustering_coeff(sf_dir: str) -> ray.data.Dataset:
+    """Per-node local clustering coefficient (integer milli) over the
+    concept co-annotation graph — the density census read next to the
+    triangle counts (a hub with many triangles can still be
+    hub-and-spoke; a clique scores 1000).  Triangle side reuses the
+    bucketed wedge machinery; degrees fold from per-batch partials."""
+    from dug_ray.stages.graph import (clustering_coefficient,
+                                      concept_cooccurrence)
+    cooc = concept_cooccurrence(kg.linked_mentions_cached(sf_dir))
+    return clustering_coefficient(cooc)
+
+
+SQL_CLUSTERING_COEFF = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+cooc AS MATERIALIZED (
+  SELECT a.canonical_curie AS s, b.canonical_curie AS o
+  FROM dm a JOIN dm b USING (element_id)
+  WHERE a.canonical_curie < b.canonical_curie
+  GROUP BY 1, 2),
+cc_adj AS (SELECT s AS u, o AS v FROM cooc UNION ALL SELECT o, s FROM cooc),
+cc_deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+           FROM cc_adj GROUP BY u),
+tri AS (SELECT e1.s AS a, e1.o AS b, e2.o AS c
+        FROM cooc e1
+        JOIN cooc e2 ON e1.s = e2.s AND e1.o < e2.o
+        JOIN cooc e3 ON e3.s = e1.o AND e3.o = e2.o),
+corners AS (SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri),
+ntri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM corners GROUP BY node)
+SELECT d.node, d.deg,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(2000 * COALESCE(t.n_triangles, 0)
+            // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_milli
+FROM cc_deg d LEFT JOIN ntri t ON t.node = d.node
+WHERE d.deg >= 2"""
+
+
+def q_adamic_adar(sf_dir: str) -> ray.data.Dataset:
+    """Adamic-Adar link prediction over the UNDIRECTED full KG triple
+    graph (concept <-> element <-> raw-CURIE edges): every non-adjacent
+    pair with a common neighbor of degree in [2, 64], scored
+    sum(floor(1e6 / ln(deg(z)))) over those neighbors z — the
+    missing-edge ranking for KG completion.  Per-neighbor integer
+    quantization BEFORE the sum keeps the fold associative and
+    partitioning-independent (cooccurrence_pmi's one-libm-ln
+    discipline); the degree cap is the hub mitigation documented on
+    stages/graph.py:adamic_adar and mirrored in the oracle HAVING."""
+    from dug_ray.stages.graph import adamic_adar
+    triples = kg.kg_triples_cached(sf_dir)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["subj"] != df["obj"]]
+        lo = np.minimum(df["subj"], df["obj"])
+        hi = np.maximum(df["subj"], df["obj"])
+        out = pd.DataFrame({"subj": lo, "obj": hi})
+        return typed_table(out, subj=pa.string(), obj=pa.string())
+
+    edges = triples.map_batches(undirect, batch_format="pyarrow",
+                                batch_size=None)
+    return adamic_adar(edges)
+
+
+SQL_ADAMIC_ADAR = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls",
+                     "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + """,
+aa_kg AS (SELECT subj, obj FROM expansion
+          UNION ALL
+          SELECT DISTINCT canonical_curie AS subj, element_id AS obj
+          FROM linked_full),
+aa_edges AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS s, greatest(subj, obj) AS o
+  FROM aa_kg WHERE subj <> obj),
+aa_adj AS MATERIALIZED (SELECT s AS u, o AS v FROM aa_edges
+                        UNION ALL SELECT o, s FROM aa_edges),
+aa_w AS (SELECT u AS node,
+                CAST(floor(1000000.0 / ln(count(*))) AS BIGINT) AS w
+         FROM aa_adj GROUP BY u HAVING count(*) BETWEEN 2 AND 64),
+wedges AS (SELECT a.v AS node_a, b.v AS node_b, w.w
+           FROM aa_adj a
+           JOIN aa_adj b ON a.u = b.u AND a.v < b.v
+           JOIN aa_w w ON w.node = a.u),
+cand AS (SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS n_common,
+                CAST(sum(w) AS BIGINT) AS aa_micro
+         FROM wedges GROUP BY 1, 2)
+SELECT c.node_a, c.node_b, c.n_common, c.aa_micro
+FROM cand c LEFT JOIN aa_edges e ON e.s = c.node_a AND e.o = c.node_b
+WHERE e.s IS NULL"""
+
+
+QUERIES.update({
+    "clustering_coeff": q_clustering_coeff,
+    "adamic_adar": q_adamic_adar,
+})
+ORACLES.update({
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
+    "adamic_adar": SQL_ADAMIC_ADAR,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -8516,7 +8626,7 @@ _DRIVER_FRONT = [
     "burst_score", "skipgram_pairs", "zipf_check",
     "langid_margin", "arrival_moments", "concept_recs", "ppjoin_pairs", "late_arrivals",
     "ship_latency_slo", "wma_value", "value_drift", "dup_rate",
-    "conversion_latency",
+    "conversion_latency", "clustering_coeff", "adamic_adar",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -1388,3 +1388,192 @@ def hits_scores(triples: ray.data.Dataset, rounds: int = 2,
                                               pa.int64())})
 
     return hj.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def clustering_coefficient(edges: ray.data.Dataset,
+                           num_buckets: int = 32,
+                           max_driver_edges: int = 5_000_000
+                           ) -> ray.data.Dataset:
+    """Per-node LOCAL clustering coefficient (integer milli) over the
+    undirected co-annotation graph: ``cc_milli = floor(1000 * 2T(v) /
+    (deg(v) * (deg(v) - 1)))`` for every node with deg >= 2 (the
+    coefficient is undefined below that; SQL `WHERE deg >= 2`).
+
+    The density census downstream curation reads NEXT TO the triangle
+    counts: a hub with thousands of triangles can still have cc ~ 0
+    (hub-and-spoke), while a small clique scores 1000 — the two together
+    separate topical clusters from promiscuous annotation hubs.
+
+    Plan: triangle membership reuses ``triangle_counts`` verbatim (its
+    own size gate + bucketed wedge path apply); degrees fold from
+    per-batch endpoint partials in one bounded exchange.  Both tables
+    are node-bounded (canonical CURIEs ~ ontology size, NOT corpus
+    size), so the triangle side broadcasts once via ``ray.put`` and the
+    coefficient is a map-side compose over the degree stream — no third
+    shuffle.  All arithmetic is Python-int floor division on
+    nonnegative operands, so truncation == floor == the SQL `//`.
+    """
+    edges = distinct_rows(edges.select_columns(["subj", "obj"]),
+                          ["subj", "obj"], num_buckets)
+    edges = edges.map_batches(
+        lambda t: typed_table(t.to_pandas(), subj=pa.string(),
+                              obj=pa.string()),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    tri = triangle_counts(edges, num_buckets, max_driver_edges).to_pandas()
+    tri_ref = ray.put(dict(zip(tri.get("node", ()),
+                               (int(x) for x in tri.get("n_triangles", ())))))
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        nodes = pd.concat([df["subj"], df["obj"]], ignore_index=True)
+        g = nodes.value_counts().rename_axis("node").reset_index(name="d")
+        return typed_table(g, node=pa.string(), d=pa.int64())
+
+    def _final(df: pd.DataFrame) -> pa.Table:
+        t = ray.get(tri_ref)
+        g = df.groupby("node", as_index=False).agg(deg=("d", "sum"))
+        g = g[g["deg"] >= 2]
+        g["n_triangles"] = g["node"].map(lambda n: t.get(n, 0)) \
+                            .astype(np.int64)
+        g["cc_milli"] = [
+            (2000 * int(nt)) // (int(d) * (int(d) - 1))
+            for nt, d in zip(g["n_triangles"], g["deg"])]
+        return typed_table(g, node=pa.string(), deg=pa.int64(),
+                           n_triangles=pa.int64(), cc_milli=pa.int64())
+
+    return bucketed_group_apply(
+        edges.map_batches(_deg_partial, batch_format="pyarrow",
+                          batch_size=None),
+        "node", _final, num_buckets)
+
+
+def adamic_adar(edges: ray.data.Dataset,
+                num_buckets: int = 32,
+                max_driver_edges: int = 5_000_000,
+                max_apex_deg: int = 64) -> ray.data.Dataset:
+    """Adamic-Adar link prediction over the undirected co-annotation
+    graph: for every NON-adjacent unordered pair (node_a < node_b) with
+    at least one common neighbor, ``aa_micro = sum over common
+    neighbors z of floor(1e6 / ln(deg(z)))`` plus the common-neighbor
+    count — the classic missing-edge score for KG completion (which
+    concept pairs SHOULD co-annotate but don't yet).
+
+    Bit-exactness: the weight is floored to integer micro-units PER
+    NEIGHBOR before the sum, so the per-pair total is an int64 sum —
+    associative and partitioning-independent; ``ln`` is one libm call
+    over a small int (DuckDB `ln` == CPython `math.log`, the
+    cooccurrence_pmi precedent).  A common neighbor is adjacent to two
+    distinct nodes, so deg(z) >= 2 and the weight is finite.
+
+    Plan: wedge enumeration over the SYMMETRIC adjacency bucketed by
+    apex (each apex's full neighbor list co-locates, so deg(apex) is
+    group-local — no separate degree exchange); per-(a, b) integer sums
+    fold under a composite bucket; existing edges leave via the
+    bucketed anti-join.  Wedge fan-out is quadratic in apex degree, so
+    apexes with deg > ``max_apex_deg`` contribute NO wedges — the
+    stopword analogue for AA (a hub neighbor's weight 1/ln(deg) is
+    near-zero information anyway; same hub-mitigation family as the
+    PPJoin prefix filter and the canonicalize salt).  The cap is part
+    of the operator contract and mirrored in the SQL oracle's HAVING.
+    Size gate (triangle_counts discipline) scores bounded graphs on the
+    driver; pytest pins both paths equal.
+    """
+    import math
+
+    from dug_ray.shuffle import hash_anti_join
+
+    edges = distinct_rows(edges.select_columns(["subj", "obj"]),
+                          ["subj", "obj"], num_buckets)
+    edges = edges.map_batches(
+        lambda t: typed_table(t.to_pandas(), subj=pa.string(),
+                              obj=pa.string()),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    empty = pd.DataFrame({"node_a": [], "node_b": [], "n_common": [],
+                          "aa_micro": []})
+
+    if edges.count() <= max_driver_edges:
+        pdf = edges.to_pandas()
+        if not {"subj", "obj"} <= set(pdf.columns):  # edge-free graph
+            pdf = pd.DataFrame({"subj": [], "obj": []})
+        adj = _local_adjacency(pdf)
+        edge_set = set(zip(pdf["subj"], pdf["obj"]))
+        acc: dict[tuple, list] = {}
+        for z, nbrs in adj.items():
+            if not 2 <= len(nbrs) <= max_apex_deg:
+                continue
+            w = math.floor(1_000_000.0 / math.log(len(nbrs)))
+            ns = sorted(nbrs)
+            for i, a in enumerate(ns):
+                for b in ns[i + 1:]:
+                    if (a, b) in edge_set:
+                        continue
+                    cur = acc.setdefault((a, b), [0, 0])
+                    cur[0] += 1
+                    cur[1] += int(w)
+        rows = [(a, b, c, s) for (a, b), (c, s) in sorted(acc.items())]
+        out = pd.DataFrame(rows, columns=["node_a", "node_b", "n_common",
+                                          "aa_micro"]) if rows else empty
+        return ray.data.from_arrow(typed_table(
+            out, node_a=pa.string(), node_b=pa.string(),
+            n_common=pa.int64(), aa_micro=pa.int64()))
+
+    def _adj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({
+            "apex": pd.concat([df["subj"], df["obj"]], ignore_index=True),
+            "nbr": pd.concat([df["obj"], df["subj"]], ignore_index=True)})
+        return typed_table(out, apex=pa.string(), nbr=pa.string())
+
+    adj = edges.map_batches(_adj, batch_format="pyarrow", batch_size=None)
+
+    def _wedges(df: pd.DataFrame) -> pa.Table:
+        # deg(apex) is group-local: the apex bucket holds ALL its rows
+        deg = df.groupby("apex")["nbr"].transform("size")
+        df = df[(deg >= 2) & (deg <= max_apex_deg)]
+        deg = deg[df.index]
+        df = df.assign(
+            w=[math.floor(1_000_000.0 / math.log(int(d))) for d in deg])
+        m = df.merge(df, on="apex")
+        m = m[m["nbr_x"] < m["nbr_y"]]
+        g = (m.groupby(["nbr_x", "nbr_y"], as_index=False)
+              .agg(n=("w_x", "size"), s=("w_x", "sum")))
+        out = pd.DataFrame({"node_a": g["nbr_x"], "node_b": g["nbr_y"],
+                            "n": g["n"].astype(np.int64),
+                            "s": g["s"].astype(np.int64)})
+        return typed_table(out, node_a=pa.string(), node_b=pa.string(),
+                           n=pa.int64(), s=pa.int64())
+
+    cand = bucketed_group_apply(adj, "apex", _wedges, num_buckets)
+
+    def _fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["node_a", "node_b"], as_index=False).agg(
+            n_common=("n", "sum"), aa_micro=("s", "sum"))
+        return typed_table(g, node_a=pa.string(), node_b=pa.string(),
+                           n_common=pa.int64(), aa_micro=pa.int64())
+
+    summed = bucketed_group_apply(cand, ["node_a", "node_b"], _fold,
+                                  num_buckets)
+
+    # composite pair key (CURIEs never contain '|' — the repo-wide
+    # pipe-join convention) so the single-key anti-join applies
+    def _pk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_pair"] = df["node_a"] + "|" + df["node_b"]
+        return typed_table(df, node_a=pa.string(), node_b=pa.string(),
+                           n_common=pa.int64(), aa_micro=pa.int64(),
+                           _pair=pa.string())
+
+    def _ek(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({"_epair": df["subj"] + "|" + df["obj"]})
+        return typed_table(out, _epair=pa.string())
+
+    out = hash_anti_join(
+        summed.map_batches(_pk, batch_format="pyarrow", batch_size=None),
+        edges.map_batches(_ek, batch_format="pyarrow", batch_size=None),
+        "_pair", "_epair", num_buckets)
+    return out.map_batches(
+        lambda b: b.drop_columns(["_pair"]),
+        batch_format="pyarrow", batch_size=None)
