@@ -8588,6 +8588,198 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# chi-square independence, daily autocorrelation, running distinct kinds
+# ---------------------------------------------------------------------------
+
+def q_chi2_independence(sf_dir: str) -> pa.Table:
+    """Chi-square independence audit between order priority and order
+    status: per observed contingency cell, the expected count (milli)
+    and the chi-square contribution (micro) — the categorical-drift
+    sibling of ks_drift.  Exact rational arithmetic: contrib =
+    (obs*n - r*c)^2 / (n*r*c) scaled 1e6 and floored, computed in
+    Python ints (SQL side HUGEINT) since (obs*n - r*c)^2 exceeds int64
+    far below the 100 TB design point.  Per-batch partial counts fold
+    in one bounded exchange (15 cells); marginals compose on the
+    driver over the folded table."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["o_orderpriority", "o_orderstatus"],
+                        as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return typed_table(g, o_orderpriority=pa.string(),
+                           o_orderstatus=pa.string(), n=pa.int64())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["o_orderpriority", "o_orderstatus"],
+                       as_index=False)["n"].sum()
+        return typed_table(g, o_orderpriority=pa.string(),
+                           o_orderstatus=pa.string(), n=pa.int64())
+
+    ct = bucketed_group_apply(parts, ["o_orderpriority", "o_orderstatus"],
+                              fold, 4).to_pandas()
+    r = ct.groupby("o_orderpriority")["n"].sum().to_dict()
+    c = ct.groupby("o_orderstatus")["n"].sum().to_dict()
+    n = int(ct["n"].sum())
+    rows = []
+    for pr, st, obs in zip(ct["o_orderpriority"], ct["o_orderstatus"],
+                           ct["n"]):
+        obs, ri, ci = int(obs), int(r[pr]), int(c[st])
+        exp_milli = (1000 * ri * ci) // n
+        d = obs * n - ri * ci
+        contrib_micro = (1_000_000 * d * d) // (n * ri * ci)
+        rows.append((pr, st, obs, exp_milli, contrib_micro))
+    out = pd.DataFrame(rows, columns=["priority", "status", "obs",
+                                      "exp_milli", "contrib_micro"])
+    return typed_table(out.sort_values(["priority", "status"]),
+                       priority=pa.string(), status=pa.string(),
+                       obs=pa.int64(), exp_milli=pa.int64(),
+                       contrib_micro=pa.int64())
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH ct AS (SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                   CAST(count(*) AS BIGINT) AS obs
+            FROM orders GROUP BY 1, 2),
+m AS (SELECT priority, status, obs,
+             CAST(sum(obs) OVER (PARTITION BY priority) AS HUGEINT) AS r,
+             CAST(sum(obs) OVER (PARTITION BY status) AS HUGEINT) AS c,
+             CAST(sum(obs) OVER () AS HUGEINT) AS n
+      FROM ct)
+SELECT priority, status, obs,
+       CAST(1000 * r * c // n AS BIGINT) AS exp_milli,
+       CAST(1000000 * (obs * n - r * c) * (obs * n - r * c)
+            // (n * r * c) AS BIGINT) AS contrib_micro
+FROM m"""
+
+
+def q_autocorr_daily(sf_dir: str) -> pa.Table:
+    """Lag-1..7 autocorrelation of the daily event-count series over the
+    contiguous min..max date spine (absent days count 0) — the
+    seasonality detector behind the hourly profile.  Exact integer
+    statistic: with n days and total S, r_k = sum((n*x_t - S) *
+    (n*x_{t+k} - S)) / sum((n*x_t - S)^2) scaled 1e6; numerator can be
+    negative, so the quotient uses TRUNCATED division on both engines
+    (SQL `//` truncates; Python floors — sign split below).  Daily
+    counts fold from per-batch partials in one bounded exchange
+    (series length ~ days, driver-final like conversion_latency)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["ts"], pa.date32())
+        g = pd.Series(d.to_numpy(zero_copy_only=False))             .value_counts().rename_axis("d").reset_index(name="x")
+        return typed_table(g, d=pa.date32(), x=pa.int64())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("d", as_index=False)["x"].sum()
+        return typed_table(g, d=pa.date32(), x=pa.int64())
+
+    daily = bucketed_group_apply(parts, "d", fold, 8).to_pandas()
+    daily["d"] = pd.to_datetime(daily["d"])
+    spine = pd.date_range(daily["d"].min(), daily["d"].max(), freq="D")
+    x = daily.set_index("d")["x"].reindex(spine, fill_value=0)         .astype("int64").to_list()
+    n, s = len(x), sum(int(v) for v in x)
+    cen = [n * int(v) - s for v in x]
+    den = sum(v * v for v in cen)
+    rows = []
+    for k in range(1, 8):
+        num = sum(cen[t] * cen[t + k] for t in range(n - k))
+        q = (1_000_000 * abs(num)) // den
+        rows.append((k, n - k, q if num >= 0 else -q))
+    out = pd.DataFrame(rows, columns=["lag", "n_pairs", "r_micro"])
+    return typed_table(out, lag=pa.int64(), n_pairs=pa.int64(),
+                       r_micro=pa.int64())
+
+
+SQL_AUTOCORR_DAILY = """
+WITH b AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+lim AS (SELECT min(d) AS d0, max(d) AS d1 FROM b),
+spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                             CAST(d1 AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE) AS d
+          FROM lim),
+s AS (SELECT spine.d, COALESCE(b.x, 0) AS x,
+             row_number() OVER (ORDER BY spine.d) AS t
+      FROM spine LEFT JOIN b USING (d)),
+tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx FROM s),
+cen AS (SELECT t, n * x - sx AS v FROM s, tot),
+den AS (SELECT sum(v * v) AS den FROM cen),
+lags AS (SELECT unnest(generate_series(1, 7)) AS k),
+num AS (SELECT l.k, CAST(count(*) AS BIGINT) AS n_pairs,
+               sum(a.v * c.v) AS num
+        FROM lags l
+        JOIN cen a ON TRUE
+        JOIN cen c ON c.t = a.t + l.k
+        GROUP BY l.k)
+SELECT CAST(k AS BIGINT) AS lag, n_pairs,
+       CAST(1000000 * num // den AS BIGINT) AS r_micro
+FROM num, den"""
+
+
+def q_cum_distinct(sf_dir: str) -> ray.data.Dataset:
+    """Running distinct-kind count: per event, how many DISTINCT event
+    types its user has produced up to and including it (order ts,
+    event_id) — the engagement-breadth window a growth dashboard
+    plots.  A first-occurrence flag plus a running sum inside the user
+    bucket: only (user, ts, type) moves, one exchange."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        first = ~df.duplicated(subset=["user_id", "event_type"])
+        out = pd.DataFrame({
+            "event_id": df["event_id"],
+            "user_id": df["user_id"],
+            "n_kinds": first.astype("int64").groupby(
+                df["user_id"].to_numpy()).cumsum()})
+        return typed_table(out, event_id=pa.int64(), user_id=pa.int64(),
+                           n_kinds=pa.int64())
+
+    return bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+
+SQL_CUM_DISTINCT = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_id, user_id,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_kinds
+FROM e"""
+
+
+QUERIES.update({
+    "chi2_independence": q_chi2_independence,
+    "autocorr_daily": q_autocorr_daily,
+    "cum_distinct": q_cum_distinct,
+})
+ORACLES.update({
+    "chi2_independence": SQL_CHI2_INDEPENDENCE,
+    "autocorr_daily": SQL_AUTOCORR_DAILY,
+    "cum_distinct": SQL_CUM_DISTINCT,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -8627,6 +8819,7 @@ _DRIVER_FRONT = [
     "langid_margin", "arrival_moments", "concept_recs", "ppjoin_pairs", "late_arrivals",
     "ship_latency_slo", "wma_value", "value_drift", "dup_rate",
     "conversion_latency", "clustering_coeff", "adamic_adar",
+    "chi2_independence", "autocorr_daily", "cum_distinct",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from dug_ray.stages.graph import adamic_adar, clustering_coefficient
@@ -79,3 +80,90 @@ def test_adamic_adar_degree_cap():
     w5 = math.floor(1_000_000.0 / math.log(5))
     got = uncapped.set_index(["node_a", "node_b"])
     assert got.loc[("n3", "n4"), "aa_micro"] == w5
+
+
+def _write_events(d, rows):
+    import os
+
+    import pyarrow.parquet as pq
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type", "value"])
+    df["props"] = ""
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "events.parquet"))
+
+
+def test_chi2_cells_exact():
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import dug_ray.queries as q
+    # 2x2 with known marginals: n=10, r(HIGH)=6, c(F)=5, obs(HIGH,F)=4
+    rows = ([("HIGH", "F")] * 4 + [("HIGH", "O")] * 2
+            + [("LOW", "F")] * 1 + [("LOW", "O")] * 3)
+    df = pd.DataFrame(rows, columns=["o_orderpriority", "o_orderstatus"])
+    df["o_orderkey"] = range(len(df))
+    df["o_custkey"] = 1
+    df["o_totalprice"] = 1.0
+    df["o_orderdate"] = pd.Timestamp("2024-01-01")
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "orders.parquet"))
+        out = q.QUERIES["chi2_independence"](d).to_pandas() \
+            .set_index(["priority", "status"])
+    # exp(HIGH, F) = 6*5/10 = 3.0 -> 3000 milli
+    assert out.loc[("HIGH", "F"), "exp_milli"] == 3000
+    # contrib = (obs*n - r*c)^2 / (n*r*c) = (40-30)^2/300 = 1/3
+    assert out.loc[("HIGH", "F"), "contrib_micro"] == 333_333
+    assert int(out["obs"].sum()) == 10
+
+
+def test_autocorr_truncated_division_and_zero_fill():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    day = pd.Timedelta(days=1)
+    # daily counts [2, 1, 0(absent), 1, 2]: the day-3 hole must zero-fill
+    counts = {0: 2, 1: 1, 3: 1, 4: 2}
+    rows, eid = [], 0
+    for dd, c in counts.items():
+        for _ in range(c):
+            rows.append((eid, 1, t0 + dd * day, "v", 1.0))
+            eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["autocorr_daily"](d).to_pandas() \
+            .set_index("lag")
+    x = [2, 1, 0, 1, 2]
+    n, s = 5, 6
+    cen = [n * v - s for v in x]
+    den = sum(v * v for v in cen)
+    for k in (1, 2, 3, 4):
+        num = sum(cen[t] * cen[t + k] for t in range(n - k))
+        exp = (1_000_000 * abs(num)) // den
+        exp = exp if num >= 0 else -exp  # TRUNCATED, not floored
+        assert out.loc[k, "r_micro"] == exp, k
+        assert out.loc[k, "n_pairs"] == n - k
+    # lag 2 is negative here ((4,-1,-6,-1,4) -> num = -16 -8 = ...)
+    assert out.loc[2, "r_micro"] < 0
+
+
+def test_cum_distinct_running_counts():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [(0, 1, t0 + 0 * s, "a", 0.0),
+            (1, 1, t0 + 1 * s, "b", 0.0),
+            (2, 1, t0 + 2 * s, "a", 0.0),   # repeat kind -> stays 2
+            (3, 1, t0 + 3 * s, "c", 0.0),
+            (4, 2, t0 + 0 * s, "a", 0.0)]   # other user restarts
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["cum_distinct"](d).to_pandas() \
+            .set_index("event_id")["n_kinds"]
+    assert out.to_dict() == {0: 1, 1: 2, 2: 2, 3: 3, 4: 1}
