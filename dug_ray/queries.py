@@ -8780,6 +8780,173 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# readability score, hapax/type-token profile, delta-of-delta encoding audit
+# ---------------------------------------------------------------------------
+
+def q_readability(sf_dir: str) -> ray.data.Dataset:
+    """Per-document Flesch-style readability in integer milli: words =
+    [a-z0-9]+ runs of the lowercased text, sentences = [.!?]+ runs
+    (min 1), "syllables" = vowel-group runs — the classic heuristic; the
+    curation signal next to text_quality's length/punct ratios.  All
+    three counts are one vectorized regex pass per batch (pandas
+    str.count == RE2 on plain char classes); the score composes from
+    two integer-milli ratios exactly as the SQL does, so the operator
+    is bit-exact.  Embarrassingly parallel — no exchange."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        low = df["text"].str.lower()
+        w = low.str.count("[a-z0-9]+").astype("int64")
+        s = df["text"].str.count("[.!?]+").astype("int64").clip(lower=1)
+        v = low.str.count("[aeiou]+").astype("int64")
+        df = pd.DataFrame({"doc_id": df["doc_id"], "n_words": w,
+                           "n_sentences": s, "n_vowel_groups": v})
+        df = df[df["n_words"] >= 1]
+        df["wps_milli"] = (1000 * df["n_words"]) // df["n_sentences"]
+        df["spw_milli"] = (1000 * df["n_vowel_groups"]) // df["n_words"]
+        df["flesch_milli"] = (206835 - (1015 * df["wps_milli"]) // 1000
+                              - (84600 * df["spw_milli"]) // 1000)
+        return typed_table(df, doc_id=pa.int64(), n_words=pa.int64(),
+                           n_sentences=pa.int64(),
+                           n_vowel_groups=pa.int64(), wps_milli=pa.int64(),
+                           spw_milli=pa.int64(), flesch_milli=pa.int64())
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            batch_size=None)
+
+
+SQL_READABILITY = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+              AS BIGINT) AS n_vowel_groups
+  FROM documents),
+r AS (SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+             CAST(1000 * n_words // n_sentences AS BIGINT) AS wps_milli,
+             CAST(1000 * n_vowel_groups // n_words AS BIGINT) AS spw_milli
+      FROM c WHERE n_words >= 1)
+SELECT doc_id, n_words, n_sentences, n_vowel_groups, wps_milli, spw_milli,
+       CAST(206835 - (1015 * wps_milli) // 1000
+            - (84600 * spw_milli) // 1000 AS BIGINT) AS flesch_milli
+FROM r"""
+
+
+def q_hapax_ttr(sf_dir: str) -> ray.data.Dataset:
+    """Per-document lexical-richness profile: token count, distinct
+    types, hapax legomena (frequency-1 types) and the type-token /
+    hapax ratios in integer milli — the vocabulary-diversity signal a
+    pretraining curator reads next to readability (template spam scores
+    low TTR, OCR noise scores ~1000 with high hapax).  Whitespace
+    tokenization (the corpus toks contract).  Per-doc term histograms
+    fold locally per batch — docs never split across batches in the
+    documents read, so no exchange at all."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def profile(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = df["text"].str.split(" ")
+        rows = []
+        for did, ts in zip(df["doc_id"], toks):
+            vc = pd.Series(ts).value_counts()
+            n_tok = int(len(ts))
+            n_typ = int(len(vc))
+            n_hap = int((vc == 1).sum())
+            rows.append((did, n_tok, n_typ, n_hap,
+                         (1000 * n_typ) // n_tok,
+                         (1000 * n_hap) // n_typ))
+        out = pd.DataFrame(rows, columns=[
+            "doc_id", "n_tokens", "n_types", "n_hapax", "ttr_milli",
+            "hapax_milli"])
+        return typed_table(out, doc_id=pa.int64(), n_tokens=pa.int64(),
+                           n_types=pa.int64(), n_hapax=pa.int64(),
+                           ttr_milli=pa.int64(), hapax_milli=pa.int64())
+
+    return docs.map_batches(profile, batch_format="pyarrow",
+                            batch_size=None)
+
+
+SQL_HAPAX_TTR = _with(SQL_TOKS) + """,
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS f
+       FROM toks GROUP BY 1, 2),
+p AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM tf GROUP BY 1)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       CAST(1000 * n_types // n_tokens AS BIGINT) AS ttr_milli,
+       CAST(1000 * n_hapax // n_types AS BIGINT) AS hapax_milli
+FROM p"""
+
+
+def q_delta_encode(sf_dir: str) -> ray.data.Dataset:
+    """Delta-of-delta audit of per-user event timestamps (the Gorilla
+    timestamp-compression precondition): for users with >= 3 events,
+    the first-difference range and the second-difference profile —
+    how many d2 are exactly zero (perfectly regular cadence compresses
+    to a bit) and the total |d2| drift.  Order (ts, event_id); one
+    user-bucketed exchange, vectorized diffs inside the bucket."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        uid = df["user_id"].to_numpy()
+        d1 = us.groupby(uid).diff()
+        d2 = d1.groupby(uid).diff()
+        g = pd.DataFrame({"user_id": df["user_id"], "d1": d1, "d2": d2})
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("d1", "size"),
+            min_d1_us=("d1", "min"), max_d1_us=("d1", "max"),
+            n_zero_d2=("d2", lambda s: int((s == 0).sum())),
+            sum_abs_d2_us=("d2", lambda s: int(s.abs().sum())))
+        out = out[out["n_events"] >= 3]
+        return typed_table(out, user_id=pa.int64(), n_events=pa.int64(),
+                           min_d1_us=pa.int64(), max_d1_us=pa.int64(),
+                           n_zero_d2=pa.int64(), sum_abs_d2_us=pa.int64())
+
+    return bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+
+SQL_DELTA_ENCODE = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         lag(CAST(epoch_us(ts) AS BIGINT), 1) OVER w AS p1,
+         lag(CAST(epoch_us(ts) AS BIGINT), 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(us - p1) AS BIGINT) AS min_d1_us,
+       CAST(max(us - p1) AS BIGINT) AS max_d1_us,
+       CAST(sum(CASE WHEN us - 2 * p1 + p2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero_d2,
+       CAST(COALESCE(sum(abs(us - 2 * p1 + p2)), 0) AS BIGINT)
+         AS sum_abs_d2_us
+FROM e GROUP BY user_id HAVING count(*) >= 3"""
+
+
+QUERIES.update({
+    "readability": q_readability,
+    "hapax_ttr": q_hapax_ttr,
+    "delta_encode": q_delta_encode,
+})
+ORACLES.update({
+    "readability": SQL_READABILITY,
+    "hapax_ttr": SQL_HAPAX_TTR,
+    "delta_encode": SQL_DELTA_ENCODE,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -8820,6 +8987,7 @@ _DRIVER_FRONT = [
     "ship_latency_slo", "wma_value", "value_drift", "dup_rate",
     "conversion_latency", "clustering_coeff", "adamic_adar",
     "chi2_independence", "autocorr_daily", "cum_distinct",
+    "readability", "hapax_ttr", "delta_encode",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -167,3 +167,64 @@ def test_cum_distinct_running_counts():
         out = q.QUERIES["cum_distinct"](d).to_pandas() \
             .set_index("event_id")["n_kinds"]
     assert out.to_dict() == {0: 1, 1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def _write_docs(d, texts):
+    import os
+
+    import pyarrow.parquet as pq
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df["lang"] = "en"
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "documents.parquet"))
+
+
+def test_readability_known_counts():
+    import tempfile
+
+    import dug_ray.queries as q
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, ["The cat sat. The cat ran!"])
+        out = q.QUERIES["readability"](d).to_pandas().iloc[0]
+    assert out["n_words"] == 6 and out["n_sentences"] == 2
+    assert out["n_vowel_groups"] == 6
+    assert out["wps_milli"] == 3000 and out["spw_milli"] == 1000
+    assert out["flesch_milli"] == 206835 - 3045 - 84600
+
+
+def test_hapax_ttr_known_counts():
+    import tempfile
+
+    import dug_ray.queries as q
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, ["a b a c"])
+        out = q.QUERIES["hapax_ttr"](d).to_pandas().iloc[0]
+    assert out["n_tokens"] == 4 and out["n_types"] == 3
+    assert out["n_hapax"] == 2
+    assert out["ttr_milli"] == 750 and out["hapax_milli"] == 666
+
+
+def test_delta_encode_cadence():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [(0, 1, t0 + 0 * s, "v", 0.0),
+            (1, 1, t0 + 1 * s, "v", 0.0),
+            (2, 1, t0 + 2 * s, "v", 0.0),
+            (3, 1, t0 + 4 * s, "v", 0.0),
+            (4, 2, t0 + 0 * s, "v", 0.0),   # 2 events -> excluded
+            (5, 2, t0 + 9 * s, "v", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["delta_encode"](d).to_pandas() \
+            .set_index("user_id")
+    assert list(out.index) == [1]
+    r = out.loc[1]
+    # d1 = [1s, 1s, 2s]; d2 = [0, 1s]
+    assert r["n_events"] == 4
+    assert r["min_d1_us"] == 1_000_000 and r["max_d1_us"] == 2_000_000
+    assert r["n_zero_d2"] == 1 and r["sum_abs_d2_us"] == 1_000_000
