@@ -8947,6 +8947,240 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# weighted median, event streaks, compaction split plan, predicate 2-paths
+# ---------------------------------------------------------------------------
+
+def q_weighted_median(sf_dir: str) -> ray.data.Dataset:
+    """Quantity-weighted median line price per return flag: the smallest
+    cents value whose INCLUSIVE cumulative weight reaches half the
+    total (2*cum >= W) — the exact weighted-median rule, deterministic
+    with no interpolation.  Per-batch (flag, cents) weight partials
+    collapse the corpus before the flag-bucketed cumulative scan, so
+    the exchange carries the value histogram, not raw lineitems."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = (df["l_extendedprice"] * 100).round()             .astype("int64")
+        df["w"] = df["l_quantity"].astype("int64")
+        g = (df.groupby(["l_returnflag", "cents"], as_index=False)["w"]
+             .sum().rename(columns={"l_returnflag": "flag"}))
+        return typed_table(g, flag=pa.string(), cents=pa.int64(),
+                           w=pa.int64())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def per_flag(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["flag", "cents"], as_index=False)["w"].sum()
+        g = g.sort_values(["flag", "cents"], kind="mergesort")
+        g["cw"] = g.groupby("flag")["w"].cumsum()
+        tot = g.groupby("flag")["w"].transform("sum")
+        hit = g[2 * g["cw"] >= tot]
+        out = (hit.groupby("flag", as_index=False)
+               .agg(wmedian_cents=("cents", "min")))
+        out["total_weight"] = (g.groupby("flag")["w"].sum()
+                               .reindex(out["flag"]).to_numpy())
+        return typed_table(out, flag=pa.string(),
+                           wmedian_cents=pa.int64(),
+                           total_weight=pa.int64())
+
+    return bucketed_group_apply(parts, "flag", per_flag, 4)
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH l AS (SELECT l_returnflag AS flag,
+                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+                  CAST(l_quantity AS BIGINT) AS w
+           FROM lineitem),
+g AS (SELECT flag, cents, CAST(sum(w) AS BIGINT) AS w
+      FROM l GROUP BY 1, 2),
+c AS (SELECT flag, cents,
+             sum(w) OVER (PARTITION BY flag ORDER BY cents) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM g)
+SELECT flag, CAST(min(cents) AS BIGINT) AS wmedian_cents,
+       CAST(max(tw) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cw >= tw GROUP BY flag"""
+
+
+def q_event_streaks(sf_dir: str) -> ray.data.Dataset:
+    """Per-user run-length census of the event-type sequence (gaps-and-
+    islands): number of runs, longest run length, and the type of the
+    longest run (earliest run wins ties) — the repetition signal a
+    bot-detection pass reads.  Runs are found by a shift-compare inside
+    the user bucket; only (user, ts, type) moves."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        new_run = ((df["user_id"] != df["user_id"].shift())
+                   | (df["event_type"] != df["event_type"].shift()))
+        df["run"] = new_run.cumsum()
+        runs = df.groupby("run").agg(
+            user_id=("user_id", "first"), event_type=("event_type", "first"),
+            length=("run", "size")).reset_index()
+        agg = runs.groupby("user_id", as_index=False).agg(
+            n_runs=("run", "size"), max_len=("length", "max"))
+        top = (runs.sort_values(["user_id", "length", "run"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+               .groupby("user_id", as_index=False).head(1)
+               [["user_id", "event_type"]]
+               .rename(columns={"event_type": "top_type"}))
+        out = agg.merge(top, on="user_id")
+        return typed_table(out, user_id=pa.int64(), n_runs=pa.int64(),
+                           max_len=pa.int64(), top_type=pa.string())
+
+    return bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+
+SQL_EVENT_STREAKS = """
+WITH e AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rnt
+  FROM events),
+runs AS (SELECT user_id, event_type, rn - rnt AS grp,
+                CAST(count(*) AS BIGINT) AS len,
+                min(rn) AS start_rn
+         FROM e GROUP BY 1, 2, 3),
+agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_runs,
+               CAST(max(len) AS BIGINT) AS max_len
+        FROM runs GROUP BY 1),
+pick AS (SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY len DESC, start_rn) AS k
+         FROM runs)
+SELECT a.user_id, a.n_runs, a.max_len, p.event_type AS top_type
+FROM agg a JOIN pick p ON p.user_id = a.user_id AND p.k = 1"""
+
+
+def q_compaction_plan(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic split plan for corpus compaction: per source, docs
+    in doc_id order are assigned to output shards by BYTE-RANGE
+    splitting — shard = floor(exclusive-prefix-chars / 4000).  This is
+    the resumable-output planner (one directory per shard, TESTDATA
+    partitioning discipline) expressed as a query: the plan is a pure
+    function of the table, so a re-run after failure recomputes the
+    identical assignment and skips finished shards.  One source-bucketed
+    exchange; the cumulative sum is a vectorized in-bucket scan."""
+    docs = read_documents(sf_dir, columns=["doc_id", "source", "n_chars"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["source", "doc_id"], kind="mergesort")
+        cum = df.groupby("source")["n_chars"].cumsum() - df["n_chars"]
+        out = pd.DataFrame({"source": df["source"], "doc_id": df["doc_id"],
+                            "chars_before": cum.astype("int64"),
+                            "shard": (cum // 4000).astype("int64")})
+        return typed_table(out, source=pa.string(), doc_id=pa.int64(),
+                           chars_before=pa.int64(), shard=pa.int64())
+
+    return bucketed_group_apply(docs, "source", per_bucket, 8)
+
+
+SQL_COMPACTION_PLAN = """
+WITH c AS (
+  SELECT source, doc_id,
+         CAST(COALESCE(sum(n_chars) OVER (PARTITION BY source
+                                          ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS BIGINT)
+           AS chars_before
+  FROM documents)
+SELECT source, doc_id, chars_before,
+       CAST(chars_before // 4000 AS BIGINT) AS shard
+FROM c"""
+
+
+def q_pred_paths(sf_dir: str) -> ray.data.Dataset:
+    """Predicate 2-path census over the full triple table: for every
+    ordered predicate pair (p1, p2), the number of length-2 paths
+    a-[p1]->m-[p2]->c — the schema-level motif profile a KG curator
+    reads to spot modeling errors (e.g. annotates o annotates should
+    be zero).  Decomposes as sum over mid nodes of in-count(m, p1) *
+    out-count(m, p2): per-batch (mid, pred) partial counts fold under
+    the mid bucket, the cross product is per-mid LOCAL, and only
+    (p1, p2) partials — predicate-pair bounded — reach the final fold.
+    No path is ever materialized."""
+    triples = kg.kg_triples_cached(sf_dir)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ci = (df.groupby(["obj", "pred"], as_index=False).size()
+              .rename(columns={"obj": "mid", "pred": "p", "size": "n"}))
+        ci["side"] = "i"
+        co = (df.groupby(["subj", "pred"], as_index=False).size()
+              .rename(columns={"subj": "mid", "pred": "p", "size": "n"}))
+        co["side"] = "o"
+        out = pd.concat([ci, co], ignore_index=True)
+        return typed_table(out, mid=pa.string(), p=pa.string(),
+                           n=pa.int64(), side=pa.string())
+
+    parts = triples.map_batches(partials, batch_format="pyarrow",
+                                batch_size=None)
+
+    def per_mid(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["mid", "p", "side"], as_index=False)["n"].sum()
+        i = g[g["side"] == "i"].rename(columns={"p": "p1", "n": "ni"})
+        o = g[g["side"] == "o"].rename(columns={"p": "p2", "n": "no"})
+        m = i.merge(o, on="mid")
+        m["n"] = m["ni"] * m["no"]
+        pp = m.groupby(["p1", "p2"], as_index=False)["n"].sum()
+        return typed_table(pp, p1=pa.string(), p2=pa.string(),
+                           n=pa.int64())
+
+    per = bucketed_group_apply(parts, "mid", per_mid, 16)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["p1", "p2"], as_index=False).agg(
+            n_paths=("n", "sum"))
+        return typed_table(g, p1=pa.string(), p2=pa.string(),
+                           n_paths=pa.int64())
+
+    return bucketed_group_apply(per, ["p1", "p2"], final, 4)
+
+
+SQL_PRED_PATHS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls",
+                     "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + """,
+trip AS (SELECT subj, pred, obj FROM expansion
+         UNION ALL
+         SELECT DISTINCT canonical_curie AS subj, 'dug:annotates' AS pred,
+                element_id AS obj
+         FROM linked_full),
+ci AS (SELECT obj AS mid, pred AS p1, CAST(count(*) AS BIGINT) AS c
+       FROM trip GROUP BY 1, 2),
+co AS (SELECT subj AS mid, pred AS p2, CAST(count(*) AS BIGINT) AS c
+       FROM trip GROUP BY 1, 2)
+SELECT ci.p1, co.p2, CAST(sum(ci.c * co.c) AS BIGINT) AS n_paths
+FROM ci JOIN co USING (mid) GROUP BY 1, 2"""
+
+
+QUERIES.update({
+    "weighted_median": q_weighted_median,
+    "event_streaks": q_event_streaks,
+    "compaction_plan": q_compaction_plan,
+    "pred_paths": q_pred_paths,
+})
+ORACLES.update({
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
+    "event_streaks": SQL_EVENT_STREAKS,
+    "compaction_plan": SQL_COMPACTION_PLAN,
+    "pred_paths": SQL_PRED_PATHS,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -8988,6 +9222,7 @@ _DRIVER_FRONT = [
     "conversion_latency", "clustering_coeff", "adamic_adar",
     "chi2_independence", "autocorr_daily", "cum_distinct",
     "readability", "hapax_ttr", "delta_encode",
+    "weighted_median", "event_streaks", "compaction_plan", "pred_paths",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
