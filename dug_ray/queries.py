@@ -9181,6 +9181,196 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# cosine-similarity histogram (sampled), per-label centroid shift
+# ---------------------------------------------------------------------------
+
+def q_cosine_hist(sf_dir: str) -> ray.data.Dataset:
+    """Signed-cos^2 similarity histogram over the deterministic sample
+    vec_id % 7 == 0: for every sampled pair, r_micro = sign(dot) *
+    floor(1e6 * dot^2 / (|a|^2 |b|^2)) on milli-quantized components
+    (embedding_gram discipline — integer dots, so the statistic is
+    bit-exact), bucketed by TRUNCATED division into 0.1-wide bins.
+    The geometry dashboard for an embedding corpus (is it collapsing?).
+    The sampled matrix broadcasts once via ray.put; each batch of
+    sampled vectors computes an integer matmul against it and folds a
+    LOCAL histogram partial, so only bucket counts move.  The modulus
+    is the scale knob (keep samples^2 pairs tractable); the full-corpus
+    path is lsh_ann/ivf_ann."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 7 == 0))
+
+    sampled = emb.map_batches(sample, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    pdf = sampled.to_pandas().sort_values("vec_id")
+    q = np.floor(np.stack(pdf["embedding"].to_numpy()).astype("float64")
+                 * 1e3).astype(object)  # object -> Python ints, no wrap
+    ids = pdf["vec_id"].to_numpy()
+    n2 = {int(i): sum(int(v) * int(v) for v in row)
+          for i, row in zip(ids, q)}
+    mat_ref = ray.put((ids, np.stack(pdf["embedding"].to_numpy())
+                       .astype("float64"), n2))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_b = batch["vec_id"].to_numpy(zero_copy_only=False)
+        rows = np.stack(batch["embedding"].to_pandas().to_numpy())             .astype("float64")
+        all_ids, all_rows, n2d = ray.get(mat_ref)
+        qa = np.floor(rows * 1e3).astype("int64")
+        qb = np.floor(all_rows * 1e3).astype("int64")
+        # int64 matmul is exact here: |q| <= ~1e3-ish, dims bounded, so
+        # dots stay far below 2^63; the squares below use Python ints
+        dots = qa @ qb.T
+        buckets: dict[int, int] = {}
+        for i, ia in enumerate(ids_b):
+            na = n2d[int(ia)]
+            if na == 0:
+                continue
+            for j, ib in enumerate(all_ids):
+                if int(ib) <= int(ia):
+                    continue
+                nb = n2d[int(ib)]
+                if nb == 0:
+                    continue
+                d = int(dots[i, j])
+                r = (1_000_000 * d * d) // (na * nb)
+                r = r if d >= 0 else -r
+                b = r // 100_000 if r >= 0 else -((-r) // 100_000)
+                buckets[b] = buckets.get(b, 0) + 1
+        out = pd.DataFrame(sorted(buckets.items()),
+                           columns=["bucket", "n"])
+        return typed_table(out, bucket=pa.int64(), n=pa.int64())
+
+    parts = sampled.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("bucket", as_index=False).agg(n_pairs=("n", "sum"))
+        return typed_table(g, bucket=pa.int64(), n_pairs=pa.int64())
+
+    return bucketed_group_apply(parts, "bucket", final, 4)
+
+
+SQL_COSINE_HIST = """
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+           AS q
+  FROM embeddings WHERE vec_id % 7 = 0),
+nrm AS (SELECT vec_id, CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS n2
+        FROM u GROUP BY 1),
+dots AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS dot
+         FROM u a JOIN u b ON a.dim = b.dim AND a.vec_id < b.vec_id
+         GROUP BY 1, 2),
+r AS (SELECT CASE WHEN dot >= 0
+             THEN (1000000 * dot * dot) // (na.n2 * nb.n2)
+             ELSE -((1000000 * dot * dot) // (na.n2 * nb.n2)) END AS r_micro
+      FROM dots d
+      JOIN nrm na ON na.vec_id = d.va
+      JOIN nrm nb ON nb.vec_id = d.vb
+      WHERE na.n2 > 0 AND nb.n2 > 0),
+b AS (SELECT CASE WHEN r_micro >= 0 THEN r_micro // 100000
+             ELSE -((-r_micro) // 100000) END AS bucket
+      FROM r)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM b GROUP BY 1"""
+
+
+def q_centroid_shift(sf_dir: str) -> ray.data.Dataset:
+    """Per-label centroid drift between the even- and odd-vec_id halves
+    of the embedding corpus: shift_micro = floor(1e6 * sum_d (s_e[d] *
+    c_o - s_o[d] * c_e)^2 / (c_e * c_o)^2) over milli-quantized
+    component sums — the split-half stability check that catches a
+    label whose embedding distribution moved (ingest drift, model
+    version skew).  Exact integer rationals end to end (Python ints /
+    SQL HUGEINT); per-batch (label, half, dim) partials fold under the
+    label bucket, so only O(labels x dims) rows move."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = np.floor(np.stack(df["embedding"].to_numpy())
+                     .astype("float64") * 1e3).astype("int64")
+        half = (df["vec_id"].to_numpy() % 2).astype("int64")
+        lab = df["label"].to_numpy().astype("int64")
+        rows = []
+        key = pd.DataFrame({"label": lab, "half": half})
+        for (lb, hf), idx in key.groupby(["label", "half"]).groups.items():
+            sub = m[np.asarray(idx)]
+            s = sub.sum(axis=0)
+            for d in range(m.shape[1]):
+                rows.append((lb, hf, d + 1, int(s[d]), len(idx)))
+        out = pd.DataFrame(rows, columns=["label", "half", "dim", "s",
+                                          "c"])
+        return typed_table(out, label=pa.int64(), half=pa.int64(),
+                           dim=pa.int64(), s=pa.int64(), c=pa.int64())
+
+    parts = emb.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+
+    def per_label(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["label", "half", "dim"], as_index=False).agg(
+            s=("s", "sum"), c=("c", "sum"))
+        # c is per-(half, dim) but constant across dims: vector count
+        rows = []
+        for lb, sub in g.groupby("label"):
+            e = sub[sub["half"] == 0].set_index("dim")
+            o = sub[sub["half"] == 1].set_index("dim")
+            if len(e) == 0 or len(o) == 0:
+                continue
+            ce = int(e["c"].iloc[0])
+            co = int(o["c"].iloc[0])
+            num = sum((int(e.loc[d, "s"]) * co
+                       - int(o.loc[d, "s"]) * ce) ** 2
+                      for d in e.index)
+            rows.append((lb, ce, co,
+                         (1_000_000 * num) // ((ce * co) ** 2)))
+        out = pd.DataFrame(rows, columns=["label", "n_even", "n_odd",
+                                          "shift_micro"])
+        return typed_table(out, label=pa.int64(), n_even=pa.int64(),
+                           n_odd=pa.int64(), shift_micro=pa.int64())
+
+    return bucketed_group_apply(parts, "label", per_label, 4)
+
+
+SQL_CENTROID_SHIFT = """
+WITH u AS (
+  SELECT vec_id % 2 AS half, CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+           AS q
+  FROM embeddings),
+g AS (SELECT label, half, dim, CAST(sum(q) AS HUGEINT) AS s,
+             CAST(count(*) AS HUGEINT) AS c
+      FROM u GROUP BY 1, 2, 3),
+j AS (SELECT e.label, e.dim, e.s AS se, o.s AS so, e.c AS ce, o.c AS co
+      FROM g e JOIN g o ON o.label = e.label AND o.dim = e.dim
+      WHERE e.half = 0 AND o.half = 1)
+SELECT label, CAST(max(ce) AS BIGINT) AS n_even,
+       CAST(max(co) AS BIGINT) AS n_odd,
+       CAST(1000000 * sum((se * co - so * ce) * (se * co - so * ce))
+            // (max(ce) * max(co) * max(ce) * max(co)) AS BIGINT)
+         AS shift_micro
+FROM j GROUP BY label"""
+
+
+QUERIES.update({
+    "cosine_hist": q_cosine_hist,
+    "centroid_shift": q_centroid_shift,
+})
+ORACLES.update({
+    "cosine_hist": SQL_COSINE_HIST,
+    "centroid_shift": SQL_CENTROID_SHIFT,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -9223,6 +9413,7 @@ _DRIVER_FRONT = [
     "chi2_independence", "autocorr_daily", "cum_distinct",
     "readability", "hapax_ttr", "delta_encode",
     "weighted_median", "event_streaks", "compaction_plan", "pred_paths",
+    "cosine_hist", "centroid_shift",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

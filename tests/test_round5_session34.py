@@ -312,3 +312,47 @@ def test_pred_paths_mid_decomposition():
     # paths through m: 2 in via p x 2 out via q = 4
     assert out.loc[("p", "q"), "n_paths"] == 4
     assert len(out) == 1
+
+
+def _write_emb(d, rows):
+    import os
+
+    import pyarrow.parquet as pq
+    t = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32())})
+    pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+
+
+def test_cosine_hist_axis_vectors():
+    import tempfile
+
+    import dug_ray.queries as q
+    rows = [(0, [1.0, 0.0], 0), (7, [1.0, 0.0], 0),
+            (14, [-1.0, 0.0], 0),
+            (3, [9.0, 9.0], 0)]  # not sampled (3 % 7 != 0)
+    with tempfile.TemporaryDirectory() as d:
+        _write_emb(d, rows)
+        out = q.QUERIES["cosine_hist"](d).to_pandas() \
+            .set_index("bucket")["n_pairs"]
+    # (0,7) parallel -> +1.0 -> bucket 10; (0,14), (7,14) antiparallel
+    assert out.to_dict() == {10: 1, -10: 2}
+
+
+def test_centroid_shift_exact_rational():
+    import tempfile
+
+    import dug_ray.queries as q
+    rows = [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0),   # label 0 shifted
+            (2, [1.0, 1.0], 1), (3, [1.0, 1.0], 1)]   # label 1 stable
+    with tempfile.TemporaryDirectory() as d:
+        _write_emb(d, rows)
+        out = q.QUERIES["centroid_shift"](d).to_pandas() \
+            .set_index("label")
+    # label 0: se=[1000,0] so=[0,1000], ce=co=1 ->
+    # num = 1000^2 + 1000^2 = 2e6; shift = 1e6 * 2e6 // 1
+    assert out.loc[0, "shift_micro"] == 2_000_000_000_000
+    assert out.loc[1, "shift_micro"] == 0
+    assert out.loc[0, "n_even"] == 1 and out.loc[0, "n_odd"] == 1
