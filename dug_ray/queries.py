@@ -9371,6 +9371,162 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# KG integrity audit, normalization coverage scorecard
+# ---------------------------------------------------------------------------
+
+def q_kg_integrity(sf_dir: str) -> pa.Table:
+    """Per-predicate integrity audit of the exported triple table:
+    triple count, distinct subjects/objects, self-loops, and DANGLING
+    objects (objects with no outgoing edge of any predicate — leaves;
+    element ids are leaves by design, a concept object that dangles is
+    an expansion bug).  The subject set is ontology-bounded (subjects
+    are canonical CURIEs / raw CURIEs, never element ids), so it
+    broadcasts once; per-batch partials carry only per-pred counters
+    and the distinct sides reduce through the exact bucketed dedup.
+    Predicate-bounded driver final (pred count ~ edge config size)."""
+    from dug_ray.shuffle import distinct_rows
+    triples = kg.kg_triples_cached(sf_dir)
+
+    subj_set = set(distinct_rows(triples.select_columns(["subj"]),
+                                 ["subj"], 8).to_pandas()["subj"])
+    subj_ref = ray.put(subj_set)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = ray.get(subj_ref)
+        df = batch.to_pandas()
+        df["self"] = (df["subj"] == df["obj"]).astype("int64")
+        df["dang"] = (~df["obj"].isin(s)).astype("int64")
+        g = df.groupby("pred", as_index=False).agg(
+            n=("pred", "size"), self_loops=("self", "sum"),
+            dangling=("dang", "sum"))
+        return typed_table(g, pred=pa.string(), n=pa.int64(),
+                           self_loops=pa.int64(), dangling=pa.int64())
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("pred", as_index=False).agg(
+            n=("n", "sum"), self_loops=("self_loops", "sum"),
+            dangling=("dangling", "sum"))
+        return typed_table(g, pred=pa.string(), n=pa.int64(),
+                           self_loops=pa.int64(), dangling=pa.int64())
+
+    counts = bucketed_group_apply(
+        triples.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None),
+        "pred", fold, 4).to_pandas()
+
+    def _distinct_count(col: str) -> pd.Series:
+        d = distinct_rows(triples.select_columns(["pred", col]),
+                          ["pred", col], 8).to_pandas()
+        return d.groupby("pred")[col].size()
+
+    ns = _distinct_count("subj")
+    no = _distinct_count("obj")
+    out = counts.set_index("pred")
+    out["n_subj"] = ns.reindex(out.index).fillna(0).astype("int64")
+    out["n_obj"] = no.reindex(out.index).fillna(0).astype("int64")
+    out = out.reset_index()[["pred", "n", "n_subj", "n_obj",
+                             "self_loops", "dangling"]]         .rename(columns={"n": "n_triples"})
+    return typed_table(out.sort_values("pred"), pred=pa.string(),
+                       n_triples=pa.int64(), n_subj=pa.int64(),
+                       n_obj=pa.int64(), self_loops=pa.int64(),
+                       dangling=pa.int64())
+
+
+SQL_KG_INTEGRITY = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls",
+                     "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + """,
+trip AS MATERIALIZED (
+  SELECT subj, pred, obj FROM expansion
+  UNION ALL
+  SELECT DISTINCT canonical_curie AS subj, 'dug:annotates' AS pred,
+         element_id AS obj
+  FROM linked_full),
+subs AS (SELECT DISTINCT subj FROM trip)
+SELECT t.pred, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT t.subj) AS BIGINT) AS n_subj,
+       CAST(count(DISTINCT t.obj) AS BIGINT) AS n_obj,
+       CAST(sum(CASE WHEN t.subj = t.obj THEN 1 ELSE 0 END) AS BIGINT)
+         AS self_loops,
+       CAST(sum(CASE WHEN s.subj IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS dangling
+FROM trip t LEFT JOIN subs s ON s.subj = t.obj
+GROUP BY t.pred"""
+
+
+def q_norm_coverage(sf_dir: str) -> ray.data.Dataset:
+    """Normalization-coverage scorecard per CURIE prefix: above-threshold
+    mentions classified normalized (normalizer hit) / rescued
+    (greenlist prefix) / dropped, with mention and distinct-CURIE
+    counts — the M8/M9/M12 funnel as one KPI table a curation
+    dashboard tracks per ontology namespace.  The normalizer map and
+    greenlist are ontology-bounded broadcasts; distinct CURIEs reduce
+    via per-batch (prefix, outcome, curie) dedup partials."""
+    mentions = annotate_elements(parse_elements(read_interleaved(sf_dir)))
+    ndf = ontology.normalizer_df()
+    # a null preferred_curie is a normalizer MISS (the XXX:900 case) —
+    # the SQL's n.preferred_curie IS NOT NULL test
+    ndf = ndf[ndf["preferred_curie"].notna()]
+    norm_map = dict(zip(ndf["curie"], ndf["preferred_curie"]))
+    green = set(ontology.ONTOLOGY_GREENLIST)
+    nm_ref = ray.put((norm_map, green))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nm, gl = ray.get(nm_ref)
+        df = batch.to_pandas()[["curie", "score"]]
+        df = df[df["score"] >= 0.8]
+        prefix = df["curie"].str.split(":").str[0]
+        outcome = np.where(df["curie"].isin(nm), "normalized",
+                           np.where(prefix.isin(gl), "rescued",
+                                    "dropped"))
+        g = (pd.DataFrame({"prefix": prefix, "outcome": outcome,
+                           "curie": df["curie"]})
+             .groupby(["prefix", "outcome", "curie"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return typed_table(g, prefix=pa.string(), outcome=pa.string(),
+                           curie=pa.string(), n=pa.int64())
+
+    parts = mentions.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        per_curie = df.groupby(["prefix", "outcome", "curie"],
+                               as_index=False)["n"].sum()
+        g = per_curie.groupby(["prefix", "outcome"], as_index=False).agg(
+            n_mentions=("n", "sum"), n_curies=("curie", "size"))
+        return typed_table(g, prefix=pa.string(), outcome=pa.string(),
+                           n_mentions=pa.int64(), n_curies=pa.int64())
+
+    return bucketed_group_apply(parts, "prefix", final, 4)
+
+
+SQL_NORM_COVERAGE = _with(
+    ontology.sql_cte("lexicon", "normalizer", "greenlist"), SQL_TOKS) + """,
+m AS (SELECT l.curie FROM toks k JOIN lexicon l USING (term)
+      WHERE l.score >= 0.8),
+cls AS (SELECT split_part(m.curie, ':', 1) AS prefix, m.curie,
+               CASE WHEN n.preferred_curie IS NOT NULL THEN 'normalized'
+                    WHEN split_part(m.curie, ':', 1)
+                         IN (SELECT prefix FROM greenlist) THEN 'rescued'
+                    ELSE 'dropped' END AS outcome
+        FROM m LEFT JOIN normalizer n ON n.curie = m.curie)
+SELECT prefix, outcome, CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT curie) AS BIGINT) AS n_curies
+FROM cls GROUP BY 1, 2"""
+
+
+QUERIES.update({
+    "kg_integrity": q_kg_integrity,
+    "norm_coverage": q_norm_coverage,
+})
+ORACLES.update({
+    "kg_integrity": SQL_KG_INTEGRITY,
+    "norm_coverage": SQL_NORM_COVERAGE,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -9413,7 +9569,7 @@ _DRIVER_FRONT = [
     "chi2_independence", "autocorr_daily", "cum_distinct",
     "readability", "hapax_ttr", "delta_encode",
     "weighted_median", "event_streaks", "compaction_plan", "pred_paths",
-    "cosine_hist", "centroid_shift",
+    "cosine_hist", "centroid_shift", "kg_integrity", "norm_coverage",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

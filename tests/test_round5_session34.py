@@ -356,3 +356,28 @@ def test_centroid_shift_exact_rational():
     assert out.loc[0, "shift_micro"] == 2_000_000_000_000
     assert out.loc[1, "shift_micro"] == 0
     assert out.loc[0, "n_even"] == 1 and out.loc[0, "n_odd"] == 1
+
+
+def test_kg_integrity_hand_graph():
+    import ray.data as rd
+
+    import dug_ray.pipelines.kg as kg
+    import dug_ray.queries as q
+    trip = pd.DataFrame(
+        [("a", "p", "b"), ("b", "p", "c"),      # c dangles (no outgoing)
+         ("a", "q", "a"),                        # self-loop
+         ("b", "q", "leaf")],                    # leaf dangles
+        columns=["subj", "pred", "obj"])
+    orig = kg.kg_triples_cached
+    try:
+        kg.kg_triples_cached = lambda sf: rd.from_pandas(trip)
+        out = q.QUERIES["kg_integrity"]("ignored").to_pandas() \
+            .set_index("pred")
+    finally:
+        kg.kg_triples_cached = orig
+    assert out.loc["p", "n_triples"] == 2
+    assert out.loc["p", "dangling"] == 1          # c
+    assert out.loc["p", "self_loops"] == 0
+    assert out.loc["q", "self_loops"] == 1        # a->a
+    assert out.loc["q", "dangling"] == 1          # leaf
+    assert out.loc["q", "n_subj"] == 2 and out.loc["q", "n_obj"] == 2
