@@ -9527,6 +9527,199 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# shuffle-skew probe, weekend lift, percent rank
+# ---------------------------------------------------------------------------
+
+def q_shuffle_skew(sf_dir: str) -> ray.data.Dataset:
+    """Skew probe for the canonicalize exchange: linked mentions hashed
+    into 16 md5 buckets of canonical_curie; per bucket the row count,
+    distinct-key count, the LARGEST single key's row count and that key
+    (lexicographically-smallest on ties) — the planner view that shows
+    where the MONDO:0004976 hot key lands and whether salting is
+    needed.  md5 (not the engine's SipHash) so the oracle pins the same
+    assignment; per-batch (bucket, curie) partials fold per bucket, so
+    the probe itself never ships raw mentions."""
+    linked = kg.linked_mentions_cached(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from dug_ray.hashing import md5_int
+        df = batch.to_pandas()[["canonical_curie"]]
+        df["bucket"] = (md5_int(batch["canonical_curie"]) % 16) \
+            .astype("int64")
+        g = (df.groupby(["bucket", "canonical_curie"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return typed_table(g, bucket=pa.int64(),
+                           canonical_curie=pa.string(), n=pa.int64())
+
+    parts = linked.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["bucket", "canonical_curie"],
+                       as_index=False)["n"].sum()
+        top = (g.sort_values(["bucket", "n", "canonical_curie"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+               .groupby("bucket", as_index=False).head(1)
+               .rename(columns={"canonical_curie": "top_key",
+                                "n": "max_key_rows"}))
+        agg = g.groupby("bucket", as_index=False).agg(
+            n_rows=("n", "sum"), n_keys=("canonical_curie", "size"))
+        out = agg.merge(top, on="bucket")
+        return typed_table(out, bucket=pa.int64(), n_rows=pa.int64(),
+                           n_keys=pa.int64(), max_key_rows=pa.int64(),
+                           top_key=pa.string())
+
+    return bucketed_group_apply(parts, "bucket", per_bucket, 4)
+
+
+SQL_SHUFFLE_SKEW = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+k AS (SELECT canonical_curie,
+             CAST(('0x' || substr(md5(canonical_curie), 1, 8)) AS BIGINT)
+               % 16 AS bucket
+      FROM linked_full),
+g AS (SELECT bucket, canonical_curie, CAST(count(*) AS BIGINT) AS n
+      FROM k GROUP BY 1, 2),
+top AS (SELECT bucket, canonical_curie AS top_key, n AS max_key_rows,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY n DESC, canonical_curie) AS r
+        FROM g)
+SELECT g.bucket, CAST(sum(g.n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(t.max_key_rows) AS BIGINT) AS max_key_rows,
+       max(t.top_key) AS top_key
+FROM g JOIN top t ON t.bucket = g.bucket AND t.r = 1
+GROUP BY g.bucket"""
+
+
+def q_weekend_lift(sf_dir: str) -> pa.Table:
+    """Per-event-type weekend lift: events-per-weekend-day vs events-
+    per-weekday over the observed min..max date spine, as an exact ppm
+    ratio — the seasonality KPI next to hourly_profile.  lift_ppm =
+    floor(1e6 * n_weekend * weekday_days / (n_weekday * weekend_days));
+    day counts come from the same zero-filled spine as autocorr_daily.
+    Bounded (type x 2) fold, driver final."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dts = df["ts"].dt
+        we = (dts.dayofweek >= 5)
+        g = (pd.DataFrame({"event_type": df["event_type"], "we": we,
+                           "d": dts.date})
+             .groupby(["event_type", "we"], as_index=False)
+             .agg(n=("d", "size"), dmin=("d", "min"), dmax=("d", "max")))
+        return typed_table(g, event_type=pa.string(), we=pa.bool_(),
+                           n=pa.int64(), dmin=pa.date32(),
+                           dmax=pa.date32())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    d0 = pd.Timestamp(parts["dmin"].min())
+    d1 = pd.Timestamp(parts["dmax"].max())
+    spine = pd.date_range(d0, d1, freq="D")
+    we_days = int((spine.dayofweek >= 5).sum())
+    wd_days = len(spine) - we_days
+    g = parts.groupby(["event_type", "we"], as_index=False)["n"].sum()
+    piv = g.pivot_table(index="event_type", columns="we", values="n",
+                        aggfunc="sum", fill_value=0)
+    rows = []
+    for et in sorted(piv.index):
+        n_wd = int(piv.loc[et].get(False, 0))
+        n_we = int(piv.loc[et].get(True, 0))
+        lift = ((1_000_000 * n_we * wd_days) // (n_wd * we_days)
+                if n_wd > 0 and we_days > 0 else 0)
+        rows.append((et, n_wd, n_we, lift))
+    out = pd.DataFrame(rows, columns=["event_type", "n_weekday",
+                                      "n_weekend", "lift_ppm"])
+    return typed_table(out, event_type=pa.string(), n_weekday=pa.int64(),
+                       n_weekend=pa.int64(), lift_ppm=pa.int64())
+
+
+SQL_WEEKEND_LIFT = """
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                  CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS we
+           FROM events),
+lim AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                             CAST(d1 AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE) AS d
+          FROM lim),
+days AS (SELECT CAST(sum(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS we_days,
+                CAST(sum(CASE WHEN isodow(d) < 6 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS wd_days
+         FROM spine),
+g AS (SELECT event_type,
+             CAST(sum(1 - we) AS BIGINT) AS n_weekday,
+             CAST(sum(we) AS BIGINT) AS n_weekend
+      FROM e GROUP BY 1)
+SELECT event_type, n_weekday, n_weekend,
+       CASE WHEN n_weekday > 0 AND we_days > 0
+            THEN CAST(1000000 * n_weekend * wd_days
+                      // (n_weekday * we_days) AS BIGINT)
+            ELSE 0 END AS lift_ppm
+FROM g, days"""
+
+
+def q_value_pct_rank(sf_dir: str) -> ray.data.Dataset:
+    """Percent rank of each event's integer-cents value within its event
+    type, in exact ppm: (min_rank - 1) * 1e6 // (n - 1) — the rank-based
+    calibration transform (ntile's continuous sibling).  Ties share the
+    MIN rank (SQL rank() semantics).  One type-bucketed exchange;
+    single-event types emit 0 (SQL n = 1 guard)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df["cents"] = np.floor(df["value"].to_numpy() * 100)             .astype("int64")
+        rk = df.groupby("event_type")["cents"].rank(method="min")             .astype("int64")
+        n = df.groupby("event_type")["cents"].transform("size")             .astype("int64")
+        pr = np.where(n > 1, ((rk - 1) * 1_000_000) // (n - 1).clip(lower=1),
+                      0).astype("int64")
+        out = pd.DataFrame({"event_id": df["event_id"],
+                            "event_type": df["event_type"],
+                            "cents": df["cents"], "pct_rank_ppm": pr})
+        return typed_table(out, event_id=pa.int64(),
+                           event_type=pa.string(), cents=pa.int64(),
+                           pct_rank_ppm=pa.int64())
+
+    return bucketed_group_apply(ds, "event_type", per_bucket, 8)
+
+
+SQL_VALUE_PCT_RANK = """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT event_id, event_type, cents,
+             rank() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e)
+SELECT event_id, event_type, cents,
+       CASE WHEN n > 1
+            THEN CAST((rk - 1) * 1000000 // (n - 1) AS BIGINT)
+            ELSE 0 END AS pct_rank_ppm
+FROM r"""
+
+
+QUERIES.update({
+    "shuffle_skew": q_shuffle_skew,
+    "weekend_lift": q_weekend_lift,
+    "value_pct_rank": q_value_pct_rank,
+})
+ORACLES.update({
+    "shuffle_skew": SQL_SHUFFLE_SKEW,
+    "weekend_lift": SQL_WEEKEND_LIFT,
+    "value_pct_rank": SQL_VALUE_PCT_RANK,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -9570,6 +9763,7 @@ _DRIVER_FRONT = [
     "readability", "hapax_ttr", "delta_encode",
     "weighted_median", "event_streaks", "compaction_plan", "pred_paths",
     "cosine_hist", "centroid_shift", "kg_integrity", "norm_coverage",
+    "shuffle_skew", "weekend_lift", "value_pct_rank",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

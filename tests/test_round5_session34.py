@@ -381,3 +381,42 @@ def test_kg_integrity_hand_graph():
     assert out.loc["q", "self_loops"] == 1        # a->a
     assert out.loc["q", "dangling"] == 1          # leaf
     assert out.loc["q", "n_subj"] == 2 and out.loc["q", "n_obj"] == 2
+
+
+def test_weekend_lift_spine_and_ratio():
+    import tempfile
+
+    import dug_ray.queries as q
+    # Mon 2024-01-01 .. Sun 2024-01-07: 5 weekdays, 2 weekend days
+    # type 'v': 5 weekday events, 4 weekend -> lift = 1e6*4*5 // (5*2)
+    t = pd.Timestamp("2024-01-01")
+    day = pd.Timedelta(days=1)
+    rows = [(i, 1, t + i * day, "v", 0.0) for i in range(5)]  # Mon-Fri
+    rows += [(10, 1, t + 5 * day, "v", 0.0),
+             (11, 1, t + 5 * day, "v", 0.0),
+             (12, 1, t + 6 * day, "v", 0.0),
+             (13, 1, t + 6 * day, "v", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["weekend_lift"](d).to_pandas().iloc[0]
+    assert out["n_weekday"] == 5 and out["n_weekend"] == 4
+    assert out["lift_ppm"] == (1_000_000 * 4 * 5) // (5 * 2)
+
+
+def test_value_pct_rank_ties_min_rank():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    # cents 100, 100, 300, 400 -> min-ranks 1,1,3,4; n=4
+    rows = [(i, 1, t0, "v", v) for i, v in
+            enumerate([1.0, 1.0, 3.0, 4.0])]
+    rows.append((9, 1, t0, "solo", 5.0))  # single-event type -> 0
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["value_pct_rank"](d).to_pandas() \
+            .set_index("event_id")["pct_rank_ppm"]
+    assert out.loc[0] == 0 and out.loc[1] == 0
+    assert out.loc[2] == (2 * 1_000_000) // 3
+    assert out.loc[3] == 1_000_000
+    assert out.loc[9] == 0
