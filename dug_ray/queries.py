@@ -9720,6 +9720,140 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# cross-source duplicate overlap, day-of-week anomaly score
+# ---------------------------------------------------------------------------
+
+def q_source_overlap(sf_dir: str) -> ray.data.Dataset:
+    """Cross-feed contamination matrix: for every source pair (a < b),
+    how many DISTINCT texts (by md5) appear in both (a <= b; the
+    diagonal carries each source's own distinct-text count) — the
+    provenance view behind dup_rate that tells which feeds mirror each
+    other.
+    Per-batch distinct (source, hash) partials co-locate under the hash
+    bucket, pairs form per hash locally, and only (a, b) counts — at
+    most sources^2 rows — reach the final fold."""
+    docs = read_documents(sf_dir, columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from dug_ray.hashing import md5_hex
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas().to_numpy(dtype=object),
+            "h": md5_hex(batch["text"])}).drop_duplicates()
+        return typed_table(df, source=pa.string(), h=pa.string())
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+
+    def per_hash(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="h")
+        m = m[m["source_x"] <= m["source_y"]]
+        g = (m.groupby(["source_x", "source_y"], as_index=False)
+             .agg(n=("h", "size")))
+        out = g.rename(columns={"source_x": "source_a",
+                                "source_y": "source_b"})
+        return typed_table(out, source_a=pa.string(),
+                           source_b=pa.string(), n=pa.int64())
+
+    pairs = bucketed_group_apply(parts, "h", per_hash, 16)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["source_a", "source_b"], as_index=False).agg(
+            n_shared=("n", "sum"))
+        return typed_table(g, source_a=pa.string(), source_b=pa.string(),
+                           n_shared=pa.int64())
+
+    return bucketed_group_apply(pairs, ["source_a", "source_b"], final, 4)
+
+
+SQL_SOURCE_OVERLAP = """
+WITH g AS (SELECT DISTINCT source, md5(text) AS h FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM g a JOIN g b ON a.h = b.h AND a.source <= b.source
+GROUP BY 1, 2"""
+
+
+def q_daily_anomaly(sf_dir: str) -> pa.Table:
+    """Day-of-week-adjusted anomaly score for each day of the
+    zero-filled event spine: z2_micro = floor(1e6 * (n_d*x - S_d)^2 /
+    (n_d*SS_d - S_d^2)) against that WEEKDAY's own mean/variance —
+    the exact-integer squared z-score (no sqrt, no float), the alert
+    feed behind weekend_lift.  Days in a zero-variance weekday class
+    emit 0.  Daily counts fold once (spine-bounded driver final, the
+    autocorr_daily shape)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["ts"], pa.date32())
+        g = pd.Series(d.to_numpy(zero_copy_only=False))             .value_counts().rename_axis("d").reset_index(name="x")
+        return typed_table(g, d=pa.date32(), x=pa.int64())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("d", as_index=False)["x"].sum()
+        return typed_table(g, d=pa.date32(), x=pa.int64())
+
+    daily = bucketed_group_apply(parts, "d", fold, 8).to_pandas()
+    daily["d"] = pd.to_datetime(daily["d"])
+    spine = pd.date_range(daily["d"].min(), daily["d"].max(), freq="D")
+    x = daily.set_index("d")["x"].reindex(spine, fill_value=0)         .astype("int64")
+    dow = spine.dayofweek.to_numpy()  # 0=Mon (isodow - 1)
+    epoch_day = spine.asi8 // (86_400 * 10 ** 9)
+    rows = []
+    for day, cnt, w in zip(epoch_day, x.to_numpy(), dow):
+        cls = x.to_numpy()[dow == w]
+        n, s = len(cls), sum(int(v) for v in cls)
+        ss = sum(int(v) * int(v) for v in cls)
+        den = n * ss - s * s
+        num = (n * int(cnt) - s) ** 2
+        z2 = (1_000_000 * num) // den if den > 0 else 0
+        rows.append((int(day), int(cnt), int(w) + 1, z2))
+    out = pd.DataFrame(rows, columns=["day", "x", "isodow", "z2_micro"])
+    return typed_table(out, day=pa.int64(), x=pa.int64(),
+                       isodow=pa.int64(), z2_micro=pa.int64())
+
+
+SQL_DAILY_ANOMALY = """
+WITH b AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+lim AS (SELECT min(d) AS d0, max(d) AS d1 FROM b),
+spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                             CAST(d1 AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE) AS d
+          FROM lim),
+s AS (SELECT spine.d, COALESCE(b.x, 0) AS x,
+             CAST(isodow(spine.d) AS BIGINT) AS isodow
+      FROM spine LEFT JOIN b USING (d)),
+cls AS (SELECT isodow, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ssx
+        FROM s GROUP BY 1)
+SELECT CAST(epoch_us(CAST(s.d AS TIMESTAMP)) // 86400000000 AS BIGINT)
+         AS day,
+       s.x, s.isodow,
+       CASE WHEN c.n * c.ssx - c.sx * c.sx > 0
+            THEN CAST(1000000 * (c.n * s.x - c.sx) * (c.n * s.x - c.sx)
+                      // (c.n * c.ssx - c.sx * c.sx) AS BIGINT)
+            ELSE 0 END AS z2_micro
+FROM s JOIN cls c USING (isodow)"""
+
+
+QUERIES.update({
+    "source_overlap": q_source_overlap,
+    "daily_anomaly": q_daily_anomaly,
+})
+ORACLES.update({
+    "source_overlap": SQL_SOURCE_OVERLAP,
+    "daily_anomaly": SQL_DAILY_ANOMALY,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -9764,6 +9898,7 @@ _DRIVER_FRONT = [
     "weighted_median", "event_streaks", "compaction_plan", "pred_paths",
     "cosine_hist", "centroid_shift", "kg_integrity", "norm_coverage",
     "shuffle_skew", "weekend_lift", "value_pct_rank",
+    "source_overlap", "daily_anomaly",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

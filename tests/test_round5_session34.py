@@ -420,3 +420,54 @@ def test_value_pct_rank_ties_min_rank():
     assert out.loc[2] == (2 * 1_000_000) // 3
     assert out.loc[3] == 1_000_000
     assert out.loc[9] == 0
+
+
+def test_source_overlap_diagonal_and_pairs():
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import dug_ray.queries as q
+    df = pd.DataFrame({
+        "doc_id": range(5),
+        "text": ["shared", "shared", "only_a", "only_b", "only_a"],
+        "source": ["a", "b", "a", "b", "a"]})
+    df["lang"] = "en"
+    df["n_chars"] = df["text"].str.len()
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "documents.parquet"))
+        out = q.QUERIES["source_overlap"](d).to_pandas() \
+            .set_index(["source_a", "source_b"])["n_shared"]
+    # diagonal = per-source distinct texts; off-diagonal = shared
+    assert out.loc[("a", "a")] == 2      # shared, only_a (deduped)
+    assert out.loc[("b", "b")] == 2      # shared, only_b
+    assert out.loc[("a", "b")] == 1      # 'shared'
+
+
+def test_daily_anomaly_zero_variance_and_score():
+    import tempfile
+
+    import dug_ray.queries as q
+    t = pd.Timestamp("2024-01-01")  # a Monday
+    day = pd.Timedelta(days=1)
+    # two weeks; Mondays get 1 and 3 events, all other days exactly 2
+    rows, eid = [], 0
+    for w in range(2):
+        for dd in range(7):
+            cnt = (1 if w == 0 else 3) if dd == 0 else 2
+            for _ in range(cnt):
+                rows.append((eid, 1, t + (7 * w + dd) * day, "v", 0.0))
+                eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["daily_anomaly"](d).to_pandas() \
+            .set_index("day")
+    base = int(pd.Timestamp("2024-01-01").value // (86_400 * 10 ** 9))
+    # Mondays: class (1, 3): n=2 s=4 ss=10 -> den=4; x=1 -> num=(2-4)^2=4
+    assert out.loc[base, "z2_micro"] == 1_000_000
+    assert out.loc[base + 7, "z2_micro"] == 1_000_000
+    assert out.loc[base, "isodow"] == 1
+    # constant weekdays: zero variance -> 0
+    assert out.loc[base + 1, "z2_micro"] == 0
