@@ -9854,6 +9854,111 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch, per-type user bitmap
+# ---------------------------------------------------------------------------
+
+def q_kmv_distinct(sf_dir: str) -> pa.Table:
+    """K-minimum-values distinct sketch of the corpus vocabulary
+    (k = 256): keep the k smallest md5 hashes of distinct terms and
+    estimate |V| = (k-1) * 2^60 / kth_hash — HLL's order-statistics
+    sibling, cross-checkable against hll_distinct on the same domain.
+    Fixed-width hex strings order exactly like their integer values, so
+    partials keep SORTED HEX and only the kth converts to int at the
+    end; under k distinct values the sketch is exact by definition.
+    Per-batch k-smallest partials are a few KB regardless of corpus
+    size; the fold is a bounded driver final."""
+    docs = read_documents(sf_dir, columns=["text"])
+    K = 256
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from dug_ray.hashing import md5_hex
+        terms = pd.Series(
+            [t for s in batch["text"].to_pandas() for t in s.split(" ")]
+        ).drop_duplicates()
+        hx = np.unique(md5_hex(pa.array(terms, pa.string()), 15))
+        return pa.table({"hx": pa.array(hx[:K], pa.string())})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    uniq = np.unique(parts["hx"].to_numpy())[:K]
+    n = len(uniq)
+    if n < K:
+        est = n
+    else:
+        est = ((K - 1) * (1 << 60)) // int(uniq[-1], 16)
+    return pa.table({"k": pa.array([n], pa.int64()),
+                     "kth_hex": pa.array([str(uniq[-1]) if n else ""],
+                                         pa.string()),
+                     "est_distinct": pa.array([est], pa.int64())})
+
+
+SQL_KMV_DISTINCT = _with(SQL_TOKS) + """,
+h AS (SELECT DISTINCT substr(md5(term), 1, 15) AS hx FROM toks),
+kk AS (SELECT hx FROM h ORDER BY hx LIMIT 256)
+SELECT CAST(count(*) AS BIGINT) AS k, max(hx) AS kth_hex,
+       CASE WHEN count(*) < 256 THEN CAST(count(*) AS BIGINT)
+            ELSE CAST((CAST(count(*) - 1 AS HUGEINT) * (1::HUGEINT << 60))
+                      // CAST(('0x' || max(hx)) AS BIGINT) AS BIGINT)
+       END AS est_distinct
+FROM kk"""
+
+
+def q_user_bitmap(sf_dir: str) -> pa.Table:
+    """Per-event-type 63-bit user-presence bitmap (bit user_id % 63) —
+    the bitmap-index primitive: masks OR associatively across batches,
+    so set unions/intersections over types become single AND/OR ops on
+    int64 words.  Reported with the bit population and the exact
+    distinct-user count it approximates (bounded driver final; the
+    distinct side reduces through the exact bucketed dedup)."""
+    from dug_ray.shuffle import distinct_rows
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        bits = np.int64(1) << (df["user_id"].to_numpy() % 63)
+        g = (pd.DataFrame({"event_type": df["event_type"], "b": bits})
+             .groupby("event_type", as_index=False)
+             .agg(mask=("b", lambda s: np.bitwise_or.reduce(
+                 s.to_numpy()))))
+        return typed_table(g, event_type=pa.string(), mask=pa.int64())
+
+    masks = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+             .groupby("event_type")["mask"]
+             .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy()))))
+    nd = (distinct_rows(ds, ["event_type", "user_id"], 8).to_pandas()
+          .groupby("event_type")["user_id"].size())
+    out = pd.DataFrame({
+        "event_type": sorted(masks.index),
+        "mask": [int(masks[t]) for t in sorted(masks.index)]})
+    out["n_bits"] = [bin(m).count("1") for m in out["mask"]]
+    out["n_users"] = [int(nd[t]) for t in out["event_type"]]
+    return typed_table(out, event_type=pa.string(), mask=pa.int64(),
+                       n_bits=pa.int64(), n_users=pa.int64())
+
+
+SQL_USER_BITMAP = """
+SELECT event_type,
+       CAST(bit_or(1::BIGINT << (user_id % 63)) AS BIGINT) AS mask,
+       CAST(bit_count(bit_or(1::BIGINT << (user_id % 63))) AS BIGINT)
+         AS n_bits,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type"""
+
+
+QUERIES.update({
+    "kmv_distinct": q_kmv_distinct,
+    "user_bitmap": q_user_bitmap,
+})
+ORACLES.update({
+    "kmv_distinct": SQL_KMV_DISTINCT,
+    "user_bitmap": SQL_USER_BITMAP,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -9898,7 +10003,7 @@ _DRIVER_FRONT = [
     "weighted_median", "event_streaks", "compaction_plan", "pred_paths",
     "cosine_hist", "centroid_shift", "kg_integrity", "norm_coverage",
     "shuffle_skew", "weekend_lift", "value_pct_rank",
-    "source_overlap", "daily_anomaly",
+    "source_overlap", "daily_anomaly", "kmv_distinct", "user_bitmap",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -471,3 +471,34 @@ def test_daily_anomaly_zero_variance_and_score():
     assert out.loc[base, "isodow"] == 1
     # constant weekdays: zero variance -> 0
     assert out.loc[base + 1, "z2_micro"] == 0
+
+
+def test_kmv_exact_under_k():
+    import hashlib
+    import tempfile
+
+    import dug_ray.queries as q
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, ["w1 w2 w3", "w2 w3 w4"])
+        out = q.QUERIES["kmv_distinct"](d).to_pandas().iloc[0]
+    # 4 distinct terms < k=256 -> the sketch is EXACT
+    assert out["k"] == 4 and out["est_distinct"] == 4
+    kth = max(hashlib.md5(w.encode()).hexdigest()[:15]
+              for w in ("w1", "w2", "w3", "w4"))
+    assert out["kth_hex"] == kth
+
+
+def test_user_bitmap_or_semantics():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    # users 0, 63 collide on bit 0; user 1 on bit 1
+    rows = [(0, 0, t0, "v", 0.0), (1, 63, t0, "v", 0.0),
+            (2, 1, t0, "v", 0.0), (3, 1, t0, "v", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["user_bitmap"](d).to_pandas().iloc[0]
+    assert out["mask"] == 0b11
+    assert out["n_bits"] == 2       # bit collision folds 0 and 63
+    assert out["n_users"] == 3      # exact count keeps them apart
