@@ -9959,6 +9959,141 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# month-over-month growth, k-anonymity census
+# ---------------------------------------------------------------------------
+
+def q_monthly_growth(sf_dir: str) -> ray.data.Dataset:
+    """Month-over-month revenue: integer-cents totals per calendar month
+    plus the MoM delta in ppm (TRUNCATED division — deltas go negative)
+    — the finance rollup read next to pricing_summary.  Per-batch
+    (month, cents) partials fold in one bounded exchange (months ~
+    tens); the lag compose is a vectorized in-bucket scan."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ym = (df["o_orderdate"].dt.year * 100
+              + df["o_orderdate"].dt.month).astype("int64")
+        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        g = (pd.DataFrame({"ym": ym, "cents": cents})
+             .groupby("ym", as_index=False)
+             .agg(revenue_cents=("cents", "sum"),
+                  n_orders=("cents", "size")))
+        return typed_table(g, ym=pa.int64(), revenue_cents=pa.int64(),
+                           n_orders=pa.int64())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("ym", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"),
+            n_orders=("n_orders", "sum")).sort_values("ym")
+        prev = g["revenue_cents"].shift()
+        deltas = []
+        for cur, pv in zip(g["revenue_cents"], prev):
+            if pd.isna(pv) or int(pv) == 0:
+                deltas.append(0)
+            else:
+                d = 1_000_000 * (int(cur) - int(pv))
+                q = abs(d) // int(pv)
+                deltas.append(q if d >= 0 else -q)  # truncated
+        g["mom_delta_ppm"] = pd.Series(deltas, index=g.index,
+                                       dtype="int64")
+        return typed_table(g, ym=pa.int64(), revenue_cents=pa.int64(),
+                           n_orders=pa.int64(), mom_delta_ppm=pa.int64())
+
+    # single final bucket: month keys must share one scan for the lag
+    parts = parts.map_batches(
+        lambda t: t.append_column("_one", pa.array([0] * len(t),
+                                                   pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+    out = bucketed_group_apply(parts, "_one", final, 1)
+    return out
+
+
+SQL_MONTHLY_GROWTH = """
+WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                       AS BIGINT) AS ym,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS BIGINT) AS revenue_cents,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1),
+l AS (SELECT ym, revenue_cents, n_orders,
+             lag(revenue_cents) OVER (ORDER BY ym) AS prev
+      FROM m)
+SELECT ym, revenue_cents, n_orders,
+       CASE WHEN prev IS NULL OR prev = 0 THEN 0
+            ELSE CAST(1000000 * (revenue_cents - prev) // prev AS BIGINT)
+       END AS mom_delta_ppm
+FROM l"""
+
+
+def q_k_anonymity(sf_dir: str) -> ray.data.Dataset:
+    """k-anonymity census of the customer table under the
+    quasi-identifier (c_nationkey, c_mktsegment): the distribution of
+    equivalence-class sizes (k -> how many classes, how many customers
+    sit in classes of that size) — the privacy audit run before any
+    record-level export; min k over the output is the table's
+    k-anonymity.  Two bounded folds: per-batch QI partials, then the
+    size histogram."""
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["c_nationkey", "c_mktsegment"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["c_nationkey"] = g["c_nationkey"].astype("int64")
+        return typed_table(g, c_nationkey=pa.int64(),
+                           c_mktsegment=pa.string(), n=pa.int64())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def per_class(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["c_nationkey", "c_mktsegment"],
+                       as_index=False)["n"].sum()
+        h = (g.groupby("n", as_index=False)
+             .agg(n_classes=("n", "size")))
+        h = h.rename(columns={"n": "k"})
+        return typed_table(h, k=pa.int64(), n_classes=pa.int64())
+
+    hist = bucketed_group_apply(parts, ["c_nationkey", "c_mktsegment"],
+                                per_class, 8)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("k", as_index=False).agg(
+            n_classes=("n_classes", "sum"))
+        g["n_customers"] = g["k"] * g["n_classes"]
+        return typed_table(g, k=pa.int64(), n_classes=pa.int64(),
+                           n_customers=pa.int64())
+
+    return bucketed_group_apply(hist, "k", final, 4)
+
+
+SQL_K_ANONYMITY = """
+WITH g AS (SELECT c_nationkey, c_mktsegment,
+                  CAST(count(*) AS BIGINT) AS k
+           FROM customer GROUP BY 1, 2)
+SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(k * count(*) AS BIGINT) AS n_customers
+FROM g GROUP BY k"""
+
+
+QUERIES.update({
+    "monthly_growth": q_monthly_growth,
+    "k_anonymity": q_k_anonymity,
+})
+ORACLES.update({
+    "monthly_growth": SQL_MONTHLY_GROWTH,
+    "k_anonymity": SQL_K_ANONYMITY,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -10004,6 +10139,7 @@ _DRIVER_FRONT = [
     "cosine_hist", "centroid_shift", "kg_integrity", "norm_coverage",
     "shuffle_skew", "weekend_lift", "value_pct_rank",
     "source_overlap", "daily_anomaly", "kmv_distinct", "user_bitmap",
+    "monthly_growth", "k_anonymity",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

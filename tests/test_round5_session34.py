@@ -502,3 +502,53 @@ def test_user_bitmap_or_semantics():
     assert out["mask"] == 0b11
     assert out["n_bits"] == 2       # bit collision folds 0 and 63
     assert out["n_users"] == 3      # exact count keeps them apart
+
+
+def test_monthly_growth_truncated_negative_delta():
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import dug_ray.queries as q
+    # Jan 300.00, Feb 100.00 -> delta = -2/3 -> trunc(-666666.6) = -666666
+    df = pd.DataFrame({
+        "o_orderkey": [1, 2],
+        "o_custkey": [1, 1],
+        "o_orderstatus": ["F", "F"],
+        "o_totalprice": [300.0, 100.0],
+        "o_orderdate": [pd.Timestamp("2024-01-15"),
+                        pd.Timestamp("2024-02-15")],
+        "o_orderpriority": ["1-URGENT", "1-URGENT"]})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "orders.parquet"))
+        out = q.QUERIES["monthly_growth"](d).to_pandas() \
+            .set_index("ym")
+    assert out.loc[202401, "mom_delta_ppm"] == 0          # no prior month
+    assert out.loc[202402, "mom_delta_ppm"] == -666_666   # truncated
+    assert out.loc[202401, "revenue_cents"] == 30000
+
+
+def test_k_anonymity_histogram():
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import dug_ray.queries as q
+    # QI classes: (1,A) x3, (2,A) x1, (2,B) x1 -> k=3:1 class, k=1:2
+    df = pd.DataFrame({
+        "c_custkey": range(5),
+        "c_name": [f"c{i}" for i in range(5)],
+        "c_nationkey": pd.array([1, 1, 1, 2, 2], dtype="int32"),
+        "c_acctbal": [0.0] * 5,
+        "c_mktsegment": ["A", "A", "A", "A", "B"]})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "customer.parquet"))
+        out = q.QUERIES["k_anonymity"](d).to_pandas().set_index("k")
+    assert out.loc[3, "n_classes"] == 1
+    assert out.loc[1, "n_classes"] == 2
+    assert out.loc[3, "n_customers"] == 3
+    assert out.loc[1, "n_customers"] == 2
