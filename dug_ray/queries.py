@@ -10094,6 +10094,195 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# supplier HHI, revenue Gini, content-defined chunking
+# ---------------------------------------------------------------------------
+
+def q_supplier_hhi(sf_dir: str) -> ray.data.Dataset:
+    """Supplier concentration per nation: the Herfindahl-Hirschman index
+    of lineitem revenue shares in exact ppm — hhi_ppm = floor(1e6 *
+    sum(r_i^2) / S^2) over supplier revenue-cents r_i — plus supplier
+    count and total.  The supply-chain-risk sibling of pareto_orders.
+    The supplier->nation map is a broadcast (supplier table is the
+    small side); per-batch (nation, supplier) cent partials fold under
+    the nation bucket where the square-sum composes in Python ints
+    (sum r^2 overflows int64 at the design point; SQL HUGEINT)."""
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"])         .to_pandas()
+    nat_ref = ray.put(dict(zip(sup["s_suppkey"],
+                               sup["s_nationkey"].astype("int64"))))
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_suppkey", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nm = ray.get(nat_ref)
+        df = batch.to_pandas()
+        df["cents"] = (df["l_extendedprice"] * 100).round()             .astype("int64")
+        df["nation"] = df["l_suppkey"].map(nm).astype("int64")
+        g = (df.groupby(["nation", "l_suppkey"], as_index=False)["cents"]
+             .sum())
+        return typed_table(g, nation=pa.int64(), l_suppkey=pa.int64(),
+                           cents=pa.int64())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def per_nation(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["nation", "l_suppkey"], as_index=False)["cents"]             .sum()
+        rows = []
+        for nat, sub in g.groupby("nation"):
+            r = [int(v) for v in sub["cents"]]
+            s = sum(r)
+            hhi = (1_000_000 * sum(v * v for v in r)) // (s * s)                 if s > 0 else 0
+            rows.append((int(nat), len(r), s, hhi))
+        out = pd.DataFrame(rows, columns=["nation", "n_suppliers",
+                                          "revenue_cents", "hhi_ppm"])
+        return typed_table(out, nation=pa.int64(), n_suppliers=pa.int64(),
+                           revenue_cents=pa.int64(), hhi_ppm=pa.int64())
+
+    return bucketed_group_apply(parts, "nation", per_nation, 8)
+
+
+SQL_SUPPLIER_HHI = """
+WITH r AS (SELECT CAST(s.s_nationkey AS BIGINT) AS nation, l.l_suppkey,
+                  CAST(sum(CAST(round(l.l_extendedprice * 100, 0)
+                                AS BIGINT)) AS BIGINT) AS cents
+           FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           GROUP BY 1, 2)
+SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CASE WHEN sum(cents) > 0
+            THEN CAST(1000000 * sum(CAST(cents AS HUGEINT) * cents)
+                      // (CAST(sum(cents) AS HUGEINT)
+                          * CAST(sum(cents) AS HUGEINT)) AS BIGINT)
+            ELSE 0 END AS hhi_ppm
+FROM r GROUP BY nation"""
+
+
+def q_revenue_gini(sf_dir: str) -> pa.Table:
+    """Gini coefficient of per-customer order revenue in exact ppm:
+    G = (2 * sum(i * x_(i)) - (n + 1) * S) / (n * S) over the
+    value-sorted totals — the inequality KPI next to supplier_hhi
+    (ties commute under the rank sum, so any tie order gives the same
+    value).  Per-customer totals fold distributedly; the rank-sum runs
+    over the customer-bounded totals table on the driver (the
+    late_arrivals two-pass prefix scan is the distributed-rank path if
+    customers ever outgrow it).  All arithmetic Python-int / HUGEINT —
+    the rank sum passes int64 around 10^5 customers."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        g = df.groupby("o_custkey", as_index=False)["cents"].sum()
+        return typed_table(g, o_custkey=pa.int64(), cents=pa.int64())
+
+    totals = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "o_custkey",
+        lambda df: typed_table(
+            df.groupby("o_custkey", as_index=False)["cents"].sum(),
+            o_custkey=pa.int64(), cents=pa.int64()),
+        8).to_pandas()
+    x = sorted(int(v) for v in totals["cents"])
+    n, s = len(x), sum(x)
+    ranked = sum((i + 1) * v for i, v in enumerate(x))
+    gini = (1_000_000 * (2 * ranked - (n + 1) * s)) // (n * s)         if n > 0 and s > 0 else 0
+    return pa.table({"n_customers": pa.array([n], pa.int64()),
+                     "total_cents": pa.array([s], pa.int64()),
+                     "gini_ppm": pa.array([gini], pa.int64())})
+
+
+SQL_REVENUE_GINI = """
+WITH t AS (SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS i FROM t),
+a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS s,
+             CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS ranked
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_customers, CAST(s AS BIGINT) AS total_cents,
+       CASE WHEN n > 0 AND s > 0
+            THEN CAST(1000000 * (2 * ranked - (n + 1) * s)
+                      // (n * s) AS BIGINT)
+            ELSE 0 END AS gini_ppm
+FROM a"""
+
+
+def q_cdc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """Content-defined chunking stats per document: boundaries where
+    md5 of the 8-char window at position i satisfies hash % 64 == 0 —
+    the rolling-boundary rule behind dedup-friendly storage chunking
+    (insert a byte and only neighboring chunks change, unlike the
+    fixed-size compaction_plan).  Reports boundary count, chunk count
+    and the mean chunk size in exact milli-chars.  One vectorized md5
+    pass over every 8-gram (hashing.py's DuckDB-bridged md5), no
+    exchange at all."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        from dug_ray.hashing import md5_int
+        df = batch.to_pandas()
+        grams, spans = [], []
+        for t in df["text"]:
+            k = max(len(t) - 7, 0)
+            grams.extend(t[i:i + 8] for i in range(k))
+            spans.append(k)
+        if grams:
+            hits = (md5_int(pa.array(grams, pa.string())) % 64 == 0)
+        else:
+            hits = np.zeros(0, dtype=bool)
+        out_rows, pos = [], 0
+        for did, t, k in zip(df["doc_id"], df["text"], spans):
+            nb = int(hits[pos:pos + k].sum())
+            pos += k
+            n_chunks = nb + 1
+            out_rows.append((did, len(t), nb, n_chunks,
+                             (1000 * len(t)) // n_chunks))
+        out = pd.DataFrame(out_rows, columns=[
+            "doc_id", "n_chars", "n_boundaries", "n_chunks",
+            "mean_chunk_milli"])
+        return typed_table(out, doc_id=pa.int64(), n_chars=pa.int64(),
+                           n_boundaries=pa.int64(), n_chunks=pa.int64(),
+                           mean_chunk_milli=pa.int64())
+
+    return docs.map_batches(stats, batch_format="pyarrow",
+                            batch_size=None)
+
+
+SQL_CDC_CHUNKS = """
+WITH b AS (
+  SELECT d.doc_id, length(d.text) AS n_chars,
+         CAST(sum(CASE WHEN CAST(('0x' || substr(md5(substr(d.text, g.i, 8)),
+                                             1, 8)) AS BIGINT) % 64 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries
+  FROM documents d, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(d.text) - 7, 0)))
+      AS i) g
+  GROUP BY 1, 2)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, n_boundaries,
+       CAST(n_boundaries + 1 AS BIGINT) AS n_chunks,
+       CAST(1000 * n_chars // (n_boundaries + 1) AS BIGINT)
+         AS mean_chunk_milli
+FROM b"""
+
+
+QUERIES.update({
+    "supplier_hhi": q_supplier_hhi,
+    "revenue_gini": q_revenue_gini,
+    "cdc_chunks": q_cdc_chunks,
+})
+ORACLES.update({
+    "supplier_hhi": SQL_SUPPLIER_HHI,
+    "revenue_gini": SQL_REVENUE_GINI,
+    "cdc_chunks": SQL_CDC_CHUNKS,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -10139,7 +10328,7 @@ _DRIVER_FRONT = [
     "cosine_hist", "centroid_shift", "kg_integrity", "norm_coverage",
     "shuffle_skew", "weekend_lift", "value_pct_rank",
     "source_overlap", "daily_anomaly", "kmv_distinct", "user_bitmap",
-    "monthly_growth", "k_anonymity",
+    "monthly_growth", "k_anonymity", "supplier_hhi", "revenue_gini", "cdc_chunks",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

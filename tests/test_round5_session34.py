@@ -552,3 +552,47 @@ def test_k_anonymity_histogram():
     assert out.loc[1, "n_classes"] == 2
     assert out.loc[3, "n_customers"] == 3
     assert out.loc[1, "n_customers"] == 2
+
+
+def test_revenue_gini_known_values():
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import dug_ray.queries as q
+    # totals per customer: 100, 100, 200 cents ->
+    # sorted x=(100,100,200), n=3, S=400, ranked=1*100+2*100+3*200=900
+    # G = (2*900 - 4*400)/(3*400) = 200/1200 = 1/6 -> 166666 ppm
+    df = pd.DataFrame({
+        "o_orderkey": range(4),
+        "o_custkey": [1, 2, 3, 3],
+        "o_orderstatus": ["F"] * 4,
+        "o_totalprice": [1.0, 1.0, 1.0, 1.0],
+        "o_orderdate": [pd.Timestamp("2024-01-01")] * 4,
+        "o_orderpriority": ["1-URGENT"] * 4})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "orders.parquet"))
+        out = q.QUERIES["revenue_gini"](d).to_pandas().iloc[0]
+    assert out["n_customers"] == 3 and out["total_cents"] == 400
+    assert out["gini_ppm"] == 166_666
+
+
+def test_cdc_chunks_boundary_rule():
+    import hashlib
+    import tempfile
+
+    import dug_ray.queries as q
+    text = "the quick brown fox jumps over the lazy dog"
+    nb = sum(1 for i in range(len(text) - 7)
+             if int(hashlib.md5(text[i:i + 8].encode())
+                    .hexdigest()[:8], 16) % 64 == 0)
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, [text, "short"])  # 5 chars -> no windows
+        out = q.QUERIES["cdc_chunks"](d).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_boundaries"] == nb
+    assert out.loc[0, "n_chunks"] == nb + 1
+    assert out.loc[0, "mean_chunk_milli"] == (1000 * len(text)) // (nb + 1)
+    assert out.loc[1, "n_boundaries"] == 0
+    assert out.loc[1, "mean_chunk_milli"] == 5000
