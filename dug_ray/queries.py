@@ -10283,6 +10283,147 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# int8 quantization-error audit, session bounce rate
+# ---------------------------------------------------------------------------
+
+def q_quant_error(sf_dir: str) -> ray.data.Dataset:
+    """Int8 quantization audit per embedding dimension: with v = the
+    milli-quantized component and M_d = max |v| over the dim, the
+    symmetric-int8 code is q8 = trunc(127 * v / M_d) and the
+    reconstruction error in 127ths-of-a-milli is |127*v - q8*M_d| —
+    reported as the per-dim max code magnitude, total error and error
+    per value (floor) — the pre-deployment check that a dimension's
+    range survives int8 serving.  Two passes: per-batch per-dim
+    |v|-max partials fold to a broadcast M vector, then per-batch
+    error partials fold per dim.  All arithmetic integer (trunc ==
+    the SQL CASE sign-split)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding"])
+
+    def _mat(batch: pa.Table) -> np.ndarray:
+        return np.floor(np.stack(batch["embedding"].to_pandas()
+                                 .to_numpy()).astype("float64") * 1e3)             .astype("int64")
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        m = np.abs(_mat(batch)).max(axis=0)
+        return pa.table({"dim": pa.array(np.arange(1, len(m) + 1),
+                                         pa.int64()),
+                         "mx": pa.array(m, pa.int64())})
+
+    mx = (emb.map_batches(max_partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+          .groupby("dim")["mx"].max())
+    m_ref = ray.put(mx.to_numpy())
+
+    def err_partial(batch: pa.Table) -> pa.Table:
+        big = ray.get(m_ref)
+        v = _mat(batch)
+        M = big[None, :]
+        q8 = np.sign(v) * (np.abs(v) * 127 // np.maximum(M, 1))
+        err = np.abs(127 * v - q8 * M)
+        err[:, big == 0] = 0
+        out = pd.DataFrame({"dim": np.arange(1, v.shape[1] + 1),
+                            "n": v.shape[0],
+                            "err": err.sum(axis=0)})
+        return typed_table(out, dim=pa.int64(), n=pa.int64(),
+                           err=pa.int64())
+
+    parts = emb.map_batches(err_partial, batch_format="pyarrow",
+                            batch_size=None)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("dim", as_index=False).agg(n=("n", "sum"),
+                                                  err=("err", "sum"))
+        big = ray.get(m_ref)
+        g["max_abs_milli"] = big[g["dim"].to_numpy() - 1]
+        g["err_per_value"] = g["err"] // g["n"]
+        out = g[["dim", "max_abs_milli", "err", "err_per_value"]]             .rename(columns={"err": "total_err"})
+        return typed_table(out, dim=pa.int64(), max_abs_milli=pa.int64(),
+                           total_err=pa.int64(), err_per_value=pa.int64())
+
+    return bucketed_group_apply(parts, "dim", final, 4)
+
+
+SQL_QUANT_ERROR = """
+WITH u AS (
+  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+           AS v
+  FROM embeddings),
+m AS (SELECT dim, CAST(max(abs(v)) AS BIGINT) AS mx FROM u GROUP BY 1),
+e AS (SELECT u.dim, m.mx,
+             CASE WHEN m.mx = 0 THEN 0
+                  WHEN u.v >= 0 THEN (u.v * 127) // m.mx
+                  ELSE -((-u.v * 127) // m.mx) END AS q8,
+             u.v
+      FROM u JOIN m USING (dim))
+SELECT dim, CAST(max(mx) AS BIGINT) AS max_abs_milli,
+       CAST(sum(CASE WHEN mx = 0 THEN 0
+                     ELSE abs(127 * v - q8 * mx) END) AS BIGINT)
+         AS total_err,
+       CAST(sum(CASE WHEN mx = 0 THEN 0
+                     ELSE abs(127 * v - q8 * mx) END)
+            // count(*) AS BIGINT) AS err_per_value
+FROM e GROUP BY dim"""
+
+
+def q_bounce_rate(sf_dir: str) -> ray.data.Dataset:
+    """Per-user bounce rate over gap-based sessions (the session_window
+    stage): sessions, single-event bounces, and bounce_ppm — the
+    engagement-quality KPI on top of events_session.  Composes the
+    existing session operator; one extra bounded per-user fold."""
+    from dug_ray.stages.windows import session_window
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    sess = session_window(ds)
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("user_id", as_index=False).agg(
+            n_sessions=("session", "size"),
+            n_bounce=("n_events", lambda s: int((s == 1).sum())))
+        g["bounce_ppm"] = (1_000_000 * g["n_bounce"]) // g["n_sessions"]
+        return typed_table(g, user_id=pa.int64(), n_sessions=pa.int64(),
+                           n_bounce=pa.int64(), bounce_ppm=pa.int64())
+
+    return bucketed_group_apply(sess, "user_id", per_user, 8)
+
+
+SQL_BOUNCE_RATE = """
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+d AS (SELECT DISTINCT user_id, sec FROM e),
+x AS (SELECT user_id, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+y AS (SELECT user_id, sec,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                            ROWS UNBOUNDED PRECEDING) - 1 AS session
+      FROM x),
+c AS (SELECT user_id, sec, count(*) AS n FROM e GROUP BY 1, 2),
+s AS (SELECT y.user_id, session, CAST(sum(c.n) AS BIGINT) AS n_events
+      FROM y JOIN c ON c.user_id = y.user_id AND c.sec = y.sec
+      GROUP BY y.user_id, session)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce,
+       CAST(1000000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS bounce_ppm
+FROM s GROUP BY user_id"""
+
+
+QUERIES.update({
+    "quant_error": q_quant_error,
+    "bounce_rate": q_bounce_rate,
+})
+ORACLES.update({
+    "quant_error": SQL_QUANT_ERROR,
+    "bounce_rate": SQL_BOUNCE_RATE,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -10329,6 +10470,7 @@ _DRIVER_FRONT = [
     "shuffle_skew", "weekend_lift", "value_pct_rank",
     "source_overlap", "daily_anomaly", "kmv_distinct", "user_bitmap",
     "monthly_growth", "k_anonymity", "supplier_hhi", "revenue_gini", "cdc_chunks",
+    "quant_error", "bounce_rate",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

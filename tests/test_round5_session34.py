@@ -596,3 +596,39 @@ def test_cdc_chunks_boundary_rule():
     assert out.loc[0, "mean_chunk_milli"] == (1000 * len(text)) // (nb + 1)
     assert out.loc[1, "n_boundaries"] == 0
     assert out.loc[1, "mean_chunk_milli"] == 5000
+
+
+def test_quant_error_sign_split():
+    import tempfile
+
+    import dug_ray.queries as q
+    # dim1: v in {1000, -500}; M=1000. q8(1000)=127 err 0;
+    # q8(-500) = -((500*127)//1000) = -63; err = |127*-500 - (-63*1000)|
+    #          = |-63500 + 63000| = 500
+    rows = [(0, [1.0, 0.0], 0), (1, [-0.5, 0.0], 0)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_emb(d, rows)
+        out = q.QUERIES["quant_error"](d).to_pandas().set_index("dim")
+    assert out.loc[1, "max_abs_milli"] == 1000
+    assert out.loc[1, "total_err"] == 500
+    assert out.loc[1, "err_per_value"] == 250
+    # dim2 all zero -> M = 0 -> errors defined as 0
+    assert out.loc[2, "max_abs_milli"] == 0
+    assert out.loc[2, "total_err"] == 0
+
+
+def test_bounce_rate_sessions():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    s = pd.Timedelta(seconds=1)
+    # user 1: session A (2 events, 1s apart), session B (1 event, +1h)
+    rows = [(0, 1, t0, "v", 0.0), (1, 1, t0 + s, "v", 0.0),
+            (2, 1, t0 + h, "v", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["bounce_rate"](d).to_pandas().iloc[0]
+    assert out["n_sessions"] == 2 and out["n_bounce"] == 1
+    assert out["bounce_ppm"] == 500_000
