@@ -10424,6 +10424,121 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# per-user type entropy, prefix autocomplete index
+# ---------------------------------------------------------------------------
+
+def q_type_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Behavioral entropy per user: Shannon entropy of the user's
+    event-type distribution in integer micro-nats — H = sum_types
+    floor(1e6 * c * ln(n / c)) // n — the diversity signal next to
+    cum_distinct (a bot hammers one type, H ~ 0).  One libm ln per
+    (type-count, total) pair over an exact float ratio, floored per
+    TERM so the sum is an associative int64 fold (doc_surprisal's
+    discipline); the final // n is exact integer.  Only (user, type)
+    counts move."""
+    import math
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["user_id", "event_type"], as_index=False)
+             .size().rename(columns={"size": "c"}))
+        return typed_table(g, user_id=pa.int64(), event_type=pa.string(),
+                           c=pa.int64())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["user_id", "event_type"], as_index=False)["c"]             .sum()
+        n = g.groupby("user_id")["c"].transform("sum")
+        terms = [math.floor(1_000_000 * int(c) * math.log(nn / c))
+                 for c, nn in zip(g["c"], n)]
+        g = g.assign(t=terms, n=n)
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("n", "first"), n_types=("c", "size"),
+            tsum=("t", "sum"))
+        out["entropy_micronat"] = [int(t) // int(nn) for t, nn in
+                                   zip(out["tsum"], out["n_events"])]
+        out = out[["user_id", "n_events", "n_types", "entropy_micronat"]]
+        return typed_table(out, user_id=pa.int64(), n_events=pa.int64(),
+                           n_types=pa.int64(),
+                           entropy_micronat=pa.int64())
+
+    return bucketed_group_apply(parts, "user_id", per_user, 8)
+
+
+SQL_TYPE_ENTROPY = """
+WITH g AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, c,
+             sum(c) OVER (PARTITION BY user_id) AS n
+      FROM g)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CAST(floor(1000000 * c * ln(CAST(n AS DOUBLE) / c))
+                     AS BIGINT)) // max(n) AS BIGINT)
+         AS entropy_micronat
+FROM t GROUP BY user_id"""
+
+
+def q_prefix_index(sf_dir: str) -> ray.data.Dataset:
+    """Autocomplete serving index: for every 3-char term prefix, the
+    top-3 corpus terms by frequency (count desc, then term) with rank
+    and count — the typeahead sibling of the postings index.  Terms
+    shorter than 3 chars are excluded.  Per-batch term-count partials
+    fold under the prefix bucket where the top-3 is a bounded in-group
+    head; only (prefix, term) counts move."""
+    docs = read_documents(sf_dir, columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms = pd.Series(
+            [t for s in batch["text"].to_pandas() for t in s.split(" ")
+             if len(t) >= 3])
+        g = terms.value_counts().rename_axis("term").reset_index(name="n")
+        g["prefix"] = g["term"].str[:3]
+        return typed_table(g[["prefix", "term", "n"]], prefix=pa.string(),
+                           term=pa.string(), n=pa.int64())
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+
+    def per_prefix(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["prefix", "term"], as_index=False)["n"].sum()
+        g = g.sort_values(["prefix", "n", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank"] = g.groupby("prefix").cumcount() + 1
+        g = g[g["rank"] <= 3]
+        return typed_table(g, prefix=pa.string(), term=pa.string(),
+                           n=pa.int64(), rank=pa.int64())
+
+    return bucketed_group_apply(parts, "prefix", per_prefix, 16)
+
+
+SQL_PREFIX_INDEX = _with(SQL_TOKS) + """,
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+       FROM toks WHERE length(term) >= 3 GROUP BY 1),
+p AS (SELECT substr(term, 1, 3) AS prefix, term, n,
+             row_number() OVER (PARTITION BY substr(term, 1, 3)
+                                ORDER BY n DESC, term) AS rank
+      FROM tf)
+SELECT prefix, term, n, CAST(rank AS BIGINT) AS rank
+FROM p WHERE rank <= 3"""
+
+
+QUERIES.update({
+    "type_entropy": q_type_entropy,
+    "prefix_index": q_prefix_index,
+})
+ORACLES.update({
+    "type_entropy": SQL_TYPE_ENTROPY,
+    "prefix_index": SQL_PREFIX_INDEX,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -10470,7 +10585,7 @@ _DRIVER_FRONT = [
     "shuffle_skew", "weekend_lift", "value_pct_rank",
     "source_overlap", "daily_anomaly", "kmv_distinct", "user_bitmap",
     "monthly_growth", "k_anonymity", "supplier_hhi", "revenue_gini", "cdc_chunks",
-    "quant_error", "bounce_rate",
+    "quant_error", "bounce_rate", "type_entropy", "prefix_index",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

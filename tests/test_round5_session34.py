@@ -632,3 +632,42 @@ def test_bounce_rate_sessions():
         out = q.QUERIES["bounce_rate"](d).to_pandas().iloc[0]
     assert out["n_sessions"] == 2 and out["n_bounce"] == 1
     assert out["bounce_ppm"] == 500_000
+
+
+def test_type_entropy_uniform_and_point():
+    import math
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    # user 1: 2 types x 2 each -> H = ln 2; user 2: one type -> H = 0
+    rows = [(0, 1, t0 + 0 * s, "a", 0.0), (1, 1, t0 + 1 * s, "a", 0.0),
+            (2, 1, t0 + 2 * s, "b", 0.0), (3, 1, t0 + 3 * s, "b", 0.0),
+            (4, 2, t0, "a", 0.0), (5, 2, t0 + s, "a", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["type_entropy"](d).to_pandas() \
+            .set_index("user_id")
+    # per-term: floor(1e6 * 2 * ln(4/2)) = floor(2e6*ln2) twice; // 4
+    exp = (2 * math.floor(1_000_000 * 2 * math.log(4 / 2))) // 4
+    assert out.loc[1, "entropy_micronat"] == exp
+    assert out.loc[1, "n_types"] == 2
+    assert out.loc[2, "entropy_micronat"] == 0
+
+
+def test_prefix_index_rank_and_minlen():
+    import tempfile
+
+    import dug_ray.queries as q
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, ["apple apple apricot ap banana"])
+        out = q.QUERIES["prefix_index"](d).to_pandas() \
+            .set_index(["prefix", "rank"])
+    # 'ap' (len 2) excluded; app* ranked by count desc then term
+    assert out.loc[("app", 1), "term"] == "apple"
+    assert out.loc[("app", 1), "n"] == 2
+    assert ("apr", 1) in out.index
+    assert out.loc[("ban", 1), "term"] == "banana"
+    assert not any(p == "ap " or len(p) < 3
+                   for p, _ in out.index)
