@@ -10539,6 +10539,127 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# log2 degree histogram, event-type segment algebra
+# ---------------------------------------------------------------------------
+
+def q_degree_hist(sf_dir: str) -> ray.data.Dataset:
+    """Log2-binned out-degree distribution of the triple graph: bin =
+    bit_length(deg) (DuckDB length(bin(deg))) with node count and total
+    degree mass per bin — the skew summary a shuffle planner reads
+    before choosing salt factors (triple_degrees is the raw census;
+    this is its power-law profile).  Distinct (subj, obj) degrees fold
+    per subject bucket; only (bin, count) partials reach the final."""
+    from dug_ray.shuffle import distinct_rows
+    triples = kg.kg_triples_cached(sf_dir)
+    edges = distinct_rows(triples.select_columns(["subj", "obj"]),
+                          ["subj", "obj"], 16)
+
+    def per_subj(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("subj", as_index=False).agg(deg=("obj", "size"))
+        g["bin"] = [int(d).bit_length() for d in g["deg"]]
+        h = g.groupby("bin", as_index=False).agg(
+            n_nodes=("deg", "size"), deg_mass=("deg", "sum"))
+        return typed_table(h, bin=pa.int64(), n_nodes=pa.int64(),
+                           deg_mass=pa.int64())
+
+    parts = bucketed_group_apply(edges, "subj", per_subj, 16)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("bin", as_index=False).agg(
+            n_nodes=("n_nodes", "sum"), deg_mass=("deg_mass", "sum"))
+        return typed_table(g, bin=pa.int64(), n_nodes=pa.int64(),
+                           deg_mass=pa.int64())
+
+    return bucketed_group_apply(parts, "bin", final, 4)
+
+
+SQL_DEGREE_HIST = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls",
+                     "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + """,
+trip AS (SELECT subj, obj FROM expansion
+         UNION ALL
+         SELECT DISTINCT canonical_curie AS subj, element_id AS obj
+         FROM linked_full),
+de AS (SELECT subj, CAST(count(*) AS BIGINT) AS deg
+       FROM (SELECT DISTINCT subj, obj FROM trip) GROUP BY 1)
+SELECT CAST(length(bin(deg)) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(deg) AS BIGINT) AS deg_mass
+FROM de GROUP BY 1"""
+
+
+def q_segment_algebra(sf_dir: str) -> ray.data.Dataset:
+    """User-set algebra over event types: for every type pair (a < b)
+    the audience sizes |A|, |B|, the overlap |A AND B|, the union and
+    its Jaccard in milli — the segment-overlap matrix a targeting
+    dashboard reads (the bitmap-index exact companion of user_bitmap).
+    Distinct (user, type) pairs co-locate per user, intersections
+    count locally, and only type-pair partials — |types|^2 bounded —
+    reach the final; audience sizes fold the same distinct stream."""
+    from dug_ray.shuffle import distinct_rows
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    d = distinct_rows(ds, ["user_id", "event_type"], 16).materialize()
+
+    def pair_partial(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        g = (m.groupby(["event_type_x", "event_type_y"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return typed_table(g, event_type_x=pa.string(),
+                           event_type_y=pa.string(), n=pa.int64())
+
+    inter = bucketed_group_apply(d, "user_id", pair_partial, 16)         .to_pandas()
+    inter = inter.groupby(["event_type_x", "event_type_y"],
+                          as_index=False)["n"].sum()
+    sizes = (d.to_pandas().groupby("event_type")["user_id"].size()
+             .to_dict())
+    rows = []
+    for a, b, nab in zip(inter["event_type_x"], inter["event_type_y"],
+                         inter["n"]):
+        na, nb, nab = int(sizes[a]), int(sizes[b]), int(nab)
+        union = na + nb - nab
+        rows.append((a, b, na, nb, nab, union,
+                     (1000 * nab) // union))
+    out = pd.DataFrame(rows, columns=[
+        "type_a", "type_b", "n_a", "n_b", "n_both", "n_union",
+        "jaccard_milli"])
+    return ray.data.from_arrow(typed_table(
+        out, type_a=pa.string(), type_b=pa.string(), n_a=pa.int64(),
+        n_b=pa.int64(), n_both=pa.int64(), n_union=pa.int64(),
+        jaccard_milli=pa.int64()))
+
+
+SQL_SEGMENT_ALGEBRA = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+x AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM d a JOIN d b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT x.type_a, x.type_b, sa.n AS n_a, sb.n AS n_b, x.n_both,
+       CAST(sa.n + sb.n - x.n_both AS BIGINT) AS n_union,
+       CAST(1000 * x.n_both // (sa.n + sb.n - x.n_both) AS BIGINT)
+         AS jaccard_milli
+FROM x JOIN s sa ON sa.event_type = x.type_a
+       JOIN s sb ON sb.event_type = x.type_b"""
+
+
+QUERIES.update({
+    "degree_hist": q_degree_hist,
+    "segment_algebra": q_segment_algebra,
+})
+ORACLES.update({
+    "degree_hist": SQL_DEGREE_HIST,
+    "segment_algebra": SQL_SEGMENT_ALGEBRA,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -10586,6 +10707,7 @@ _DRIVER_FRONT = [
     "source_overlap", "daily_anomaly", "kmv_distinct", "user_bitmap",
     "monthly_growth", "k_anonymity", "supplier_hhi", "revenue_gini", "cdc_chunks",
     "quant_error", "bounce_rate", "type_entropy", "prefix_index",
+    "degree_hist", "segment_algebra",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -671,3 +671,43 @@ def test_prefix_index_rank_and_minlen():
     assert out.loc[("ban", 1), "term"] == "banana"
     assert not any(p == "ap " or len(p) < 3
                    for p, _ in out.index)
+
+
+def test_degree_hist_bit_length_bins():
+    import ray.data as rd
+
+    import dug_ray.pipelines.kg as kg
+    import dug_ray.queries as q
+    # out-degrees: a->3 edges (bin 2), b->1 (bin 1), c->8 (bin 4)
+    rows = ([("a", "p", f"x{i}") for i in range(3)]
+            + [("b", "p", "y")]
+            + [("c", "p", f"z{i}") for i in range(8)])
+    trip = pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    orig = kg.kg_triples_cached
+    try:
+        kg.kg_triples_cached = lambda sf: rd.from_pandas(trip)
+        out = q.QUERIES["degree_hist"]("ignored").to_pandas() \
+            .set_index("bin")
+    finally:
+        kg.kg_triples_cached = orig
+    assert out.loc[1, "n_nodes"] == 1 and out.loc[1, "deg_mass"] == 1
+    assert out.loc[2, "n_nodes"] == 1 and out.loc[2, "deg_mass"] == 3
+    assert out.loc[4, "n_nodes"] == 1 and out.loc[4, "deg_mass"] == 8
+
+
+def test_segment_algebra_overlap():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    # users: 1 does a+b, 2 does a, 3 does b -> |A|=2 |B|=2 both=1 union=3
+    rows = [(0, 1, t0, "a", 0.0), (1, 1, t0, "b", 0.0),
+            (2, 2, t0, "a", 0.0), (3, 3, t0, "b", 0.0),
+            (4, 1, t0, "a", 0.0)]  # duplicate pair must not double-count
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["segment_algebra"](d).to_pandas().iloc[0]
+    assert (out["type_a"], out["type_b"]) == ("a", "b")
+    assert out["n_a"] == 2 and out["n_b"] == 2
+    assert out["n_both"] == 1 and out["n_union"] == 3
+    assert out["jaccard_milli"] == 333
