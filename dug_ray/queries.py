@@ -10660,6 +10660,155 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# median absolute deviation, KG edge reciprocity
+# ---------------------------------------------------------------------------
+
+def q_price_mad(sf_dir: str) -> ray.data.Dataset:
+    """Robust dispersion per return flag: the LOWER median of line-price
+    cents (k = (n+1)//2, exact selection) and the median absolute
+    deviation around it — the outlier-immune sibling of the mean/std
+    profile (one fat-finger price skews std, never MAD).  Both
+    selections run over the (flag, cents) weight histogram inside the
+    flag bucket, so raw lineitems never reach the exchange."""
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = (df["l_extendedprice"] * 100).round()             .astype("int64")
+        g = (df.groupby(["l_returnflag", "cents"], as_index=False)
+             .size().rename(columns={"l_returnflag": "flag",
+                                     "size": "w"}))
+        return typed_table(g, flag=pa.string(), cents=pa.int64(),
+                           w=pa.int64())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def per_flag(df: pd.DataFrame) -> pa.Table:
+        def _kth(vals: np.ndarray, ws: np.ndarray, k: int) -> int:
+            order = np.argsort(vals, kind="mergesort")
+            cw = np.cumsum(ws[order])
+            return int(vals[order][np.searchsorted(cw, k)])
+
+        rows = []
+        for flag, sub in df.groupby("flag"):
+            g = sub.groupby("cents", as_index=False)["w"].sum()
+            vals = g["cents"].to_numpy()
+            ws = g["w"].to_numpy()
+            n = int(ws.sum())
+            k = (n + 1) // 2
+            med = _kth(vals, ws, k)
+            dev = np.abs(vals - med)
+            mad = _kth(dev, ws, k)
+            rows.append((flag, n, med, mad))
+        out = pd.DataFrame(rows, columns=["flag", "n", "median_cents",
+                                          "mad_cents"])
+        return typed_table(out, flag=pa.string(), n=pa.int64(),
+                           median_cents=pa.int64(), mad_cents=pa.int64())
+
+    return bucketed_group_apply(parts, "flag", per_flag, 4)
+
+
+SQL_PRICE_MAD = """
+WITH l AS (SELECT l_returnflag AS flag,
+                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+           FROM lineitem),
+r AS (SELECT flag, cents,
+             row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY flag) AS n
+      FROM l),
+med AS (SELECT flag, CAST(max(n) AS BIGINT) AS n,
+               CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                    AS BIGINT) AS median_cents
+        FROM r GROUP BY flag),
+d AS (SELECT l.flag, abs(l.cents - m.median_cents) AS dev
+      FROM l JOIN med m ON m.flag = l.flag),
+r2 AS (SELECT flag, dev,
+              row_number() OVER (PARTITION BY flag ORDER BY dev) AS rn,
+              count(*) OVER (PARTITION BY flag) AS n
+       FROM d)
+SELECT m.flag, m.n, m.median_cents,
+       CAST(max(CASE WHEN r2.rn = (r2.n + 1) // 2 THEN r2.dev END)
+            AS BIGINT) AS mad_cents
+FROM r2 JOIN med m ON m.flag = r2.flag
+GROUP BY m.flag, m.n, m.median_cents"""
+
+
+def q_kg_reciprocity(sf_dir: str) -> pa.Table:
+    """Reciprocity of the directed triple graph: distinct non-loop
+    edges, how many have their reverse edge present, and the ratio in
+    ppm — the directionality audit (annotates edges are one-way by
+    construction; a reciprocal pair in the expansion layer means the
+    ontology stored both orientations).  Direction counts fold per
+    UNORDERED pair key, so only pair partials move; single global row
+    (driver final)."""
+    from dug_ray.shuffle import distinct_rows
+    triples = kg.kg_triples_cached(sf_dir)
+    edges = distinct_rows(triples.select_columns(["subj", "obj"]),
+                          ["subj", "obj"], 16)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["subj"] != df["obj"]]
+        lo = np.minimum(df["subj"], df["obj"])
+        hi = np.maximum(df["subj"], df["obj"])
+        out = pd.DataFrame({"pair": lo + "|" + hi})
+        return typed_table(out, pair=pa.string())
+
+    pairs = edges.map_batches(tag, batch_format="pyarrow",
+                              batch_size=None)
+
+    def per_pair(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("pair", as_index=False).size()
+        out = pd.DataFrame({
+            "n_edges": [int(g["size"].sum())],
+            "n_recip_edges": [int(g.loc[g["size"] == 2, "size"].sum())]})
+        return typed_table(out, n_edges=pa.int64(),
+                           n_recip_edges=pa.int64())
+
+    agg = bucketed_group_apply(pairs, "pair", per_pair, 16).to_pandas()
+    ne = int(agg["n_edges"].sum())
+    nr = int(agg["n_recip_edges"].sum())
+    return pa.table({"n_edges": pa.array([ne], pa.int64()),
+                     "n_recip_edges": pa.array([nr], pa.int64()),
+                     "recip_ppm": pa.array(
+                         [(1_000_000 * nr) // ne if ne else 0],
+                         pa.int64())})
+
+
+SQL_KG_RECIPROCITY = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls",
+                     "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + """,
+trip AS (SELECT subj, obj FROM expansion
+         UNION ALL
+         SELECT DISTINCT canonical_curie AS subj, element_id AS obj
+         FROM linked_full),
+de AS MATERIALIZED (SELECT DISTINCT subj, obj FROM trip
+                    WHERE subj <> obj),
+rec AS (SELECT count(*) AS nr
+        FROM de a JOIN de b ON b.subj = a.obj AND b.obj = a.subj),
+tot AS (SELECT count(*) AS ne FROM de)
+SELECT CAST(ne AS BIGINT) AS n_edges,
+       CAST(nr AS BIGINT) AS n_recip_edges,
+       CAST(CASE WHEN ne > 0 THEN 1000000 * nr // ne ELSE 0 END
+            AS BIGINT) AS recip_ppm
+FROM tot, rec"""
+
+
+QUERIES.update({
+    "price_mad": q_price_mad,
+    "kg_reciprocity": q_kg_reciprocity,
+})
+ORACLES.update({
+    "price_mad": SQL_PRICE_MAD,
+    "kg_reciprocity": SQL_KG_RECIPROCITY,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -10707,7 +10856,7 @@ _DRIVER_FRONT = [
     "source_overlap", "daily_anomaly", "kmv_distinct", "user_bitmap",
     "monthly_growth", "k_anonymity", "supplier_hhi", "revenue_gini", "cdc_chunks",
     "quant_error", "bounce_rate", "type_entropy", "prefix_index",
-    "degree_hist", "segment_algebra",
+    "degree_hist", "segment_algebra", "price_mad", "kg_reciprocity",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -711,3 +711,53 @@ def test_segment_algebra_overlap():
     assert out["n_a"] == 2 and out["n_b"] == 2
     assert out["n_both"] == 1 and out["n_union"] == 3
     assert out["jaccard_milli"] == 333
+
+
+def test_price_mad_lower_median():
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import dug_ray.queries as q
+    # cents: 100, 200, 300, 1000 -> n=4, k=2 -> median 200;
+    # deviations |x-200| = 100, 0, 100, 800 sorted (0,100,100,800)
+    # -> k=2 -> MAD 100
+    df = pd.DataFrame({
+        "l_returnflag": ["A"] * 4,
+        "l_extendedprice": [1.0, 2.0, 3.0, 10.0],
+        "l_quantity": [1.0] * 4})
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        df[col] = 1
+    df["l_discount"] = 0.0
+    df["l_tax"] = 0.0
+    df["l_linestatus"] = "O"
+    df["l_shipdate"] = pd.Timestamp("2024-01-01")
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "lineitem.parquet"))
+        out = q.QUERIES["price_mad"](d).to_pandas().iloc[0]
+    assert out["n"] == 4
+    assert out["median_cents"] == 200
+    assert out["mad_cents"] == 100
+
+
+def test_kg_reciprocity_hand_graph():
+    import ray.data as rd
+
+    import dug_ray.pipelines.kg as kg
+    import dug_ray.queries as q
+    trip = pd.DataFrame(
+        [("a", "p", "b"), ("b", "p", "a"),   # reciprocal pair
+         ("a", "p", "c"),                     # one-way
+         ("d", "p", "d")],                    # self-loop: excluded
+        columns=["subj", "pred", "obj"])
+    orig = kg.kg_triples_cached
+    try:
+        kg.kg_triples_cached = lambda sf: rd.from_pandas(trip)
+        out = q.QUERIES["kg_reciprocity"]("ignored").to_pandas().iloc[0]
+    finally:
+        kg.kg_triples_cached = orig
+    assert out["n_edges"] == 3
+    assert out["n_recip_edges"] == 2
+    assert out["recip_ppm"] == (1_000_000 * 2) // 3
