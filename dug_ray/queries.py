@@ -10809,6 +10809,139 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# sentence burstiness, embedding dimension concentration
+# ---------------------------------------------------------------------------
+
+def q_sentence_burstiness(sf_dir: str) -> ray.data.Dataset:
+    """Per-document sentence-length burstiness: the Fano factor
+    (variance/mean) of words-per-sentence in exact micro units —
+    fano_micro = floor(1e6 * (n*SS - S^2) / (n*S)) — template spam is
+    metronomic (F ~ 0), natural prose is bursty.  Sentences split on
+    [.!?]+ runs (string_split_regex == re.split on plain classes),
+    words = [a-z0-9]+ runs of the lowercased piece; empty pieces drop.
+    Vectorized per batch, no exchange."""
+    import re
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    sent_re = re.compile(r"[.!?]+")
+    word_re = re.compile(r"[a-z0-9]+")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for did, t in zip(df["doc_id"], df["text"]):
+            counts = [len(word_re.findall(p.lower()))
+                      for p in sent_re.split(t)]
+            counts = [c for c in counts if c >= 1]
+            n = len(counts)
+            if n == 0:
+                continue
+            s = sum(counts)
+            ss = sum(c * c for c in counts)
+            rows.append((did, n, s, (1000 * s) // n,
+                         (1_000_000 * (n * ss - s * s)) // (n * s)))
+        out = pd.DataFrame(rows, columns=[
+            "doc_id", "n_sentences", "n_words", "mean_len_milli",
+            "fano_micro"])
+        return typed_table(out, doc_id=pa.int64(), n_sentences=pa.int64(),
+                           n_words=pa.int64(), mean_len_milli=pa.int64(),
+                           fano_micro=pa.int64())
+
+    return docs.map_batches(stats, batch_format="pyarrow",
+                            batch_size=None)
+
+
+SQL_SENTENCE_BURSTINESS = """
+WITH p AS (
+  SELECT d.doc_id,
+         CAST(len(regexp_extract_all(lower(s.piece), '[a-z0-9]+'))
+              AS BIGINT) AS c
+  FROM documents d, LATERAL (
+    SELECT unnest(string_split_regex(d.text, '[.!?]+')) AS piece) s),
+g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+      FROM p WHERE c >= 1 GROUP BY 1)
+SELECT doc_id, n AS n_sentences, s AS n_words,
+       CAST(1000 * s // n AS BIGINT) AS mean_len_milli,
+       CAST(1000000 * (n * ss - CAST(s AS HUGEINT) * s)
+            // (CAST(n AS HUGEINT) * s) AS BIGINT) AS fano_micro
+FROM g"""
+
+
+def q_dim_concentration(sf_dir: str) -> pa.Table:
+    """Embedding-space concentration: with per-dim integer variance
+    numerators v_d = n*SS_d - S_d^2 (milli-quantized components; the
+    scale cancels in the ratios), hhi_ppm = floor(1e6 * sum(v^2) /
+    (sum v)^2) and the participation-ratio effective dimensionality
+    eff_dims_milli = floor(1000 * (sum v)^2 / sum(v^2)) — the collapse
+    detector (eff_dims ~ n_dims is healthy; ~ 1 means one dimension
+    carries everything).  Per-batch (dim, S, SS, n) partials fold to
+    O(dims) rows; Python-int squares (they exceed int64)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.floor(np.stack(batch["embedding"].to_pandas()
+                              .to_numpy()).astype("float64") * 1e3)             .astype("int64")
+        out = pd.DataFrame({"dim": np.arange(1, m.shape[1] + 1),
+                            "s": m.sum(axis=0),
+                            "ss": (m * m).sum(axis=0),
+                            "n": m.shape[0]})
+        return typed_table(out, dim=pa.int64(), s=pa.int64(),
+                           ss=pa.int64(), n=pa.int64())
+
+    g = (emb.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+         .groupby("dim", as_index=False).sum())
+    n = int(g["n"].iloc[0])
+    v = [n * int(ss) - int(s) ** 2 for s, ss in zip(g["s"], g["ss"])]
+    sv = sum(v)
+    sv2 = sum(x * x for x in v)
+    hhi = (1_000_000 * sv2) // (sv * sv) if sv > 0 else 0
+    eff = (1000 * sv * sv) // sv2 if sv2 > 0 else 0
+    return pa.table({"n_dims": pa.array([len(v)], pa.int64()),
+                     "n_vecs": pa.array([n], pa.int64()),
+                     "hhi_ppm": pa.array([hhi], pa.int64()),
+                     "eff_dims_milli": pa.array([eff], pa.int64())})
+
+
+SQL_DIM_CONCENTRATION = """
+WITH u AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+           AS q
+  FROM embeddings),
+g AS (SELECT dim, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(q) AS HUGEINT) AS s,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
+      FROM u GROUP BY 1),
+v AS (SELECT dim, n, n * ss - s * s AS v FROM g),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_dims,
+             CAST(max(n) AS BIGINT) AS n_vecs,
+             sum(v) AS sv, sum(v * v) AS sv2
+      FROM v)
+SELECT n_dims, n_vecs,
+       CASE WHEN sv > 0
+            THEN CAST(1000000 * sv2 // (sv * sv) AS BIGINT)
+            ELSE 0 END AS hhi_ppm,
+       CASE WHEN sv2 > 0
+            THEN CAST(1000 * sv * sv // sv2 AS BIGINT)
+            ELSE 0 END AS eff_dims_milli
+FROM a"""
+
+
+QUERIES.update({
+    "sentence_burstiness": q_sentence_burstiness,
+    "dim_concentration": q_dim_concentration,
+})
+ORACLES.update({
+    "sentence_burstiness": SQL_SENTENCE_BURSTINESS,
+    "dim_concentration": SQL_DIM_CONCENTRATION,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -10857,6 +10990,7 @@ _DRIVER_FRONT = [
     "monthly_growth", "k_anonymity", "supplier_hhi", "revenue_gini", "cdc_chunks",
     "quant_error", "bounce_rate", "type_entropy", "prefix_index",
     "degree_hist", "segment_algebra", "price_mad", "kg_reciprocity",
+    "sentence_burstiness", "dim_concentration",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -761,3 +761,32 @@ def test_kg_reciprocity_hand_graph():
     assert out["n_edges"] == 3
     assert out["n_recip_edges"] == 2
     assert out["recip_ppm"] == (1_000_000 * 2) // 3
+
+
+def test_sentence_burstiness_fano():
+    import tempfile
+
+    import dug_ray.queries as q
+    # sentences of 2 and 4 words: n=2 S=6 SS=20
+    # fano = 1e6*(2*20 - 36) // (2*6) = 1e6*4//12 = 333333
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, ["one two. three four five six!"])
+        out = q.QUERIES["sentence_burstiness"](d).to_pandas().iloc[0]
+    assert out["n_sentences"] == 2 and out["n_words"] == 6
+    assert out["mean_len_milli"] == 3000
+    assert out["fano_micro"] == 333_333
+
+
+def test_dim_concentration_single_active_dim():
+    import tempfile
+
+    import dug_ray.queries as q
+    # dim1 varies, dim2 constant -> all variance in one dim:
+    # hhi = 1e6, eff_dims = 1000 milli (exactly 1.0)
+    rows = [(0, [1.0, 0.5], 0), (1, [-1.0, 0.5], 0)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_emb(d, rows)
+        out = q.QUERIES["dim_concentration"](d).to_pandas().iloc[0]
+    assert out["n_dims"] == 2 and out["n_vecs"] == 2
+    assert out["hhi_ppm"] == 1_000_000
+    assert out["eff_dims_milli"] == 1000
