@@ -10942,6 +10942,121 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking, reuse distance
+# ---------------------------------------------------------------------------
+
+def q_sorted_blocks(sf_dir: str) -> ray.data.Dataset:
+    """Sorted-neighborhood entity-resolution blocking per nation:
+    customers sorted by (name, custkey) inside their nation; every pair
+    within window 2 of the sort order is a candidate — the classic SNM
+    blocker next to ppjoin/name_editdist (quadratic comparison space
+    reduced to O(n * w) candidates).  The nation bucket makes the sort
+    group-local: no global sort, no boundary stitching."""
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_name",
+                                        "c_nationkey"])
+
+    def per_nation(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["c_nationkey", "c_name", "c_custkey"],
+                            kind="mergesort")
+        df["rn"] = df.groupby("c_nationkey").cumcount()
+        out_frames = []
+        for off in (1, 2):
+            a = df.rename(columns={"c_custkey": "cust_a",
+                                   "c_name": "name_a"})
+            b = df[["c_nationkey", "rn", "c_custkey"]].copy()
+            b["rn"] -= off
+            m = a.merge(b, on=["c_nationkey", "rn"])
+            out_frames.append(pd.DataFrame({
+                "nation": m["c_nationkey"].astype("int64"),
+                "cust_a": m["cust_a"],
+                "cust_b": m["c_custkey"],
+                "gap": off}))
+        out = pd.concat(out_frames, ignore_index=True)
+        return typed_table(out, nation=pa.int64(), cust_a=pa.int64(),
+                           cust_b=pa.int64(), gap=pa.int64())
+
+    return bucketed_group_apply(ds, "c_nationkey", per_nation, 8)
+
+
+SQL_SORTED_BLOCKS = """
+WITH r AS (SELECT c_custkey, c_nationkey,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_name, c_custkey) AS rn
+           FROM customer)
+SELECT CAST(a.c_nationkey AS BIGINT) AS nation,
+       a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST(b.rn - a.rn AS BIGINT) AS gap
+FROM r a JOIN r b ON b.c_nationkey = a.c_nationkey
+                 AND b.rn - a.rn BETWEEN 1 AND 2"""
+
+
+def q_reuse_distance(sf_dir: str) -> ray.data.Dataset:
+    """LRU reuse-distance analysis of each user's event-type stream:
+    for every re-occurrence, the stack distance = number of DISTINCT
+    other types used since the previous occurrence (order ts,
+    event_id) — distance < k means an LRU cache of size k would hit,
+    so the distance histogram IS the cache hit curve for every k at
+    once (the classic Mattson construction).  First occurrences are
+    compulsory misses and excluded.  Per-user streams co-locate in one
+    bucket; the recency stack is a per-user in-memory walk."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        rows = []
+        cur_user, stack = None, []
+        for eid, uid, et in zip(df["event_id"], df["user_id"],
+                                df["event_type"]):
+            if uid != cur_user:
+                cur_user, stack = uid, []
+            if et in stack:
+                idx = stack.index(et)
+                rows.append((eid, uid, idx))
+                stack.pop(idx)
+            stack.insert(0, et)
+        out = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                          "distance"])
+        return typed_table(out, event_id=pa.int64(), user_id=pa.int64(),
+                           distance=pa.int64())
+
+    return bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+
+SQL_REUSE_DISTANCE = """
+WITH r AS (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+e AS (
+  SELECT event_id, user_id, event_type, rn,
+         lag(rn) OVER (PARTITION BY user_id, event_type
+                       ORDER BY rn) AS prev_rn
+  FROM r)
+SELECT e.event_id, e.user_id,
+       CAST((SELECT count(DISTINCT e2.event_type) FROM r e2
+             WHERE e2.user_id = e.user_id
+               AND e2.rn > e.prev_rn AND e2.rn < e.rn) AS BIGINT)
+         AS distance
+FROM e WHERE e.prev_rn IS NOT NULL"""
+
+
+QUERIES.update({
+    "sorted_blocks": q_sorted_blocks,
+    "reuse_distance": q_reuse_distance,
+})
+ORACLES.update({
+    "sorted_blocks": SQL_SORTED_BLOCKS,
+    "reuse_distance": SQL_REUSE_DISTANCE,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -10990,7 +11105,7 @@ _DRIVER_FRONT = [
     "monthly_growth", "k_anonymity", "supplier_hhi", "revenue_gini", "cdc_chunks",
     "quant_error", "bounce_rate", "type_entropy", "prefix_index",
     "degree_hist", "segment_algebra", "price_mad", "kg_reciprocity",
-    "sentence_burstiness", "dim_concentration",
+    "sentence_burstiness", "dim_concentration", "sorted_blocks", "reuse_distance",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

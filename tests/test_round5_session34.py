@@ -790,3 +790,43 @@ def test_dim_concentration_single_active_dim():
     assert out["n_dims"] == 2 and out["n_vecs"] == 2
     assert out["hhi_ppm"] == 1_000_000
     assert out["eff_dims_milli"] == 1000
+
+
+def test_sorted_blocks_window():
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import dug_ray.queries as q
+    df = pd.DataFrame({
+        "c_custkey": [1, 2, 3, 4],
+        "c_name": ["aa", "ab", "ac", "zz"],
+        "c_nationkey": pd.array([1, 1, 1, 2], dtype="int32"),
+        "c_acctbal": [0.0] * 4,
+        "c_mktsegment": ["A"] * 4})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "customer.parquet"))
+        out = q.QUERIES["sorted_blocks"](d).to_pandas()
+    pairs = set(zip(out["cust_a"], out["cust_b"], out["gap"]))
+    # nation 1 sorted aa<ab<ac: (1,2,g1) (2,3,g1) (1,3,g2); nation 2 alone
+    assert pairs == {(1, 2, 1), (2, 3, 1), (1, 3, 2)}
+
+
+def test_reuse_distance_stack_semantics():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    # stream a b a c b a: re-occurrences ->
+    #  a@2 (since a: {b}) = 1; b@4 (since b: {a, c}) = 2;
+    #  a@5 (since a: {c, b}) = 2
+    kinds = ["a", "b", "a", "c", "b", "a"]
+    rows = [(i, 1, t0 + i * s, k, 0.0) for i, k in enumerate(kinds)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["reuse_distance"](d).to_pandas() \
+            .set_index("event_id")["distance"]
+    assert out.to_dict() == {2: 1, 4: 2, 5: 2}
