@@ -11057,6 +11057,165 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# concept-frequency drift (KL), CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+def q_concept_drift(sf_dir: str) -> pa.Table:
+    """Concept-frequency drift across the corpus split doc_id % 2: the
+    add-one-smoothed KL divergence (times n_a, the corpus_kl
+    convention that keeps the output integer) between the canonical-
+    CURIE distributions of the two halves — the KG-level ingest-drift
+    gate (a feed change shows up here before any element diff).
+    Per-term weights use ONE libm ln over float-composed factors
+    IDENTICAL to the SQL (each factor cast to double, then one
+    multiply per side, one divide); the weighted sum is an int64
+    fold.  Mention counts reduce per curie; the union-vocabulary
+    compose is ontology-bounded (driver final)."""
+    import math
+    linked = kg.linked_mentions_cached(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["doc_id", "canonical_curie"]]
+        df["half"] = (df["doc_id"].astype("int64") % 2).astype("int64")
+        g = (df.groupby(["half", "canonical_curie"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return typed_table(g, half=pa.int64(),
+                           canonical_curie=pa.string(), n=pa.int64())
+
+    counts = bucketed_group_apply(
+        linked.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None),
+        "canonical_curie",
+        lambda df: typed_table(
+            df.groupby(["half", "canonical_curie"], as_index=False)["n"]
+            .sum(), half=pa.int64(), canonical_curie=pa.string(),
+            n=pa.int64()),
+        8).to_pandas()
+    piv = counts.pivot_table(index="canonical_curie", columns="half",
+                             values="n", aggfunc="sum", fill_value=0)
+    a = piv.get(0, pd.Series(0, index=piv.index)).astype("int64")
+    b = piv.get(1, pd.Series(0, index=piv.index)).astype("int64")
+    na, nb, v = int(a.sum()), int(b.sum()), len(piv)
+    kl_xn = 0
+    for ac, bc in zip(a, b):
+        if ac == 0:
+            continue
+        w = math.floor(math.log(
+            (float(ac + 1) * float(nb + v))
+            / (float(bc + 1) * float(na + v))) * 1_000_000)
+        kl_xn += int(ac) * w
+    return pa.table({"n_a": pa.array([na], pa.int64()),
+                     "n_b": pa.array([nb], pa.int64()),
+                     "v": pa.array([v], pa.int64()),
+                     "kl_unats_xn": pa.array([kl_xn], pa.int64())})
+
+
+SQL_CONCEPT_DRIFT = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+hc AS (SELECT CAST(doc_id AS BIGINT) % 2 AS half, canonical_curie,
+              CAST(count(*) AS BIGINT) AS n
+       FROM linked_full GROUP BY 1, 2),
+dom AS (SELECT DISTINCT canonical_curie FROM hc),
+ab AS (SELECT d.canonical_curie,
+              COALESCE(a.n, 0) AS a, COALESCE(b.n, 0) AS b
+       FROM dom d
+       LEFT JOIN hc a ON a.canonical_curie = d.canonical_curie
+                     AND a.half = 0
+       LEFT JOIN hc b ON b.canonical_curie = d.canonical_curie
+                     AND b.half = 1),
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+               CAST(count(*) AS BIGINT) AS v
+        FROM ab),
+w AS (SELECT ab.a,
+             CAST(floor(ln((CAST(ab.a + 1 AS DOUBLE)
+                            * CAST(tot.nb + tot.v AS DOUBLE))
+                           / (CAST(ab.b + 1 AS DOUBLE)
+                              * CAST(tot.na + tot.v AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS w
+      FROM ab, tot WHERE ab.a > 0)
+SELECT CAST(max(tot.na) AS BIGINT) AS n_a,
+       CAST(max(tot.nb) AS BIGINT) AS n_b,
+       CAST(max(tot.v) AS BIGINT) AS v,
+       CAST(COALESCE(sum(w.a * w.w), 0) AS BIGINT) AS kl_unats_xn
+FROM w, tot"""
+
+
+def q_cusum_change(sf_dir: str) -> pa.Table:
+    """CUSUM changepoint over the zero-filled daily event-count spine:
+    cusum_k = sum_{t<=k} (n*x_t - S) in exact n-scaled units; the day
+    with the largest |cusum| (earliest on ties) is the level-shift
+    candidate — the alert that the corpus ingest rate changed regime.
+    Spine-bounded driver final (autocorr_daily shape)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["ts"], pa.date32())
+        g = pd.Series(d.to_numpy(zero_copy_only=False))             .value_counts().rename_axis("d").reset_index(name="x")
+        return typed_table(g, d=pa.date32(), x=pa.int64())
+
+    daily = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "d",
+        lambda df: typed_table(df.groupby("d", as_index=False)["x"].sum(),
+                               d=pa.date32(), x=pa.int64()),
+        8).to_pandas()
+    daily["d"] = pd.to_datetime(daily["d"])
+    spine = pd.date_range(daily["d"].min(), daily["d"].max(), freq="D")
+    x = daily.set_index("d")["x"].reindex(spine, fill_value=0)         .astype("int64").to_list()
+    n, s = len(x), sum(int(v) for v in x)
+    best_day, best_val, cum = None, -1, 0
+    epoch_day = spine.asi8 // (86_400 * 10 ** 9)
+    for day, v in zip(epoch_day, x):
+        cum += n * int(v) - s
+        if abs(cum) > best_val:
+            best_day, best_val = int(day), abs(cum)
+    return pa.table({"n_days": pa.array([n], pa.int64()),
+                     "change_day": pa.array([best_day], pa.int64()),
+                     "max_abs_cusum": pa.array([best_val], pa.int64())})
+
+
+SQL_CUSUM_CHANGE = """
+WITH b AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+lim AS (SELECT min(d) AS d0, max(d) AS d1 FROM b),
+spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                             CAST(d1 AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE) AS d
+          FROM lim),
+s AS (SELECT spine.d, COALESCE(b.x, 0) AS x
+      FROM spine LEFT JOIN b USING (d)),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx FROM s),
+c AS (SELECT CAST(epoch_us(CAST(s.d AS TIMESTAMP)) // 86400000000
+             AS BIGINT) AS day,
+             sum(tot.n * s.x - tot.sx)
+               OVER (ORDER BY s.d ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM s, tot),
+r AS (SELECT day, abs(cusum) AS a,
+             row_number() OVER (ORDER BY abs(cusum) DESC, day) AS rk
+      FROM c)
+SELECT CAST(max(tot.n) AS BIGINT) AS n_days,
+       CAST(max(CASE WHEN r.rk = 1 THEN r.day END) AS BIGINT)
+         AS change_day,
+       CAST(max(CASE WHEN r.rk = 1 THEN r.a END) AS BIGINT)
+         AS max_abs_cusum
+FROM r, tot"""
+
+
+QUERIES.update({
+    "concept_drift": q_concept_drift,
+    "cusum_change": q_cusum_change,
+})
+ORACLES.update({
+    "concept_drift": SQL_CONCEPT_DRIFT,
+    "cusum_change": SQL_CUSUM_CHANGE,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -11106,6 +11265,7 @@ _DRIVER_FRONT = [
     "quant_error", "bounce_rate", "type_entropy", "prefix_index",
     "degree_hist", "segment_algebra", "price_mad", "kg_reciprocity",
     "sentence_burstiness", "dim_concentration", "sorted_blocks", "reuse_distance",
+    "concept_drift", "cusum_change",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -830,3 +830,37 @@ def test_reuse_distance_stack_semantics():
         out = q.QUERIES["reuse_distance"](d).to_pandas() \
             .set_index("event_id")["distance"]
     assert out.to_dict() == {2: 1, 4: 2, 5: 2}
+
+
+def test_cusum_change_level_shift():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    day = pd.Timedelta(days=1)
+    # counts [1, 1, 1, 5, 5, 5]: regime shift after day 3
+    rows, eid = [], 0
+    for dd, c in enumerate([1, 1, 1, 5, 5, 5]):
+        for _ in range(c):
+            rows.append((eid, 1, t0 + dd * day, "v", 0.0))
+            eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["cusum_change"](d).to_pandas().iloc[0]
+    # n=6, S=18; n*x-S: [-12]*3 + [12]*3; cusum: -12,-24,-36,-24,-12,0
+    base = int(pd.Timestamp("2024-01-01").value // (86_400 * 10 ** 9))
+    assert out["n_days"] == 6
+    assert out["change_day"] == base + 2   # trough before the shift
+    assert out["max_abs_cusum"] == 36
+
+
+def test_concept_drift_zero_when_identical():
+    # identical halves -> every term has a == b, so each weight is
+    # ln((a+1)(n+v) / ((a+1)(n+v))) = ln(1) = 0 exactly
+    import math
+    na = nb = 10
+    v = 3
+    w = math.floor(math.log(
+        (float(4) * float(nb + v)) / (float(4) * float(na + v)))
+        * 1_000_000)
+    assert w == 0
