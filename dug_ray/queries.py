@@ -11216,6 +11216,154 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# brand co-purchase lift, rolling 7-day actives
+# ---------------------------------------------------------------------------
+
+def q_brand_copurchase(sf_dir: str) -> ray.data.Dataset:
+    """Brand co-purchase analysis: for every brand pair (a < b) that
+    shares an order, the order counts and the lift in ppm —
+    lift = P(a,b) / (P(a)P(b)) = n_both * n_orders / (n_a * n_b) —
+    the market-basket view over the lineitem->part dimension join
+    (assoc_rules' retail sibling).  The part->brand map broadcasts
+    (small side); distinct (order, brand) pairs co-locate per order,
+    pair counts fold, and brand marginals ride the same distinct
+    stream.  All ratios exact integer (HUGEINT in SQL)."""
+    from dug_ray.shuffle import distinct_rows
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_brand"])         .to_pandas()
+    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        bm = ray.get(brand_ref)
+        df = batch.to_pandas()
+        out = pd.DataFrame({
+            "order": df["l_orderkey"],
+            "brand": df["l_partkey"].map(bm)}).drop_duplicates()
+        return typed_table(out, order=pa.int64(), brand=pa.string())
+
+    ob = distinct_rows(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None),
+        ["order", "brand"], 16).materialize()
+
+    def pair_partial(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="order")
+        m = m[m["brand_x"] < m["brand_y"]]
+        g = (m.groupby(["brand_x", "brand_y"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return typed_table(g, brand_x=pa.string(), brand_y=pa.string(),
+                           n=pa.int64())
+
+    pairs = bucketed_group_apply(ob, "order", pair_partial, 16)         .to_pandas()
+    pairs = pairs.groupby(["brand_x", "brand_y"], as_index=False)["n"]         .sum()
+    obp = ob.to_pandas()
+    marg = obp.groupby("brand")["order"].size().to_dict()
+    n_orders = obp["order"].nunique()
+    rows = []
+    for a, b, nab in zip(pairs["brand_x"], pairs["brand_y"],
+                         pairs["n"]):
+        na, nb, nab = int(marg[a]), int(marg[b]), int(nab)
+        rows.append((a, b, nab,
+                     (1_000_000 * nab * n_orders) // (na * nb)))
+    out = pd.DataFrame(rows, columns=["brand_a", "brand_b", "n_both",
+                                      "lift_ppm"])
+    return ray.data.from_arrow(typed_table(
+        out, brand_a=pa.string(), brand_b=pa.string(),
+        n_both=pa.int64(), lift_ppm=pa.int64()))
+
+
+SQL_BRAND_COPURCHASE = """
+WITH ob AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+marg AS (SELECT brand, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
+x AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ob a JOIN ob b ON a.o = b.o AND a.brand < b.brand
+      GROUP BY 1, 2)
+SELECT x.brand_a, x.brand_b, x.n_both,
+       CAST(1000000 * CAST(x.n_both AS HUGEINT) * tot.n_orders
+            // (CAST(ma.n AS HUGEINT) * mb.n) AS BIGINT) AS lift_ppm
+FROM x JOIN marg ma ON ma.brand = x.brand_a
+       JOIN marg mb ON mb.brand = x.brand_b, tot"""
+
+
+def q_rolling_actives(sf_dir: str) -> ray.data.Dataset:
+    """Rolling 7-day distinct active users per spine day: |{users
+    active in [d-6, d]}| — the trailing-window engagement metric
+    daily_actives can't express (distinct does not sum across days).
+    Each distinct (user, day) membership fans out to its <= 7 covering
+    window days, the union dedups under the (window-day) bucket, and
+    only per-day counts leave.  Days outside the observed span are
+    not emitted."""
+    from dug_ray.shuffle import distinct_rows
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 86_400_000_000).astype("int64")
+        out = pd.DataFrame({"user_id": df["user_id"], "day": day})             .drop_duplicates()
+        return typed_table(out, user_id=pa.int64(), day=pa.int64())
+
+    ud = distinct_rows(
+        ds.map_batches(to_days, batch_format="pyarrow", batch_size=None),
+        ["user_id", "day"], 16).materialize()
+    lim = ud.to_pandas()["day"]
+    d0, d1 = int(lim.min()), int(lim.max())
+    bounds_ref = ray.put((d0, d1))
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        lo, hi = ray.get(bounds_ref)
+        df = batch.to_pandas()
+        frames = []
+        for off in range(7):
+            w = df["day"] + off
+            keep = w <= hi
+            frames.append(pd.DataFrame({
+                "wday": w[keep], "user_id": df["user_id"][keep]}))
+        out = pd.concat(frames, ignore_index=True).drop_duplicates()
+        return typed_table(out, wday=pa.int64(), user_id=pa.int64())
+
+    member = ud.map_batches(fan_out, batch_format="pyarrow",
+                            batch_size=None)
+
+    def per_day(df: pd.DataFrame) -> pa.Table:
+        g = (df.drop_duplicates()
+             .groupby("wday", as_index=False)
+             .agg(n_active_7d=("user_id", "size")))
+        g = g.rename(columns={"wday": "day"})
+        return typed_table(g, day=pa.int64(), n_active_7d=pa.int64())
+
+    return bucketed_group_apply(member, "wday", per_day, 8)
+
+
+SQL_ROLLING_ACTIVES = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+            FROM events),
+lim AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM lim)
+SELECT s.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_active_7d
+FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+GROUP BY s.day"""
+
+
+QUERIES.update({
+    "brand_copurchase": q_brand_copurchase,
+    "rolling_actives": q_rolling_actives,
+})
+ORACLES.update({
+    "brand_copurchase": SQL_BRAND_COPURCHASE,
+    "rolling_actives": SQL_ROLLING_ACTIVES,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -11265,7 +11413,7 @@ _DRIVER_FRONT = [
     "quant_error", "bounce_rate", "type_entropy", "prefix_index",
     "degree_hist", "segment_algebra", "price_mad", "kg_reciprocity",
     "sentence_burstiness", "dim_concentration", "sorted_blocks", "reuse_distance",
-    "concept_drift", "cusum_change",
+    "concept_drift", "cusum_change", "brand_copurchase", "rolling_actives",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

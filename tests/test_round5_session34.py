@@ -864,3 +864,64 @@ def test_concept_drift_zero_when_identical():
         (float(4) * float(nb + v)) / (float(4) * float(na + v)))
         * 1_000_000)
     assert w == 0
+
+
+def test_rolling_actives_window():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    day = pd.Timedelta(days=1)
+    # user 1 active day 0; user 2 active day 8
+    rows = [(0, 1, t0, "v", 0.0), (1, 2, t0 + 8 * day, "v", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["rolling_actives"](d).to_pandas() \
+            .set_index("day")["n_active_7d"]
+    base = int(t0.value // (86_400 * 10 ** 9))
+    # days 0-6 see user 1; day 7 sees nobody (dropped); day 8 user 2
+    assert out.loc[base] == 1
+    assert out.loc[base + 6] == 1
+    assert base + 7 not in out.index
+    assert out.loc[base + 8] == 1
+    assert len(out) == 8
+
+
+def test_brand_copurchase_lift():
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import dug_ray.queries as q
+    part = pd.DataFrame({
+        "p_partkey": [1, 2, 3],
+        "p_name": ["x", "y", "z"],
+        "p_brand": ["B1", "B2", "B3"],
+        "p_type": ["t"] * 3,
+        "p_size": pd.array([1, 1, 1], dtype="int32"),
+        "p_retailprice": [1.0] * 3})
+    # orders: 10 has B1+B2, 20 has B1 only, 30 has B2 only
+    li = pd.DataFrame({
+        "l_orderkey": [10, 10, 20, 30],
+        "l_partkey": [1, 2, 1, 2]})
+    for col in ("l_suppkey",):
+        li[col] = 1
+    li["l_linenumber"] = pd.array([1, 2, 1, 1], dtype="int32")
+    li["l_quantity"] = 1.0
+    li["l_extendedprice"] = 1.0
+    li["l_discount"] = 0.0
+    li["l_tax"] = 0.0
+    li["l_returnflag"] = "N"
+    li["l_linestatus"] = "O"
+    li["l_shipdate"] = pd.Timestamp("2024-01-01")
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(part),
+                       os.path.join(d, "part.parquet"))
+        pq.write_table(pa.Table.from_pandas(li),
+                       os.path.join(d, "lineitem.parquet"))
+        out = q.QUERIES["brand_copurchase"](d).to_pandas().iloc[0]
+    # n_both=1, n_orders=3, n_B1=2, n_B2=2 -> lift = 3/4
+    assert (out["brand_a"], out["brand_b"]) == ("B1", "B2")
+    assert out["n_both"] == 1
+    assert out["lift_ppm"] == (1_000_000 * 1 * 3) // (2 * 2)
