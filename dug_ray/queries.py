@@ -11364,6 +11364,63 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# Markov transition lift
+# ---------------------------------------------------------------------------
+
+def q_transition_lift(sf_dir: str) -> pa.Table:
+    """Markov independence test per transition: observed bigram count
+    vs the independence expectation, lift_ppm = floor(1e6 * n_pair * N
+    / (row_marginal * col_marginal)) — flags sticky (lift >> 1e6) and
+    avoided (<< 1e6) event sequences that the raw transition matrix
+    hides behind marginal volume.  Composes the event_transitions
+    stage; the |types|^2-bounded count table composes marginals on
+    the driver.  Exact integer ratios (HUGEINT in SQL)."""
+    from dug_ray.stages.sequence import event_transitions
+    counts = event_transitions(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"]))         .to_pandas()
+    counts = counts.groupby(["prev_type", "next_type"],
+                            as_index=False)["n"].sum()
+    r = counts.groupby("prev_type")["n"].sum().to_dict()
+    c = counts.groupby("next_type")["n"].sum().to_dict()
+    total = int(counts["n"].sum())
+    rows = []
+    for p, nx, n in zip(counts["prev_type"], counts["next_type"],
+                        counts["n"]):
+        n = int(n)
+        rows.append((p, nx, n,
+                     (1_000_000 * n * total) // (int(r[p]) * int(c[nx]))))
+    out = pd.DataFrame(rows, columns=["prev_type", "next_type",
+                                      "n_pairs", "lift_ppm"])
+    return typed_table(out.sort_values(["prev_type", "next_type"]),
+                       prev_type=pa.string(), next_type=pa.string(),
+                       n_pairs=pa.int64(), lift_ppm=pa.int64())
+
+
+SQL_TRANSITION_LIFT = """
+WITH s AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+x AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT prev_type, CAST(sum(n) AS HUGEINT) AS rn FROM x GROUP BY 1),
+c AS (SELECT next_type, CAST(sum(n) AS HUGEINT) AS cn FROM x GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS HUGEINT) AS total FROM x)
+SELECT x.prev_type, x.next_type, x.n AS n_pairs,
+       CAST(1000000 * CAST(x.n AS HUGEINT) * tot.total
+            // (r.rn * c.cn) AS BIGINT) AS lift_ppm
+FROM x JOIN r USING (prev_type) JOIN c USING (next_type), tot"""
+
+
+QUERIES.update({"transition_lift": q_transition_lift})
+ORACLES.update({"transition_lift": SQL_TRANSITION_LIFT})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -11414,6 +11471,7 @@ _DRIVER_FRONT = [
     "degree_hist", "segment_algebra", "price_mad", "kg_reciprocity",
     "sentence_burstiness", "dim_concentration", "sorted_blocks", "reuse_distance",
     "concept_drift", "cusum_change", "brand_copurchase", "rolling_actives",
+    "transition_lift",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -925,3 +925,22 @@ def test_brand_copurchase_lift():
     assert (out["brand_a"], out["brand_b"]) == ("B1", "B2")
     assert out["n_both"] == 1
     assert out["lift_ppm"] == (1_000_000 * 1 * 3) // (2 * 2)
+
+
+def test_transition_lift_sticky_pair():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    # user 1: a a a b -> pairs (a,a)x2, (a,b)x1
+    kinds = ["a", "a", "a", "b"]
+    rows = [(i, 1, t0 + i * s, k, 0.0) for i, k in enumerate(kinds)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["transition_lift"](d).to_pandas() \
+            .set_index(["prev_type", "next_type"])
+    # N=3, r(a)=3; c(a)=2, c(b)=1
+    assert out.loc[("a", "a"), "n_pairs"] == 2
+    assert out.loc[("a", "a"), "lift_ppm"] == (1_000_000 * 2 * 3) // 6
+    assert out.loc[("a", "b"), "lift_ppm"] == (1_000_000 * 1 * 3) // 3
