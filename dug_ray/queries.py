@@ -11435,6 +11435,11 @@ ORACLES.update({"transition_lift": SQL_TRANSITION_LIFT})
 # so they never consume an oracle-checked slot.
 
 _DRIVER_FRONT = [
+    # session-34 flagships first: the most distinctive of the 45 new
+    # operators take window seats alongside the earlier round-5 ops
+    "adamic_adar", "clustering_coeff", "kg_integrity", "pred_paths",
+    "reuse_distance", "kmv_distinct", "chi2_independence",
+    "weighted_median", "source_overlap", "revenue_gini",
     # new or engine-changed in round 5: new oracles (lsh_ann/ivf_ann/
     # xml_elements), the distributed ann_topk finalize, and the new
     # operators — these MUST land in the driver window
@@ -11459,17 +11464,16 @@ _DRIVER_FRONT = [
     "burst_score", "skipgram_pairs", "zipf_check",
     "langid_margin", "arrival_moments", "concept_recs", "ppjoin_pairs", "late_arrivals",
     "ship_latency_slo", "wma_value", "value_drift", "dup_rate",
-    "conversion_latency", "clustering_coeff", "adamic_adar",
-    "chi2_independence", "autocorr_daily", "cum_distinct",
+    "conversion_latency", "autocorr_daily", "cum_distinct",
     "readability", "hapax_ttr", "delta_encode",
-    "weighted_median", "event_streaks", "compaction_plan", "pred_paths",
-    "cosine_hist", "centroid_shift", "kg_integrity", "norm_coverage",
+    "event_streaks", "compaction_plan",
+    "cosine_hist", "centroid_shift", "norm_coverage",
     "shuffle_skew", "weekend_lift", "value_pct_rank",
-    "source_overlap", "daily_anomaly", "kmv_distinct", "user_bitmap",
-    "monthly_growth", "k_anonymity", "supplier_hhi", "revenue_gini", "cdc_chunks",
+    "daily_anomaly", "user_bitmap",
+    "monthly_growth", "k_anonymity", "supplier_hhi", "cdc_chunks",
     "quant_error", "bounce_rate", "type_entropy", "prefix_index",
     "degree_hist", "segment_algebra", "price_mad", "kg_reciprocity",
-    "sentence_burstiness", "dim_concentration", "sorted_blocks", "reuse_distance",
+    "sentence_burstiness", "dim_concentration", "sorted_blocks",
     "concept_drift", "cusum_change", "brand_copurchase", "rolling_actives",
     "transition_lift",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
