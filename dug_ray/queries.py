@@ -11421,6 +11421,156 @@ QUERIES.update({"transition_lift": q_transition_lift})
 ORACLES.update({"transition_lift": SQL_TRANSITION_LIFT})
 
 
+
+# ---------------------------------------------------------------------------
+# nation revenue share-of-parent, order-lines integrity audit
+# ---------------------------------------------------------------------------
+
+def q_nation_share(sf_dir: str) -> ray.data.Dataset:
+    """Ratio-to-parent rollup: per nation, order revenue in cents plus
+    its share of the region subtotal and of the global total (exact
+    ppm) — the drill-down percentages a revenue dashboard renders.
+    customer -> nation -> region are broadcast dimensions (tiny);
+    per-batch nation partials fold once, the share compose runs over
+    the nation-bounded table."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])         .to_pandas()
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"],
+                                cust["c_nationkey"].astype("int64"))))
+    region_of = dict(zip(nat["n_nationkey"].astype("int64"),
+                         nat["n_regionkey"].astype("int64")))
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cust_ref)
+        df = batch.to_pandas()
+        df["nation"] = df["o_custkey"].map(cm).astype("int64")
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        g = df.groupby("nation", as_index=False)["cents"].sum()
+        return typed_table(g, nation=pa.int64(), cents=pa.int64())
+
+    g = (ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+         .groupby("nation", as_index=False)["cents"].sum())
+    g["region"] = g["nation"].map(region_of).astype("int64")
+    reg = g.groupby("region")["cents"].sum().to_dict()
+    total = int(g["cents"].sum())
+    g["share_region_ppm"] = [
+        (1_000_000 * int(c)) // int(reg[r])
+        for c, r in zip(g["cents"], g["region"])]
+    g["share_global_ppm"] = [(1_000_000 * int(c)) // total
+                             for c in g["cents"]]
+    out = g.rename(columns={"cents": "revenue_cents"})[
+        ["region", "nation", "revenue_cents", "share_region_ppm",
+         "share_global_ppm"]]
+    return ray.data.from_arrow(typed_table(
+        out, region=pa.int64(), nation=pa.int64(),
+        revenue_cents=pa.int64(), share_region_ppm=pa.int64(),
+        share_global_ppm=pa.int64()))
+
+
+SQL_NATION_SHARE = """
+WITH r AS (SELECT CAST(n.n_regionkey AS BIGINT) AS region,
+                  CAST(n.n_nationkey AS BIGINT) AS nation,
+                  CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                       AS BIGINT) AS revenue_cents
+           FROM orders o
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n ON n.n_nationkey = c.c_nationkey
+           GROUP BY 1, 2)
+SELECT region, nation, revenue_cents,
+       CAST(1000000 * revenue_cents
+            // sum(revenue_cents) OVER (PARTITION BY region) AS BIGINT)
+         AS share_region_ppm,
+       CAST(1000000 * revenue_cents
+            // sum(revenue_cents) OVER () AS BIGINT) AS share_global_ppm
+FROM r"""
+
+
+def q_lineno_audit(sf_dir: str) -> pa.Table:
+    """Order-lines integrity audit: per order the line numbers must be
+    exactly 1..n (contiguous, duplicate-free) — verified WITHOUT a
+    distinct (distinct counts don't fold across batches) via the
+    associative power-sum identity: min == 1, max == n,
+    2*sum == n(n+1) and 6*sumsq == n(n+1)(2n+1).  Reports orders
+    checked, violations, and the largest clean order's width.
+    Per-batch (order, count, sum, sumsq, min, max) partials fold under
+    the order bucket; single summary row."""
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_linenumber"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["l_linenumber"] = df["l_linenumber"].astype("int64")
+        df["sq"] = df["l_linenumber"] * df["l_linenumber"]
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            n=("l_linenumber", "size"), s=("l_linenumber", "sum"),
+            ss=("sq", "sum"),
+            mn=("l_linenumber", "min"), mx=("l_linenumber", "max"))
+        return typed_table(g, l_orderkey=pa.int64(), n=pa.int64(),
+                           s=pa.int64(), ss=pa.int64(), mn=pa.int64(),
+                           mx=pa.int64())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def per_order(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"))
+        ok = ((g["mn"] == 1) & (g["mx"] == g["n"])
+              & (2 * g["s"] == g["n"] * (g["n"] + 1))
+              & (6 * g["ss"] == g["n"] * (g["n"] + 1)
+                 * (2 * g["n"] + 1)))
+        out = pd.DataFrame({
+            "n_orders": [len(g)],
+            "n_violations": [int((~ok).sum())],
+            "max_clean_width": [int(g.loc[ok, "n"].max()) if ok.any()
+                                else 0]})
+        return typed_table(out, n_orders=pa.int64(),
+                           n_violations=pa.int64(),
+                           max_clean_width=pa.int64())
+
+    agg = bucketed_group_apply(parts, "l_orderkey", per_order, 16)         .to_pandas()
+    return pa.table({
+        "n_orders": pa.array([int(agg["n_orders"].sum())], pa.int64()),
+        "n_violations": pa.array([int(agg["n_violations"].sum())],
+                                 pa.int64()),
+        "max_clean_width": pa.array([int(agg["max_clean_width"].max())],
+                                    pa.int64())})
+
+
+SQL_LINENO_AUDIT = """
+WITH g AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(l_linenumber) AS BIGINT) AS s,
+                  CAST(sum(CAST(l_linenumber AS BIGINT)
+                           * l_linenumber) AS BIGINT) AS ss,
+                  CAST(min(l_linenumber) AS BIGINT) AS mn,
+                  CAST(max(l_linenumber) AS BIGINT) AS mx
+           FROM lineitem GROUP BY 1),
+f AS (SELECT n, (mn = 1 AND mx = n AND 2 * s = n * (n + 1)
+                 AND 6 * ss = n * (n + 1) * (2 * n + 1)) AS ok
+      FROM g)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_violations,
+       CAST(COALESCE(max(CASE WHEN ok THEN n END), 0) AS BIGINT)
+         AS max_clean_width
+FROM f"""
+
+
+QUERIES.update({
+    "nation_share": q_nation_share,
+    "lineno_audit": q_lineno_audit,
+})
+ORACLES.update({
+    "nation_share": SQL_NATION_SHARE,
+    "lineno_audit": SQL_LINENO_AUDIT,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -11475,7 +11625,7 @@ _DRIVER_FRONT = [
     "degree_hist", "segment_algebra", "price_mad", "kg_reciprocity",
     "sentence_burstiness", "dim_concentration", "sorted_blocks",
     "concept_drift", "cusum_change", "brand_copurchase", "rolling_actives",
-    "transition_lift",
+    "transition_lift", "nation_share", "lineno_audit",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -944,3 +944,76 @@ def test_transition_lift_sticky_pair():
     assert out.loc[("a", "a"), "n_pairs"] == 2
     assert out.loc[("a", "a"), "lift_ppm"] == (1_000_000 * 2 * 3) // 6
     assert out.loc[("a", "b"), "lift_ppm"] == (1_000_000 * 1 * 3) // 3
+
+
+def test_lineno_audit_power_sum_identity():
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import dug_ray.queries as q
+
+    def _write(d, orders):
+        rows = [(o, ln) for o, lns in orders.items() for ln in lns]
+        df = pd.DataFrame(rows, columns=["l_orderkey", "l_linenumber"])
+        df["l_linenumber"] = pd.array(df["l_linenumber"], dtype="int32")
+        df["l_partkey"] = 1
+        df["l_suppkey"] = 1
+        df["l_quantity"] = 1.0
+        df["l_extendedprice"] = 1.0
+        df["l_discount"] = 0.0
+        df["l_tax"] = 0.0
+        df["l_returnflag"] = "N"
+        df["l_linestatus"] = "O"
+        df["l_shipdate"] = pd.Timestamp("2024-01-01")
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "lineitem.parquet"))
+
+    with tempfile.TemporaryDirectory() as d:
+        # order 1 clean (1..3); order 2 has a gap+dup with EQUAL sum
+        # (1,3,3,4 vs 1,2,3,4... wait: use missing {2,5} dup {3,4}:
+        # [1,3,3,4,4,6] passes sum+max but FAILS the sum-of-squares)
+        _write(d, {1: [1, 2, 3], 2: [1, 3, 3, 4, 4, 6],
+                   3: [1, 3]})  # gap: mx != n
+        out = q.QUERIES["lineno_audit"](d).to_pandas().iloc[0]
+    assert out["n_orders"] == 3
+    assert out["n_violations"] == 2
+    assert out["max_clean_width"] == 3
+
+
+def test_nation_share_ppm():
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import dug_ray.queries as q
+    cust = pd.DataFrame({
+        "c_custkey": [1, 2], "c_name": ["a", "b"],
+        "c_nationkey": pd.array([10, 20], dtype="int32"),
+        "c_acctbal": [0.0, 0.0], "c_mktsegment": ["A", "A"]})
+    nat = pd.DataFrame({
+        "n_nationkey": pd.array([10, 20], dtype="int32"),
+        "n_name": ["X", "Y"],
+        "n_regionkey": pd.array([5, 5], dtype="int32")})
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_custkey": [1, 1, 2],
+        "o_orderstatus": ["F"] * 3,
+        "o_totalprice": [1.0, 2.0, 1.0],
+        "o_orderdate": [pd.Timestamp("2024-01-01")] * 3,
+        "o_orderpriority": ["1-URGENT"] * 3})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(cust),
+                       os.path.join(d, "customer.parquet"))
+        pq.write_table(pa.Table.from_pandas(nat),
+                       os.path.join(d, "nation.parquet"))
+        pq.write_table(pa.Table.from_pandas(orders),
+                       os.path.join(d, "orders.parquet"))
+        out = q.QUERIES["nation_share"](d).to_pandas() \
+            .set_index("nation")
+    # nation 10: 300 of 400 cents -> 750000 ppm of region and global
+    assert out.loc[10, "share_region_ppm"] == 750_000
+    assert out.loc[10, "share_global_ppm"] == 750_000
+    assert out.loc[20, "revenue_cents"] == 100
