@@ -11571,6 +11571,140 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# interval-union coverage time, Theil-Sen robust trend
+# ---------------------------------------------------------------------------
+
+def q_coverage_time(sf_dir: str) -> ray.data.Dataset:
+    """Interval-union coverage per user: each event claims the window
+    [ts, ts + 15 min); overlapping windows merge (the classic sweep:
+    a window whose start exceeds the running max-end opens a new
+    island) and the output is merged-interval count plus total covered
+    microseconds — presence time without double-counting bursts (the
+    union-length sibling of interval_concurrency's overlap count).
+    One user-bucketed exchange; the sweep is a vectorized cummax."""
+    W = 900_000_000  # 15 min in us
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(s=df["ts"].astype("datetime64[us]")
+                       .astype("int64"))
+        df = df.sort_values(["user_id", "s"], kind="mergesort")
+        df["e"] = df["s"] + W
+        prev_max_e = (df.groupby("user_id")["e"].cummax()
+                      .groupby(df["user_id"].to_numpy()).shift())
+        new_island = prev_max_e.isna() | (df["s"] > prev_max_e)
+        df["island"] = new_island.cumsum()
+        isl = df.groupby(["user_id", "island"], as_index=False).agg(
+            s=("s", "min"), e=("e", "max"))
+        out = isl.groupby("user_id", as_index=False).agg(
+            n_intervals=("island", "size"))
+        out["covered_us"] = (isl.groupby("user_id")
+                             .apply(lambda g: int((g["e"] - g["s"]).sum()),
+                                    include_groups=False)
+                             .reindex(out["user_id"]).to_numpy())
+        return typed_table(out, user_id=pa.int64(),
+                           n_intervals=pa.int64(), covered_us=pa.int64())
+
+    return bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+
+SQL_COVERAGE_TIME = """
+WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+                  CAST(epoch_us(ts) AS BIGINT) + 900000000 AS "end"
+           FROM events),
+m AS (SELECT user_id, s, "end",
+             max("end") OVER (PARTITION BY user_id ORDER BY s, "end"
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pmax
+      FROM e),
+i AS (SELECT user_id, s, "end",
+             sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, "end"
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m),
+isl AS (SELECT user_id, island, min(s) AS s, max("end") AS e
+        FROM i GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(e - s) AS BIGINT) AS covered_us
+FROM isl GROUP BY user_id"""
+
+
+def q_theil_sen(sf_dir: str) -> pa.Table:
+    """Theil-Sen robust trend of the daily event-count series: the
+    LOWER median of all pairwise slopes trunc(1e6 * (x_j - x_i) /
+    (j - i)) over the zero-filled spine — outlier-immune where OLS
+    (price_regression's method) is not; slopes can be negative so the
+    per-pair quantization uses TRUNCATED division on both engines.
+    Spine-bounded driver final (pair count ~ days^2; the spine is the
+    small series, never the corpus)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["ts"], pa.date32())
+        g = pd.Series(d.to_numpy(zero_copy_only=False))             .value_counts().rename_axis("d").reset_index(name="x")
+        return typed_table(g, d=pa.date32(), x=pa.int64())
+
+    daily = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "d",
+        lambda df: typed_table(df.groupby("d", as_index=False)["x"].sum(),
+                               d=pa.date32(), x=pa.int64()),
+        8).to_pandas()
+    daily["d"] = pd.to_datetime(daily["d"])
+    spine = pd.date_range(daily["d"].min(), daily["d"].max(), freq="D")
+    x = daily.set_index("d")["x"].reindex(spine, fill_value=0)         .astype("int64").to_list()
+    n = len(x)
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            num = 1_000_000 * (int(x[j]) - int(x[i]))
+            q = abs(num) // (j - i)
+            slopes.append(q if num >= 0 else -q)
+    slopes.sort()
+    m = len(slopes)
+    med = slopes[(m + 1) // 2 - 1] if m else 0
+    return pa.table({"n_days": pa.array([n], pa.int64()),
+                     "n_pairs": pa.array([m], pa.int64()),
+                     "slope_micro": pa.array([med], pa.int64())})
+
+
+SQL_THEIL_SEN = """
+WITH b AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+lim AS (SELECT min(d) AS d0, max(d) AS d1 FROM b),
+spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                             CAST(d1 AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE) AS d
+          FROM lim),
+s AS (SELECT spine.d, COALESCE(b.x, 0) AS x,
+             row_number() OVER (ORDER BY spine.d) AS t
+      FROM spine LEFT JOIN b USING (d)),
+sl AS (SELECT 1000000 * (c.x - a.x) // (c.t - a.t) AS slope
+       FROM s a JOIN s c ON c.t > a.t),
+r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+             count(*) OVER () AS m
+      FROM sl)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_days,
+       CAST(max(m) AS BIGINT) AS n_pairs,
+       CAST(max(CASE WHEN rn = (m + 1) // 2 THEN slope END) AS BIGINT)
+         AS slope_micro
+FROM r"""
+
+
+QUERIES.update({
+    "coverage_time": q_coverage_time,
+    "theil_sen": q_theil_sen,
+})
+ORACLES.update({
+    "coverage_time": SQL_COVERAGE_TIME,
+    "theil_sen": SQL_THEIL_SEN,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -11625,7 +11759,7 @@ _DRIVER_FRONT = [
     "degree_hist", "segment_algebra", "price_mad", "kg_reciprocity",
     "sentence_burstiness", "dim_concentration", "sorted_blocks",
     "concept_drift", "cusum_change", "brand_copurchase", "rolling_actives",
-    "transition_lift", "nation_share", "lineno_audit",
+    "transition_lift", "nation_share", "lineno_audit", "coverage_time", "theil_sen",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -1017,3 +1017,40 @@ def test_nation_share_ppm():
     assert out.loc[10, "share_region_ppm"] == 750_000
     assert out.loc[10, "share_global_ppm"] == 750_000
     assert out.loc[20, "revenue_cents"] == 100
+
+
+def test_coverage_time_merging():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    # events at 0 and +10min overlap (15-min windows); +40min separate
+    rows = [(0, 1, t0, "v", 0.0), (1, 1, t0 + 10 * m, "v", 0.0),
+            (2, 1, t0 + 40 * m, "v", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["coverage_time"](d).to_pandas().iloc[0]
+    assert out["n_intervals"] == 2
+    # merged [0, 25min) + [40, 55min) = 25 + 15 minutes
+    assert out["covered_us"] == (25 + 15) * 60 * 1_000_000
+
+
+def test_theil_sen_negative_truncation():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    day = pd.Timedelta(days=1)
+    # counts [5, 1, 1]: slopes (1-5)/1 = -4e6, (1-5)/2 = -2e6,
+    # (1-1)/1 = 0; sorted [-4e6, -2e6, 0], lower median -> -2e6
+    rows, eid = [], 0
+    for dd, c in enumerate([5, 1, 1]):
+        for _ in range(c):
+            rows.append((eid, 1, t0 + dd * day, "v", 0.0))
+            eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["theil_sen"](d).to_pandas().iloc[0]
+    assert out["n_days"] == 3 and out["n_pairs"] == 3
+    assert out["slope_micro"] == -2_000_000
