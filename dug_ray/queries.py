@@ -11705,6 +11705,144 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# growth accounting, Simpson diversity index
+# ---------------------------------------------------------------------------
+
+def q_growth_accounting(sf_dir: str) -> ray.data.Dataset:
+    """Growth accounting per active day: distinct actives split into NEW
+    (first-ever day) and RETURNING — the product-analytics staple
+    retention_cohorts rolls up from.  Distinct (user, day) memberships
+    fold per user bucket where each user's min day is group-local, so
+    the new/returning flag needs no broadcast; per-day partial counts
+    fold in the second bounded exchange."""
+    from dug_ray.shuffle import distinct_rows
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 86_400_000_000).astype("int64")
+        out = pd.DataFrame({"user_id": df["user_id"],
+                            "day": day}).drop_duplicates()
+        return typed_table(out, user_id=pa.int64(), day=pa.int64())
+
+    ud = distinct_rows(
+        ds.map_batches(to_days, batch_format="pyarrow", batch_size=None),
+        ["user_id", "day"], 16)
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        first = df.groupby("user_id")["day"].transform("min")
+        df = df.assign(is_new=(df["day"] == first).astype("int64"))
+        g = df.groupby("day", as_index=False).agg(
+            n_active=("user_id", "size"), n_new=("is_new", "sum"))
+        return typed_table(g, day=pa.int64(), n_active=pa.int64(),
+                           n_new=pa.int64())
+
+    parts = bucketed_group_apply(ud, "user_id", per_user, 16)
+
+    def per_day(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("day", as_index=False).agg(
+            n_active=("n_active", "sum"), n_new=("n_new", "sum"))
+        g["n_returning"] = g["n_active"] - g["n_new"]
+        return typed_table(g, day=pa.int64(), n_active=pa.int64(),
+                           n_new=pa.int64(), n_returning=pa.int64())
+
+    return bucketed_group_apply(parts, "day", per_day, 8)
+
+
+SQL_GROWTH_ACCOUNTING = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+            FROM events),
+f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+SELECT ud.day, CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN ud.day = f.first_day THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_returning
+FROM ud JOIN f USING (user_id)
+GROUP BY ud.day"""
+
+
+def q_simpson_index(sf_dir: str) -> ray.data.Dataset:
+    """Simpson concentration per language: D_ppm = floor(1e6 *
+    sum(c_t^2) / n^2) over term frequencies — the collision
+    probability of two random tokens (1/D = effective vocabulary),
+    the moment-based diversity twin of the entropy measures and an
+    exact F2 frequency moment.  Term counts reduce per (lang, term);
+    the square-sum folds per lang in HUGEINT/Python ints."""
+    docs = read_documents(sf_dir, columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for lang, text in zip(df["lang"], df["text"]):
+            for t in text.split(" "):
+                rows.append((lang, t))
+        g = (pd.DataFrame(rows, columns=["lang", "term"])
+             .groupby(["lang", "term"], as_index=False)
+             .size().rename(columns={"size": "c"}))
+        return typed_table(g, lang=pa.string(), term=pa.string(),
+                           c=pa.int64())
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+
+    def per_term(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["lang", "term"], as_index=False)["c"].sum()
+        # square AFTER the per-term merge (the corpus_kl lesson)
+        agg = g.groupby("lang", as_index=False).apply(
+            lambda s: pd.Series({
+                "n": int(s["c"].sum()),
+                "f2": sum(int(v) * int(v) for v in s["c"]),
+                "v": len(s)}),
+            include_groups=False)
+        return typed_table(agg, lang=pa.string(), n=pa.int64(),
+                           f2=pa.int64(), v=pa.int64())
+
+    per = bucketed_group_apply(parts, "term", per_term, 16)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("lang", as_index=False).agg(
+            n=("n", "sum"), f2=("f2", "sum"), v=("v", "sum"))
+        g["simpson_ppm"] = [
+            (1_000_000 * int(f)) // (int(n) * int(n)) if n else 0
+            for f, n in zip(g["f2"], g["n"])]
+        out = g.rename(columns={"n": "n_tokens", "v": "n_terms"})
+        return typed_table(out, lang=pa.string(), n_tokens=pa.int64(),
+                           f2=pa.int64(), n_terms=pa.int64(),
+                           simpson_ppm=pa.int64())
+
+    return bucketed_group_apply(per, "lang", final, 4)
+
+
+SQL_SIMPSON_INDEX = _with(SQL_TOKS) + """,
+tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2),
+a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS f2,
+             CAST(count(*) AS BIGINT) AS n_terms
+      FROM tf GROUP BY 1)
+SELECT lang, n_tokens, f2, n_terms,
+       CAST(1000000 * CAST(f2 AS HUGEINT)
+            // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+         AS simpson_ppm
+FROM a"""
+
+
+QUERIES.update({
+    "growth_accounting": q_growth_accounting,
+    "simpson_index": q_simpson_index,
+})
+ORACLES.update({
+    "growth_accounting": SQL_GROWTH_ACCOUNTING,
+    "simpson_index": SQL_SIMPSON_INDEX,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -11760,6 +11898,7 @@ _DRIVER_FRONT = [
     "sentence_burstiness", "dim_concentration", "sorted_blocks",
     "concept_drift", "cusum_change", "brand_copurchase", "rolling_actives",
     "transition_lift", "nation_share", "lineno_audit", "coverage_time", "theil_sen",
+    "growth_accounting", "simpson_index",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -1054,3 +1054,46 @@ def test_theil_sen_negative_truncation():
         out = q.QUERIES["theil_sen"](d).to_pandas().iloc[0]
     assert out["n_days"] == 3 and out["n_pairs"] == 3
     assert out["slope_micro"] == -2_000_000
+
+
+def test_growth_accounting_new_vs_returning():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    day = pd.Timedelta(days=1)
+    # user 1 active day0+day1; user 2 only day1
+    rows = [(0, 1, t0, "v", 0.0), (1, 1, t0 + day, "v", 0.0),
+            (2, 2, t0 + day, "v", 0.0),
+            (3, 1, t0 + day, "v", 0.0)]  # same (user, day) dedups
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["growth_accounting"](d).to_pandas() \
+            .set_index("day")
+    base = int(t0.value // (86_400 * 10 ** 9))
+    assert out.loc[base, "n_new"] == 1
+    assert out.loc[base, "n_returning"] == 0
+    assert out.loc[base + 1, "n_active"] == 2
+    assert out.loc[base + 1, "n_new"] == 1      # user 2
+    assert out.loc[base + 1, "n_returning"] == 1  # user 1
+
+
+def test_simpson_index_point_mass():
+    import tempfile
+
+    import dug_ray.queries as q
+    # lang en: "a a a a" -> D = 16/16 = 1e6 ppm; lang fr: "x y" -> 0.5
+    import os
+
+    import pyarrow.parquet as pq
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a a a a", "x y"],
+                       "lang": ["en", "fr"], "source": ["t", "t"]})
+    df["n_chars"] = df["text"].str.len()
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "documents.parquet"))
+        out = q.QUERIES["simpson_index"](d).to_pandas() \
+            .set_index("lang")
+    assert out.loc["en", "simpson_ppm"] == 1_000_000
+    assert out.loc["fr", "simpson_ppm"] == 500_000
+    assert out.loc["en", "n_terms"] == 1 and out.loc["fr", "n_terms"] == 2
