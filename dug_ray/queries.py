@@ -11843,6 +11843,154 @@ ORACLES.update({
 })
 
 
+
+# ---------------------------------------------------------------------------
+# cohort conversion, label-centroid distance matrix
+# ---------------------------------------------------------------------------
+
+def q_cohort_conversion(sf_dir: str) -> ray.data.Dataset:
+    """Conversion rate by signup cohort: users grouped by first-active
+    ISO week; a user converts when their first 'purchase' strictly
+    follows their first 'view' — conversion_latency's cohort rollup
+    (which weekly acquisition batches actually convert).  Per-user
+    firsts are group-local in the user bucket; only (cohort, flag)
+    partials fold."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        df = df.assign(us=us)
+        g = df.groupby("user_id")
+        first_day = (g["us"].min() // 86_400_000_000).astype("int64")
+        cohort_week = first_day // 7
+        v = df[df["event_type"] == "view"].groupby("user_id")["us"].min()
+        p = df[df["event_type"] == "purchase"]             .groupby("user_id")["us"].min()
+        j = pd.concat([v.rename("v"), p.rename("p")], axis=1)
+        conv = ((j["p"].notna()) & (j["v"].notna())
+                & (j["p"] > j["v"]))
+        out = pd.DataFrame({
+            "cohort_week": cohort_week,
+            "converted": conv.reindex(cohort_week.index)
+            .fillna(False).astype("int64")})
+        g2 = out.groupby("cohort_week", as_index=False).agg(
+            n_users=("converted", "size"),
+            n_converted=("converted", "sum"))
+        return typed_table(g2, cohort_week=pa.int64(),
+                           n_users=pa.int64(), n_converted=pa.int64())
+
+    parts = bucketed_group_apply(ds, "user_id", per_user, 16)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("cohort_week", as_index=False).agg(
+            n_users=("n_users", "sum"),
+            n_converted=("n_converted", "sum"))
+        g["conv_ppm"] = (1_000_000 * g["n_converted"]) // g["n_users"]
+        return typed_table(g, cohort_week=pa.int64(), n_users=pa.int64(),
+                           n_converted=pa.int64(), conv_ppm=pa.int64())
+
+    return bucketed_group_apply(parts, "cohort_week", final, 4)
+
+
+SQL_COHORT_CONVERSION = """
+WITH f AS (
+  SELECT user_id,
+         min(CAST(epoch_us(ts) AS BIGINT)) // 86400000000 // 7
+           AS cohort_week,
+         min(CASE WHEN event_type = 'view'
+                  THEN CAST(epoch_us(ts) AS BIGINT) END) AS v,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(epoch_us(ts) AS BIGINT) END) AS p
+  FROM events GROUP BY user_id)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN v IS NOT NULL AND p IS NOT NULL AND p > v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(1000000 * sum(CASE WHEN v IS NOT NULL AND p IS NOT NULL
+                               AND p > v THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS conv_ppm
+FROM f GROUP BY cohort_week"""
+
+
+def q_centroid_distmat(sf_dir: str) -> pa.Table:
+    """Exact label-centroid distance matrix: for every label pair
+    (a < b), dist_micro = floor(1e6 * sum_d (s_a[d]*c_b - s_b[d]*c_a)^2
+    / (c_a*c_b)^2) over milli-quantized component sums — the
+    inter-class separation table read next to centroid_shift's
+    intra-class drift (labels whose centroids collide are the
+    confusion candidates).  Per-batch (label, dim) partials fold to
+    O(labels x dims); the pair compose is label-bounded (driver
+    final), exact Python-int rationals."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = np.floor(np.stack(df["embedding"].to_numpy())
+                     .astype("float64") * 1e3).astype("int64")
+        lab = df["label"].to_numpy().astype("int64")
+        rows = []
+        for lb in np.unique(lab):
+            sub = m[lab == lb]
+            s = sub.sum(axis=0)
+            for d in range(m.shape[1]):
+                rows.append((int(lb), d + 1, int(s[d]), len(sub)))
+        out = pd.DataFrame(rows, columns=["label", "dim", "s", "c"])
+        return typed_table(out, label=pa.int64(), dim=pa.int64(),
+                           s=pa.int64(), c=pa.int64())
+
+    g = (emb.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+         .groupby(["label", "dim"], as_index=False).sum())
+    labels = sorted(g["label"].unique())
+    S = {lb: g[g["label"] == lb].set_index("dim")["s"] for lb in labels}
+    C = {lb: int(g[g["label"] == lb]["c"].iloc[0]) for lb in labels}
+    rows = []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            ca, cb = C[a], C[b]
+            num = sum((int(S[a][d]) * cb - int(S[b][d]) * ca) ** 2
+                      for d in S[a].index)
+            rows.append((int(a), int(b), ca, cb,
+                         (1_000_000 * num) // ((ca * cb) ** 2)))
+    out = pd.DataFrame(rows, columns=["label_a", "label_b", "n_a",
+                                      "n_b", "dist_micro"])
+    return typed_table(out, label_a=pa.int64(), label_b=pa.int64(),
+                       n_a=pa.int64(), n_b=pa.int64(),
+                       dist_micro=pa.int64())
+
+
+SQL_CENTROID_DISTMAT = """
+WITH u AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+           AS q
+  FROM embeddings),
+g AS (SELECT label, dim, CAST(sum(q) AS HUGEINT) AS s,
+             CAST(count(*) AS HUGEINT) AS c
+      FROM u GROUP BY 1, 2),
+j AS (SELECT a.label AS label_a, b.label AS label_b, a.dim,
+             a.s AS sa, b.s AS sb, a.c AS ca, b.c AS cb
+      FROM g a JOIN g b ON b.dim = a.dim AND a.label < b.label)
+SELECT label_a, label_b, CAST(max(ca) AS BIGINT) AS n_a,
+       CAST(max(cb) AS BIGINT) AS n_b,
+       CAST(1000000 * sum((sa * cb - sb * ca) * (sa * cb - sb * ca))
+            // (max(ca) * max(cb) * max(ca) * max(cb)) AS BIGINT)
+         AS dist_micro
+FROM j GROUP BY label_a, label_b"""
+
+
+QUERIES.update({
+    "cohort_conversion": q_cohort_conversion,
+    "centroid_distmat": q_centroid_distmat,
+})
+ORACLES.update({
+    "cohort_conversion": SQL_COHORT_CONVERSION,
+    "centroid_distmat": SQL_CENTROID_DISTMAT,
+})
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -11898,7 +12046,7 @@ _DRIVER_FRONT = [
     "sentence_burstiness", "dim_concentration", "sorted_blocks",
     "concept_drift", "cusum_change", "brand_copurchase", "rolling_actives",
     "transition_lift", "nation_share", "lineno_audit", "coverage_time", "theil_sen",
-    "growth_accounting", "simpson_index",
+    "growth_accounting", "simpson_index", "cohort_conversion", "centroid_distmat",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

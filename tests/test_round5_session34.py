@@ -1097,3 +1097,37 @@ def test_simpson_index_point_mass():
     assert out.loc["en", "simpson_ppm"] == 1_000_000
     assert out.loc["fr", "simpson_ppm"] == 500_000
     assert out.loc["en", "n_terms"] == 1 and out.loc["fr", "n_terms"] == 2
+
+
+def test_cohort_conversion_strict_order():
+    import tempfile
+
+    import dug_ray.queries as q
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    # user 1: view then purchase -> converted; user 2: purchase before
+    # view -> NOT; user 3: view only -> NOT. all first-active same week
+    rows = [(0, 1, t0, "view", 0.0), (1, 1, t0 + s, "purchase", 0.0),
+            (2, 2, t0, "purchase", 0.0), (3, 2, t0 + s, "view", 0.0),
+            (4, 3, t0, "view", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["cohort_conversion"](d).to_pandas().iloc[0]
+    assert out["n_users"] == 3 and out["n_converted"] == 1
+    assert out["conv_ppm"] == 333_333
+
+
+def test_centroid_distmat_known_distance():
+    import tempfile
+
+    import dug_ray.queries as q
+    # label 0 centroid (1, 0); label 1 centroid (0, 1) from two vecs
+    rows = [(0, [1.0, 0.0], 0),
+            (1, [0.0, 2.0], 1), (2, [0.0, 0.0], 1)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_emb(d, rows)
+        out = q.QUERIES["centroid_distmat"](d).to_pandas().iloc[0]
+    # sa=(1000,0) ca=1; sb=(0,2000) cb=2
+    # num = (1000*2 - 0)^2 + (0 - 2000*1)^2 = 8e6; denom (1*2)^2 = 4
+    assert (out["label_a"], out["label_b"]) == (0, 1)
+    assert out["dist_micro"] == (1_000_000 * 8_000_000) // 4
