@@ -11992,6 +11992,152 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Kendall concordance (gamma) and Wald-Wolfowitz runs test
+# ---------------------------------------------------------------------------
+
+def _daily_revenue_cents(sf_dir: str) -> pd.DataFrame:
+    """Daily order revenue in integer cents, one row per day WITH orders
+    (no spine — present-day series), sorted by day.  Per-batch (day,
+    cents) partials fold through the day bucket; the returned series is
+    calendar-bounded (days, not orders), so driver finals over it are
+    the same scale class as theil_sen's spine."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df["o_orderdate"].astype("datetime64[us]").astype("int64") \
+            // 86_400_000_000
+        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        g = pd.DataFrame({"d": d, "cents": cents}) \
+            .groupby("d", as_index=False)["cents"].sum()
+        return typed_table(g, d=pa.int64(), cents=pa.int64())
+
+    daily = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "d",
+        lambda df: typed_table(df.groupby("d", as_index=False)["cents"].sum(),
+                               d=pa.int64(), cents=pa.int64()),
+        8).to_pandas().sort_values("d").reset_index(drop=True)
+    return daily
+
+
+_SQL_DAILY_REVENUE = """
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+           // 86400000000 AS d,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1"""
+
+
+def q_kendall_gamma(sf_dir: str) -> pa.Table:
+    """Kendall concordance of the daily-revenue series against time:
+    over all day pairs i < j (by day), count concordant (rev_j > rev_i),
+    discordant (rev_j < rev_i) and tied pairs, plus the Goodman-Kruskal
+    gamma trunc(1e6 * (P - Q) / (P + Q)) — the rank-based trend
+    significance read next to theil_sen's slope (is the trend direction
+    consistent, not just its magnitude).  Day-pair compose is
+    calendar-bounded (days^2, never orders^2); gamma can be negative so
+    the quantization uses TRUNCATED division on both engines."""
+    x = _daily_revenue_cents(sf_dir)["cents"].to_list()
+    n = len(x)
+    P = Q = T = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if x[j] > x[i]:
+                P += 1
+            elif x[j] < x[i]:
+                Q += 1
+            else:
+                T += 1
+    if P + Q:
+        num = 1_000_000 * (P - Q)
+        g = abs(num) // (P + Q)
+        gamma = g if num >= 0 else -g
+    else:
+        gamma = 0
+    return pa.table({"n_days": pa.array([n], pa.int64()),
+                     "n_concordant": pa.array([P], pa.int64()),
+                     "n_discordant": pa.array([Q], pa.int64()),
+                     "n_ties": pa.array([T], pa.int64()),
+                     "gamma_ppm": pa.array([gamma], pa.int64())})
+
+
+SQL_KENDALL_GAMMA = f"""
+WITH b AS ({_SQL_DAILY_REVENUE}),
+p AS (SELECT CAST(sum(CASE WHEN c.cents > a.cents THEN 1 ELSE 0 END)
+               AS BIGINT) AS pc,
+             CAST(sum(CASE WHEN c.cents < a.cents THEN 1 ELSE 0 END)
+               AS BIGINT) AS qc,
+             CAST(sum(CASE WHEN c.cents = a.cents THEN 1 ELSE 0 END)
+               AS BIGINT) AS tc
+      FROM b a JOIN b c ON c.d > a.d)
+SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_days,
+       pc AS n_concordant, qc AS n_discordant, tc AS n_ties,
+       CAST(CASE WHEN pc + qc > 0
+                 THEN 1000000 * (pc - qc) // (pc + qc)
+                 ELSE 0 END AS BIGINT) AS gamma_ppm
+FROM p"""
+
+
+def q_runs_test(sf_dir: str) -> pa.Table:
+    """Wald-Wolfowitz runs test on the daily-revenue series: each day is
+    scored above (cents > median) or at-or-below the LOWER median of
+    the series, and maximal same-sign runs are counted in day order —
+    too few runs means the residual sign is sticky (trend / regime
+    shifts the mean-based daily_anomaly misses), too many means
+    oscillation.  Median and run scan are over the calendar-bounded
+    series (driver final); same lower-median convention as theil_sen
+    ((m+1)//2-th of the sorted values)."""
+    daily = _daily_revenue_cents(sf_dir)
+    x = daily["cents"].to_list()
+    n = len(x)
+    if n == 0:
+        return pa.table({"n_days": pa.array([0], pa.int64()),
+                         "median_cents": pa.array([0], pa.int64()),
+                         "n_above": pa.array([0], pa.int64()),
+                         "n_below": pa.array([0], pa.int64()),
+                         "n_runs": pa.array([0], pa.int64())})
+    med = sorted(x)[(n + 1) // 2 - 1]
+    signs = [1 if v > med else 0 for v in x]
+    runs = 1 + sum(1 for i in range(1, n) if signs[i] != signs[i - 1])
+    return pa.table({"n_days": pa.array([n], pa.int64()),
+                     "median_cents": pa.array([med], pa.int64()),
+                     "n_above": pa.array([sum(signs)], pa.int64()),
+                     "n_below": pa.array([n - sum(signs)], pa.int64()),
+                     "n_runs": pa.array([runs], pa.int64())})
+
+
+SQL_RUNS_TEST = f"""
+WITH b AS ({_SQL_DAILY_REVENUE}),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+             count(*) OVER () AS m
+      FROM b),
+med AS (SELECT cents AS med FROM r WHERE rn = (m + 1) // 2),
+s AS (SELECT d, CASE WHEN cents > (SELECT med FROM med)
+                     THEN 1 ELSE 0 END AS sgn
+      FROM b),
+ch AS (SELECT sgn, lag(sgn) OVER (ORDER BY d) AS prev FROM s)
+SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_days,
+       CAST((SELECT med FROM med) AS BIGINT) AS median_cents,
+       CAST((SELECT sum(sgn) FROM s) AS BIGINT) AS n_above,
+       CAST((SELECT count(*) - sum(sgn) FROM s) AS BIGINT) AS n_below,
+       CAST(1 + sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+FROM ch"""
+
+
+QUERIES.update({
+    "kendall_gamma": q_kendall_gamma,
+    "runs_test": q_runs_test,
+})
+ORACLES.update({
+    "kendall_gamma": SQL_KENDALL_GAMMA,
+    "runs_test": SQL_RUNS_TEST,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -12047,6 +12193,7 @@ _DRIVER_FRONT = [
     "concept_drift", "cusum_change", "brand_copurchase", "rolling_actives",
     "transition_lift", "nation_share", "lineno_audit", "coverage_time", "theil_sen",
     "growth_accounting", "simpson_index", "cohort_conversion", "centroid_distmat",
+    "kendall_gamma", "runs_test",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -1,0 +1,77 @@
+"""Round-5 session-35: rank/order statistics and blocking operators over
+the daily-revenue series and dimension tables — hand-computed value pins
+for each new oracle-checked query."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import dug_ray.queries as q
+
+
+def _write_orders(d, rows):
+    df = pd.DataFrame(rows, columns=["o_orderkey", "o_custkey",
+                                     "o_orderdate", "o_totalprice"])
+    df["o_orderstatus"] = "O"
+    df["o_orderpriority"] = "3-MEDIUM"
+    df["o_orderdate"] = pd.to_datetime(df["o_orderdate"])
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "orders.parquet"))
+
+
+def test_kendall_gamma_known_series():
+    # daily revenue (cents): d0=100, d1=300, d2=200, d3=300
+    # pairs (i<j): (0,1)+ (0,2)+ (0,3)+ (1,2)- (1,3)tie (2,3)+
+    rows = [(1, 1, "2024-01-01", 1.00), (2, 1, "2024-01-02", 3.00),
+            (3, 1, "2024-01-03", 2.00), (4, 1, "2024-01-04", 3.00)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(d, rows)
+        out = q.QUERIES["kendall_gamma"](d).to_pandas().iloc[0]
+    assert out["n_days"] == 4
+    assert out["n_concordant"] == 4 and out["n_discordant"] == 1
+    assert out["n_ties"] == 1
+    # gamma = 1e6 * (4 - 1) // 5 = 600000
+    assert out["gamma_ppm"] == 600_000
+
+
+def test_kendall_gamma_negative_truncates():
+    # strictly decreasing: P=0 Q=3 -> gamma = -1e6 exactly; with a tie
+    # mix it would exercise trunc-toward-zero — pin the sign path
+    rows = [(1, 1, "2024-01-01", 3.00), (2, 1, "2024-01-02", 2.00),
+            (3, 1, "2024-01-03", 1.00)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(d, rows)
+        out = q.QUERIES["kendall_gamma"](d).to_pandas().iloc[0]
+    assert out["gamma_ppm"] == -1_000_000
+
+
+def test_runs_test_known_series():
+    # cents: 100, 300, 100, 300, 300  -> sorted 100,100,300,300,300
+    # lower median = (5+1)//2 = 3rd = 300; signs (>300): 0,0,0,0,0 -> 1 run
+    rows = [(1, 1, "2024-01-01", 1.00), (2, 1, "2024-01-02", 3.00),
+            (3, 1, "2024-01-03", 1.00), (4, 1, "2024-01-04", 3.00),
+            (5, 1, "2024-01-05", 3.00)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(d, rows)
+        out = q.QUERIES["runs_test"](d).to_pandas().iloc[0]
+    assert out["n_days"] == 5 and out["median_cents"] == 300
+    assert out["n_above"] == 0 and out["n_below"] == 5
+    assert out["n_runs"] == 1
+
+
+def test_runs_test_alternating():
+    # cents: 100, 900, 100, 900 -> lower median (4+1)//2 = 2nd = 100
+    # signs: 0,1,0,1 -> 4 runs, 2 above / 2 below
+    rows = [(1, 1, "2024-01-01", 1.00), (2, 1, "2024-01-02", 9.00),
+            (3, 1, "2024-01-03", 1.00), (4, 1, "2024-01-04", 9.00)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(d, rows)
+        out = q.QUERIES["runs_test"](d).to_pandas().iloc[0]
+    assert out["median_cents"] == 100
+    assert out["n_above"] == 2 and out["n_below"] == 2
+    assert out["n_runs"] == 4
