@@ -12138,6 +12138,116 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter registers, Mann-Whitney rank-sum
+# ---------------------------------------------------------------------------
+
+def q_bloom_registers(sf_dir: str) -> pa.Table:
+    """Dense Bloom bit table over the corpus's distinct term set
+    (stages/sketch.bloom_registers) — the third mergeable sketch family
+    next to HLL and CMS: set membership, bounded at BLOOM_M rows at any
+    corpus size."""
+    from dug_ray.stages.sketch import bloom_registers
+    return bloom_registers(read_documents(sf_dir, columns=["text"]))
+
+
+SQL_BLOOM_REGISTERS = _with(SQL_TOKS) + """,
+dt AS (SELECT DISTINCT term FROM toks),
+th AS (SELECT CAST(('0x' || substr(md5(term), 1, 16)) AS UBIGINT) AS hv
+       FROM dt),
+sparse AS (
+  SELECT DISTINCT
+         CAST((hv >> CAST(8 * s.range AS INTEGER)) & 255 AS BIGINT)
+           AS bit_idx
+  FROM th, range(4) s)
+SELECT CAST(g.range AS BIGINT) AS bit_idx,
+       CAST(CASE WHEN sparse.bit_idx IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS bit
+FROM range(256) g LEFT JOIN sparse ON sparse.bit_idx = g.range"""
+
+
+def q_mann_whitney(sf_dir: str) -> pa.Table:
+    """Mann-Whitney rank-sum between returned ('R') and non-returned
+    lineitems on extended price: exact tied-average-rank arithmetic over
+    the (cents -> group counts) value histogram — the nonparametric
+    location test beside ks_drift's distribution distance (is the
+    returned population priced differently, without assuming a shape).
+    Doubled ranks keep everything integer: for a distinct value with c
+    total rows after cum_before smaller rows, 2*avg_rank = 2*cum_before
+    + c + 1; r2_sum_r = sum(n_r * that) and u2_r = 2*N_r*N_o +
+    N_r*(N_r+1) - r2_sum_r (twice the U statistic).  Per-batch (cents,
+    n_r, n_all) partials fold by value; the cumulative scan runs over
+    the price-grid-bounded distinct-value table (driver final), with
+    Python-int accumulation because rank sums are O(n^2) and wrap int64
+    at the 100 TB design point (the SQL side uses HUGEINT)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice", "l_returnflag"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        r = (df["l_returnflag"] == "R").astype("int64")
+        g = pd.DataFrame({"cents": cents, "n_r": r, "n_all": 1}) \
+            .groupby("cents", as_index=False).sum()
+        return typed_table(g, cents=pa.int64(), n_r=pa.int64(),
+                           n_all=pa.int64())
+
+    hist = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "cents",
+        lambda df: typed_table(
+            df.groupby("cents", as_index=False)[["n_r", "n_all"]].sum(),
+            cents=pa.int64(), n_r=pa.int64(), n_all=pa.int64()),
+        16).to_pandas().sort_values("cents").reset_index(drop=True)
+
+    N_r = N_o = r2 = 0
+    cum = 0
+    for n_r, n_all in zip(hist["n_r"].to_list(), hist["n_all"].to_list()):
+        n_r, n_all = int(n_r), int(n_all)
+        r2 += n_r * (2 * cum + n_all + 1)
+        N_r += n_r
+        N_o += n_all - n_r
+        cum += n_all
+    u2 = 2 * N_r * N_o + N_r * (N_r + 1) - r2
+    return pa.table({"n_r": pa.array([N_r], pa.int64()),
+                     "n_other": pa.array([N_o], pa.int64()),
+                     "r2_sum_r": pa.array([r2], pa.int64()),
+                     "u2_r": pa.array([u2], pa.int64())})
+
+
+SQL_MANN_WHITNEY = """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_r,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM lineitem GROUP BY 1),
+w AS (SELECT cents, n_r, n_all - n_r AS n_o, n_all,
+             CAST(coalesce(sum(n_all) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS HUGEINT) AS cum_before
+      FROM v),
+agg AS (SELECT CAST(sum(n_r) AS HUGEINT) AS nr,
+               CAST(sum(n_o) AS HUGEINT) AS no,
+               CAST(sum(CAST(n_r AS HUGEINT)
+                        * (2 * cum_before + n_all + 1)) AS HUGEINT) AS r2
+        FROM w)
+SELECT CAST(nr AS BIGINT) AS n_r, CAST(no AS BIGINT) AS n_other,
+       CAST(r2 AS BIGINT) AS r2_sum_r,
+       CAST(2 * nr * no + nr * (nr + 1) - r2 AS BIGINT) AS u2_r
+FROM agg"""
+
+
+QUERIES.update({
+    "bloom_registers": q_bloom_registers,
+    "mann_whitney": q_mann_whitney,
+})
+ORACLES.update({
+    "bloom_registers": SQL_BLOOM_REGISTERS,
+    "mann_whitney": SQL_MANN_WHITNEY,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -12193,7 +12303,7 @@ _DRIVER_FRONT = [
     "concept_drift", "cusum_change", "brand_copurchase", "rolling_actives",
     "transition_lift", "nation_share", "lineno_audit", "coverage_time", "theil_sen",
     "growth_accounting", "simpson_index", "cohort_conversion", "centroid_distmat",
-    "kendall_gamma", "runs_test",
+    "kendall_gamma", "runs_test", "bloom_registers", "mann_whitney",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

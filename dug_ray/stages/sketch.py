@@ -270,3 +270,52 @@ def cms_estimate(docs: ray.data.Dataset, probes: list[str]) -> pa.Table:
         "true_count": pa.array([int(true_map.get(t, 0)) for t in probes],
                                pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter registers
+# ---------------------------------------------------------------------------
+# Third mergeable sketch family next to HLL (distinct count) and CMS
+# (point frequency): set MEMBERSHIP.  Same md5 bridge — byte-sliced
+# 64-bit md5 prefix gives all BLOOM_K hash functions, reproduced
+# verbatim by the SQL oracle as (hv >> 8*s) & (BLOOM_M - 1).
+
+BLOOM_M = 256   # bits (small so saturation is visible at test scale)
+BLOOM_K = 4     # hash functions
+
+
+def bloom_registers(docs: ray.data.Dataset) -> pa.Table:
+    """Bloom filter over the corpus's DISTINCT term set.  Output: the
+    dense bit table ``(bit_idx, bit)`` — exactly BLOOM_M rows at any
+    corpus size.  Bit-OR is the merge, so per-batch partial index sets
+    union associatively across blocks, retries, and resumed partitions
+    (same mergeability contract as cms_registers above).
+
+    Scale shape: each batch collapses to at most BLOOM_M sparse rows
+    (one md5 over the batch's distinct terms, byte-sliced into the K
+    indices, then np.unique); the exchange is a distinct over <=
+    blocks x BLOOM_M rows; the final densify is driver-side over a
+    BLOOM_M-bounded table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        terms = tokens.flatten().unique()
+        from dug_ray.hashing import md5_uint64
+        hv = md5_uint64(terms)
+        idx = np.unique(np.concatenate(
+            [((hv >> np.uint64(8 * s)) & np.uint64(BLOOM_M - 1))
+             .astype("int64") for s in range(BLOOM_K)])) if len(hv) \
+            else np.empty(0, dtype=np.int64)
+        return pa.table({"bit_idx": pa.array(idx, pa.int64())})
+
+    from dug_ray.shuffle import distinct_rows
+    sparse = distinct_rows(
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["bit_idx"]).to_pandas()
+    dense = np.zeros(BLOOM_M, dtype=np.int64)
+    if len(sparse):
+        dense[sparse["bit_idx"].to_numpy()] = 1
+    return pa.table({"bit_idx": pa.array(np.arange(BLOOM_M), pa.int64()),
+                     "bit": pa.array(dense, pa.int64())})

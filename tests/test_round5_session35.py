@@ -75,3 +75,76 @@ def test_runs_test_alternating():
     assert out["median_cents"] == 100
     assert out["n_above"] == 2 and out["n_below"] == 2
     assert out["n_runs"] == 4
+
+
+def _write_docs(d, texts):
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df["lang"] = "en"
+    df["source"] = "s"
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "documents.parquet"))
+
+
+def test_bloom_registers_single_term():
+    import hashlib
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, ["hello hello"])
+        out = q.QUERIES["bloom_registers"](d).to_pandas()
+    assert len(out) == 256 and out["bit_idx"].to_list() == list(range(256))
+    hv = int(hashlib.md5(b"hello").hexdigest()[:16], 16)
+    expect = {(hv >> (8 * s)) & 255 for s in range(4)}
+    got = set(out[out["bit"] == 1]["bit_idx"])
+    assert got == expect
+
+
+def test_bloom_registers_union_is_or():
+    import hashlib
+    # two docs, disjoint terms: filter == OR of the two single-term sets
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, ["alpha", "beta"])
+        out = q.QUERIES["bloom_registers"](d).to_pandas()
+    expect = set()
+    for t in (b"alpha", b"beta"):
+        hv = int(hashlib.md5(t).hexdigest()[:16], 16)
+        expect |= {(hv >> (8 * s)) & 255 for s in range(4)}
+    assert set(out[out["bit"] == 1]["bit_idx"]) == expect
+
+
+def _write_lineitem_prices(d, rows):
+    df = pd.DataFrame(rows, columns=["l_extendedprice", "l_returnflag"])
+    df["l_orderkey"] = range(1, len(df) + 1)
+    df["l_partkey"] = 1
+    df["l_suppkey"] = 1
+    df["l_linenumber"] = 1
+    df["l_quantity"] = 1.0
+    df["l_discount"] = 0.0
+    df["l_tax"] = 0.0
+    df["l_linestatus"] = "O"
+    df["l_shipdate"] = pd.Timestamp("2024-01-01")
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "lineitem.parquet"))
+
+
+def test_mann_whitney_no_ties():
+    # R group: 1.00, 3.00 (ranks 1, 3); other: 2.00, 4.00 (ranks 2, 4)
+    # r2_sum_r = 2*(1+3) = 8; U_R = n1*n2 + n1(n1+1)/2 - R1 = 4+3-4 = 3
+    rows = [(1.00, "R"), (3.00, "R"), (2.00, "N"), (4.00, "N")]
+    with tempfile.TemporaryDirectory() as d:
+        _write_lineitem_prices(d, rows)
+        out = q.QUERIES["mann_whitney"](d).to_pandas().iloc[0]
+    assert out["n_r"] == 2 and out["n_other"] == 2
+    assert out["r2_sum_r"] == 8
+    assert out["u2_r"] == 6
+
+
+def test_mann_whitney_tied_ranks():
+    # values: 1.00(R), 2.00(R), 2.00(N), 3.00(N)
+    # tied 2.00s share avg rank 2.5 -> 2*ranks of R = 2*1 + 5 = 7
+    # U_R = 4 + 3 - 3.5 = 3.5 -> u2_r = 7
+    rows = [(1.00, "R"), (2.00, "R"), (2.00, "N"), (3.00, "N")]
+    with tempfile.TemporaryDirectory() as d:
+        _write_lineitem_prices(d, rows)
+        out = q.QUERIES["mann_whitney"](d).to_pandas().iloc[0]
+    assert out["r2_sum_r"] == 7
+    assert out["u2_r"] == 2 * 2 * 2 + 2 * 3 - 7
