@@ -12248,6 +12248,104 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# k-truss edge support, straight-line revenue recognition
+# ---------------------------------------------------------------------------
+
+def q_truss_support(sf_dir: str) -> ray.data.Dataset:
+    """Per-edge triangle support over the concept co-annotation graph
+    (stages/graph.truss_support) — the k-truss building block: an edge
+    survives the k-truss iff support >= k-2, so this table IS the first
+    peel's work-list (edge-grained cohesion beside triangles'
+    node-grained census)."""
+    from dug_ray.stages.graph import concept_cooccurrence, truss_support
+    cooc = concept_cooccurrence(kg.linked_mentions_cached(sf_dir))
+    return truss_support(cooc)
+
+
+SQL_TRUSS_SUPPORT = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist", "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+cooc AS MATERIALIZED (
+  SELECT a.canonical_curie AS s, b.canonical_curie AS o
+  FROM dm a JOIN dm b USING (element_id)
+  WHERE a.canonical_curie < b.canonical_curie
+  GROUP BY 1, 2),
+tri AS (SELECT e1.s AS a, e1.o AS b, e2.o AS c
+        FROM cooc e1
+        JOIN cooc e2 ON e1.s = e2.s AND e1.o < e2.o
+        JOIN cooc e3 ON e3.s = e1.o AND e3.o = e2.o),
+te AS (SELECT a AS s, b AS o FROM tri
+       UNION ALL SELECT a, c FROM tri
+       UNION ALL SELECT b, c FROM tri),
+sup AS (SELECT s, o, count(*) AS c FROM te GROUP BY 1, 2)
+SELECT cooc.s AS subj, cooc.o AS obj,
+       CAST(coalesce(sup.c, 0) AS BIGINT) AS support
+FROM cooc LEFT JOIN sup ON sup.s = cooc.s AND sup.o = cooc.o"""
+
+
+def q_revenue_recognition(sf_dir: str) -> ray.data.Dataset:
+    """Straight-line 30-day revenue recognition: each order's cents
+    spread evenly over days [d0, d0+30), with the remainder distributed
+    one cent per day over the first cents%30 days — so every day's
+    ledger is integer cents and the 30-day row-sum reproduces the order
+    total EXACTLY (the interval-explode inverse of coverage_time's
+    interval-union).  flat_map-style batch expansion (30x, vectorized
+    repeat/tile) collapses per batch to per-day partials before the day
+    fold — the exchange carries days, not order-days."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderdate", "o_totalprice"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d0 = (df["o_orderdate"].astype("datetime64[us]").astype("int64")
+              // 86_400_000_000).to_numpy()
+        cents = (df["o_totalprice"] * 100).round().astype("int64") \
+            .to_numpy()
+        n = len(df)
+        j = np.tile(np.arange(30, dtype=np.int64), n)
+        d = np.repeat(d0, 30) + j
+        amt = np.repeat(cents // 30, 30) \
+            + (j < np.repeat(cents % 30, 30)).astype(np.int64)
+        g = pd.DataFrame({"d": d, "cents_recognized": amt}) \
+            .groupby("d", as_index=False).sum()
+        return typed_table(g, d=pa.int64(), cents_recognized=pa.int64())
+
+    return bucketed_group_apply(
+        ds.map_batches(expand, batch_format="pyarrow", batch_size=None),
+        "d",
+        lambda df: typed_table(
+            df.groupby("d", as_index=False)["cents_recognized"].sum(),
+            d=pa.int64(), cents_recognized=pa.int64()),
+        8)
+
+
+SQL_REVENUE_RECOGNITION = """
+WITH o AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+           // 86400000000 AS d0,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders),
+x AS (SELECT d0 + t.j AS d,
+             cents // 30 + CASE WHEN t.j < cents % 30 THEN 1 ELSE 0 END
+               AS amt
+      FROM o, LATERAL (SELECT unnest(generate_series(0, 29)) AS j) t)
+SELECT CAST(d AS BIGINT) AS d,
+       CAST(sum(amt) AS BIGINT) AS cents_recognized
+FROM x GROUP BY d"""
+
+
+QUERIES.update({
+    "truss_support": q_truss_support,
+    "revenue_recognition": q_revenue_recognition,
+})
+ORACLES.update({
+    "truss_support": SQL_TRUSS_SUPPORT,
+    "revenue_recognition": SQL_REVENUE_RECOGNITION,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -12304,6 +12402,7 @@ _DRIVER_FRONT = [
     "transition_lift", "nation_share", "lineno_audit", "coverage_time", "theil_sen",
     "growth_accounting", "simpson_index", "cohort_conversion", "centroid_distmat",
     "kendall_gamma", "runs_test", "bloom_registers", "mann_whitney",
+    "truss_support", "revenue_recognition",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -1577,3 +1577,94 @@ def adamic_adar(edges: ray.data.Dataset,
     return out.map_batches(
         lambda b: b.drop_columns(["_pair"]),
         batch_format="pyarrow", batch_size=None)
+
+
+def truss_support(edges: ray.data.Dataset,
+                  num_buckets: int = 32,
+                  max_driver_edges: int = 5_000_000) -> ray.data.Dataset:
+    """(subj, obj, support) per distinct undirected edge: support = the
+    number of triangles the edge closes (|N(u) & N(v)|) — the k-truss
+    building block (an edge survives the k-truss iff support >= k-2),
+    the EDGE-grained cohesion census beside ``triangle_counts``'s
+    node-grained one.  Zero-support edges are kept (they are exactly
+    what the first truss peel removes).
+
+    Same contract and machinery as ``triangle_counts``: edges arrive
+    lexicographically ordered (subj < obj, distinct); wedges form at the
+    apex (a < b < c), match closing edges under a composite (b, c)
+    bucket, and each found triangle credits its THREE edges — all
+    already (min, max)-ordered because a < b < c.  The final exchange
+    folds support partials against a zero row per edge (the distributed
+    left join).  Size gate (``cooc_components`` discipline): a
+    driver-bounded edge list is scored locally by set intersection;
+    both paths pinned equal by pytest."""
+    edges = distinct_rows(edges.select_columns(["subj", "obj"]),
+                          ["subj", "obj"], num_buckets)
+    edges = edges.map_batches(
+        lambda t: typed_table(t.to_pandas(), subj=pa.string(),
+                              obj=pa.string()),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    if edges.count() <= max_driver_edges:
+        pdf = edges.to_pandas()
+        if not {"subj", "obj"} <= set(pdf.columns):  # edge-free graph
+            pdf = pd.DataFrame({"subj": pd.Series([], dtype=object),
+                                "obj": pd.Series([], dtype=object)})
+        adj = _local_adjacency(pdf)
+        sup = [len(adj[a] & adj[b])
+               for a, b in zip(pdf["subj"], pdf["obj"])]
+        out = pd.DataFrame({"subj": pdf["subj"], "obj": pdf["obj"],
+                            "support": pd.Series(sup, dtype="int64")})
+        return ray.data.from_arrow(typed_table(
+            out, subj=pa.string(), obj=pa.string(), support=pa.int64()))
+
+    def _wedges(df: pd.DataFrame) -> pa.Table:
+        m = df.merge(df, on="subj")
+        m = m[m["obj_x"] < m["obj_y"]]
+        out = pd.DataFrame({"a": m["subj"], "b": m["obj_x"],
+                            "c": m["obj_y"], "side": "w"})
+        return typed_table(out, a=pa.string(), b=pa.string(),
+                           c=pa.string(), side=pa.string())
+
+    wedges = bucketed_group_apply(edges, "subj", _wedges, num_buckets)
+
+    def _edge_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({"a": pd.Series([None] * len(df), dtype=object),
+                            "b": df["subj"], "c": df["obj"], "side": "e"})
+        return typed_table(out, a=pa.string(), b=pa.string(),
+                           c=pa.string(), side=pa.string())
+
+    closing = edges.map_batches(_edge_side, batch_format="pyarrow",
+                                batch_size=None)
+
+    def _edge_sup(df: pd.DataFrame) -> pa.Table:
+        w = df[df["side"] == "w"][["a", "b", "c"]]
+        e = df[df["side"] == "e"][["b", "c"]]
+        tri = w.merge(e, on=["b", "c"])
+        pairs = pd.concat([
+            pd.DataFrame({"subj": tri["a"], "obj": tri["b"]}),
+            pd.DataFrame({"subj": tri["a"], "obj": tri["c"]}),
+            pd.DataFrame({"subj": tri["b"], "obj": tri["c"]})],
+            ignore_index=True)
+        g = pairs.groupby(["subj", "obj"], as_index=False).size() \
+                 .rename(columns={"size": "t"})
+        return typed_table(g, subj=pa.string(), obj=pa.string(),
+                           t=pa.int64())
+
+    partials = bucketed_group_apply(wedges.union(closing), ["b", "c"],
+                                    _edge_sup, num_buckets)
+
+    zero = edges.map_batches(
+        lambda b: typed_table(b.to_pandas().assign(t=0), subj=pa.string(),
+                              obj=pa.string(), t=pa.int64()),
+        batch_format="pyarrow", batch_size=None)
+
+    def _final(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["subj", "obj"], as_index=False) \
+              .agg(support=("t", "sum"))
+        return typed_table(g, subj=pa.string(), obj=pa.string(),
+                           support=pa.int64())
+
+    return bucketed_group_apply(partials.union(zero), ["subj", "obj"],
+                                _final, num_buckets)

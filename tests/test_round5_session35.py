@@ -148,3 +148,61 @@ def test_mann_whitney_tied_ranks():
         out = q.QUERIES["mann_whitney"](d).to_pandas().iloc[0]
     assert out["r2_sum_r"] == 7
     assert out["u2_r"] == 2 * 2 * 2 + 2 * 3 - 7
+
+
+def test_truss_support_values_and_paths():
+    import ray.data
+
+    from dug_ray.stages.graph import truss_support
+
+    # two triangles sharing edge (b, c), plus a pendant chain d-e
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+             ("d", "e")]
+    ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["subj", "obj"]))
+    local = truss_support(ds, num_buckets=4).to_pandas()
+    dist = truss_support(ds, num_buckets=4,
+                         max_driver_edges=0).to_pandas()
+    key = ["subj", "obj"]
+    pd.testing.assert_frame_equal(
+        local.sort_values(key).reset_index(drop=True),
+        dist.sort_values(key).reset_index(drop=True))
+    got = local.set_index(["subj", "obj"])["support"]
+    # (b,c) closes both triangles; the four flank edges close one each;
+    # the pendant edge closes none but is KEPT at support 0
+    assert got[("b", "c")] == 2
+    assert got[("a", "b")] == 1 and got[("a", "c")] == 1
+    assert got[("b", "d")] == 1 and got[("c", "d")] == 1
+    assert got[("d", "e")] == 0
+    assert len(got) == 6
+
+
+def test_revenue_recognition_exact_total():
+    # one order of 100.37 -> 10037 cents over 30 days: 334 cents on the
+    # first 17 days (10037 % 30 = 17), 334... check: 10037 // 30 = 334,
+    # remainder 17 -> days 0..16 get 335, days 17..29 get 334
+    rows = [(1, 1, "2024-03-01", 100.37)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(d, rows)
+        out = q.QUERIES["revenue_recognition"](d).to_pandas() \
+            .sort_values("d").reset_index(drop=True)
+    assert len(out) == 30
+    assert out["cents_recognized"].sum() == 10037
+    assert (out["cents_recognized"].iloc[:17] == 335).all()
+    assert (out["cents_recognized"].iloc[17:] == 334).all()
+    d0 = (pd.Timestamp("2024-03-01") - pd.Timestamp("1970-01-01")).days
+    assert out["d"].to_list() == list(range(d0, d0 + 30))
+
+
+def test_revenue_recognition_overlapping_orders_fold():
+    # two orders one day apart: overlapping windows sum per day
+    rows = [(1, 1, "2024-03-01", 0.30), (2, 1, "2024-03-02", 0.60)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(d, rows)
+        out = q.QUERIES["revenue_recognition"](d).to_pandas() \
+            .sort_values("d").reset_index(drop=True)
+    # 30 cents / 30 days = 1/day; 60 cents = 2/day; 31 distinct days
+    assert len(out) == 31
+    assert out["cents_recognized"].iloc[0] == 1
+    assert (out["cents_recognized"].iloc[1:30] == 3).all()
+    assert out["cents_recognized"].iloc[30] == 2
+    assert out["cents_recognized"].sum() == 90
