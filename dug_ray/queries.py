@@ -12346,6 +12346,140 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# l-diversity audit, linear gap interpolation
+# ---------------------------------------------------------------------------
+
+def q_l_diversity(sf_dir: str) -> ray.data.Dataset:
+    """l-diversity audit beside k_anonymity's class-size census: per
+    quasi-identifier class (c_nationkey, c_mktsegment), the row count
+    AND the number of distinct sensitive values — here the $1000
+    account-balance band (cents + 100000) // 100000, shifted
+    non-negative so truncating (SQL) and flooring (Python) division
+    agree.  A class with l_distinct = 1 leaks the sensitive attribute
+    even when k is large — the reason l-diversity exists.  Per-batch
+    (QI, band) partials fold by the composite key, then collapse to the
+    QI-bounded class table."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = (df["c_acctbal"] * 100).round().astype("int64")
+        band = (cents + 100_000) // 100_000
+        g = (pd.DataFrame({"nat": df["c_nationkey"].astype("int64"),
+                           "seg": df["c_mktsegment"], "band": band,
+                           "n": 1})
+             .groupby(["nat", "seg", "band"], as_index=False)["n"].sum())
+        return typed_table(g, nat=pa.int64(), seg=pa.string(),
+                           band=pa.int64(), n=pa.int64())
+
+    parts = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["nat", "seg", "band"],
+        lambda df: typed_table(
+            df.groupby(["nat", "seg", "band"], as_index=False)["n"].sum(),
+            nat=pa.int64(), seg=pa.string(), band=pa.int64(),
+            n=pa.int64()),
+        16)
+
+    def per_class(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["nat", "seg"], as_index=False).agg(
+            n_rows=("n", "sum"), l_distinct=("band", "nunique"))
+        g = g.rename(columns={"nat": "c_nationkey",
+                              "seg": "c_mktsegment"})
+        return typed_table(g, c_nationkey=pa.int64(),
+                           c_mktsegment=pa.string(), n_rows=pa.int64(),
+                           l_distinct=pa.int64())
+
+    return bucketed_group_apply(parts, ["nat", "seg"], per_class, 8)
+
+
+SQL_L_DIVERSITY = """
+WITH b AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 100000
+           AS band
+  FROM customer)
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT band) AS BIGINT) AS l_distinct
+FROM b GROUP BY 1, 2"""
+
+
+def q_gap_interpolate(sf_dir: str) -> pa.Table:
+    """Linear interpolation over the zero-order gaps of the daily
+    revenue series: days with orders carry 1e6 * cents exactly; spine
+    days WITHOUT orders get floor(1e6 * (prev*(nd-d) + nxt*(d-pd)) /
+    (nd-pd)) from the nearest present neighbors — the gap-fill an ETL
+    feed applies before feeding a model that can't see missingness
+    (date_spine's zero-fill sibling, interpolating instead).  All
+    operands non-negative, so truncating and flooring division agree.
+    Spine-bounded driver final over the folded daily series (theil_sen's
+    scale class)."""
+    daily = _daily_revenue_cents(sf_dir)
+    daily["d"] = daily["d"].astype("int64")
+    d0, d1 = int(daily["d"].min()), int(daily["d"].max())
+    present = dict(zip(daily["d"].to_list(), daily["cents"].to_list()))
+    days = list(range(d0, d1 + 1))
+    pres_days = sorted(present)
+    rows, pi = [], 0
+    for d in days:
+        if d in present:
+            rows.append((d, 1_000_000 * int(present[d]), 0))
+            continue
+        while pres_days[pi + 1] < d:
+            pi += 1
+        pd_, nd = pres_days[pi], pres_days[pi + 1]
+        pv, nv = int(present[pd_]), int(present[nd])
+        micro = (1_000_000 * (pv * (nd - d) + nv * (d - pd_))) // (nd - pd_)
+        rows.append((d, micro, 1))
+    out = pd.DataFrame(rows, columns=["d", "micro_cents", "interpolated"])
+    return typed_table(out, d=pa.int64(), micro_cents=pa.int64(),
+                       interpolated=pa.int64())
+
+
+SQL_GAP_INTERPOLATE = f"""
+WITH b AS ({_SQL_DAILY_REVENUE}),
+lim AS (SELECT min(d) AS d0, max(d) AS d1 FROM b),
+spine AS (SELECT unnest(generate_series(d0, d1)) AS d FROM lim),
+s AS (SELECT spine.d, b.cents FROM spine LEFT JOIN b USING (d)),
+w AS (SELECT d, cents,
+             last_value(cents IGNORE NULLS) OVER
+               (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pv,
+             last_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pd,
+             first_value(cents IGNORE NULLS) OVER
+               (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nv,
+             first_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (ORDER BY d
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nd
+      FROM s)
+SELECT CAST(d AS BIGINT) AS d,
+       CAST(CASE WHEN cents IS NOT NULL THEN 1000000 * cents
+                 ELSE 1000000 * (pv * (nd - d) + nv * (d - pd))
+                      // (nd - pd) END AS BIGINT) AS micro_cents,
+       CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS interpolated
+FROM w"""
+
+
+QUERIES.update({
+    "l_diversity": q_l_diversity,
+    "gap_interpolate": q_gap_interpolate,
+})
+ORACLES.update({
+    "l_diversity": SQL_L_DIVERSITY,
+    "gap_interpolate": SQL_GAP_INTERPOLATE,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -12402,7 +12536,7 @@ _DRIVER_FRONT = [
     "transition_lift", "nation_share", "lineno_audit", "coverage_time", "theil_sen",
     "growth_accounting", "simpson_index", "cohort_conversion", "centroid_distmat",
     "kendall_gamma", "runs_test", "bloom_registers", "mann_whitney",
-    "truss_support", "revenue_recognition",
+    "truss_support", "revenue_recognition", "l_diversity", "gap_interpolate",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

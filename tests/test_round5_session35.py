@@ -206,3 +206,66 @@ def test_revenue_recognition_overlapping_orders_fold():
     assert (out["cents_recognized"].iloc[1:30] == 3).all()
     assert out["cents_recognized"].iloc[30] == 2
     assert out["cents_recognized"].sum() == 90
+
+
+def test_l_diversity_leaky_class():
+    # class (1, A): 3 rows all in the same band -> l_distinct 1 (leaky)
+    # class (2, B): 2 rows in different bands -> l_distinct 2
+    df = pd.DataFrame({
+        "c_custkey": [1, 2, 3, 4, 5],
+        "c_name": ["x"] * 5,
+        "c_nationkey": [1, 1, 1, 2, 2],
+        "c_acctbal": [100.00, 150.00, 199.99, 100.00, 1500.00],
+        "c_mktsegment": ["A", "A", "A", "B", "B"],
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "customer.parquet"))
+        out = q.QUERIES["l_diversity"](d).to_pandas() \
+            .set_index(["c_nationkey", "c_mktsegment"])
+    assert out.loc[(1, "A"), "n_rows"] == 3
+    assert out.loc[(1, "A"), "l_distinct"] == 1
+    assert out.loc[(2, "B"), "l_distinct"] == 2
+
+
+def test_l_diversity_negative_band_shift():
+    # -999.99 -> cents -99999 -> +100000 = 1 -> band 1 // 100000 = 0;
+    # 0.00 -> band 1: the shift keeps trunc == floor on both engines
+    df = pd.DataFrame({
+        "c_custkey": [1, 2],
+        "c_name": ["x", "y"],
+        "c_nationkey": [1, 1],
+        "c_acctbal": [-999.99, 0.00],
+        "c_mktsegment": ["A", "A"],
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "customer.parquet"))
+        out = q.QUERIES["l_diversity"](d).to_pandas().iloc[0]
+    assert out["n_rows"] == 2 and out["l_distinct"] == 2
+
+
+def test_gap_interpolate_exact_line():
+    # present: d0 cents=100, d0+3 cents=400; gaps at d0+1, d0+2 on the
+    # exact line 100 + 100*(d-d0): 200e6 and 300e6 micro
+    rows = [(1, 1, "2024-01-01", 1.00), (2, 1, "2024-01-04", 4.00)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(d, rows)
+        out = q.QUERIES["gap_interpolate"](d).to_pandas() \
+            .sort_values("d").reset_index(drop=True)
+    assert len(out) == 4
+    assert out["micro_cents"].to_list() == [100_000_000, 200_000_000,
+                                            300_000_000, 400_000_000]
+    assert out["interpolated"].to_list() == [0, 1, 1, 0]
+
+
+def test_gap_interpolate_floor_division():
+    # present: 0 cents and 100 cents, gap width 3: interior points at
+    # 100/3 and 200/3 cents -> floor(1e6*100/3) = 33333333
+    rows = [(1, 1, "2024-01-01", 0.00), (2, 1, "2024-01-04", 1.00)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(d, rows)
+        out = q.QUERIES["gap_interpolate"](d).to_pandas() \
+            .sort_values("d").reset_index(drop=True)
+    assert out["micro_cents"].to_list() == [0, 33_333_333, 66_666_666,
+                                            100_000_000]
