@@ -12480,6 +12480,132 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# DAU/WAU stickiness, running-peak drawdown
+# ---------------------------------------------------------------------------
+
+def q_stickiness_ratio(sf_dir: str) -> ray.data.Dataset:
+    """Stickiness per spine day: DAU / rolling-7-day WAU in exact ppm —
+    the engagement-intensity ratio read next to rolling_actives'
+    absolute counts (1e6 means every weekly user showed up today).
+    Same fan-out-to-window-days shuffle as rolling_actives, but each
+    (window-day, user) membership carries an is-today flag so ONE
+    exchange yields both the DAU and WAU distinct counts; flags OR
+    under the dedup (a user both active today and earlier in the window
+    counts as today).  Days are emitted iff the window has >= 1 active
+    user, so the ratio is always defined."""
+    from dug_ray.shuffle import distinct_rows
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 86_400_000_000).astype("int64")
+        out = pd.DataFrame({"user_id": df["user_id"], "day": day}) \
+            .drop_duplicates()
+        return typed_table(out, user_id=pa.int64(), day=pa.int64())
+
+    ud = distinct_rows(
+        ds.map_batches(to_days, batch_format="pyarrow", batch_size=None),
+        ["user_id", "day"], 16).materialize()
+    lim = ud.to_pandas()["day"]
+    d0, d1 = int(lim.min()), int(lim.max())
+    bounds_ref = ray.put((d0, d1))
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        lo, hi = ray.get(bounds_ref)
+        df = batch.to_pandas()
+        frames = []
+        for off in range(7):
+            w = df["day"] + off
+            keep = w <= hi
+            frames.append(pd.DataFrame({
+                "wday": w[keep], "user_id": df["user_id"][keep],
+                "today": np.int64(1 if off == 0 else 0)}))
+        out = (pd.concat(frames, ignore_index=True)
+               .groupby(["wday", "user_id"], as_index=False)["today"]
+               .max())
+        return typed_table(out, wday=pa.int64(), user_id=pa.int64(),
+                           today=pa.int64())
+
+    member = ud.map_batches(fan_out, batch_format="pyarrow",
+                            batch_size=None)
+
+    def per_day(df: pd.DataFrame) -> pa.Table:
+        m = (df.groupby(["wday", "user_id"], as_index=False)["today"]
+             .max())
+        g = m.groupby("wday", as_index=False).agg(
+            dau=("today", "sum"), wau7=("today", "size"))
+        g["stickiness_ppm"] = (1_000_000 * g["dau"]) // g["wau7"]
+        g = g.rename(columns={"wday": "day"})
+        return typed_table(g, day=pa.int64(), dau=pa.int64(),
+                           wau7=pa.int64(), stickiness_ppm=pa.int64())
+
+    return bucketed_group_apply(member, "wday", per_day, 16)
+
+
+SQL_STICKINESS_RATIO = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+            FROM events),
+lim AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM lim)
+SELECT s.day,
+       CAST(count(DISTINCT CASE WHEN u.day = s.day THEN u.user_id END)
+         AS BIGINT) AS dau,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau7,
+       CAST(1000000 * count(DISTINCT CASE WHEN u.day = s.day
+                                          THEN u.user_id END)
+            // count(DISTINCT u.user_id) AS BIGINT) AS stickiness_ppm
+FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+GROUP BY s.day"""
+
+
+def q_drawdown(sf_dir: str) -> pa.Table:
+    """Running-peak drawdown ledger over cumulative daily revenue: per
+    present day, the cumulative cents, the running peak, and the gap
+    peak - cum — max(dd_cents) is the classic maximum drawdown, and the
+    days where it is 0 are the new-high days (the regime marker cusum
+    and runs_test read statistically, here as an exact ledger).
+    Calendar-bounded driver final over the folded daily series
+    (theil_sen's scale class); cumulative sums in Python ints (an
+    always-positive daily ledger cumsum wraps int64 at the 100 TB
+    design point)."""
+    daily = _daily_revenue_cents(sf_dir)
+    cum = peak = 0
+    rows = []
+    for d, cents in zip(daily["d"].to_list(), daily["cents"].to_list()):
+        cum += int(cents)
+        peak = max(peak, cum)
+        rows.append((int(d), cum, peak, peak - cum))
+    out = pd.DataFrame(rows, columns=["d", "cum_cents", "peak_cents",
+                                      "dd_cents"])
+    return typed_table(out, d=pa.int64(), cum_cents=pa.int64(),
+                       peak_cents=pa.int64(), dd_cents=pa.int64())
+
+
+SQL_DRAWDOWN = f"""
+WITH b AS ({_SQL_DAILY_REVENUE}),
+c AS (SELECT d, CAST(sum(cents) OVER (ORDER BY d) AS BIGINT) AS cum_cents
+      FROM b)
+SELECT d, cum_cents,
+       CAST(max(cum_cents) OVER (ORDER BY d) AS BIGINT) AS peak_cents,
+       CAST(max(cum_cents) OVER (ORDER BY d) - cum_cents AS BIGINT)
+         AS dd_cents
+FROM c"""
+
+
+QUERIES.update({
+    "stickiness_ratio": q_stickiness_ratio,
+    "drawdown": q_drawdown,
+})
+ORACLES.update({
+    "stickiness_ratio": SQL_STICKINESS_RATIO,
+    "drawdown": SQL_DRAWDOWN,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -12537,6 +12663,7 @@ _DRIVER_FRONT = [
     "growth_accounting", "simpson_index", "cohort_conversion", "centroid_distmat",
     "kendall_gamma", "runs_test", "bloom_registers", "mann_whitney",
     "truss_support", "revenue_recognition", "l_diversity", "gap_interpolate",
+    "stickiness_ratio", "drawdown",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -269,3 +269,41 @@ def test_gap_interpolate_floor_division():
             .sort_values("d").reset_index(drop=True)
     assert out["micro_cents"].to_list() == [0, 33_333_333, 66_666_666,
                                             100_000_000]
+
+
+def test_stickiness_ratio_flag_or():
+    t = pd.Timestamp("2024-01-01")
+    day = pd.Timedelta(days=1)
+    # user 1 active on d0 and d1; user 2 only d0
+    rows = [(0, 1, t, "view", 0.0), (1, 2, t, "view", 0.0),
+            (2, 1, t + day, "view", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        import tests.test_round5_session34 as s34
+        s34._write_events(d, rows)
+        out = q.QUERIES["stickiness_ratio"](d).to_pandas() \
+            .set_index("day")
+    d0 = (t - pd.Timestamp("1970-01-01")).days
+    # d0: dau 2, wau 2, ratio 1e6; d1: dau 1 (user 1, who is ALSO in the
+    # window from d0 -- the flag must OR to today), wau 2 -> 500000
+    assert out.loc[d0, "dau"] == 2 and out.loc[d0, "wau7"] == 2
+    assert out.loc[d0, "stickiness_ppm"] == 1_000_000
+    assert out.loc[d0 + 1, "dau"] == 1 and out.loc[d0 + 1, "wau7"] == 2
+    assert out.loc[d0 + 1, "stickiness_ppm"] == 500_000
+    # spine is calendar-bounded at the max active day (oracle's
+    # generate_series(d0, d1)) -- no trailing dau-0 days
+    assert len(out) == 2
+
+
+def test_drawdown_peak_ledger():
+    # daily cents: 300, 100, 200 -> cum 300, 400, 600? no: orders per
+    # day; cum 300, 400, 600 never draws down. make a dip: days with
+    # revenue always increase cum -- drawdown of a REVENUE ledger is
+    # always 0. Use it as the monotone pin:
+    rows = [(1, 1, "2024-01-01", 3.00), (2, 1, "2024-01-02", 1.00)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(d, rows)
+        out = q.QUERIES["drawdown"](d).to_pandas() \
+            .sort_values("d").reset_index(drop=True)
+    assert out["cum_cents"].to_list() == [300, 400]
+    assert out["peak_cents"].to_list() == [300, 400]
+    assert out["dd_cents"].to_list() == [0, 0]
