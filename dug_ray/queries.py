@@ -12606,6 +12606,275 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-shaped join/agg patterns: Q4 semi-join, Q6 zero-shuffle filter-agg
+# ---------------------------------------------------------------------------
+
+def q_q4_priority(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q4-shaped EXISTS semi-join: count Q3-1996 orders per
+    priority where SOME lineitem shipped > 30 days after the order date
+    (the schema has no commit/receipt dates; late-ship is the analogue).
+    EXISTS(line with ship > od+30) == max(ship_day) > od+30, so the
+    corpus-sized lineitem side collapses to ONE max-per-orderkey
+    aggregate (per-batch combiner, then bucketed merge) before the
+    partitioned hash join with the quarter's orders — the EXISTS probe
+    never materializes matching pairs.  Final count is 5 priority rows:
+    driver final over tiny per-bucket partials."""
+    import datetime as _dt
+    from dug_ray.shuffle import hash_join
+    lo, hi = _dt.datetime(1996, 7, 1), _dt.datetime(1996, 10, 1)
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+
+    def max_ship(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["ship_day"] = (df["l_shipdate"].astype("datetime64[us]")
+                          .astype("int64") // 86_400_000_000)
+        g = df.groupby("l_orderkey", as_index=False)["ship_day"].max() \
+            .rename(columns={"ship_day": "max_ship_day"})
+        return typed_table(g, l_orderkey=pa.int64(), max_ship_day=pa.int64())
+
+    partial = li.map_batches(max_ship, batch_format="pyarrow",
+                             batch_size=None)
+    late = bucketed_group_apply(
+        partial, "l_orderkey",
+        lambda df: df.groupby("l_orderkey", as_index=False)["max_ship_day"]
+        .max(), 16)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def quarter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+                       pc.less(batch["o_orderdate"], pa.scalar(hi)))
+        t = batch.filter(keep)
+        # normalize to us BEFORE the int cast — a ns-unit column (pandas
+        # default in fixtures) would yield day*1000
+        us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                     pa.int64())
+        day = pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_day": day,
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    joined = hash_join(orders.map_batches(quarter, batch_format="pyarrow",
+                                          batch_size=None),
+                       late, "o_orderkey", "l_orderkey")
+
+    def count_late(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["max_ship_day"] > df["o_day"] + 30]
+        g = df.groupby("o_orderpriority", as_index=False).size() \
+            .rename(columns={"size": "order_count"})
+        return typed_table(g, o_orderpriority=pa.string(),
+                           order_count=pa.int64())
+
+    partials = joined.map_batches(count_late, batch_format="pyarrow",
+                                  batch_size=None).to_pandas()
+    out = partials.groupby("o_orderpriority", as_index=False) \
+        .agg(order_count=("order_count", "sum"))
+    return ray.data.from_arrow(typed_table(
+        out, o_orderpriority=pa.string(), order_count=pa.int64()))
+
+
+SQL_Q4_PRIORITY = """
+WITH late AS (
+  SELECT l_orderkey,
+         max(CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT))
+           AS max_ship_day
+  FROM lineitem GROUP BY 1)
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders JOIN late ON o_orderkey = l_orderkey
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND max_ship_day
+      > CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) + 30
+GROUP BY 1"""
+
+
+def q_q6_forecast(sf_dir: str) -> pa.Table:
+    """TPC-H-Q6-shaped revenue forecast: ZERO-shuffle filter-aggregate.
+    sum(extendedprice * discount) over 1996 shipments with discount in
+    [0.05, 0.07] and quantity < 24, in exact cent-basis-point units
+    (price_c x disc_bp).  Per-batch vectorized predicate + partial sum;
+    the only cross-task step is summing one int per batch on the driver
+    in Python ints (a corpus-wide cent-bp total wraps int64 at the
+    100 TB design point).  The discount band compares in exact integer
+    bp (500..700) — no float epsilon."""
+    import datetime as _dt
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        disc_bp = (df["l_discount"] * 10000).round().astype("int64")
+        keep = ((df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+                & disc_bp.between(500, 700) & (df["l_quantity"] < 24))
+        price_c = (df.loc[keep, "l_extendedprice"] * 100).round() \
+            .astype("int64")
+        part = int((price_c * disc_bp[keep]).sum())
+        return typed_table(pd.DataFrame({"part": [part]}), part=pa.int64())
+
+    parts = ds.map_batches(per_batch, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    total = sum(int(x) for x in parts["part"])
+    return typed_table(pd.DataFrame({"revenue_cbp": [total]}),
+                       revenue_cbp=pa.int64())
+
+
+SQL_Q6_FORECAST = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(round(l_discount * 10000, 0) AS BIGINT))
+       AS BIGINT) AS revenue_cbp
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND CAST(round(l_discount * 10000, 0) AS BIGINT) BETWEEN 500 AND 700
+  AND l_quantity < 24"""
+
+
+QUERIES.update({
+    "q4_priority": q_q4_priority,
+    "q6_forecast": q_q6_forecast,
+})
+ORACLES.update({
+    "q4_priority": SQL_Q4_PRIORITY,
+    "q6_forecast": SQL_Q6_FORECAST,
+})
+
+
+# ---------------------------------------------------------------------------
+# Q13 customer-order-count distribution, Q14 promo revenue share
+# ---------------------------------------------------------------------------
+
+def q_q13_custdist(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q13-shaped distribution of per-customer order counts,
+    INCLUDING zero-order customers (the left-outer shape that a plain
+    orders groupby cannot produce).  orders collapses to one count per
+    custkey via per-batch combiner + bucketed merge; customers LEFT
+    join the counts (partitioned — both sides corpus-sized at scale);
+    unmatched customers fill 0.  The second groupby (count -> how many
+    customers) lands on <= |distinct counts| rows, a driver final."""
+    from dug_ray.shuffle import hash_left_join
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return typed_table(g, o_custkey=pa.int64(), n=pa.int64())
+
+    partial = orders.map_batches(per_batch, batch_format="pyarrow",
+                                 batch_size=None)
+    counts = bucketed_group_apply(
+        partial, "o_custkey",
+        lambda df: df.groupby("o_custkey", as_index=False)["n"].sum(), 16)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    joined = hash_left_join(cust, counts, "c_custkey", "o_custkey")
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["c_count"] = df["n"].fillna(0).astype("int64")
+        g = df.groupby("c_count", as_index=False).size() \
+            .rename(columns={"size": "custdist"})
+        return typed_table(g, c_count=pa.int64(), custdist=pa.int64())
+
+    parts = joined.map_batches(dist_partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    out = parts.groupby("c_count", as_index=False) \
+        .agg(custdist=("custdist", "sum"))
+    return ray.data.from_arrow(typed_table(
+        out, c_count=pa.int64(), custdist=pa.int64()))
+
+
+SQL_Q13_CUSTDIST = """
+WITH co AS (
+  SELECT c_custkey, count(o_custkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+FROM co GROUP BY c_count"""
+
+
+def q_q14_promo(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q14-shaped promo revenue share per ship-month: ppm of
+    discounted revenue (cent-bp) earned by parts of type 'PROMO'.
+    part collapses to a broadcast partkey -> is_promo bitmap (ray.put
+    once; at true scale this becomes a partitioned join, noted below);
+    lineitem folds per batch into (month, promo_cbp, total_cbp) partial
+    sums, bucket-merged per month; the ppm division happens ONCE per
+    month row AFTER the merge, in Python ints (cent-bp x 1e6 wraps
+    int64 at the design point).  1e6 * promo // total, floor."""
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_type"]).to_pandas()
+    promo_ref = ray.put(frozenset(
+        part.loc[part["p_type"] == "PROMO", "p_partkey"].astype("int64")))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        promo = ray.get(promo_ref)
+        df = batch.to_pandas()
+        ts = df["l_shipdate"].astype("datetime64[us]")
+        df["month"] = ts.dt.year * 100 + ts.dt.month
+        price_c = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (df["l_discount"] * 10000).round().astype("int64")
+        df["rev"] = price_c * (10000 - disc_bp)
+        df["promo_rev"] = df["rev"].where(
+            df["l_partkey"].isin(promo), 0)
+        g = df.groupby("month", as_index=False).agg(
+            promo_cbp=("promo_rev", "sum"), total_cbp=("rev", "sum"))
+        return typed_table(g, month=pa.int64(), promo_cbp=pa.int64(),
+                           total_cbp=pa.int64())
+
+    partial = li.map_batches(per_batch, batch_format="pyarrow",
+                             batch_size=None)
+
+    def per_month(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("month", as_index=False).agg(
+            promo_cbp=("promo_cbp", "sum"), total_cbp=("total_cbp", "sum"))
+        g["promo_ppm"] = [1_000_000 * int(p) // int(t) for p, t in
+                          zip(g["promo_cbp"], g["total_cbp"])]
+        return typed_table(g, month=pa.int64(), promo_cbp=pa.int64(),
+                           total_cbp=pa.int64(), promo_ppm=pa.int64())
+
+    return bucketed_group_apply(partial, "month", per_month, 16)
+
+
+SQL_Q14_PROMO = """
+WITH rev AS (
+  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+           AS month,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)) AS r,
+         CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT month,
+       CAST(sum(r * is_promo) AS BIGINT) AS promo_cbp,
+       CAST(sum(r) AS BIGINT) AS total_cbp,
+       CAST(1000000 * sum(r * is_promo) // sum(r) AS BIGINT) AS promo_ppm
+FROM rev GROUP BY month"""
+
+
+QUERIES.update({
+    "q13_custdist": q_q13_custdist,
+    "q14_promo": q_q14_promo,
+})
+ORACLES.update({
+    "q13_custdist": SQL_Q13_CUSTDIST,
+    "q14_promo": SQL_Q14_PROMO,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -12663,7 +12932,8 @@ _DRIVER_FRONT = [
     "growth_accounting", "simpson_index", "cohort_conversion", "centroid_distmat",
     "kendall_gamma", "runs_test", "bloom_registers", "mann_whitney",
     "truss_support", "revenue_recognition", "l_diversity", "gap_interpolate",
-    "stickiness_ratio", "drawdown",
+    "stickiness_ratio", "drawdown", "q4_priority", "q6_forecast",
+    "q13_custdist", "q14_promo",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
