@@ -12875,6 +12875,347 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Q17 small-quantity correlated average, Q18 large-orders HAVING join
+# ---------------------------------------------------------------------------
+
+def q_q17_small_qty(sf_dir: str) -> pa.Table:
+    """TPC-H-Q17-shaped correlated-average filter: revenue locked in
+    'small' lines of Brand#12 parts — lines whose quantity is below
+    20% of that PART's average quantity.  The correlated subquery
+    (per-part avg) and the row filter fold into ONE bucketed exchange:
+    lines bucket by l_partkey, and inside the bucket the per-part
+    (sum_qty, count) is computed and joined back vectorized — no second
+    corpus pass.  The avg compare is exact integer cross-multiplication
+    (5 * qty * cnt < sum_qty), no float division.  Brand partkeys ride
+    as a broadcast set (1/|brands| of part; at true scale swap for the
+    Bloom semi-join path, stages/bloom.py).  Driver final = Python-int
+    sum of <= num_buckets partials."""
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_brand"]).to_pandas()
+    keys_ref = ray.put(frozenset(
+        part.loc[part["p_brand"] == "Brand#12", "p_partkey"].astype("int64")))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def brand_lines(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        df = batch.to_pandas()
+        df = df[df["l_partkey"].isin(keys)]
+        out = pd.DataFrame({
+            "l_partkey": df["l_partkey"].astype("int64"),
+            "qty_c": (df["l_quantity"] * 100).round().astype("int64"),
+            "price_c": (df["l_extendedprice"] * 100).round().astype("int64")})
+        return typed_table(out, l_partkey=pa.int64(), qty_c=pa.int64(),
+                           price_c=pa.int64())
+
+    bl = li.map_batches(brand_lines, batch_format="pyarrow",
+                        batch_size=None)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("l_partkey")
+        sum_qty = g["qty_c"].transform("sum")
+        cnt = g["qty_c"].transform("size")
+        small = df[5 * df["qty_c"] * cnt < sum_qty]
+        out = pd.DataFrame({"cents": [int(small["price_c"].sum())],
+                            "n": [int(len(small))]})
+        return typed_table(out, cents=pa.int64(), n=pa.int64())
+
+    parts = bucketed_group_apply(bl, "l_partkey", per_bucket, 16).to_pandas()
+    out = pd.DataFrame({
+        "small_qty_cents": [sum(int(x) for x in parts["cents"])],
+        "n_lines": [sum(int(x) for x in parts["n"])]})
+    return typed_table(out, small_qty_cents=pa.int64(), n_lines=pa.int64())
+
+
+SQL_Q17_SMALL_QTY = """
+WITH bl AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12'),
+st AS (SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+              count(*) AS cnt
+       FROM bl GROUP BY 1)
+SELECT COALESCE(CAST(sum(price_c) AS BIGINT), 0) AS small_qty_cents,
+       count(*) AS n_lines
+FROM bl JOIN st USING (l_partkey)
+WHERE 5 * bl.qty_c * st.cnt < st.sum_qty_c"""
+
+
+def q_q18_large_orders(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q18-shaped HAVING join: orders whose lineitems total more
+    than 150 quantity units.  lineitem collapses via per-batch combiner
+    (sum qty per orderkey) + bucketed merge WITH the having filter
+    applied inside the bucket (the filter sees the complete per-key sum
+    there, and discards ~90% of keys before the join exchange); the
+    survivors partitioned-hash-join orders.  No customer join needed:
+    o_custkey rides on orders."""
+    from dug_ray.shuffle import hash_join
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["qty_c"] = (df["l_quantity"] * 100).round().astype("int64")
+        g = df.groupby("l_orderkey", as_index=False)["qty_c"].sum() \
+            .rename(columns={"qty_c": "sum_qty_c"})
+        return typed_table(g, l_orderkey=pa.int64(), sum_qty_c=pa.int64())
+
+    partial = li.map_batches(per_batch, batch_format="pyarrow",
+                             batch_size=None)
+
+    def merge_having(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False)["sum_qty_c"].sum()
+        return g[g["sum_qty_c"] > 15_000]
+
+    big = bucketed_group_apply(partial, "l_orderkey", merge_having, 16)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "o_day": (df["o_orderdate"].astype("datetime64[us]")
+                      .astype("int64") // 86_400_000_000),
+            "total_cents": (df["o_totalprice"] * 100).round()
+            .astype("int64")})
+        return typed_table(out, o_orderkey=pa.int64(), o_custkey=pa.int64(),
+                           o_day=pa.int64(), total_cents=pa.int64())
+
+    joined = hash_join(orders.map_batches(project, batch_format="pyarrow",
+                                          batch_size=None),
+                       big, "o_orderkey", "l_orderkey")
+    return joined.select_columns(["o_orderkey", "o_custkey", "o_day",
+                                  "total_cents", "sum_qty_c"])
+
+
+SQL_Q18_LARGE_ORDERS = """
+WITH s AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_qty_c
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 15000)
+SELECT o_orderkey, o_custkey,
+       CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS o_day,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+       s.sum_qty_c
+FROM orders JOIN s ON o_orderkey = l_orderkey"""
+
+
+QUERIES.update({
+    "q17_small_qty": q_q17_small_qty,
+    "q18_large_orders": q_q18_large_orders,
+})
+ORACLES.update({
+    "q17_small_qty": SQL_Q17_SMALL_QTY,
+    "q18_large_orders": SQL_Q18_LARGE_ORDERS,
+})
+
+
+# ---------------------------------------------------------------------------
+# Q21 sole-late-supplier, Q22 inactive high-balance customers
+# ---------------------------------------------------------------------------
+
+def q_q21_waiting(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q21-shaped EXISTS / NOT-EXISTS pair: suppliers who were
+    the ONLY late shipper (ship > order date + 30d) in an order that
+    involved more than one supplier, counted per supplier.  The two
+    correlated subqueries collapse into ONE per-order bucket pass:
+    after the partitioned lineitem |><| orders join, each order's rows
+    are co-located, so n_distinct_suppliers, n_distinct_late_suppliers
+    and the sole late suppkey all fall out of one vectorized groupby —
+    no self-join of lineitem.  numwait per supplier is a second
+    bucketed exchange (hot suppliers pre-counted per bucket), then a
+    partitioned join attaches s_name."""
+    from dug_ray.shuffle import hash_join
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey",
+                                        "l_shipdate"])
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "l_suppkey": df["l_suppkey"].astype("int64"),
+            "ship_day": (df["l_shipdate"].astype("datetime64[us]")
+                         .astype("int64") // 86_400_000_000)})
+        return typed_table(out, l_orderkey=pa.int64(), l_suppkey=pa.int64(),
+                           ship_day=pa.int64())
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderdate"])
+
+    def o_proj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_day": (df["o_orderdate"].astype("datetime64[us]")
+                      .astype("int64") // 86_400_000_000)})
+        return typed_table(out, o_orderkey=pa.int64(), o_day=pa.int64())
+
+    joined = hash_join(li.map_batches(li_proj, batch_format="pyarrow",
+                                      batch_size=None),
+                       orders.map_batches(o_proj, batch_format="pyarrow",
+                                          batch_size=None),
+                       "l_orderkey", "o_orderkey")
+
+    def per_order(df: pd.DataFrame) -> pa.Table:
+        late = df[df["ship_day"] > df["o_day"] + 30]
+        n_supp = df.groupby("l_orderkey")["l_suppkey"].nunique()
+        n_late = late.groupby("l_orderkey")["l_suppkey"].nunique()
+        late_supp = late.groupby("l_orderkey")["l_suppkey"].max()
+        m = pd.DataFrame({"n_supp": n_supp, "n_late": n_late,
+                          "late_supp": late_supp})
+        m = m[(m["n_supp"] > 1) & (m["n_late"] == 1)]
+        g = m.groupby("late_supp", as_index=False).size() \
+            .rename(columns={"size": "numwait"})
+        g["late_supp"] = g["late_supp"].astype("int64")
+        return typed_table(g, late_supp=pa.int64(), numwait=pa.int64())
+
+    partial = bucketed_group_apply(joined, "l_orderkey", per_order, 16)
+    counts = bucketed_group_apply(
+        partial, "late_supp",
+        lambda df: df.groupby("late_supp", as_index=False)["numwait"].sum(),
+        16)
+
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_name"])
+    out = hash_join(counts, sup, "late_supp", "s_suppkey")
+    return _norm(out.select_columns(["s_suppkey", "s_name", "numwait"]),
+                 int_cols=("s_suppkey",))
+
+
+SQL_Q21_WAITING = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS ship_day,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS o_day
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN ship_day > o_day + 30
+                             THEN l_suppkey END) AS n_late,
+         max(CASE WHEN ship_day > o_day + 30 THEN l_suppkey END)
+           AS late_supp
+  FROM l GROUP BY 1)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       count(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY 1, 2"""
+
+
+def q_q22_opportunity(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q22-shaped sales-opportunity scan: customers whose account
+    balance beats the average POSITIVE balance but who placed no order
+    since 2000-01-01, counted + summed per nation.  The scalar subquery
+    (global positive-balance average) is two int partials folded on the
+    driver and compared by exact cross-multiplication (bal_c * n_pos >
+    sum_pos_c — no float avg); the NOT-IN is the partitioned
+    hash_anti_join against the distinct recent-order custkeys; the
+    nation rollup is a driver final over <=|nations| bucket partials."""
+    import datetime as _dt
+    from dug_ray.shuffle import distinct_rows, hash_anti_join
+    cutoff = _dt.datetime(2000, 1, 1)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey",
+                                          "c_acctbal"])
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        bal_c = (df["c_acctbal"] * 100).round().astype("int64")
+        pos = bal_c[bal_c > 0]
+        out = pd.DataFrame({"s": [int(pos.sum())], "n": [int(len(pos))]})
+        return typed_table(out, s=pa.int64(), n=pa.int64())
+
+    parts = cust.map_batches(bal_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    sum_pos, n_pos = sum(int(x) for x in parts["s"]), \
+        sum(int(x) for x in parts["n"])
+
+    def rich(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["bal_c"] = (df["c_acctbal"] * 100).round().astype("int64")
+        df = df[df["bal_c"] * n_pos > sum_pos]
+        return typed_table(df, c_custkey=pa.int64(),
+                           c_nationkey=pa.int64(), bal_c=pa.int64())
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow",
+                               batch_size=None)
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_orderdate"])
+
+    def recent(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["o_orderdate"],
+                                          pa.scalar(cutoff)))
+        return pa.table({"o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    recent_keys = distinct_rows(
+        orders.map_batches(recent, batch_format="pyarrow",
+                           batch_size=None), ["o_custkey"], 16)
+    inactive = hash_anti_join(rich_ds, recent_keys, "c_custkey",
+                              "o_custkey")
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            numcust=("bal_c", "size"), totacctbal_cents=("bal_c", "sum"))
+        return typed_table(g, c_nationkey=pa.int64(), numcust=pa.int64(),
+                           totacctbal_cents=pa.int64())
+
+    np_df = inactive.map_batches(nation_partial, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()
+    out = np_df.groupby("c_nationkey", as_index=False).agg(
+        numcust=("numcust", "sum"),
+        totacctbal_cents=("totacctbal_cents", "sum"))
+    return ray.data.from_arrow(typed_table(
+        out, c_nationkey=pa.int64(), numcust=pa.int64(),
+        totacctbal_cents=pa.int64()))
+
+
+SQL_Q22_OPPORTUNITY = """
+WITH pos AS (
+  SELECT CAST(sum(CASE WHEN CAST(round(c_acctbal * 100, 0) AS BIGINT) > 0
+                       THEN CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN CAST(round(c_acctbal * 100, 0) AS BIGINT) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n
+  FROM customer),
+eligible AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+  FROM customer, pos
+  WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * pos.n > pos.s
+    AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                          WHERE o_orderdate >= DATE '2000-01-01'))
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       count(*) AS numcust,
+       CAST(sum(bal_c) AS BIGINT) AS totacctbal_cents
+FROM eligible GROUP BY 1"""
+
+
+QUERIES.update({
+    "q21_waiting": q_q21_waiting,
+    "q22_opportunity": q_q22_opportunity,
+})
+ORACLES.update({
+    "q21_waiting": SQL_Q21_WAITING,
+    "q22_opportunity": SQL_Q22_OPPORTUNITY,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -12933,7 +13274,8 @@ _DRIVER_FRONT = [
     "kendall_gamma", "runs_test", "bloom_registers", "mann_whitney",
     "truss_support", "revenue_recognition", "l_diversity", "gap_interpolate",
     "stickiness_ratio", "drawdown", "q4_priority", "q6_forecast",
-    "q13_custdist", "q14_promo",
+    "q13_custdist", "q14_promo", "q17_small_qty", "q18_large_orders",
+    "q21_waiting", "q22_opportunity",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

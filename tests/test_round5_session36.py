@@ -116,3 +116,115 @@ def test_q14_promo_share_exact_ppm():
     assert r["promo_cbp"] == 10000 * 10000
     assert r["total_cbp"] == 40000 * 10000
     assert r["promo_ppm"] == 250_000
+
+
+def _write_lineitem_supp(d, rows):
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_suppkey",
+                                     "l_shipdate", "l_quantity",
+                                     "l_extendedprice"])
+    df["l_partkey"] = 1
+    df["l_linenumber"] = 1
+    df["l_discount"] = 0.0
+    df["l_tax"] = 0.0
+    df["l_returnflag"] = "N"
+    df["l_linestatus"] = "O"
+    df["l_shipdate"] = pd.to_datetime(df["l_shipdate"])
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "lineitem.parquet"))
+
+
+def _write_supplier(d, rows):
+    df = pd.DataFrame(rows, columns=["s_suppkey", "s_name"])
+    df["s_nationkey"] = 0
+    df["s_acctbal"] = 0.0
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "supplier.parquet"))
+
+
+def _write_customer_bal(d, rows):
+    df = pd.DataFrame(rows, columns=["c_custkey", "c_nationkey",
+                                     "c_acctbal"])
+    df["c_name"] = "c"
+    df["c_mktsegment"] = "BUILDING"
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "customer.parquet"))
+
+
+def test_q17_small_qty_cross_multiplication():
+    # Brand#12 = part 1 in this fixture via a custom part table
+    part = pd.DataFrame({"p_partkey": [1, 2], "p_type": "STANDARD",
+                         "p_name": "widget",
+                         "p_brand": ["Brand#12", "Brand#1"],
+                         "p_size": 1, "p_retailprice": 10.0})
+    # part 1 qtys: 1,10,10,10,10 (sum 41, cnt 5): qty 1 passes
+    # (5*1*5=25 < 41), qty 10 fails; part 2 line must be ignored
+    lines = [(1, 1, "1996-01-01", 1.0, 5.00, 0.0),
+             (1, 1, "1996-01-02", 10.0, 7.00, 0.0),
+             (1, 1, "1996-01-03", 10.0, 7.00, 0.0),
+             (1, 1, "1996-01-04", 10.0, 7.00, 0.0),
+             (1, 1, "1996-01-05", 10.0, 7.00, 0.0),
+             (2, 2, "1996-01-06", 1.0, 9.00, 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(part),
+                       os.path.join(d, "part.parquet"))
+        _write_lineitem(d, lines)
+        out = q.QUERIES["q17_small_qty"](d).to_pandas()
+    assert out["small_qty_cents"].to_list() == [500]
+    assert out["n_lines"].to_list() == [1]
+
+
+def test_q18_having_over_order_total():
+    # order 1: 100+60 = 160 > 150 qualifies; order 2: 100 does not
+    lines = [(1, 1, "1996-01-01", 100.0, 1.00, 0.0),
+             (1, 1, "1996-01-02", 60.0, 1.00, 0.0),
+             (2, 1, "1996-01-03", 100.0, 1.00, 0.0)]
+    orders = [(1, 7, "1996-01-01", "3-MEDIUM"),
+              (2, 7, "1996-01-02", "3-MEDIUM")]
+    with tempfile.TemporaryDirectory() as d:
+        _write_lineitem(d, lines)
+        # q18 reads o_totalprice: _write_orders fixes it at 100.0
+        _write_orders(d, orders)
+        out = q.QUERIES["q18_large_orders"](d).to_pandas()
+    assert out["o_orderkey"].to_list() == [1]
+    assert out["sum_qty_c"].to_list() == [16000]
+    assert out["o_custkey"].to_list() == [7]
+    assert out["total_cents"].to_list() == [10000]
+
+
+def test_q21_sole_late_supplier():
+    # order 1 (placed d0): supp 1 ships d+40 (late), supp 2 d+5 -> supp 1
+    # is the sole late supplier in a multi-supplier order: counted.
+    # order 2: both late -> excluded. order 3: single-supplier late ->
+    # excluded (needs n_supp > 1).
+    orders = [(1, 1, "1996-01-01", "3-MEDIUM"),
+              (2, 1, "1996-01-01", "3-MEDIUM"),
+              (3, 1, "1996-01-01", "3-MEDIUM")]
+    lines = [(1, 1, "1996-02-10", 1.0, 1.00),
+             (1, 2, "1996-01-06", 1.0, 1.00),
+             (2, 1, "1996-02-10", 1.0, 1.00),
+             (2, 2, "1996-02-11", 1.0, 1.00),
+             (3, 1, "1996-02-10", 1.0, 1.00)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(d, orders)
+        _write_lineitem_supp(d, lines)
+        _write_supplier(d, [(1, "Supplier#1"), (2, "Supplier#2")])
+        out = q.QUERIES["q21_waiting"](d).to_pandas()
+    assert out[["s_suppkey", "numwait"]].values.tolist() == [[1, 1]]
+    assert out["s_name"].to_list() == ["Supplier#1"]
+
+
+def test_q22_above_avg_and_inactive():
+    # positive balances: 100, 200, 300 -> avg 200; eligible needs
+    # bal > 200 strictly AND no order since 2000: cust 3 (300, inactive)
+    # qualifies; cust 2 (200) not above avg; cust 4 (250) has a recent
+    # order; cust 5 (-50) never in the average
+    cust = [(1, 0, 100.0), (2, 0, 200.0), (3, 1, 300.0),
+            (4, 1, 250.0), (5, 0, -50.0)]
+    orders = [(1, 4, "2001-05-01", "3-MEDIUM"),
+              (2, 3, "1999-05-01", "3-MEDIUM")]
+    with tempfile.TemporaryDirectory() as d:
+        _write_customer_bal(d, cust)
+        _write_orders(d, orders)
+        out = q.QUERIES["q22_opportunity"](d).to_pandas()
+    assert out[["c_nationkey", "numcust", "totacctbal_cents"]] \
+        .values.tolist() == [[1, 1, 30000]]
