@@ -12609,6 +12609,21 @@ ORACLES.update({
 # TPC-H-shaped join/agg patterns: Q4 semi-join, Q6 zero-shuffle filter-agg
 # ---------------------------------------------------------------------------
 
+def _collect_pd(ds: ray.data.Dataset, **dtypes) -> pd.DataFrame:
+    """Driver-side collect of a SMALL partials Dataset that tolerates
+    zero-column empty blocks.  A sparse bucketed exchange emits schema-
+    less empty blocks (Ray's "new schema: ." warning); ``to_pandas()``
+    then unions to ZERO columns and the driver fold KeyErrors.  Keyword
+    args declare the expected columns -> pandas dtypes; blocks missing
+    them are skipped, and an all-empty result comes back as a typed
+    empty frame.  Only for bounded partials (driver finals) — never a
+    corpus-sized dataset."""
+    frames = [b.to_pandas() for b in ds.iter_batches(batch_format="pyarrow")
+              if set(dtypes) <= set(b.column_names)]
+    if frames:
+        return pd.concat(frames, ignore_index=True)[list(dtypes)]
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in dtypes.items()})
+
 def q_q4_priority(sf_dir: str) -> ray.data.Dataset:
     """TPC-H-Q4-shaped EXISTS semi-join: count Q3-1996 orders per
     priority where SOME lineitem shipped > 30 days after the order date
@@ -12670,8 +12685,10 @@ def q_q4_priority(sf_dir: str) -> ray.data.Dataset:
         return typed_table(g, o_orderpriority=pa.string(),
                            order_count=pa.int64())
 
-    partials = joined.map_batches(count_late, batch_format="pyarrow",
-                                  batch_size=None).to_pandas()
+    partials = _collect_pd(
+        joined.map_batches(count_late, batch_format="pyarrow",
+                           batch_size=None),
+        o_orderpriority="object", order_count="int64")
     out = partials.groupby("o_orderpriority", as_index=False) \
         .agg(order_count=("order_count", "sum"))
     return ray.data.from_arrow(typed_table(
@@ -12784,8 +12801,10 @@ def q_q13_custdist(sf_dir: str) -> ray.data.Dataset:
             .rename(columns={"size": "custdist"})
         return typed_table(g, c_count=pa.int64(), custdist=pa.int64())
 
-    parts = joined.map_batches(dist_partial, batch_format="pyarrow",
-                               batch_size=None).to_pandas()
+    parts = _collect_pd(
+        joined.map_batches(dist_partial, batch_format="pyarrow",
+                           batch_size=None),
+        c_count="int64", custdist="int64")
     out = parts.groupby("c_count", as_index=False) \
         .agg(custdist=("custdist", "sum"))
     return ray.data.from_arrow(typed_table(
@@ -12922,7 +12941,8 @@ def q_q17_small_qty(sf_dir: str) -> pa.Table:
                             "n": [int(len(small))]})
         return typed_table(out, cents=pa.int64(), n=pa.int64())
 
-    parts = bucketed_group_apply(bl, "l_partkey", per_bucket, 16).to_pandas()
+    parts = _collect_pd(bucketed_group_apply(bl, "l_partkey", per_bucket, 16),
+                        cents="int64", n="int64")
     out = pd.DataFrame({
         "small_qty_cents": [sum(int(x) for x in parts["cents"])],
         "n_lines": [sum(int(x) for x in parts["n"])]})
@@ -13174,8 +13194,10 @@ def q_q22_opportunity(sf_dir: str) -> ray.data.Dataset:
         return typed_table(g, c_nationkey=pa.int64(), numcust=pa.int64(),
                            totacctbal_cents=pa.int64())
 
-    np_df = inactive.map_batches(nation_partial, batch_format="pyarrow",
-                                 batch_size=None).to_pandas()
+    np_df = _collect_pd(
+        inactive.map_batches(nation_partial, batch_format="pyarrow",
+                             batch_size=None),
+        c_nationkey="int64", numcust="int64", totacctbal_cents="int64")
     out = np_df.groupby("c_nationkey", as_index=False).agg(
         numcust=("numcust", "sum"),
         totacctbal_cents=("totacctbal_cents", "sum"))
@@ -13212,6 +13234,197 @@ QUERIES.update({
 ORACLES.update({
     "q21_waiting": SQL_Q21_WAITING,
     "q22_opportunity": SQL_Q22_OPPORTUNITY,
+})
+
+
+# ---------------------------------------------------------------------------
+# Q7 nation-pair shipping volume, Q19 disjunctive-predicate revenue
+# ---------------------------------------------------------------------------
+
+def q_q7_volume(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q7-shaped bilateral shipping volume: revenue per
+    (supplier nation, customer nation, ship year) between NATION_3 and
+    NATION_8 (both directions — a pair with suppliers at every test
+    scale factor), 1996-1997 shipments.  The two dimension
+    probes are broadcast (supplier->nation and the pair's custkeys via
+    a filtered customer scan — each a small fraction of its table;
+    ray.put once); the two corpus-sized exchanges are orders |><|
+    filtered-customer and lineitem |><| that result, both partitioned
+    hash joins on the SAME orderkey family.  The cross-nation filter
+    (supp != cust nation) runs per batch after the joins; the final
+    (2 x 2 x years) rollup is a driver fold of per-batch partials."""
+    import datetime as _dt
+    from dug_ray.shuffle import hash_join
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1998, 1, 1)
+    pair = ("NATION_3", "NATION_8")
+
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nk = nat[nat["n_name"].isin(pair)]
+    name_of = dict(zip(nk["n_nationkey"].astype("int64"), nk["n_name"]))
+
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"]
+                                ).to_pandas()
+    sup = sup[sup["s_nationkey"].astype("int64").isin(name_of)]
+    sup_ref = ray.put(dict(zip(sup["s_suppkey"].astype("int64"),
+                               sup["s_nationkey"].astype("int64"))))
+    names_ref = ray.put(name_of)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+
+    def cust_pair(batch: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        df = batch.to_pandas()
+        df = df[df["c_nationkey"].astype("int64").isin(names)]
+        return typed_table(df, c_custkey=pa.int64(),
+                           c_nationkey=pa.int64())
+
+    cust_f = cust.map_batches(cust_pair, batch_format="pyarrow",
+                              batch_size=None)
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    co = hash_join(_norm(orders, int_cols=("o_orderkey", "o_custkey")),
+                   cust_f, "o_custkey", "c_custkey")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        supmap = ray.get(sup_ref)
+        df = batch.to_pandas()
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+                & df["l_suppkey"].isin(supmap)]
+        price_c = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (df["l_discount"] * 10000).round().astype("int64")
+        out = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "supp_nk": df["l_suppkey"].map(supmap).astype("int64"),
+            "l_year": df["l_shipdate"].astype("datetime64[us]").dt.year
+            .astype("int64"),
+            "rev_cbp": price_c * (10000 - disc_bp)})
+        return typed_table(out, l_orderkey=pa.int64(), supp_nk=pa.int64(),
+                           l_year=pa.int64(), rev_cbp=pa.int64())
+
+    li_f = li.map_batches(li_proj, batch_format="pyarrow", batch_size=None)
+    wide = hash_join(li_f, co, "l_orderkey", "o_orderkey")
+
+    def vol_partial(batch: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        df = batch.to_pandas()
+        df = df[df["supp_nk"] != df["c_nationkey"]]
+        df["supp_nation"] = df["supp_nk"].map(names)
+        df["cust_nation"] = df["c_nationkey"].map(names)
+        g = df.groupby(["supp_nation", "cust_nation", "l_year"],
+                       as_index=False).agg(revenue_cbp=("rev_cbp", "sum"))
+        return typed_table(g, supp_nation=pa.string(),
+                           cust_nation=pa.string(), l_year=pa.int64(),
+                           revenue_cbp=pa.int64())
+
+    parts = _collect_pd(
+        wide.map_batches(vol_partial, batch_format="pyarrow",
+                         batch_size=None),
+        supp_nation="object", cust_nation="object", l_year="int64",
+        revenue_cbp="int64")
+    out = parts.groupby(["supp_nation", "cust_nation", "l_year"],
+                        as_index=False).agg(
+        revenue_cbp=("revenue_cbp", "sum"))
+    return ray.data.from_arrow(typed_table(
+        out, supp_nation=pa.string(), cust_nation=pa.string(),
+        l_year=pa.int64(), revenue_cbp=pa.int64()))
+
+
+SQL_Q7_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)))
+         AS BIGINT) AS revenue_cbp
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND n1.n_name IN ('NATION_3', 'NATION_8')
+  AND n2.n_name IN ('NATION_3', 'NATION_8')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3"""
+
+
+def q_q19_disjunctive(sf_dir: str) -> pa.Table:
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: three OR'd
+    (brand, size band, quantity band) branches evaluated in ONE
+    vectorized pass — the optimizer-unfriendly pattern that forces
+    row-at-a-time evaluation in naive engines.  Part attributes ride
+    as a broadcast partkey -> (brand, size) frame (ray.put once; at
+    true part-table scale this becomes the partitioned join);
+    lineitem is a zero-shuffle scan with per-batch partial sums,
+    Python-int folded on the driver."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    attrs_ref = ray.put({
+        int(k): (b, int(s)) for k, b, s in
+        zip(part["p_partkey"], part["p_brand"], part["p_size"])})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        attrs = ray.get(attrs_ref)
+        df = batch.to_pandas()
+        mapped = df["l_partkey"].map(attrs)
+        brand = mapped.map(lambda t: t[0])
+        size = mapped.map(lambda t: t[1]).astype("int64")
+        qty = df["l_quantity"]
+        m = (((brand == "Brand#12") & size.between(1, 5)
+              & qty.between(1, 11))
+             | ((brand == "Brand#23") & size.between(1, 10)
+                & qty.between(10, 20))
+             | ((brand == "Brand#34") & size.between(1, 15)
+                & qty.between(20, 30)))
+        price_c = (df.loc[m, "l_extendedprice"] * 100).round() \
+            .astype("int64")
+        disc_bp = (df.loc[m, "l_discount"] * 10000).round().astype("int64")
+        rev = int((price_c * (10000 - disc_bp)).sum())
+        out = pd.DataFrame({"rev": [rev], "n": [int(m.sum())]})
+        return typed_table(out, rev=pa.int64(), n=pa.int64())
+
+    parts = li.map_batches(per_batch, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    out = pd.DataFrame({
+        "revenue_cbp": [sum(int(x) for x in parts["rev"])],
+        "n_lines": [sum(int(x) for x in parts["n"])]})
+    return typed_table(out, revenue_cbp=pa.int64(), n_lines=pa.int64())
+
+
+SQL_Q19_DISJUNCTIVE = """
+SELECT COALESCE(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)))
+       AS BIGINT), 0) AS revenue_cbp,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)"""
+
+
+QUERIES.update({
+    "q7_volume": q_q7_volume,
+    "q19_disjunctive": q_q19_disjunctive,
+})
+ORACLES.update({
+    "q7_volume": SQL_Q7_VOLUME,
+    "q19_disjunctive": SQL_Q19_DISJUNCTIVE,
 })
 
 
@@ -13275,7 +13488,7 @@ _DRIVER_FRONT = [
     "truss_support", "revenue_recognition", "l_diversity", "gap_interpolate",
     "stickiness_ratio", "drawdown", "q4_priority", "q6_forecast",
     "q13_custdist", "q14_promo", "q17_small_qty", "q18_large_orders",
-    "q21_waiting", "q22_opportunity",
+    "q21_waiting", "q22_opportunity", "q7_volume", "q19_disjunctive",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -228,3 +228,57 @@ def test_q22_above_avg_and_inactive():
         out = q.QUERIES["q22_opportunity"](d).to_pandas()
     assert out[["c_nationkey", "numcust", "totacctbal_cents"]] \
         .values.tolist() == [[1, 1, 30000]]
+
+
+def _write_nation(d):
+    df = pd.DataFrame({"n_nationkey": list(range(25)),
+                       "n_name": [f"NATION_{i}" for i in range(25)],
+                       "n_regionkey": [i % 5 for i in range(25)]})
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "nation.parquet"))
+
+
+def test_q7_volume_bilateral():
+    # supp 1 in NATION_3 ships to cust 1 in NATION_8 (1996, 100.00);
+    # supp 2 in NATION_8 ships to cust 2 in NATION_3 (1997, 50.00);
+    # supp 1 -> cust 2 is intra-pair but same-nation? no: 3 vs 3 via
+    # cust 2 -> EXCLUDED (cross-nation filter)
+    with tempfile.TemporaryDirectory() as d:
+        _write_nation(d)
+        sup = pd.DataFrame({"s_suppkey": [1, 2], "s_name": "s",
+                            "s_nationkey": [3, 8], "s_acctbal": 0.0})
+        pq.write_table(pa.Table.from_pandas(sup),
+                       os.path.join(d, "supplier.parquet"))
+        _write_customer_bal(d, [(1, 8, 0.0), (2, 3, 0.0)])
+        _write_orders(d, [(1, 1, "1996-02-01", "3-MEDIUM"),
+                          (2, 2, "1997-02-01", "3-MEDIUM"),
+                          (3, 2, "1996-03-01", "3-MEDIUM")])
+        lines = [(1, 1, "1996-02-10", 1.0, 100.00),
+                 (2, 2, "1997-02-10", 1.0, 50.00),
+                 (3, 1, "1996-03-10", 1.0, 70.00)]  # supp n3 -> cust n3
+        _write_lineitem_supp(d, lines)
+        out = q.QUERIES["q7_volume"](d).to_pandas() \
+            .sort_values("l_year").reset_index(drop=True)
+    assert out[["supp_nation", "cust_nation", "l_year"]].values.tolist() \
+        == [["NATION_3", "NATION_8", 1996], ["NATION_8", "NATION_3", 1997]]
+    assert out["revenue_cbp"].to_list() == [10000 * 10000, 5000 * 10000]
+
+
+def test_q19_disjunctive_branches():
+    part = pd.DataFrame({
+        "p_partkey": [1, 2, 3], "p_name": "widget", "p_type": "STANDARD",
+        "p_brand": ["Brand#12", "Brand#23", "Brand#34"],
+        "p_size": [3, 20, 10], "p_retailprice": 10.0})
+    # part 1: size 3 in [1,5], qty 5 in [1,11] -> HIT (20.00)
+    # part 2: size 20 out of [1,10] -> miss even with qty 15
+    # part 3: size 10 in [1,15], qty 25 in [20,30] -> HIT (30.00)
+    lines = [(1, 1, "1996-01-01", 5.0, 20.00, 0.0),
+             (1, 2, "1996-01-02", 15.0, 40.00, 0.0),
+             (1, 3, "1996-01-03", 25.0, 30.00, 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(part),
+                       os.path.join(d, "part.parquet"))
+        _write_lineitem(d, lines)
+        out = q.QUERIES["q19_disjunctive"](d).to_pandas()
+    assert out["revenue_cbp"].to_list() == [(2000 + 3000) * 10000]
+    assert out["n_lines"].to_list() == [2]
