@@ -13429,6 +13429,534 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Q9 product profit by nation/year, Q11 important-part value threshold
+# ---------------------------------------------------------------------------
+
+def q_q9_profit(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q9-shaped product profit per (supplier nation, order
+    year) for 'widget' parts.  The schema has no partsupp/supplycost,
+    so cost := quantity x retail price (exact cent-bp integers:
+    qty_c x retail_c); profit_cbp = price_c x (10000 - disc_bp)
+    - qty_c x retail_c.  Dimension probes (widget partkey -> retail_c,
+    supplier -> nation name) are broadcast once; the one corpus-sized
+    exchange is lineitem |><| orders (for the order year).  The
+    (nation x year) grid is tiny: driver fold in Python ints (a
+    100 TB profit total wraps int64)."""
+    from dug_ray.shuffle import hash_join
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    part = part[part["p_name"].str.contains("widget")]
+    retail_ref = ray.put(dict(zip(
+        part["p_partkey"].astype("int64"),
+        (part["p_retailprice"] * 100).round().astype("int64"))))
+
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"]
+                                ).to_pandas()
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
+    sup_nation_ref = ray.put({
+        int(k): names[int(n)] for k, n in
+        zip(sup["s_suppkey"], sup["s_nationkey"])})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        retail = ray.get(retail_ref)
+        sup_nation = ray.get(sup_nation_ref)
+        df = batch.to_pandas()
+        df = df[df["l_partkey"].isin(retail)]
+        price_c = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (df["l_discount"] * 10000).round().astype("int64")
+        qty_c = (df["l_quantity"] * 100).round().astype("int64")
+        retail_c = df["l_partkey"].map(retail).astype("int64")
+        out = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "nation": df["l_suppkey"].map(sup_nation),
+            "profit_cbp": price_c * (10000 - disc_bp) - qty_c * retail_c})
+        return typed_table(out, l_orderkey=pa.int64(), nation=pa.string(),
+                           profit_cbp=pa.int64())
+
+    li_f = li.map_batches(li_proj, batch_format="pyarrow", batch_size=None)
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderdate"])
+
+    def o_proj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_year": df["o_orderdate"].astype("datetime64[us]").dt.year
+            .astype("int64")})
+        return typed_table(out, o_orderkey=pa.int64(), o_year=pa.int64())
+
+    joined = hash_join(li_f, orders.map_batches(
+        o_proj, batch_format="pyarrow", batch_size=None),
+        "l_orderkey", "o_orderkey")
+
+    def profit_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["nation", "o_year"], as_index=False).agg(
+            profit_cbp=("profit_cbp", "sum"))
+        return typed_table(g, nation=pa.string(), o_year=pa.int64(),
+                           profit_cbp=pa.int64())
+
+    parts = _collect_pd(
+        joined.map_batches(profit_partial, batch_format="pyarrow",
+                           batch_size=None),
+        nation="object", o_year="int64", profit_cbp="int64")
+    out = parts.groupby(["nation", "o_year"], as_index=False).agg(
+        profit_cbp=("profit_cbp", "sum"))
+    return ray.data.from_arrow(typed_table(
+        out, nation=pa.string(), o_year=pa.int64(),
+        profit_cbp=pa.int64()))
+
+
+SQL_Q9_PROFIT = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT))
+                - CAST(round(l_quantity * 100, 0) AS BIGINT)
+                  * CAST(round(p_retailprice * 100, 0) AS BIGINT))
+         AS BIGINT) AS profit_cbp
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2"""
+
+
+def q_q11_important(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q11-shaped important-part scan: parts whose NATION_3-
+    supplied revenue exceeds 1/1000 of the total such revenue.  The
+    global scalar subquery folds on the driver from <= num_buckets
+    int partials; the strict comparison value*1000 > total is
+    rewritten OVERFLOW-FREE as value >= total // 1000 + 1 (exact for
+    integers — no value*1000 product that could wrap, and the oracle
+    uses the same rewrite so both engines stay in int64).  One
+    bucketed exchange on l_partkey; the dimension probe (NATION_3
+    suppkeys) is broadcast."""
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"]
+                                ).to_pandas()
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nk3 = set(nat.loc[nat["n_name"] == "NATION_3", "n_nationkey"]
+              .astype("int64"))
+    keys_ref = ray.put(frozenset(
+        sup.loc[sup["s_nationkey"].astype("int64").isin(nk3), "s_suppkey"]
+        .astype("int64")))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        df = batch.to_pandas()
+        df = df[df["l_suppkey"].isin(keys)]
+        price_c = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (df["l_discount"] * 10000).round().astype("int64")
+        out = pd.DataFrame({"l_partkey": df["l_partkey"].astype("int64"),
+                            "rev": price_c * (10000 - disc_bp)})
+        g = out.groupby("l_partkey", as_index=False)["rev"].sum() \
+            .rename(columns={"rev": "value_cbp"})
+        return typed_table(g, l_partkey=pa.int64(), value_cbp=pa.int64())
+
+    partial = li.map_batches(per_batch, batch_format="pyarrow",
+                             batch_size=None)
+    values = bucketed_group_apply(
+        partial, "l_partkey",
+        lambda df: df.groupby("l_partkey", as_index=False)["value_cbp"]
+        .sum(), 16).materialize()
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return typed_table(pd.DataFrame({"t": [int(df["value_cbp"].sum())]}),
+                           t=pa.int64())
+
+    tp = _collect_pd(values.map_batches(tot_partial, batch_format="pyarrow",
+                                        batch_size=None), t="int64")
+    threshold = sum(int(x) for x in tp["t"]) // 1000 + 1
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["value_cbp"],
+                                             pa.scalar(threshold)))
+
+    return values.map_batches(keep, batch_format="pyarrow",
+                              batch_size=None)
+
+
+SQL_Q11_IMPORTANT = """
+WITH lv AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)))
+           AS BIGINT) AS value_cbp
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(value_cbp) AS BIGINT) AS t FROM lv)
+SELECT l_partkey, value_cbp
+FROM lv, tot WHERE value_cbp >= t // 1000 + 1"""
+
+
+QUERIES.update({
+    "q9_profit": q_q9_profit,
+    "q11_important": q_q11_important,
+})
+ORACLES.update({
+    "q9_profit": SQL_Q9_PROFIT,
+    "q11_important": SQL_Q11_IMPORTANT,
+})
+
+
+# ---------------------------------------------------------------------------
+# Q16 supplier count with NOT-IN exclusion, Q20 excess-supply semi-join
+# ---------------------------------------------------------------------------
+
+def q_q16_supplier_cnt(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q16-shaped supplier census: distinct suppliers per
+    (p_brand, p_size) observed shipping 'widget' parts, EXCLUDING
+    suppliers with account balance under 2000.00 (the reference's
+    complaint-supplier NOT IN, re-keyed to the available column).
+    Both dimension probes are broadcast sets (widget partkey ->
+    (brand, size); the excluded suppkeys); the exclusion is applied
+    per batch BEFORE the exchange, so banned suppliers never shuffle.
+    count(DISTINCT supplier) = distinct_rows on the (brand, size,
+    suppkey) triple (combiner inside) + a bucketed size() per key."""
+    from dug_ray.shuffle import distinct_rows
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_brand", "p_size"]).to_pandas()
+    part = part[part["p_name"].str.contains("widget")]
+    attrs_ref = ray.put({int(k): (b, int(s)) for k, b, s in
+                         zip(part["p_partkey"], part["p_brand"],
+                             part["p_size"])})
+
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_acctbal"]
+                                ).to_pandas()
+    bal_c = (sup["s_acctbal"] * 100).round().astype("int64")
+    banned_ref = ray.put(frozenset(
+        sup.loc[bal_c < 200_000, "s_suppkey"].astype("int64")))
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey"])
+
+    def triple(batch: pa.Table) -> pa.Table:
+        attrs = ray.get(attrs_ref)
+        banned = ray.get(banned_ref)
+        df = batch.to_pandas()
+        df = df[df["l_partkey"].isin(attrs)
+                & ~df["l_suppkey"].isin(banned)]
+        mapped = df["l_partkey"].map(attrs)
+        out = pd.DataFrame({
+            "p_brand": mapped.map(lambda t: t[0]),
+            "p_size": mapped.map(lambda t: t[1]).astype("int64"),
+            "l_suppkey": df["l_suppkey"].astype("int64")}) \
+            .drop_duplicates()
+        return typed_table(out, p_brand=pa.string(), p_size=pa.int64(),
+                           l_suppkey=pa.int64())
+
+    triples = li.map_batches(triple, batch_format="pyarrow",
+                             batch_size=None)
+    uniq = distinct_rows(triples, ["p_brand", "p_size", "l_suppkey"], 16)
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["p_brand", "p_size"], as_index=False).agg(
+            supplier_cnt=("l_suppkey", "size"))
+
+    return bucketed_group_apply(uniq, ["p_brand", "p_size"], census, 16)
+
+
+SQL_Q16_SUPPLIER_CNT = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_name LIKE '%widget%'
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier
+    WHERE CAST(round(s_acctbal * 100, 0) AS BIGINT) < 200000)
+GROUP BY 1, 2"""
+
+
+def q_q20_excess(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q20-shaped excess-supply scan: suppliers who shipped more
+    than 300 quantity units of 'blue' parts during 1996 — the
+    part-name semi-join runs as a broadcast partkey set applied per
+    batch; the per-supplier total is a per-batch combiner + ONE
+    bucketed merge (with the HAVING inside the bucket); supplier names
+    attach via the partitioned hash join."""
+    import datetime as _dt
+    from dug_ray.shuffle import hash_join
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_name"]
+                                 ).to_pandas()
+    keys_ref = ray.put(frozenset(
+        part.loc[part["p_name"].str.startswith("blue"), "p_partkey"]
+        .astype("int64")))
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey",
+                                        "l_quantity", "l_shipdate"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        df = batch.to_pandas()
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+                & df["l_partkey"].isin(keys)]
+        df["qty_c"] = (df["l_quantity"] * 100).round().astype("int64")
+        g = df.groupby("l_suppkey", as_index=False)["qty_c"].sum()
+        return typed_table(g, l_suppkey=pa.int64(), qty_c=pa.int64())
+
+    partial = li.map_batches(per_batch, batch_format="pyarrow",
+                             batch_size=None)
+
+    def merge_having(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_suppkey", as_index=False)["qty_c"].sum()
+        return g[g["qty_c"] > 30_000]
+
+    big = bucketed_group_apply(partial, "l_suppkey", merge_having, 16)
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_name"])
+    out = hash_join(big, sup, "l_suppkey", "s_suppkey")
+    return _norm(out.select_columns(["s_suppkey", "s_name", "qty_c"]),
+                 int_cols=("s_suppkey",))
+
+
+SQL_Q20_EXCESS = """
+WITH q AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+           AS qty_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'blue%'
+    AND l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1997-01-01'
+  GROUP BY 1
+  HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 30000)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, q.qty_c
+FROM supplier JOIN q ON s_suppkey = l_suppkey"""
+
+
+QUERIES.update({
+    "q16_supplier_cnt": q_q16_supplier_cnt,
+    "q20_excess": q_q20_excess,
+})
+ORACLES.update({
+    "q16_supplier_cnt": SQL_Q16_SUPPLIER_CNT,
+    "q20_excess": SQL_Q20_EXCESS,
+})
+
+
+# ---------------------------------------------------------------------------
+# Q2-style cheapest-supplier argmin, Q8 national market share
+# ---------------------------------------------------------------------------
+
+def q_q2_min_supplier(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q2-shaped min-cost supplier: for each large part (size >=
+    40), the supplier offering the cheapest observed line (min
+    extendedprice cents; ties -> min suppkey).  No partsupp table
+    exists, so observed lineitem prices play the supply-cost role.
+    The argmin is ORDER-INSENSITIVE and mergeable, so it runs as a
+    per-batch combiner (sort + head(1) per partkey inside the batch)
+    followed by ONE bucketed merge of the per-batch champions — the
+    full price list never shuffles."""
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_size"]
+                                 ).to_pandas()
+    keys_ref = ray.put(frozenset(
+        part.loc[part["p_size"] >= 40, "p_partkey"].astype("int64")))
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey",
+                                        "l_extendedprice"])
+
+    def champion(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["l_partkey", "min_price_c",
+                                "best_suppkey"])
+                .groupby("l_partkey", as_index=False).head(1))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        df = batch.to_pandas()
+        df = df[df["l_partkey"].isin(keys)]
+        out = pd.DataFrame({
+            "l_partkey": df["l_partkey"].astype("int64"),
+            "best_suppkey": df["l_suppkey"].astype("int64"),
+            "min_price_c": (df["l_extendedprice"] * 100).round()
+            .astype("int64")})
+        out = champion(out)
+        return typed_table(out, l_partkey=pa.int64(),
+                           best_suppkey=pa.int64(),
+                           min_price_c=pa.int64())
+
+    partial = li.map_batches(per_batch, batch_format="pyarrow",
+                             batch_size=None)
+    return bucketed_group_apply(partial, "l_partkey", champion, 16)
+
+
+SQL_Q2_MIN_SUPPLIER = """
+WITH pl AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size >= 40),
+m AS (SELECT l_partkey, min(price_c) AS min_price_c FROM pl GROUP BY 1)
+SELECT pl.l_partkey,
+       CAST(min(pl.l_suppkey) AS BIGINT) AS best_suppkey,
+       m.min_price_c
+FROM pl JOIN m ON pl.l_partkey = m.l_partkey
+              AND pl.price_c = m.min_price_c
+GROUP BY 1, 3"""
+
+
+def q_q8_market_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q8-shaped market share: per order year, the ppm share of
+    NATION_3 suppliers in PROMO-part revenue from AMERICA-region
+    customers.  Three broadcast probes (PROMO partkeys, suppkey ->
+    is-NATION_3, AMERICA nationkeys); two partitioned exchanges
+    (orders |><| filtered customers, lineitem |><| that result).  Both
+    numerator and denominator fold per (year) on the driver in Python
+    ints before ONE exact floor division per year — the ppm never sees
+    a partial denominator."""
+    from dug_ray.shuffle import hash_join
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    america = set(reg.loc[reg["r_name"] == "AMERICA", "r_regionkey"])
+    am_nk_ref = ray.put(frozenset(
+        nat.loc[nat["n_regionkey"].isin(america), "n_nationkey"]
+        .astype("int64")))
+    n3 = set(nat.loc[nat["n_name"] == "NATION_3", "n_nationkey"]
+             .astype("int64"))
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"]
+                                ).to_pandas()
+    n3_sup_ref = ray.put(frozenset(
+        sup.loc[sup["s_nationkey"].astype("int64").isin(n3), "s_suppkey"]
+        .astype("int64")))
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_type"]
+                                 ).to_pandas()
+    promo_ref = ray.put(frozenset(
+        part.loc[part["p_type"] == "PROMO", "p_partkey"].astype("int64")))
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+
+    def cust_am(batch: pa.Table) -> pa.Table:
+        am = ray.get(am_nk_ref)
+        df = batch.to_pandas()
+        df = df[df["c_nationkey"].astype("int64").isin(am)]
+        return typed_table(df[["c_custkey"]], c_custkey=pa.int64())
+
+    cust_f = cust.map_batches(cust_am, batch_format="pyarrow",
+                              batch_size=None)
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_orderdate"])
+
+    def o_proj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "o_year": df["o_orderdate"].astype("datetime64[us]").dt.year
+            .astype("int64")})
+        return typed_table(out, o_orderkey=pa.int64(),
+                           o_custkey=pa.int64(), o_year=pa.int64())
+
+    co = hash_join(orders.map_batches(o_proj, batch_format="pyarrow",
+                                      batch_size=None),
+                   cust_f, "o_custkey", "c_custkey")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        promo = ray.get(promo_ref)
+        n3s = ray.get(n3_sup_ref)
+        df = batch.to_pandas()
+        df = df[df["l_partkey"].isin(promo)]
+        price_c = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (df["l_discount"] * 10000).round().astype("int64")
+        out = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "rev": price_c * (10000 - disc_bp),
+            "is_n3": df["l_suppkey"].isin(n3s).astype("int64")})
+        return typed_table(out, l_orderkey=pa.int64(), rev=pa.int64(),
+                           is_n3=pa.int64())
+
+    wide = hash_join(li.map_batches(li_proj, batch_format="pyarrow",
+                                    batch_size=None),
+                     co, "l_orderkey", "o_orderkey")
+
+    def share_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n3_rev"] = df["rev"] * df["is_n3"]
+        g = df.groupby("o_year", as_index=False).agg(
+            nation_cbp=("n3_rev", "sum"), total_cbp=("rev", "sum"))
+        return typed_table(g, o_year=pa.int64(), nation_cbp=pa.int64(),
+                           total_cbp=pa.int64())
+
+    parts = _collect_pd(
+        wide.map_batches(share_partial, batch_format="pyarrow",
+                         batch_size=None),
+        o_year="int64", nation_cbp="int64", total_cbp="int64")
+    out = parts.groupby("o_year", as_index=False).agg(
+        nation_cbp=("nation_cbp", "sum"), total_cbp=("total_cbp", "sum"))
+    out["share_ppm"] = [1_000_000 * int(n) // int(t) for n, t in
+                        zip(out["nation_cbp"], out["total_cbp"])]
+    return ray.data.from_arrow(typed_table(
+        out, o_year=pa.int64(), nation_cbp=pa.int64(),
+        total_cbp=pa.int64(), share_ppm=pa.int64()))
+
+
+SQL_Q8_MARKET_SHARE = """
+WITH rev AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)) AS r,
+         CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_n3
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE r_name = 'AMERICA' AND p_type = 'PROMO')
+SELECT o_year,
+       CAST(sum(r * is_n3) AS BIGINT) AS nation_cbp,
+       CAST(sum(r) AS BIGINT) AS total_cbp,
+       CAST(1000000 * sum(r * is_n3) // sum(r) AS BIGINT) AS share_ppm
+FROM rev GROUP BY 1"""
+
+
+QUERIES.update({
+    "q2_min_supplier": q_q2_min_supplier,
+    "q8_market_share": q_q8_market_share,
+})
+ORACLES.update({
+    "q2_min_supplier": SQL_Q2_MIN_SUPPLIER,
+    "q8_market_share": SQL_Q8_MARKET_SHARE,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -13489,6 +14017,8 @@ _DRIVER_FRONT = [
     "stickiness_ratio", "drawdown", "q4_priority", "q6_forecast",
     "q13_custdist", "q14_promo", "q17_small_qty", "q18_large_orders",
     "q21_waiting", "q22_opportunity", "q7_volume", "q19_disjunctive",
+    "q9_profit", "q11_important", "q16_supplier_cnt", "q20_excess",
+    "q2_min_supplier", "q8_market_share",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -282,3 +282,152 @@ def test_q19_disjunctive_branches():
         out = q.QUERIES["q19_disjunctive"](d).to_pandas()
     assert out["revenue_cbp"].to_list() == [(2000 + 3000) * 10000]
     assert out["n_lines"].to_list() == [2]
+
+
+def _write_region(d):
+    df = pd.DataFrame({"r_regionkey": list(range(5)),
+                       "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE",
+                                  "MIDDLE EAST"]})
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "region.parquet"))
+
+
+def _write_supplier_nat(d, rows):
+    df = pd.DataFrame(rows, columns=["s_suppkey", "s_nationkey",
+                                     "s_acctbal"])
+    df["s_name"] = "s" + df["s_suppkey"].astype(str)
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "supplier.parquet"))
+
+
+def _write_part_full(d, rows):
+    df = pd.DataFrame(rows, columns=["p_partkey", "p_name", "p_brand",
+                                     "p_size", "p_retailprice"])
+    df["p_type"] = "STANDARD"
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "part.parquet"))
+
+
+def test_q9_profit_cost_model():
+    # widget part 1 retail 10.00; line: qty 2, price 30.00, disc 0 ->
+    # profit_cbp = 3000c*10000bp - 200qc*1000rc = 3e7 - 2e5*... :
+    # qty_c=200, retail_c=1000 -> cost 200*1000=200000; rev 3000*10000
+    # = 30000000; profit 29800000. Non-widget part 2 excluded.
+    with tempfile.TemporaryDirectory() as d:
+        _write_nation(d)
+        _write_part_full(d, [(1, "cold widget", "Brand#1", 1, 10.0),
+                             (2, "blue rod", "Brand#1", 1, 10.0)])
+        _write_supplier_nat(d, [(1, 3, 0.0)])
+        _write_orders(d, [(1, 1, "1996-02-01", "3-MEDIUM")])
+        lines = [(1, 1, "1996-02-10", 2.0, 30.00, 0.0),
+                 (1, 2, "1996-02-11", 2.0, 30.00, 0.0)]
+        _write_lineitem(d, lines)  # l_suppkey fixed at 1
+        out = q.QUERIES["q9_profit"](d).to_pandas()
+    assert out.values.tolist() == [["NATION_3", 1996, 29_800_000]]
+
+
+def test_q11_threshold_strict():
+    # NATION_3 supplier 1 only; part values: 100.00 and 0.05 ->
+    # total 100.05; threshold = total_cbp//1000+1; part 2's
+    # 0.05 (5c*10000=50000 cbp) vs threshold (1000500000//1000+1 =
+    # 1000501) -> part 2 drops, part 1 stays
+    with tempfile.TemporaryDirectory() as d:
+        _write_nation(d)
+        _write_supplier_nat(d, [(1, 3, 0.0)])
+        lines = [(1, 1, "1996-01-01", 1.0, 100.00, 0.0),
+                 (2, 2, "1996-01-02", 1.0, 0.05, 0.0)]
+        _write_lineitem(d, lines)  # suppkey 1 for all
+        out = q.QUERIES["q11_important"](d).to_pandas()
+    assert out.values.tolist() == [[1, 10000 * 10000]]
+
+
+def test_q16_not_in_exclusion():
+    # widget parts 1 (Brand#A size 1) and 2 (Brand#A size 1);
+    # suppliers: 1 ok, 2 banned (acctbal 10.00 < 2000) -> distinct
+    # count over (brand,size) counts supplier 1 once across both parts
+    with tempfile.TemporaryDirectory() as d:
+        _write_part_full(d, [(1, "cold widget", "Brand#A", 1, 10.0),
+                             (2, "warm widget", "Brand#A", 1, 10.0)])
+        _write_supplier_nat(d, [(1, 0, 9999.0), (2, 0, 10.0)])
+        # supp 1 ships both widget parts; banned supp 2 ships part 1:
+        # the (Brand#A, 1) census must count only supplier 1, once
+        df = pd.DataFrame({
+            "l_orderkey": [1, 1, 2], "l_partkey": [1, 2, 1],
+            "l_suppkey": [1, 1, 2], "l_linenumber": 1,
+            "l_quantity": 1.0, "l_extendedprice": 1.0,
+            "l_discount": 0.0, "l_tax": 0.0,
+            "l_returnflag": "N", "l_linestatus": "O",
+            "l_shipdate": pd.to_datetime(["1996-01-01"] * 3)})
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "lineitem.parquet"))
+        out = q.QUERIES["q16_supplier_cnt"](d).to_pandas()
+    assert out.values.tolist() == [["Brand#A", 1, 1]]
+
+
+def test_q20_threshold_and_prefix():
+    # blue part 1: supp 1 ships 400 units in 1996 (> 300: kept);
+    # supp 2 ships 100 (dropped); red part 2 never counts
+    with tempfile.TemporaryDirectory() as d:
+        _write_part_full(d, [(1, "blue rod", "Brand#1", 1, 10.0),
+                             (2, "red rod", "Brand#1", 1, 10.0)])
+        _write_supplier_nat(d, [(1, 0, 0.0), (2, 0, 0.0)])
+        df = pd.DataFrame({
+            "l_orderkey": [1, 2, 3], "l_partkey": [1, 1, 2],
+            "l_suppkey": [1, 2, 1], "l_linenumber": 1,
+            "l_quantity": [400.0, 100.0, 500.0],
+            "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+            "l_returnflag": "N", "l_linestatus": "O",
+            "l_shipdate": pd.to_datetime(["1996-03-01", "1996-03-02",
+                                          "1996-03-03"])})
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "lineitem.parquet"))
+        out = q.QUERIES["q20_excess"](d).to_pandas()
+    assert out[["s_suppkey", "qty_c"]].values.tolist() == [[1, 40000]]
+
+
+def test_q2_argmin_tiebreak():
+    # part 1 (size 40): lines (supp 3, 5.00), (supp 2, 5.00),
+    # (supp 1, 9.00) -> min price 5.00, tie -> supp 2
+    with tempfile.TemporaryDirectory() as d:
+        _write_part_full(d, [(1, "w", "Brand#1", 40, 10.0),
+                             (2, "w", "Brand#1", 10, 10.0)])
+        df = pd.DataFrame({
+            "l_orderkey": [1, 2, 3, 4], "l_partkey": [1, 1, 1, 2],
+            "l_suppkey": [3, 2, 1, 9], "l_linenumber": 1,
+            "l_quantity": 1.0,
+            "l_extendedprice": [5.00, 5.00, 9.00, 1.00],
+            "l_discount": 0.0, "l_tax": 0.0,
+            "l_returnflag": "N", "l_linestatus": "O",
+            "l_shipdate": pd.to_datetime(["1996-01-01"] * 4)})
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "lineitem.parquet"))
+        out = q.QUERIES["q2_min_supplier"](d).to_pandas()
+    assert out.values.tolist() == [[1, 2, 500]]
+
+
+def test_q8_share_ppm():
+    # AMERICA nations: 1,6,11,16,21. cust 1 in nation 1. PROMO part 1.
+    # supp 1 in NATION_3 sells 25.00; supp 2 in NATION_0 sells 75.00
+    # -> share = 1e6 * 25 // 100 = 250000 in year 1996
+    with tempfile.TemporaryDirectory() as d:
+        _write_nation(d)
+        _write_region(d)
+        part = pd.DataFrame({"p_partkey": [1], "p_name": "w",
+                             "p_brand": "Brand#1", "p_size": 1,
+                             "p_retailprice": 10.0, "p_type": "PROMO"})
+        pq.write_table(pa.Table.from_pandas(part),
+                       os.path.join(d, "part.parquet"))
+        _write_supplier_nat(d, [(1, 3, 0.0), (2, 0, 0.0)])
+        _write_customer_bal(d, [(1, 1, 0.0)])
+        _write_orders(d, [(1, 1, "1996-02-01", "3-MEDIUM")])
+        df = pd.DataFrame({
+            "l_orderkey": [1, 1], "l_partkey": [1, 1],
+            "l_suppkey": [1, 2], "l_linenumber": 1, "l_quantity": 1.0,
+            "l_extendedprice": [25.00, 75.00], "l_discount": 0.0,
+            "l_tax": 0.0, "l_returnflag": "N", "l_linestatus": "O",
+            "l_shipdate": pd.to_datetime(["1996-02-10", "1996-02-11"])})
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "lineitem.parquet"))
+        out = q.QUERIES["q8_market_share"](d).to_pandas()
+    assert out.values.tolist() == [[1996, 2500 * 10000, 10000 * 10000,
+                                    250_000]]
