@@ -13957,6 +13957,170 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Q12 priority classification of late lines, Q15 top supplier vs max
+# ---------------------------------------------------------------------------
+
+def q_q12_priority_class(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q12-shaped CASE-count classification: among lines shipped
+    more than 60 days after their order date, count critical-priority
+    (1-URGENT / 2-HIGH) vs other orders per returnflag (the schema has
+    no shipmode; returnflag plays the lane dimension).  ONE partitioned
+    lineitem |><| orders exchange; both CASE counts fold in the same
+    per-batch partial, so the classification adds zero exchanges.
+    Driver final over <= |returnflag| x batches partial rows."""
+    from dug_ray.shuffle import hash_join
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_returnflag",
+                                        "l_shipdate"])
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "l_returnflag": df["l_returnflag"],
+            "ship_day": (df["l_shipdate"].astype("datetime64[us]")
+                         .astype("int64") // 86_400_000_000)})
+        return typed_table(out, l_orderkey=pa.int64(),
+                           l_returnflag=pa.string(), ship_day=pa.int64())
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderdate",
+                                            "o_orderpriority"])
+
+    def o_proj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_day": (df["o_orderdate"].astype("datetime64[us]")
+                      .astype("int64") // 86_400_000_000),
+            "critical": df["o_orderpriority"]
+            .isin(["1-URGENT", "2-HIGH"]).astype("int64")})
+        return typed_table(out, o_orderkey=pa.int64(), o_day=pa.int64(),
+                           critical=pa.int64())
+
+    joined = hash_join(li.map_batches(li_proj, batch_format="pyarrow",
+                                      batch_size=None),
+                       orders.map_batches(o_proj, batch_format="pyarrow",
+                                          batch_size=None),
+                       "l_orderkey", "o_orderkey")
+
+    def class_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["ship_day"] > df["o_day"] + 60]
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            critical_count=("critical", "sum"),
+            other_count=("critical", lambda s: int((1 - s).sum())))
+        g["other_count"] = g["other_count"].astype("int64")
+        return typed_table(g, l_returnflag=pa.string(),
+                           critical_count=pa.int64(),
+                           other_count=pa.int64())
+
+    parts = _collect_pd(
+        joined.map_batches(class_partial, batch_format="pyarrow",
+                           batch_size=None),
+        l_returnflag="object", critical_count="int64",
+        other_count="int64")
+    out = parts.groupby("l_returnflag", as_index=False).agg(
+        critical_count=("critical_count", "sum"),
+        other_count=("other_count", "sum"))
+    return ray.data.from_arrow(typed_table(
+        out, l_returnflag=pa.string(), critical_count=pa.int64(),
+        other_count=pa.int64()))
+
+
+SQL_Q12_PRIORITY_CLASS = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS critical_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS other_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT)
+      > CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) + 60
+GROUP BY 1"""
+
+
+def q_q15_top_supplier(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q15-shaped top supplier: the supplier(s) whose 1996-H1
+    revenue equals the GLOBAL maximum per-supplier revenue (the
+    classic revenue-view + scalar-max pattern; ties all surface, as in
+    the spec).  Per-supplier revenue = per-batch combiner + one
+    bucketed merge; the scalar max folds on the driver from bucket
+    partials and broadcasts back into a vectorized equality filter —
+    the revenue table itself never leaves the cluster."""
+    import datetime as _dt
+    from dug_ray.shuffle import hash_join
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1996, 7, 1)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        price_c = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (df["l_discount"] * 10000).round().astype("int64")
+        out = pd.DataFrame({"l_suppkey": df["l_suppkey"].astype("int64"),
+                            "total_cbp": price_c * (10000 - disc_bp)})
+        g = out.groupby("l_suppkey", as_index=False)["total_cbp"].sum()
+        return typed_table(g, l_suppkey=pa.int64(), total_cbp=pa.int64())
+
+    partial = li.map_batches(per_batch, batch_format="pyarrow",
+                             batch_size=None)
+    revenue = bucketed_group_apply(
+        partial, "l_suppkey",
+        lambda df: df.groupby("l_suppkey", as_index=False)["total_cbp"]
+        .sum(), 16).materialize()
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return typed_table(pd.DataFrame({"m": [int(df["total_cbp"].max())]}),
+                           m=pa.int64())
+
+    mp = _collect_pd(revenue.map_batches(max_partial,
+                                         batch_format="pyarrow",
+                                         batch_size=None), m="int64")
+    global_max = max(int(x) for x in mp["m"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["total_cbp"],
+                                     pa.scalar(global_max)))
+
+    top = revenue.map_batches(keep, batch_format="pyarrow",
+                              batch_size=None)
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_name"])
+    out = hash_join(top, sup, "l_suppkey", "s_suppkey")
+    return _norm(out.select_columns(["s_suppkey", "s_name", "total_cbp"]),
+                 int_cols=("s_suppkey",))
+
+
+SQL_Q15_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)))
+           AS BIGINT) AS total_cbp
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
+  GROUP BY 1)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_cbp
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_cbp = (SELECT max(total_cbp) FROM rev)"""
+
+
+QUERIES.update({
+    "q12_priority_class": q_q12_priority_class,
+    "q15_top_supplier": q_q15_top_supplier,
+})
+ORACLES.update({
+    "q12_priority_class": SQL_Q12_PRIORITY_CLASS,
+    "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -14018,7 +14182,8 @@ _DRIVER_FRONT = [
     "q13_custdist", "q14_promo", "q17_small_qty", "q18_large_orders",
     "q21_waiting", "q22_opportunity", "q7_volume", "q19_disjunctive",
     "q9_profit", "q11_important", "q16_supplier_cnt", "q20_excess",
-    "q2_min_supplier", "q8_market_share",
+    "q2_min_supplier", "q8_market_share", "q12_priority_class",
+    "q15_top_supplier",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

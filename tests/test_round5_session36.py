@@ -431,3 +431,40 @@ def test_q8_share_ppm():
         out = q.QUERIES["q8_market_share"](d).to_pandas()
     assert out.values.tolist() == [[1996, 2500 * 10000, 10000 * 10000,
                                     250_000]]
+
+
+def test_q12_late_classification():
+    # line shipped +70d on URGENT order -> critical; +70d on LOW ->
+    # other; +10d never counted
+    orders = [(1, 1, "1996-01-01", "1-URGENT"),
+              (2, 1, "1996-01-01", "5-LOW"),
+              (3, 1, "1996-01-01", "1-URGENT")]
+    lines = [(1, 1, "1996-03-15", 1.0, 1.00, 0.0),
+             (2, 1, "1996-03-15", 1.0, 1.00, 0.0),
+             (3, 1, "1996-01-11", 1.0, 1.00, 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders(d, orders)
+        _write_lineitem(d, lines)
+        out = q.QUERIES["q12_priority_class"](d).to_pandas()
+    assert out.values.tolist() == [["N", 1, 1]]
+
+
+def test_q15_global_max_with_tie():
+    # H1-1996 revenue: supp 1 = 100.00 (two 50.00 lines), supp 2 =
+    # 100.00 (one line), supp 3 = 99.00 -> both 1 and 2 surface
+    with tempfile.TemporaryDirectory() as d:
+        _write_supplier_nat(d, [(1, 0, 0.0), (2, 0, 0.0), (3, 0, 0.0)])
+        df = pd.DataFrame({
+            "l_orderkey": [1, 2, 3, 4], "l_partkey": 1,
+            "l_suppkey": [1, 1, 2, 3], "l_linenumber": 1,
+            "l_quantity": 1.0,
+            "l_extendedprice": [50.00, 50.00, 100.00, 99.00],
+            "l_discount": 0.0, "l_tax": 0.0,
+            "l_returnflag": "N", "l_linestatus": "O",
+            "l_shipdate": pd.to_datetime(["1996-02-01"] * 4)})
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "lineitem.parquet"))
+        out = q.QUERIES["q15_top_supplier"](d).to_pandas() \
+            .sort_values("s_suppkey").reset_index(drop=True)
+    assert out[["s_suppkey", "total_cbp"]].values.tolist() == [
+        [1, 10000 * 10000], [2, 10000 * 10000]]
