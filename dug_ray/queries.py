@@ -14121,6 +14121,330 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Spearman rank correlation, integer EWMA smoothing
+# ---------------------------------------------------------------------------
+
+def q_spearman_rho(sf_dir: str) -> pa.Table:
+    """Tie-aware Spearman rank correlation between daily revenue and
+    daily order count — the monotone-association reading next to
+    kendall_gamma, exact to the last integer.  Average ranks are held
+    as DOUBLE-RANKS (2 x rank; ties average to halves, so doubling
+    keeps them integral: 2*rank + tie_count - 1), and Pearson-on-ranks
+    reduces to three int64 moments; the signed rho^2 ppm is
+    sign(num) * num^2 * 1e6 // (den2x * den2y), evaluated in Python
+    ints (num^2 wraps int64; the oracle uses HUGEINT for the same
+    product).  Calendar-bounded driver final over the folded daily
+    series (theil_sen's scale class)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df["o_orderdate"].astype("datetime64[us]").astype("int64") \
+            // 86_400_000_000
+        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        g = pd.DataFrame({"d": d, "cents": cents}).groupby(
+            "d", as_index=False).agg(cents=("cents", "sum"),
+                                     n_orders=("cents", "size"))
+        return typed_table(g, d=pa.int64(), cents=pa.int64(),
+                           n_orders=pa.int64())
+
+    daily = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "d",
+        lambda df: typed_table(
+            df.groupby("d", as_index=False).agg(
+                cents=("cents", "sum"), n_orders=("n_orders", "sum")),
+            d=pa.int64(), cents=pa.int64(), n_orders=pa.int64()),
+        8).to_pandas().sort_values("d").reset_index(drop=True)
+
+    rx = (daily["cents"].rank(method="average") * 2).astype("int64")
+    ry = (daily["n_orders"].rank(method="average") * 2).astype("int64")
+    n = len(daily)
+    sx, sy = int(rx.sum()), int(ry.sum())
+    sxy = int((rx * ry).sum())
+    sx2, sy2 = int((rx * rx).sum()), int((ry * ry).sum())
+    num = n * sxy - sx * sy
+    den2x = n * sx2 - sx * sx
+    den2y = n * sy2 - sy * sy
+    sign = 1 if num >= 0 else -1
+    rho2 = sign * (num * num * 1_000_000 // (den2x * den2y)) \
+        if den2x and den2y else 0
+    out = pd.DataFrame({"n_days": [n], "num": [num], "den2x": [den2x],
+                        "den2y": [den2y], "rho2_signed_ppm": [rho2]})
+    return typed_table(out, n_days=pa.int64(), num=pa.int64(),
+                       den2x=pa.int64(), den2y=pa.int64(),
+                       rho2_signed_ppm=pa.int64())
+
+
+SQL_SPEARMAN_RHO = """
+WITH b AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+           // 86400000000 AS d,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT CAST(2 * rank() OVER (ORDER BY cents)
+              + count(*) OVER (PARTITION BY cents) - 1 AS BIGINT) AS rx,
+         CAST(2 * rank() OVER (ORDER BY n_orders)
+              + count(*) OVER (PARTITION BY n_orders) - 1 AS BIGINT) AS ry
+  FROM b),
+s AS (
+  SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * ry) AS sxy, sum(rx * rx) AS sx2, sum(ry * ry) AS sy2
+  FROM r),
+m AS (
+  SELECT CAST(n AS BIGINT) AS n_days,
+         CAST(n * sxy - sx * sy AS BIGINT) AS num,
+         CAST(n * sx2 - sx * sx AS BIGINT) AS den2x,
+         CAST(n * sy2 - sy * sy AS BIGINT) AS den2y
+  FROM s)
+SELECT n_days, num, den2x, den2y,
+       CAST(CASE WHEN den2x = 0 OR den2y = 0 THEN 0
+                 ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+                      * ((CAST(num AS HUGEINT) * num * 1000000)
+                         // (CAST(den2x AS HUGEINT) * den2y))
+            END AS BIGINT) AS rho2_signed_ppm
+FROM m"""
+
+
+def q_ewma_revenue(sf_dir: str) -> pa.Table:
+    """Integer exponentially-weighted moving average of daily revenue
+    (alpha = 1/8) in micro-cents: e_0 = x_0 * 1e6; e_t = (x_t * 1e6 +
+    7 * e_{t-1}) // 8, floor at every step — a left-fold that is
+    bit-reproducible on both engines because each step is pure int64
+    arithmetic on positive values (floor == truncate).  The recursion
+    is inherently sequential over the CALENDAR (not the corpus): the
+    corpus-sized work is the distributed daily fold; the driver loop
+    is O(days).  Oracle = recursive CTE marching the same recurrence."""
+    daily = _daily_revenue_cents(sf_dir)
+    ew = []
+    e = None
+    for cents in daily["cents"].to_list():
+        x = int(cents) * 1_000_000
+        e = x if e is None else (x + 7 * e) // 8
+        ew.append(e)
+    out = pd.DataFrame({"d": daily["d"].astype("int64"),
+                        "cents": daily["cents"].astype("int64"),
+                        "ewma_ucents": ew})
+    return typed_table(out, d=pa.int64(), cents=pa.int64(),
+                       ewma_ucents=pa.int64())
+
+
+SQL_EWMA_REVENUE = f"""
+WITH RECURSIVE b AS (
+  SELECT d, cents, row_number() OVER (ORDER BY d) AS rn
+  FROM ({_SQL_DAILY_REVENUE})),
+e AS (
+  SELECT rn, d, cents, CAST(cents * 1000000 AS BIGINT) AS ewma_ucents
+  FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.rn, b.d, b.cents,
+         CAST((b.cents * 1000000 + 7 * e.ewma_ucents) // 8 AS BIGINT)
+  FROM b JOIN e ON b.rn = e.rn + 1)
+SELECT d, cents, ewma_ucents FROM e"""
+
+
+QUERIES.update({
+    "spearman_rho": q_spearman_rho,
+    "ewma_revenue": q_ewma_revenue,
+})
+ORACLES.update({
+    "spearman_rho": SQL_SPEARMAN_RHO,
+    "ewma_revenue": SQL_EWMA_REVENUE,
+})
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon source divergence, per-user threshold crossings
+# ---------------------------------------------------------------------------
+
+_JS_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def q_js_divergence(sf_dir: str) -> ray.data.Dataset:
+    """Pairwise Jensen-Shannon divergence components between the
+    unigram distributions of four fixed sources (6 pairs) — the
+    SYMMETRIC counterpart of corpus_kl's KL, in the same exact
+    integer micro-nat x token-count convention.  For pair (A, B):
+    p/m = 2*a*nb / (a*nb + b*na) (integers only inside the float
+    expression), and the reported components are sum_t a_t *
+    floor(ln(ratio)*1e6) per side — JS/2 x n without any cross-engine
+    float division.  Scale shape: per-batch (source, term, n)
+    combiner, ONE term-bucketed exchange where each term's 4 counts
+    co-locate (pairs expand inside the bucket, never via self-join),
+    per-source totals broadcast, driver final over 6 rows."""
+    import math as _math
+    docs = read_documents(sf_dir, columns=["source", "text"])
+
+    def pairs_tbl(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["source"],
+                        value_set=pa.array(_JS_SOURCES))
+        b = batch.filter(keep)
+        tokens = pc.split_pattern(b["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens)
+        t = pa.table({"source": pc.take(b["source"], parent),
+                      "term": tokens.flatten()})
+        return (t.group_by(["source", "term"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["source", "term", "n"]))
+
+    st = docs.map_batches(pairs_tbl, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    totals = st.groupby("source").sum("n").to_pandas()
+    nt = {s: int(v) for s, v in zip(totals["source"], totals["sum(n)"])}
+    nt_ref = ray.put(nt)
+
+    def per_term_bucket(df: pd.DataFrame) -> pa.Table:
+        ntot = ray.get(nt_ref)
+        m = df.groupby(["term", "source"], as_index=False)["n"].sum() \
+            .pivot(index="term", columns="source", values="n") \
+            .fillna(0).astype("int64")
+        rows = []
+        srcs = sorted(ntot)
+        for i, sa in enumerate(srcs):
+            for sb in srcs[i + 1:]:
+                na, nb = ntot[sa], ntot[sb]
+                a = m[sa].to_numpy() if sa in m.columns else \
+                    np.zeros(len(m), dtype="int64")
+                b = m[sb].to_numpy() if sb in m.columns else \
+                    np.zeros(len(m), dtype="int64")
+                den = (a * nb + b * na).astype("float64")
+                wa = wb = 0
+                am = a > 0
+                if am.any():
+                    ra = ((2.0 * a[am]) * nb) / den[am]
+                    uniq, inv = np.unique(ra, return_inverse=True)
+                    logs = np.fromiter(
+                        (int(_math.floor(_math.log(x) * 1_000_000))
+                         for x in uniq), dtype="int64", count=len(uniq))
+                    wa = int((a[am] * logs[inv]).sum())
+                bm = b > 0
+                if bm.any():
+                    rb = ((2.0 * b[bm]) * na) / den[bm]
+                    uniq, inv = np.unique(rb, return_inverse=True)
+                    logs = np.fromiter(
+                        (int(_math.floor(_math.log(x) * 1_000_000))
+                         for x in uniq), dtype="int64", count=len(uniq))
+                    wb = int((b[bm] * logs[inv]).sum())
+                rows.append((sa, sb, wa, wb))
+        out = pd.DataFrame(rows, columns=["source_a", "source_b",
+                                          "wa", "wb"])
+        return typed_table(out, source_a=pa.string(),
+                           source_b=pa.string(), wa=pa.int64(),
+                           wb=pa.int64())
+
+    parts = _collect_pd(
+        bucketed_group_apply(st, "term", per_term_bucket, 16),
+        source_a="object", source_b="object", wa="int64", wb="int64")
+    out = parts.groupby(["source_a", "source_b"], as_index=False).agg(
+        jsa_unats_xna=("wa", "sum"), jsb_unats_xnb=("wb", "sum"))
+    out["n_a"] = out["source_a"].map(nt).astype("int64")
+    out["n_b"] = out["source_b"].map(nt).astype("int64")
+    return ray.data.from_arrow(typed_table(
+        out, source_a=pa.string(), source_b=pa.string(),
+        n_a=pa.int64(), n_b=pa.int64(), jsa_unats_xna=pa.int64(),
+        jsb_unats_xnb=pa.int64()))
+
+
+SQL_JS_DIVERGENCE = _with(SQL_TOKS) + """,
+st AS (SELECT source, term, count(*) AS n FROM toks
+       WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1, 2),
+ns AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM st GROUP BY 1),
+pr AS (SELECT a.source AS sa, a.nt AS na, b.source AS sb, b.nt AS nb
+       FROM ns a JOIN ns b ON a.source < b.source),
+terms AS (SELECT DISTINCT term FROM st),
+grid AS (
+  SELECT p.sa, p.sb, p.na, p.nb,
+         coalesce(x.n, 0) AS a, coalesce(y.n, 0) AS b
+  FROM pr p CROSS JOIN terms t
+  LEFT JOIN st x ON x.source = p.sa AND x.term = t.term
+  LEFT JOIN st y ON y.source = p.sb AND y.term = t.term
+  WHERE coalesce(x.n, 0) + coalesce(y.n, 0) > 0),
+w AS (
+  SELECT sa, sb, na, nb,
+         CASE WHEN a > 0 THEN a * CAST(floor(ln((2.0 * a * nb)
+                / (a * nb + b * na)) * 1000000) AS BIGINT)
+              ELSE 0 END AS wa,
+         CASE WHEN b > 0 THEN b * CAST(floor(ln((2.0 * b * na)
+                / (a * nb + b * na)) * 1000000) AS BIGINT)
+              ELSE 0 END AS wb
+  FROM grid)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+       CAST(sum(wa) AS BIGINT) AS jsa_unats_xna,
+       CAST(sum(wb) AS BIGINT) AS jsb_unats_xnb
+FROM w GROUP BY 1, 2"""
+
+
+def q_threshold_crossings(sf_dir: str) -> ray.data.Dataset:
+    """Per-user upward threshold crossings: how many times the event
+    value series (time order, event_id tiebreak) crosses from below
+    50.00 to >= 50.00 — the alerting / debounce primitive.  Values
+    compare in exact cents.  Each user's full history co-locates in
+    one bucket (the windows.py per-user contract), where the lag
+    compare is one vectorized shift; users with no crossing still
+    report 0 (every user has a first event)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            "value_c": (df["value"] * 100).round().astype("int64")})
+        return typed_table(out, user_id=pa.int64(), event_id=pa.int64(),
+                           ts_us=pa.int64(), value_c=pa.int64())
+
+    ev = ds.map_batches(proj, batch_format="pyarrow", batch_size=None)
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        above = (df["value_c"] >= 5000).astype("int64")
+        prev = above.groupby(df["user_id"]).shift(1)
+        up = ((above == 1) & (prev == 0)).astype("int64")
+        g = pd.DataFrame({"user_id": df["user_id"], "up": up}) \
+            .groupby("user_id", as_index=False)["up"].sum() \
+            .rename(columns={"up": "n_crossings"})
+        return typed_table(g, user_id=pa.int64(), n_crossings=pa.int64())
+
+    return bucketed_group_apply(ev, "user_id", per_user, 16)
+
+
+SQL_THRESHOLD_CROSSINGS = """
+WITH e AS (
+  SELECT user_id,
+         CASE WHEN CAST(round(value * 100, 0) AS BIGINT) >= 5000
+              THEN 1 ELSE 0 END AS above,
+         lag(CASE WHEN CAST(round(value * 100, 0) AS BIGINT) >= 5000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN above = 1 AND prev = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_crossings
+FROM e GROUP BY 1"""
+
+
+QUERIES.update({
+    "js_divergence": q_js_divergence,
+    "threshold_crossings": q_threshold_crossings,
+})
+ORACLES.update({
+    "js_divergence": SQL_JS_DIVERGENCE,
+    "threshold_crossings": SQL_THRESHOLD_CROSSINGS,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -14183,7 +14507,8 @@ _DRIVER_FRONT = [
     "q21_waiting", "q22_opportunity", "q7_volume", "q19_disjunctive",
     "q9_profit", "q11_important", "q16_supplier_cnt", "q20_excess",
     "q2_min_supplier", "q8_market_share", "q12_priority_class",
-    "q15_top_supplier",
+    "q15_top_supplier", "spearman_rho", "ewma_revenue",
+    "js_divergence", "threshold_crossings",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

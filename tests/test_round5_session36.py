@@ -468,3 +468,87 @@ def test_q15_global_max_with_tie():
             .sort_values("s_suppkey").reset_index(drop=True)
     assert out[["s_suppkey", "total_cbp"]].values.tolist() == [
         [1, 10000 * 10000], [2, 10000 * 10000]]
+
+
+def test_spearman_perfect_monotone():
+    # day1: 1 order 1.00; day2: 2 orders 2.00; day3: 3 orders 3.00 ->
+    # revenue and order-count ranks both 1,2,3 -> rho = 1 exactly
+    orders = [(1, 1, "2024-01-01", "3-MEDIUM"),
+              (2, 1, "2024-01-02", "3-MEDIUM"),
+              (3, 1, "2024-01-02", "3-MEDIUM"),
+              (4, 1, "2024-01-03", "3-MEDIUM"),
+              (5, 1, "2024-01-03", "3-MEDIUM"),
+              (6, 1, "2024-01-03", "3-MEDIUM")]
+    df = pd.DataFrame(orders, columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate", "o_orderpriority"])
+    df["o_orderstatus"] = "O"
+    df["o_totalprice"] = [1.00, 0.50, 1.50, 1.00, 1.00, 1.00]
+    df["o_orderdate"] = pd.to_datetime(df["o_orderdate"])
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "orders.parquet"))
+        out = q.QUERIES["spearman_rho"](d).to_pandas()
+    r = out.iloc[0]
+    assert r["n_days"] == 3
+    assert r["rho2_signed_ppm"] == 1_000_000
+
+
+def test_ewma_integer_recurrence():
+    # daily cents 800, 160: e0 = 800e6; e1 = (160e6 + 7*800e6)//8
+    rows = [(1, 1, "2024-01-01", 8.00), (2, 1, "2024-01-02", 1.60)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders36_money(d, rows)
+        out = q.QUERIES["ewma_revenue"](d).to_pandas() \
+            .sort_values("d").reset_index(drop=True)
+    assert out["ewma_ucents"].to_list() == [800_000_000, 720_000_000]
+
+
+def _write_orders36_money(d, rows):
+    df = pd.DataFrame(rows, columns=["o_orderkey", "o_custkey",
+                                     "o_orderdate", "o_totalprice"])
+    df["o_orderstatus"] = "O"
+    df["o_orderpriority"] = "3-MEDIUM"
+    df["o_orderdate"] = pd.to_datetime(df["o_orderdate"])
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "orders.parquet"))
+
+
+def test_js_divergence_two_sources():
+    import math
+    docs = pd.DataFrame({
+        "doc_id": [1, 2], "text": ["a a b", "a b b b"],
+        "lang": "en", "source": ["src0", "src1"], "n_chars": [5, 7]})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(docs),
+                       os.path.join(d, "documents.parquet"))
+        out = q.QUERIES["js_divergence"](d).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["source_a"], r["source_b"]) == ("src0", "src1")
+    assert (r["n_a"], r["n_b"]) == (3, 4)
+    # term a: a=2,b=1 den=11; term b: a=1,b=3 den=13
+    wa = (2 * math.floor(math.log((2.0 * 2) * 4 / 11) * 1e6)
+          + 1 * math.floor(math.log((2.0 * 1) * 4 / 13) * 1e6))
+    wb = (1 * math.floor(math.log((2.0 * 1) * 3 / 11) * 1e6)
+          + 3 * math.floor(math.log((2.0 * 3) * 3 / 13) * 1e6))
+    assert r["jsa_unats_xna"] == wa
+    assert r["jsb_unats_xnb"] == wb
+
+
+def test_threshold_crossings_lag_semantics():
+    t = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    # user 1: 10, 60, 40, 70 -> two upward crossings; user 2 starts
+    # above (prev NULL) -> 0
+    rows = [(1, 1, t, "view", 0.10), (2, 1, t + s, "view", 0.60),
+            (3, 1, t + 2 * s, "view", 0.40),
+            (4, 1, t + 3 * s, "view", 0.70),
+            (5, 2, t, "view", 0.60), (6, 2, t + s, "view", 0.70)]
+    rows = [(i, u, ts, k, v * 100) for i, u, ts, k, v in rows]
+    with tempfile.TemporaryDirectory() as d:
+        import tests.test_round5_session34 as s34
+        s34._write_events(d, rows)
+        out = q.QUERIES["threshold_crossings"](d).to_pandas() \
+            .set_index("user_id")
+    assert out.loc[1, "n_crossings"] == 2
+    assert out.loc[2, "n_crossings"] == 0
