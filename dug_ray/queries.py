@@ -14445,6 +14445,154 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization codes, Cramér's V² association strength
+# ---------------------------------------------------------------------------
+
+def q_pq_codes(sf_dir: str) -> ray.data.Dataset:
+    """Product-quantization code book assignment: the 64-dim embedding
+    splits into 8 contiguous 8-dim subspaces; each subvector snaps to
+    the nearest of 4 PINNED centroids (the subvectors of vec_id 0..3 —
+    no k-means, the ivf_assign pinning discipline) by squared L2,
+    ties to the smallest centroid id.  Output one row per (vec_id,
+    subspace): the 8-byte PQ code unrolled.  Engine shape: broadcast
+    (4 x 8 x 8) centroid tensor, per-batch vectorized distance over
+    the reshaped batch — nothing but the codes leaves the task.
+    Same documented float channel as ivf_assign: numpy's summed
+    squares vs DuckDB's list_distance agree on the ARGMIN unless two
+    centroids tie within ~1e-15 (ties at exact equality break to min
+    cid on both engines)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    from dug_ray.stages.similarity import _stack
+    c_df = emb.filter(expr="vec_id < 4").to_pandas() \
+        .sort_values("vec_id")
+    cm = _stack(c_df["embedding"]).astype("float64").reshape(4, 8, 8)
+    cm_ref = ray.put(cm)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sub": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
+        cmat = ray.get(cm_ref)          # (4, 8, 8)
+        m = _stack(batch.column("embedding").to_pandas()) \
+            .astype("float64").reshape(len(batch), 8, 8)  # (n, 8, 8)
+        # (n, 8(sub), 4(cid)): squared L2 per subspace
+        d = ((m[:, None, :, :] - cmat[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d.argmin(axis=1)        # first index == min cid on ties
+        n = len(batch)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        out = pd.DataFrame({
+            "vec_id": np.repeat(vid, 8).astype("int64"),
+            "sub": np.tile(np.arange(8, dtype="int64"), n),
+            "code": codes.reshape(-1).astype("int64")})
+        return typed_table(out, vec_id=pa.int64(), sub=pa.int64(),
+                           code=pa.int64())
+
+    return emb.map_batches(per_batch, batch_format="pyarrow",
+                           batch_size=None)
+
+
+SQL_PQ_CODES = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id < 4),
+s AS (SELECT unnest(generate_series(0, 7)) AS sub),
+d AS (
+  SELECT e.vec_id, s.sub, c.cid,
+         list_distance(CAST(e.embedding AS DOUBLE[])
+                         [s.sub * 8 + 1 : s.sub * 8 + 8],
+                       c.ce[s.sub * 8 + 1 : s.sub * 8 + 8]) AS dist
+  FROM embeddings e CROSS JOIN s CROSS JOIN c),
+r AS (SELECT vec_id, sub, cid,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, cid) AS rn
+      FROM d)
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code
+FROM r WHERE rn = 1"""
+
+
+def q_cramers_v2(sf_dir: str) -> pa.Table:
+    """Cramér's V² between event type and day-of-week — how much the
+    event mix depends on the weekday, normalized to [0, 1e6] ppm.
+    Per-cell chi-square contributions use chi2_independence's exact
+    Python-int discipline (floored micro units, HUGEINT in the
+    oracle); V² then divides the SUM OF FLOORED CELL VALUES by
+    n x min(r-1, c-1) — both engines sum the same integers, so the
+    composition stays hash-exact.  Documented semantics: defined over
+    the floored OBSERVED-cell grid (zero cells never enter, the
+    chi2_independence convention), so sparse grids under-report vs the
+    textbook statistic.  One bounded exchange (<= 35 cells)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        df["dow"] = ((day + 4) % 7).astype("int64")
+        g = df.groupby(["event_type", "dow"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return typed_table(g, event_type=pa.string(), dow=pa.int64(),
+                           n=pa.int64())
+
+    parts = _collect_pd(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        event_type="object", dow="int64", n="int64")
+    ct = parts.groupby(["event_type", "dow"], as_index=False)["n"].sum()
+    r = ct.groupby("event_type")["n"].sum().to_dict()
+    c = ct.groupby("dow")["n"].sum().to_dict()
+    n = int(ct["n"].sum())
+    chi2_micro = 0
+    for et, dw, obs in zip(ct["event_type"], ct["dow"], ct["n"]):
+        obs, ri, ci = int(obs), int(r[et]), int(c[dw])
+        d = obs * n - ri * ci
+        chi2_micro += (1_000_000 * d * d) // (n * ri * ci)
+    k = min(len(r) - 1, len(c) - 1)
+    v2_ppm = chi2_micro // (n * k) if n and k else 0
+    out = pd.DataFrame({"n_events": [n], "n_rows": [len(r)],
+                        "n_cols": [len(c)], "chi2_micro": [chi2_micro],
+                        "v2_ppm": [v2_ppm]})
+    return typed_table(out, n_events=pa.int64(), n_rows=pa.int64(),
+                       n_cols=pa.int64(), chi2_micro=pa.int64(),
+                       v2_ppm=pa.int64())
+
+
+SQL_CRAMERS_V2 = """
+WITH ct AS (
+  SELECT event_type,
+         CAST((CAST(epoch_us(ts) // 86400000000 AS BIGINT) + 4) % 7
+           AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, dow, obs,
+             CAST(sum(obs) OVER (PARTITION BY event_type) AS HUGEINT) AS r,
+             CAST(sum(obs) OVER (PARTITION BY dow) AS HUGEINT) AS c,
+             CAST(sum(obs) OVER () AS HUGEINT) AS n
+      FROM ct),
+s AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT dow) AS BIGINT) AS n_cols,
+         CAST(sum(1000000 * (obs * n - r * c) * (obs * n - r * c)
+                  // (n * r * c)) AS BIGINT) AS chi2_micro
+  FROM m)
+SELECT n_events, n_rows, n_cols, chi2_micro,
+       CAST(chi2_micro // (n_events * least(n_rows - 1, n_cols - 1))
+         AS BIGINT) AS v2_ppm
+FROM s"""
+
+
+QUERIES.update({
+    "pq_codes": q_pq_codes,
+    "cramers_v2": q_cramers_v2,
+})
+ORACLES.update({
+    "pq_codes": SQL_PQ_CODES,
+    "cramers_v2": SQL_CRAMERS_V2,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -14508,7 +14656,7 @@ _DRIVER_FRONT = [
     "q9_profit", "q11_important", "q16_supplier_cnt", "q20_excess",
     "q2_min_supplier", "q8_market_share", "q12_priority_class",
     "q15_top_supplier", "spearman_rho", "ewma_revenue",
-    "js_divergence", "threshold_crossings",
+    "js_divergence", "threshold_crossings", "pq_codes", "cramers_v2",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

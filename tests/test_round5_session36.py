@@ -552,3 +552,51 @@ def test_threshold_crossings_lag_semantics():
             .set_index("user_id")
     assert out.loc[1, "n_crossings"] == 2
     assert out.loc[2, "n_crossings"] == 0
+
+
+def test_pq_codes_nearest_subvector():
+    import numpy as np
+    # 4 centroid vectors: vec i = constant i across all 64 dims.
+    # test vec 4: first subspace ~0.9 (snaps to centroid 1), rest 2.1
+    # (snaps to centroid 2)
+    rows = []
+    for i in range(4):
+        rows.append((i, [float(i)] * 64))
+    v = [0.9] * 8 + [2.1] * 56
+    rows.append((4, v))
+    df = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                       "embedding": [r[1] for r in rows],
+                       "label": 0})
+    schema = pa.schema([("vec_id", pa.int64()),
+                        ("embedding", pa.list_(pa.float32())),
+                        ("label", pa.int32())])
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df, schema=schema),
+                       os.path.join(d, "embeddings.parquet"))
+        out = q.QUERIES["pq_codes"](d).to_pandas()
+    got = out[out["vec_id"] == 4].sort_values("sub")["code"].to_list()
+    assert got == [1] + [2] * 7
+    # each pinned centroid codes to itself in every subspace
+    for i in range(4):
+        assert (out[out["vec_id"] == i]["code"] == i).all()
+
+
+def test_cramers_v2_perfect_association():
+    # 2 event types, 2 weekdays, perfectly dependent: type 'click'
+    # only on dow of 2024-01-01 (Monday), 'view' only next day ->
+    # V^2 = 1 (up to the documented per-cell floor)
+    t1, t2 = pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-02")
+    rows = [(1, 1, t1, "click", 0.0), (2, 1, t1, "click", 0.0),
+            (3, 1, t2, "view", 0.0), (4, 1, t2, "view", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        import tests.test_round5_session34 as s34
+        s34._write_events(d, rows)
+        out = q.QUERIES["cramers_v2"](d).to_pandas()
+    r = out.iloc[0]
+    # OBSERVED cells only (the chi2_independence convention — zero
+    # cells never enter the sum on either engine): two diagonal cells
+    # each contribute (2*4 - 2*2)^2 / (4*2*2) = 1 -> chi2_micro 2e6,
+    # v2 = 2e6 // (4 * min(1,1)*... = 4) = 500000
+    assert r["n_events"] == 4
+    assert r["chi2_micro"] == 2_000_000
+    assert r["v2_ppm"] == 500_000
