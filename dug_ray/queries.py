@@ -14593,6 +14593,171 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# A/B conversion z² test, Lorenz decile revenue concentration
+# ---------------------------------------------------------------------------
+
+def q_ab_test_lift(sf_dir: str) -> pa.Table:
+    """Two-proportion A/B audit: user-level purchase conversion between
+    the even- and odd-user_id cohorts, with the pooled z² statistic in
+    exact micro units — z² = (a*n2 - b*n1)^2 * n / (n1*n2*(a+b)*
+    (n-a-b)), a pure rational in the four counts, evaluated in Python
+    ints (the oracle uses HUGEINT — the squared term wraps int64 at
+    ~10^5 users).  The corpus-sized step folds (user, converted) via
+    per-batch max + ONE user bucket exchange; the 2x2 census is a
+    driver fold."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["conv"] = (df["event_type"] == "purchase").astype("int64")
+        g = df.groupby("user_id", as_index=False)["conv"].max()
+        return typed_table(g, user_id=pa.int64(), conv=pa.int64())
+
+    partial = ds.map_batches(per_batch, batch_format="pyarrow",
+                             batch_size=None)
+    users = bucketed_group_apply(
+        partial, "user_id",
+        lambda df: df.groupby("user_id", as_index=False)["conv"].max(),
+        16)
+
+    def census(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cohort"] = (df["user_id"] % 2).astype("int64")
+        g = df.groupby("cohort", as_index=False).agg(
+            n_users=("conv", "size"), n_conv=("conv", "sum"))
+        return typed_table(g, cohort=pa.int64(), n_users=pa.int64(),
+                           n_conv=pa.int64())
+
+    parts = _collect_pd(users.map_batches(census, batch_format="pyarrow",
+                                          batch_size=None),
+                        cohort="int64", n_users="int64", n_conv="int64")
+    g = parts.groupby("cohort").sum()
+    n1 = int(g["n_users"].get(0, 0))
+    a = int(g["n_conv"].get(0, 0))
+    n2 = int(g["n_users"].get(1, 0))
+    b = int(g["n_conv"].get(1, 0))
+    n, conv = n1 + n2, a + b
+    d = a * n2 - b * n1
+    den = n1 * n2 * conv * (n - conv)
+    z2_micro = (1_000_000 * d * d * n) // den if den else 0
+    out = pd.DataFrame({"n_a": [n1], "conv_a": [a], "n_b": [n2],
+                        "conv_b": [b], "diff_sign": [int(np.sign(d))],
+                        "z2_micro": [z2_micro]})
+    return typed_table(out, n_a=pa.int64(), conv_a=pa.int64(),
+                       n_b=pa.int64(), conv_b=pa.int64(),
+                       diff_sign=pa.int64(), z2_micro=pa.int64())
+
+
+SQL_AB_TEST_LIFT = """
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS cohort,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1),
+c AS (
+  SELECT CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN cohort = 0 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN cohort = 1 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM u)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(sign(conv_a * n_b - conv_b * n_a) AS BIGINT) AS diff_sign,
+       CAST(CASE WHEN n_a * n_b * (conv_a + conv_b)
+                      * (n_a + n_b - conv_a - conv_b) = 0 THEN 0
+            ELSE (1000000
+                  * CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+                  * (conv_a * n_b - conv_b * n_a) * (n_a + n_b))
+                 // (CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
+                     * (n_a + n_b - conv_a - conv_b))
+            END AS BIGINT) AS z2_micro
+FROM c"""
+
+
+def q_lorenz_deciles(sf_dir: str) -> pa.Table:
+    """Lorenz concentration curve of customer revenue: customers sort
+    by (revenue, custkey) into NTILE(10) deciles (DuckDB remainder
+    rule: the first n%10 groups take the extra row), and each decile
+    reports its customer count, revenue cents and the cumulative
+    revenue share in exact ppm — the decile-resolution view behind
+    revenue_gini's single coefficient.  Corpus work = per-customer
+    revenue fold (combiner + bucket exchange); the decile pass runs on
+    the driver over the BOUNDED per-decile aggregates?  No — the sort
+    is over customers, so this final IS customer-sized: documented
+    driver final, same scale class as the ntile_buckets precedent (at
+    10^9 customers swap for a distributed sort + partition-boundary
+    scan)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        g = df.groupby("o_custkey", as_index=False)["cents"].sum()
+        return typed_table(g, o_custkey=pa.int64(), cents=pa.int64())
+
+    partial = ds.map_batches(per_batch, batch_format="pyarrow",
+                             batch_size=None)
+    cust = _collect_pd(
+        bucketed_group_apply(
+            partial, "o_custkey",
+            lambda df: df.groupby("o_custkey", as_index=False)["cents"]
+            .sum(), 16),
+        o_custkey="int64", cents="int64") \
+        .sort_values(["cents", "o_custkey"]).reset_index(drop=True)
+    n = len(cust)
+    base, extra = divmod(n, 10)
+    sizes = [base + 1 if i < extra else base for i in range(10)]
+    decile = np.repeat(np.arange(1, 11), sizes)
+    cust["decile"] = decile[:n]
+    g = cust.groupby("decile", as_index=False).agg(
+        n_customers=("cents", "size"), cents=("cents", "sum"))
+    total = int(g["cents"].sum())
+    cum = 0
+    shares, cums = [], []
+    for c in g["cents"]:
+        cum += int(c)
+        cums.append(cum)
+        shares.append(1_000_000 * cum // total if total else 0)
+    g["cum_cents"] = cums
+    g["cum_share_ppm"] = shares
+    return typed_table(g, decile=pa.int64(), n_customers=pa.int64(),
+                       cents=pa.int64(), cum_cents=pa.int64(),
+                       cum_share_ppm=pa.int64())
+
+
+SQL_LORENZ_DECILES = """
+WITH cr AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+t AS (SELECT o_custkey, cents,
+             ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM cr),
+g AS (SELECT CAST(decile AS BIGINT) AS decile,
+             count(*) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM t GROUP BY 1)
+SELECT decile, n_customers, cents,
+       CAST(sum(cents) OVER (ORDER BY decile) AS BIGINT) AS cum_cents,
+       CAST(1000000 * sum(cents) OVER (ORDER BY decile)
+            // (SELECT sum(cents) FROM g) AS BIGINT) AS cum_share_ppm
+FROM g"""
+
+
+QUERIES.update({
+    "ab_test_lift": q_ab_test_lift,
+    "lorenz_deciles": q_lorenz_deciles,
+})
+ORACLES.update({
+    "ab_test_lift": SQL_AB_TEST_LIFT,
+    "lorenz_deciles": SQL_LORENZ_DECILES,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -14657,6 +14822,7 @@ _DRIVER_FRONT = [
     "q2_min_supplier", "q8_market_share", "q12_priority_class",
     "q15_top_supplier", "spearman_rho", "ewma_revenue",
     "js_divergence", "threshold_crossings", "pq_codes", "cramers_v2",
+    "ab_test_lift", "lorenz_deciles",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -600,3 +600,37 @@ def test_cramers_v2_perfect_association():
     assert r["n_events"] == 4
     assert r["chi2_micro"] == 2_000_000
     assert r["v2_ppm"] == 500_000
+
+
+def test_ab_test_z2_exact():
+    t = pd.Timestamp("2024-01-01")
+    # cohort 0 (even users): 2,4 -> user 2 converts; cohort 1 (odd):
+    # 1,3 -> none. a=1,n1=2,b=0,n2=2,n=4,conv=1
+    # z2 = (1*2-0*2)^2 * 4 / (2*2*1*3) = 16/12 -> 1333333 micro
+    rows = [(1, 2, t, "purchase", 0.0), (2, 2, t, "view", 0.0),
+            (3, 4, t, "view", 0.0), (4, 1, t, "view", 0.0),
+            (5, 3, t, "view", 0.0)]
+    with tempfile.TemporaryDirectory() as d:
+        import tests.test_round5_session34 as s34
+        s34._write_events(d, rows)
+        out = q.QUERIES["ab_test_lift"](d).to_pandas()
+    r = out.iloc[0]
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (2, 1, 2, 0)
+    assert r["diff_sign"] == 1
+    assert r["z2_micro"] == 16_000_000 // 12
+
+
+def test_lorenz_ntile_remainder_rule():
+    # 12 customers, revenue = custkey dollars -> sorted ascending;
+    # ntile(10): first 2 deciles take 2 customers, rest 1
+    rows = [(i, i, "2024-01-01", float(i)) for i in range(1, 13)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders36_money(d, rows)
+        out = q.QUERIES["lorenz_deciles"](d).to_pandas()
+    assert out["n_customers"].to_list() == [2, 2] + [1] * 8
+    assert out["cents"].to_list() == [300, 700, 500, 600, 700, 800,
+                                      900, 1000, 1100, 1200]
+    total = 7800
+    cum = pd.Series(out["cents"]).cumsum()
+    assert out["cum_share_ppm"].to_list() == \
+        [1_000_000 * int(c) // total for c in cum]
