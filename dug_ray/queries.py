@@ -14758,6 +14758,188 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# FIFO lot allocation, skyline (Pareto-front) operator
+# ---------------------------------------------------------------------------
+
+def q_fifo_allocation(sf_dir: str) -> ray.data.Dataset:
+    """FIFO inventory allocation per part: 'A'-flag lines are restock
+    lots, 'R'-flag lines are sales; each sale consumes lots in
+    (shipdate, orderkey, linenumber) order.  The classic sequential
+    matcher vectorizes as a CUMSUM RANGE JOIN: lot i spans cumulative
+    [cum_i - qty_i, cum_i) of its part's supply, sale j the same over
+    demand, and the allocation is the positive interval overlap — no
+    per-row loop on either engine.  One bucketed exchange co-locates a
+    part's lines; the in-bucket pair join is bounded by per-part line
+    counts (the banded_join partitioning assumption).  Output one row
+    per (lot, sale) pair with positive allocated quantity (cents)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey", "l_linenumber",
+                 "l_returnflag", "l_quantity", "l_shipdate"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_returnflag"].isin(["A", "R"])]
+        out = pd.DataFrame({
+            "l_partkey": df["l_partkey"].astype("int64"),
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "l_linenumber": df["l_linenumber"].astype("int64"),
+            "flag": df["l_returnflag"],
+            "qty_c": (df["l_quantity"] * 100).round().astype("int64"),
+            "ship_us": df["l_shipdate"].astype("datetime64[us]")
+            .astype("int64")})
+        return typed_table(out, l_partkey=pa.int64(), l_orderkey=pa.int64(),
+                           l_linenumber=pa.int64(), flag=pa.string(),
+                           qty_c=pa.int64(), ship_us=pa.int64())
+
+    ev = ds.map_batches(proj, batch_format="pyarrow", batch_size=None)
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["l_partkey", "ship_us", "l_orderkey",
+                             "l_linenumber"], kind="mergesort")
+        def ranges(side: pd.DataFrame) -> pd.DataFrame:
+            s = side.copy()
+            s["hi"] = s.groupby("l_partkey")["qty_c"].cumsum()
+            s["lo"] = s["hi"] - s["qty_c"]
+            return s
+        lots = ranges(df[df["flag"] == "A"]).rename(columns={
+            "l_orderkey": "lot_order", "l_linenumber": "lot_line",
+            "lo": "lot_lo", "hi": "lot_hi"})
+        sales = ranges(df[df["flag"] == "R"]).rename(columns={
+            "l_orderkey": "sale_order", "l_linenumber": "sale_line",
+            "lo": "sale_lo", "hi": "sale_hi"})
+        m = lots[["l_partkey", "lot_order", "lot_line", "lot_lo",
+                  "lot_hi"]].merge(
+            sales[["l_partkey", "sale_order", "sale_line", "sale_lo",
+                   "sale_hi"]], on="l_partkey")
+        alloc = (np.minimum(m["lot_hi"], m["sale_hi"])
+                 - np.maximum(m["lot_lo"], m["sale_lo"]))
+        m["alloc_qty_c"] = alloc
+        m = m[m["alloc_qty_c"] > 0]
+        return typed_table(
+            m[["l_partkey", "lot_order", "lot_line", "sale_order",
+               "sale_line", "alloc_qty_c"]],
+            l_partkey=pa.int64(), lot_order=pa.int64(),
+            lot_line=pa.int64(), sale_order=pa.int64(),
+            sale_line=pa.int64(), alloc_qty_c=pa.int64())
+
+    return bucketed_group_apply(ev, "l_partkey", per_part, 16)
+
+
+SQL_FIFO_ALLOCATION = """
+WITH base AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_returnflag, l_shipdate,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_c
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+la AS (
+  SELECT l_partkey, l_orderkey AS lot_order, l_linenumber AS lot_line,
+         qty_c,
+         CAST(sum(qty_c) OVER (PARTITION BY l_partkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT)
+           AS hi
+  FROM base WHERE l_returnflag = 'A'),
+sa AS (
+  SELECT l_partkey, l_orderkey AS sale_order, l_linenumber AS sale_line,
+         qty_c,
+         CAST(sum(qty_c) OVER (PARTITION BY l_partkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT)
+           AS hi
+  FROM base WHERE l_returnflag = 'R')
+SELECT la.l_partkey, la.lot_order, CAST(la.lot_line AS BIGINT) AS lot_line,
+       sa.sale_order, CAST(sa.sale_line AS BIGINT) AS sale_line,
+       CAST(least(la.hi, sa.hi)
+            - greatest(la.hi - la.qty_c, sa.hi - sa.qty_c) AS BIGINT)
+         AS alloc_qty_c
+FROM la JOIN sa ON la.l_partkey = sa.l_partkey
+WHERE least(la.hi, sa.hi)
+      - greatest(la.hi - la.qty_c, sa.hi - sa.qty_c) > 0"""
+
+
+def q_skyline_parts(sf_dir: str) -> pa.Table:
+    """Skyline (Pareto front) of the part catalog on (retail price
+    LOW, size LOW): parts no other part strictly dominates (<= on
+    both, < on at least one).  Distributed shape: per-batch LOCAL
+    skyline combiner — a locally dominated point is globally dominated,
+    so only local survivors leave the task — then the exact front over
+    the combined candidates on the driver (candidate count is the
+    front size x blocks, documented gate; a 10^12-part catalog would
+    tier this with a grid prefilter).  Exact integer compares (price
+    cents, size)."""
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_retailprice",
+                                          "p_size"])
+
+    def _front(df: pd.DataFrame) -> pd.DataFrame:
+        # sort by (price, size): a point can only be dominated by an
+        # earlier point; keep rows whose size is strictly below every
+        # earlier STRICTLY-CHEAPER point's running min size, with exact
+        # tie handling via the (<=, <) dominance test against the
+        # kept set (candidate sets are small post-sort-prune)
+        df = df.sort_values(["retail_c", "p_size", "p_partkey"],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            return df
+        r = df["retail_c"].to_numpy()
+        s = df["p_size"].to_numpy()
+        # vectorized dominance sweep: in (r, s) sort order a point is
+        # dominated iff the running-min size before it is smaller, or
+        # equal with a strictly cheaper setter
+        big = np.int64(np.iinfo(np.int64).max)
+        best_excl = np.r_[big, np.minimum.accumulate(s)[:-1]]
+        setter = s < best_excl
+        set_idx = np.maximum.accumulate(np.where(setter, np.arange(n), -1))
+        best_r_incl = np.where(set_idx >= 0, r[np.maximum(set_idx, 0)], 0)
+        best_r_excl = np.r_[np.int64(0), best_r_incl[:-1]]
+        keep = setter | ((s == best_excl) & (r == best_r_excl))
+        return df[keep]
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = pd.DataFrame({
+            "p_partkey": df["p_partkey"].astype("int64"),
+            "retail_c": (df["p_retailprice"] * 100).round()
+            .astype("int64"),
+            "p_size": df["p_size"].astype("int64")})
+        out = _front(df)
+        return typed_table(out, p_partkey=pa.int64(), retail_c=pa.int64(),
+                           p_size=pa.int64())
+
+    cand = _collect_pd(part.map_batches(local, batch_format="pyarrow",
+                                        batch_size=None),
+                       p_partkey="int64", retail_c="int64",
+                       p_size="int64")
+    out = _front(cand).sort_values("p_partkey")
+    return typed_table(out[["p_partkey", "retail_c", "p_size"]],
+                       p_partkey=pa.int64(), retail_c=pa.int64(),
+                       p_size=pa.int64())
+
+
+SQL_SKYLINE_PARTS = """
+WITH p AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100, 0) AS BIGINT)
+           AS retail_c,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part)
+SELECT p_partkey, retail_c, p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.retail_c <= a.retail_c AND b.p_size <= a.p_size
+    AND (b.retail_c < a.retail_c OR b.p_size < a.p_size))"""
+
+
+QUERIES.update({
+    "fifo_allocation": q_fifo_allocation,
+    "skyline_parts": q_skyline_parts,
+})
+ORACLES.update({
+    "fifo_allocation": SQL_FIFO_ALLOCATION,
+    "skyline_parts": SQL_SKYLINE_PARTS,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -14822,7 +15004,7 @@ _DRIVER_FRONT = [
     "q2_min_supplier", "q8_market_share", "q12_priority_class",
     "q15_top_supplier", "spearman_rho", "ewma_revenue",
     "js_divergence", "threshold_crossings", "pq_codes", "cramers_v2",
-    "ab_test_lift", "lorenz_deciles",
+    "ab_test_lift", "lorenz_deciles", "fifo_allocation", "skyline_parts",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

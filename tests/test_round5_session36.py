@@ -634,3 +634,40 @@ def test_lorenz_ntile_remainder_rule():
     cum = pd.Series(out["cents"]).cumsum()
     assert out["cum_share_ppm"].to_list() == \
         [1_000_000 * int(c) // total for c in cum]
+
+
+def test_fifo_overlap_allocation():
+    # part 1 lots (A): 10 then 5; sales (R): 12 then 3
+    # cum lots:  [0,10), [10,15); cum sales: [0,12), [12,15)
+    # allocations: lot1/sale1 10, lot2/sale1 2, lot2/sale2 3
+    df = pd.DataFrame({
+        "l_orderkey": [1, 2, 3, 4], "l_partkey": 1,
+        "l_suppkey": 1, "l_linenumber": [1, 1, 1, 1],
+        "l_quantity": [10.0, 5.0, 12.0, 3.0],
+        "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+        "l_returnflag": ["A", "A", "R", "R"], "l_linestatus": "O",
+        "l_shipdate": pd.to_datetime(["1996-01-01", "1996-01-05",
+                                      "1996-01-03", "1996-01-07"])})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "lineitem.parquet"))
+        out = q.QUERIES["fifo_allocation"](d).to_pandas() \
+            .sort_values(["lot_order", "sale_order"]).reset_index(drop=True)
+    assert out[["lot_order", "sale_order", "alloc_qty_c"]] \
+        .values.tolist() == [[1, 3, 1000], [2, 3, 200], [2, 4, 300]]
+
+
+def test_skyline_strict_dominance():
+    # (price, size): (5,9) front; (5,9) duplicate stays (no strict);
+    # (5,10) dominated by (5,9); (4,12) front (cheapest);
+    # (6,8) front (smallest size); (6,9) dominated by (5,9)
+    part = pd.DataFrame({
+        "p_partkey": [1, 2, 3, 4, 5, 6], "p_name": "w",
+        "p_brand": "B", "p_type": "T",
+        "p_size": [9, 9, 10, 12, 8, 9],
+        "p_retailprice": [0.05, 0.05, 0.05, 0.04, 0.06, 0.06]})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(part),
+                       os.path.join(d, "part.parquet"))
+        out = q.QUERIES["skyline_parts"](d).to_pandas()
+    assert out["p_partkey"].to_list() == [1, 2, 4, 5]
