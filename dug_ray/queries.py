@@ -14940,6 +14940,162 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Decision-stump best split (exact Gini), 2x2 odds ratio
+# ---------------------------------------------------------------------------
+
+def q_best_split(sf_dir: str) -> pa.Table:
+    """Best decision-stump split of event value (cents) against the
+    purchase label: the threshold minimizing weighted Gini impurity,
+    computed EXACTLY — impurity_micro = 1e6 * ((nl² - al² - bl²)·nr +
+    (nr² - ar² - br²)·nl) // (n·nl·nr), all Python ints (the triple
+    products pass int64 well below corpus scale; the oracle uses
+    HUGEINT).  Scale shape: the corpus folds to one (value, count,
+    positives) row per DISTINCT cent value (per-batch combiner +
+    bucket exchange); the threshold sweep is a prefix-sum scan over
+    the bounded VALUE DOMAIN on the driver (the ks_drift discipline).
+    Ties break to the smallest threshold."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        v = (df["value"] * 100).round().astype("int64")
+        y = (df["event_type"] == "purchase").astype("int64")
+        g = pd.DataFrame({"v": v, "y": y}).groupby("v", as_index=False) \
+            .agg(c=("y", "size"), a=("y", "sum"))
+        return typed_table(g, v=pa.int64(), c=pa.int64(), a=pa.int64())
+
+    hist = _collect_pd(
+        bucketed_group_apply(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None),
+            "v",
+            lambda df: df.groupby("v", as_index=False).agg(
+                c=("c", "sum"), a=("a", "sum")), 8),
+        v="int64", c="int64", a="int64").sort_values("v") \
+        .reset_index(drop=True)
+    n = int(hist["c"].sum())
+    atot = int(hist["a"].sum())
+    best = None
+    nl = al = 0
+    for v, c, a in zip(hist["v"], hist["c"], hist["a"]):
+        nl += int(c)
+        al += int(a)
+        nr = n - nl
+        if nr == 0:
+            break
+        ar = atot - al
+        bl, br = nl - al, nr - ar
+        g_micro = (1_000_000 * ((nl * nl - al * al - bl * bl) * nr
+                                + (nr * nr - ar * ar - br * br) * nl)
+                   ) // (n * nl * nr)
+        if best is None or g_micro < best[3]:
+            best = (int(v), nl, nr, g_micro)
+    t, n_left, n_right, gini = best if best else (0, 0, 0, 0)
+    out = pd.DataFrame({"threshold_c": [t], "n_left": [n_left],
+                        "n_right": [n_right], "gini_micro": [gini]})
+    return typed_table(out, threshold_c=pa.int64(), n_left=pa.int64(),
+                       n_right=pa.int64(), gini_micro=pa.int64())
+
+
+SQL_BEST_SPLIT = """
+WITH e AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+g AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(y) AS BIGINT) AS a
+      FROM e GROUP BY 1),
+p AS (SELECT v,
+             CAST(sum(c) OVER (ORDER BY v) AS HUGEINT) AS nl,
+             CAST(sum(a) OVER (ORDER BY v) AS HUGEINT) AS al,
+             CAST((SELECT sum(c) FROM g) AS HUGEINT) AS n,
+             CAST((SELECT sum(a) FROM g) AS HUGEINT) AS atot
+      FROM g),
+s AS (SELECT v, nl, al, n, n - nl AS nr, atot - al AS ar FROM p
+      WHERE n - nl > 0),
+gi AS (
+  SELECT v AS threshold_c, nl, nr,
+         (1000000 * ((nl * nl - al * al - (nl - al) * (nl - al)) * nr
+                     + (nr * nr - ar * ar - (nr - ar) * (nr - ar)) * nl))
+           // (n * nl * nr) AS gini_micro
+  FROM s)
+SELECT CAST(threshold_c AS BIGINT) AS threshold_c,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       CAST(gini_micro AS BIGINT) AS gini_micro
+FROM gi ORDER BY gini_micro, threshold_c LIMIT 1"""
+
+
+def q_odds_ratio(sf_dir: str) -> pa.Table:
+    """2x2 odds ratio between large quantity (> 25 units) and the 'R'
+    return flag — is a big line likelier to come back?  Exact ppm:
+    or_ppm = 1e6 * a * d // (b * c) on Python ints (HUGEINT in the
+    oracle: a*d reaches 1e18 at ~1e9 lines a cell).  Zero-shuffle:
+    the 2x2 census folds per batch and sums four ints on the
+    driver."""
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_quantity", "l_returnflag"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        big = (df["l_quantity"] * 100).round().astype("int64") > 2500
+        ret = df["l_returnflag"] == "R"
+        out = pd.DataFrame({
+            "a": [int((big & ret).sum())],
+            "b": [int((big & ~ret).sum())],
+            "c": [int((~big & ret).sum())],
+            "d": [int((~big & ~ret).sum())]})
+        return typed_table(out, a=pa.int64(), b=pa.int64(), c=pa.int64(),
+                           d=pa.int64())
+
+    parts = _collect_pd(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=None),
+                        a="int64", b="int64", c="int64", d="int64")
+    a, b = int(parts["a"].sum()), int(parts["b"].sum())
+    c, d = int(parts["c"].sum()), int(parts["d"].sum())
+    or_ppm = (1_000_000 * a * d) // (b * c) if b and c else 0
+    out = pd.DataFrame({"big_returned": [a], "big_kept": [b],
+                        "small_returned": [c], "small_kept": [d],
+                        "or_ppm": [or_ppm]})
+    return typed_table(out, big_returned=pa.int64(), big_kept=pa.int64(),
+                       small_returned=pa.int64(), small_kept=pa.int64(),
+                       or_ppm=pa.int64())
+
+
+SQL_ODDS_RATIO = """
+WITH c AS (
+  SELECT CAST(sum(CASE WHEN big = 1 AND ret = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS big_returned,
+         CAST(sum(CASE WHEN big = 1 AND ret = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS big_kept,
+         CAST(sum(CASE WHEN big = 0 AND ret = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS small_returned,
+         CAST(sum(CASE WHEN big = 0 AND ret = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS small_kept
+  FROM (SELECT CASE WHEN CAST(round(l_quantity * 100, 0) AS BIGINT)
+                         > 2500 THEN 1 ELSE 0 END AS big,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem))
+SELECT big_returned, big_kept, small_returned, small_kept,
+       CAST(CASE WHEN big_kept = 0 OR small_returned = 0 THEN 0
+                 ELSE (1000000 * CAST(big_returned AS HUGEINT)
+                       * small_kept) // (CAST(big_kept AS HUGEINT)
+                                         * small_returned)
+            END AS BIGINT) AS or_ppm
+FROM c"""
+
+
+QUERIES.update({
+    "best_split": q_best_split,
+    "odds_ratio": q_odds_ratio,
+})
+ORACLES.update({
+    "best_split": SQL_BEST_SPLIT,
+    "odds_ratio": SQL_ODDS_RATIO,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -15005,6 +15161,7 @@ _DRIVER_FRONT = [
     "q15_top_supplier", "spearman_rho", "ewma_revenue",
     "js_divergence", "threshold_crossings", "pq_codes", "cramers_v2",
     "ab_test_lift", "lorenz_deciles", "fifo_allocation", "skyline_parts",
+    "best_split", "odds_ratio",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -671,3 +671,40 @@ def test_skyline_strict_dominance():
                        os.path.join(d, "part.parquet"))
         out = q.QUERIES["skyline_parts"](d).to_pandas()
     assert out["p_partkey"].to_list() == [1, 2, 4, 5]
+
+
+def test_best_split_pure_separation():
+    t = pd.Timestamp("2024-01-01")
+    # values 1.00,2.00 -> views; 3.00,4.00 -> purchases. Split at
+    # 2.00 separates perfectly: gini 0
+    rows = [(1, 1, t, "view", 1.00), (2, 1, t, "view", 2.00),
+            (3, 1, t, "purchase", 3.00), (4, 1, t, "purchase", 4.00)]
+    with tempfile.TemporaryDirectory() as d:
+        import tests.test_round5_session34 as s34
+        s34._write_events(d, rows)
+        out = q.QUERIES["best_split"](d).to_pandas()
+    r = out.iloc[0]
+    assert r["threshold_c"] == 200
+    assert (r["n_left"], r["n_right"]) == (2, 2)
+    assert r["gini_micro"] == 0
+
+
+def test_odds_ratio_exact():
+    # big(qty>25): (30,R) a=1, (30,N) b=1; small: (10,R) c=1,
+    # (10,N) d=3 -> OR = 1*3/(1*1) = 3e6 ppm
+    df = pd.DataFrame({
+        "l_orderkey": range(1, 7), "l_partkey": 1, "l_suppkey": 1,
+        "l_linenumber": 1,
+        "l_quantity": [30.0, 30.0, 10.0, 10.0, 10.0, 10.0],
+        "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+        "l_returnflag": ["R", "N", "R", "N", "N", "N"],
+        "l_linestatus": "O",
+        "l_shipdate": pd.to_datetime(["1996-01-01"] * 6)})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "lineitem.parquet"))
+        out = q.QUERIES["odds_ratio"](d).to_pandas()
+    r = out.iloc[0]
+    assert (r["big_returned"], r["big_kept"], r["small_returned"],
+            r["small_kept"]) == (1, 1, 1, 3)
+    assert r["or_ppm"] == 3_000_000
