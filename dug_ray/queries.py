@@ -15096,6 +15096,141 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Full-outer-join nation parity, CDF requantization
+# ---------------------------------------------------------------------------
+
+def q_nation_parity(sf_dir: str) -> ray.data.Dataset:
+    """Customer-vs-supplier census per nation via the partitioned FULL
+    OUTER join (shuffle.hash_full_join — both sides exchange once;
+    neither dominates): nations with customers but no suppliers (and
+    vice versa) surface with a 0 on the missing side; parity = sign of
+    the count gap.  Each side folds with its own per-batch combiner
+    before the join, so only (nation, count) rows move."""
+    from dug_ray.shuffle import hash_full_join
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_nationkey"])
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_nationkey"])
+
+    def fold(col: str, out_key: str, out_n: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = df.groupby(col, as_index=False).size() \
+                .rename(columns={"size": out_n, col: out_key})
+            g[out_key] = g[out_key].astype("int64")
+            return typed_table(g, **{out_key: pa.int64(),
+                                     out_n: pa.int64()})
+        return partial
+
+    cc = bucketed_group_apply(
+        cust.map_batches(fold("c_nationkey", "c_nk", "n_customers"),
+                         batch_format="pyarrow", batch_size=None),
+        "c_nk",
+        lambda df: df.groupby("c_nk", as_index=False)["n_customers"]
+        .sum(), 8)
+    sc = bucketed_group_apply(
+        sup.map_batches(fold("s_nationkey", "s_nk", "n_suppliers"),
+                        batch_format="pyarrow", batch_size=None),
+        "s_nk",
+        lambda df: df.groupby("s_nk", as_index=False)["n_suppliers"]
+        .sum(), 8)
+
+    joined = hash_full_join(cc, sc, "c_nk", "s_nk")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        nk = df["c_nk"].where(df["c_nk"].notna(), df["s_nk"])
+        nc = df["n_customers"].fillna(0).astype("int64")
+        ns = df["n_suppliers"].fillna(0).astype("int64")
+        out = pd.DataFrame({
+            "nationkey": nk.astype("int64"), "n_customers": nc,
+            "n_suppliers": ns,
+            "parity": np.sign(nc - ns).astype("int64")})
+        return typed_table(out, nationkey=pa.int64(),
+                           n_customers=pa.int64(), n_suppliers=pa.int64(),
+                           parity=pa.int64())
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)
+
+
+SQL_NATION_PARITY = """
+WITH cc AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                   count(*) AS n_customers
+            FROM customer GROUP BY 1),
+sc AS (SELECT CAST(s_nationkey AS BIGINT) AS nk,
+              count(*) AS n_suppliers
+       FROM supplier GROUP BY 1)
+SELECT coalesce(cc.nk, sc.nk) AS nationkey,
+       CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers,
+       CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers,
+       CAST(sign(coalesce(n_customers, 0) - coalesce(n_suppliers, 0))
+         AS BIGINT) AS parity
+FROM cc FULL OUTER JOIN sc ON cc.nk = sc.nk"""
+
+
+def q_hist_equalize(sf_dir: str) -> pa.Table:
+    """Histogram-equalization lookup table for the event value column:
+    each distinct cent value maps to byte = cum_count * 255 // n (the
+    image-processing requantizer applied to a metric column).  The
+    corpus folds to one (value, count) row per distinct cent (combiner
+    + bucket exchange); the cumulative pass runs on the driver over
+    the bounded VALUE DOMAIN (ks_drift discipline).  Applying the LUT
+    downstream is a broadcast gather — this query pins the LUT
+    itself."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        v = (df["value"] * 100).round().astype("int64")
+        g = pd.DataFrame({"value_c": v}).groupby(
+            "value_c", as_index=False).size() \
+            .rename(columns={"size": "n_at"})
+        return typed_table(g, value_c=pa.int64(), n_at=pa.int64())
+
+    hist = _collect_pd(
+        bucketed_group_apply(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None),
+            "value_c",
+            lambda df: df.groupby("value_c", as_index=False)["n_at"]
+            .sum(), 8),
+        value_c="int64", n_at="int64").sort_values("value_c") \
+        .reset_index(drop=True)
+    n = int(hist["n_at"].sum())
+    cum = 0
+    bytes_ = []
+    for c in hist["n_at"]:
+        cum += int(c)
+        bytes_.append(cum * 255 // n if n else 0)
+    hist["eq_byte"] = bytes_
+    return typed_table(hist, value_c=pa.int64(), n_at=pa.int64(),
+                       eq_byte=pa.int64())
+
+
+SQL_HIST_EQUALIZE = """
+WITH g AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS value_c,
+         count(*) AS n_at
+  FROM events GROUP BY 1)
+SELECT value_c, n_at,
+       CAST(sum(n_at) OVER (ORDER BY value_c) * 255
+            // (SELECT sum(n_at) FROM g) AS BIGINT) AS eq_byte
+FROM g"""
+
+
+QUERIES.update({
+    "nation_parity": q_nation_parity,
+    "hist_equalize": q_hist_equalize,
+})
+ORACLES.update({
+    "nation_parity": SQL_NATION_PARITY,
+    "hist_equalize": SQL_HIST_EQUALIZE,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -15161,7 +15296,7 @@ _DRIVER_FRONT = [
     "q15_top_supplier", "spearman_rho", "ewma_revenue",
     "js_divergence", "threshold_crossings", "pq_codes", "cramers_v2",
     "ab_test_lift", "lorenz_deciles", "fifo_allocation", "skyline_parts",
-    "best_split", "odds_ratio",
+    "best_split", "odds_ratio", "nation_parity", "hist_equalize",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -284,3 +284,37 @@ def hash_anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
         return li.loc[keep, lcols]
 
     return bucketed_group_apply(u, "_jk", per_bucket, num_buckets)
+
+
+def hash_full_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                   left_key: str, right_key: str,
+                   num_buckets: int = 32) -> ray.data.Dataset:
+    """Partitioned FULL OUTER join: every row of BOTH sides appears —
+    matched rows once per match, unmatched rows once with the other
+    side's columns null.
+
+    SQL semantics: a null key matches nothing but the row is KEPT
+    (from whichever side it came).  Same single exchange as
+    ``hash_join``; unmatched columns come back as NaN/None — callers
+    fill + retype (see queries.q_nation_parity).  Column names on the
+    two sides must be fully disjoint (``_tagged_union``)."""
+    u, lcols, rcols = _tagged_union(left, right, left_key, right_key)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        li = df[df["_side"] == "l"]
+        ri = df[df["_side"] == "r"]
+        lm, ln = li[li["_jk"].notna()], li[li["_jk"].isna()]
+        rm, rn = ri[ri["_jk"].notna()], ri[ri["_jk"].isna()]
+        out = lm[lcols + ["_jk"]].merge(rm[rcols + ["_jk"]], on="_jk",
+                                        how="outer", sort=False) \
+            .drop(columns=["_jk"])
+        extra = []
+        if len(ln):
+            extra.append(ln[lcols].reindex(columns=out.columns))
+        if len(rn):
+            extra.append(rn[rcols].reindex(columns=out.columns))
+        if extra:
+            out = pd.concat([out, *extra], ignore_index=True)
+        return out
+
+    return bucketed_group_apply(u, "_jk", per_bucket, num_buckets)

@@ -708,3 +708,30 @@ def test_odds_ratio_exact():
     assert (r["big_returned"], r["big_kept"], r["small_returned"],
             r["small_kept"]) == (1, 1, 1, 3)
     assert r["or_ppm"] == 3_000_000
+
+
+def test_nation_parity_full_outer():
+    # nation 0: 2 customers, 0 suppliers (right-missing); nation 1:
+    # 1 and 1; nation 2: 0 customers, 1 supplier (left-missing)
+    with tempfile.TemporaryDirectory() as d:
+        _write_customer_bal(d, [(1, 0, 0.0), (2, 0, 0.0), (3, 1, 0.0)])
+        _write_supplier_nat(d, [(1, 1, 0.0), (2, 2, 0.0)])
+        out = q.QUERIES["nation_parity"](d).to_pandas() \
+            .sort_values("nationkey").reset_index(drop=True)
+    assert out.values.tolist() == [[0, 2, 0, 1], [1, 1, 1, 0],
+                                   [2, 0, 1, -1]]
+
+
+def test_hist_equalize_lut():
+    t = pd.Timestamp("2024-01-01")
+    # values 1.00 x2, 2.00 x1, 3.00 x1 -> cum 2,3,4 of 4
+    rows = [(1, 1, t, "view", 1.00), (2, 1, t, "view", 1.00),
+            (3, 1, t, "view", 2.00), (4, 1, t, "view", 3.00)]
+    with tempfile.TemporaryDirectory() as d:
+        import tests.test_round5_session34 as s34
+        s34._write_events(d, rows)
+        out = q.QUERIES["hist_equalize"](d).to_pandas() \
+            .sort_values("value_c").reset_index(drop=True)
+    assert out["value_c"].to_list() == [100, 200, 300]
+    assert out["n_at"].to_list() == [2, 1, 1]
+    assert out["eq_byte"].to_list() == [2 * 255 // 4, 3 * 255 // 4, 255]
