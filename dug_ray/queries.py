@@ -15231,6 +15231,198 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Quartile segment migration matrix, signup-cohort LTV curve
+# ---------------------------------------------------------------------------
+
+def q_segment_migration(sf_dir: str) -> pa.Table:
+    """Customer revenue-quartile migration between the 1995-1998-06 and
+    1998-07-2001 halves of the order history: per (H1 quartile, H2
+    quartile) cell, how many customers moved — quartile 0 means absent
+    from that half (the full-outer edge).  Quartiles use NTILE(4) over
+    (cents, custkey) per half (the lorenz_deciles remainder rule).
+    Corpus work = two per-half per-customer folds (combiner + bucket
+    exchange); the quartile assignment and 5x5 matrix run on the
+    driver over per-customer aggregates (documented ntile_buckets
+    scale class)."""
+    import datetime as _dt
+    mid = _dt.datetime(1998, 7, 1)
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderdate",
+                                        "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["half"] = np.where(
+            df["o_orderdate"].astype("datetime64[us]") < mid, 1, 2) \
+            .astype("int64")
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        g = df.groupby(["o_custkey", "half"], as_index=False)["cents"] \
+            .sum()
+        return typed_table(g, o_custkey=pa.int64(), half=pa.int64(),
+                           cents=pa.int64())
+
+    per_cust = _collect_pd(
+        bucketed_group_apply(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None),
+            ["o_custkey", "half"],
+            lambda df: df.groupby(["o_custkey", "half"],
+                                  as_index=False)["cents"].sum(), 16),
+        o_custkey="int64", half="int64", cents="int64")
+
+    def quartiles(df: pd.DataFrame) -> dict:
+        df = df.sort_values(["cents", "o_custkey"]).reset_index(drop=True)
+        n = len(df)
+        base, extra = divmod(n, 4)
+        sizes = [base + 1 if i < extra else base for i in range(4)]
+        qs = np.repeat(np.arange(1, 5), sizes)[:n]
+        return dict(zip(df["o_custkey"], qs))
+
+    q1 = quartiles(per_cust[per_cust["half"] == 1])
+    q2 = quartiles(per_cust[per_cust["half"] == 2])
+    custs = sorted(set(q1) | set(q2))
+    m = pd.DataFrame({
+        "q_h1": [int(q1.get(c, 0)) for c in custs],
+        "q_h2": [int(q2.get(c, 0)) for c in custs]})
+    out = m.groupby(["q_h1", "q_h2"], as_index=False).size() \
+        .rename(columns={"size": "n_customers"})
+    return typed_table(out, q_h1=pa.int64(), q_h2=pa.int64(),
+                       n_customers=pa.int64())
+
+
+SQL_SEGMENT_MIGRATION = """
+WITH pc AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderdate < DATE '1998-07-01' THEN 1 ELSE 2 END
+           AS half,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2),
+qt AS (
+  SELECT o_custkey, half,
+         ntile(4) OVER (PARTITION BY half ORDER BY cents, o_custkey)
+           AS quartile
+  FROM pc),
+h1 AS (SELECT o_custkey, quartile FROM qt WHERE half = 1),
+h2 AS (SELECT o_custkey, quartile FROM qt WHERE half = 2)
+SELECT CAST(coalesce(h1.quartile, 0) AS BIGINT) AS q_h1,
+       CAST(coalesce(h2.quartile, 0) AS BIGINT) AS q_h2,
+       count(*) AS n_customers
+FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+GROUP BY 1, 2"""
+
+
+def q_cohort_ltv(sf_dir: str) -> ray.data.Dataset:
+    """Signup-cohort LTV curve: users cohort by their FIRST signup
+    week (epoch_day // 7); purchase revenue accumulates into week
+    offsets 0..3 from that week.  Exact
+    integer cents.  Shape: per-user first-signup fold (min combiner +
+    user bucket exchange), partitioned join of purchases to cohorts on
+    user_id, then a (cohort, offset) fold — cohort rows are bounded by
+    the calendar.  Cohort sizes ride along so the per-user average can
+    be taken downstream without a second pass."""
+    from dug_ray.shuffle import hash_join
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type",
+                                        "value"])
+
+    def signup_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["event_type"] == "signup"]
+        day = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        df["m"] = (day // 7).astype("int64")
+        g = df.groupby("user_id", as_index=False)["m"].min()
+        return typed_table(g, user_id=pa.int64(), m=pa.int64())
+
+    cohorts = bucketed_group_apply(
+        ds.map_batches(signup_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "user_id",
+        lambda df: df.groupby("user_id", as_index=False)["m"].min(), 16)
+
+    def purchase_proj(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["event_type"] == "purchase"]
+        day = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        out = pd.DataFrame({
+            "p_user": df["user_id"].astype("int64"),
+            "pm": (day // 7).astype("int64"),
+            "cents": (df["value"] * 100).round().astype("int64")})
+        return typed_table(out, p_user=pa.int64(), pm=pa.int64(),
+                           cents=pa.int64())
+
+    purch = ds.map_batches(purchase_proj, batch_format="pyarrow",
+                           batch_size=None)
+    joined = hash_join(purch, cohorts, "p_user", "user_id")
+
+    def ltv_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["offset"] = df["pm"] - df["m"]
+        df = df[(df["offset"] >= 0) & (df["offset"] <= 3)]
+        g = df.groupby(["m", "offset"], as_index=False).agg(
+            rev_cents=("cents", "sum"))
+        return typed_table(g, m=pa.int64(), offset=pa.int64(),
+                           rev_cents=pa.int64())
+
+    rev = _collect_pd(
+        joined.map_batches(ltv_partial, batch_format="pyarrow",
+                           batch_size=None),
+        m="int64", offset="int64", rev_cents="int64") \
+        .groupby(["m", "offset"], as_index=False)["rev_cents"].sum()
+
+    sizes = _collect_pd(
+        cohorts.map_batches(
+            lambda b: typed_table(
+                b.to_pandas().groupby("m", as_index=False).size()
+                .rename(columns={"size": "n_users"}),
+                m=pa.int64(), n_users=pa.int64()),
+            batch_format="pyarrow", batch_size=None),
+        m="int64", n_users="int64").groupby("m", as_index=False) \
+        ["n_users"].sum()
+
+    out = rev.merge(sizes, on="m")
+    out = out.rename(columns={"m": "cohort_week"})
+    return ray.data.from_arrow(typed_table(
+        out[["cohort_week", "offset", "n_users", "rev_cents"]],
+        cohort_week=pa.int64(), offset=pa.int64(), n_users=pa.int64(),
+        rev_cents=pa.int64()))
+
+
+SQL_COHORT_LTV = """
+WITH su AS (
+  SELECT user_id,
+         CAST(min(epoch_us(ts) // 86400000000 // 7) AS BIGINT) AS m
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+sz AS (SELECT m, count(*) AS n_users FROM su GROUP BY 1),
+pu AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 // 7 AS BIGINT) AS pm,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+rv AS (
+  SELECT su.m, pu.pm - su.m AS offset,
+         CAST(sum(pu.cents) AS BIGINT) AS rev_cents
+  FROM pu JOIN su USING (user_id)
+  WHERE pu.pm - su.m BETWEEN 0 AND 3
+  GROUP BY 1, 2)
+SELECT rv.m AS cohort_week, CAST(rv.offset AS BIGINT) AS offset,
+       CAST(sz.n_users AS BIGINT) AS n_users, rv.rev_cents
+FROM rv JOIN sz ON rv.m = sz.m"""
+
+
+QUERIES.update({
+    "segment_migration": q_segment_migration,
+    "cohort_ltv": q_cohort_ltv,
+})
+ORACLES.update({
+    "segment_migration": SQL_SEGMENT_MIGRATION,
+    "cohort_ltv": SQL_COHORT_LTV,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -15297,6 +15489,7 @@ _DRIVER_FRONT = [
     "js_divergence", "threshold_crossings", "pq_codes", "cramers_v2",
     "ab_test_lift", "lorenz_deciles", "fifo_allocation", "skyline_parts",
     "best_split", "odds_ratio", "nation_parity", "hist_equalize",
+    "segment_migration", "cohort_ltv",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

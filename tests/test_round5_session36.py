@@ -735,3 +735,41 @@ def test_hist_equalize_lut():
     assert out["value_c"].to_list() == [100, 200, 300]
     assert out["n_at"].to_list() == [2, 1, 1]
     assert out["eq_byte"].to_list() == [2 * 255 // 4, 3 * 255 // 4, 255]
+
+
+def test_segment_migration_quartiles_and_absents():
+    # H1 (<1998-07): customers 1..4 with revenue 1,2,3,4 -> quartiles
+    # 1,2,3,4; H2: only customer 1 (quartile 1 of a 1-customer half);
+    # customer 5 appears only in H2
+    rows = [(1, 1, "1996-01-01", 1.00), (2, 2, "1996-01-02", 2.00),
+            (3, 3, "1996-01-03", 3.00), (4, 4, "1996-01-04", 4.00),
+            (5, 1, "1999-01-01", 1.00), (6, 5, "1999-01-02", 5.00)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders36_money(d, rows)
+        out = q.QUERIES["segment_migration"](d).to_pandas() \
+            .sort_values(["q_h1", "q_h2"]).reset_index(drop=True)
+    got = {(int(a), int(b)): int(n) for a, b, n in out.values}
+    # H2 ntile(4) over 2 customers (1: 1.00, 5: 5.00) -> quartiles 1,2
+    assert got == {(1, 1): 1, (2, 0): 1, (3, 0): 1, (4, 0): 1,
+                   (0, 2): 1}
+
+
+def test_cohort_ltv_week_offsets():
+    t = pd.Timestamp("2024-01-04")  # Thursday, epoch-day multiple of 7
+    w = pd.Timedelta(days=7)
+    # user 1 signs up week W; purchases 10.00 in W, 5.00 in W+2;
+    # a purchase in W+5 is outside the 0..3 window; user 2 never
+    # signs up -> its purchase is dropped
+    rows = [(1, 1, t, "signup", 0.0),
+            (2, 1, t + pd.Timedelta(days=1), "purchase", 10.00),
+            (3, 1, t + 2 * w, "purchase", 5.00),
+            (4, 1, t + 5 * w, "purchase", 99.00),
+            (5, 2, t, "purchase", 7.00)]
+    with tempfile.TemporaryDirectory() as d:
+        import tests.test_round5_session34 as s34
+        s34._write_events(d, rows)
+        out = q.QUERIES["cohort_ltv"](d).to_pandas() \
+            .sort_values("offset").reset_index(drop=True)
+    wk = (t - pd.Timestamp("1970-01-01")).days // 7
+    assert out[["cohort_week", "offset", "n_users", "rev_cents"]] \
+        .values.tolist() == [[wk, 0, 1, 1000], [wk, 2, 1, 500]]
