@@ -15423,6 +15423,114 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Largest-remainder apportionment, rolling 7-day median
+# ---------------------------------------------------------------------------
+
+def q_apportionment(sf_dir: str) -> pa.Table:
+    """Hamilton (largest-remainder) apportionment of 1000 seats across
+    nations by customer count — the exact proportional-allocation
+    primitive (shard budgets, sampling quotas): base = n_i*1000 // N,
+    leftover seats go to the largest remainders (ties -> smaller
+    nationkey).  Pure integer arithmetic.  Corpus work = one
+    per-nation count fold; the seat assignment is a driver pass over
+    <= |nations| rows."""
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_nationkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("c_nationkey", as_index=False).size() \
+            .rename(columns={"size": "n_customers"})
+        g["c_nationkey"] = g["c_nationkey"].astype("int64")
+        return typed_table(g, c_nationkey=pa.int64(),
+                           n_customers=pa.int64())
+
+    counts = _collect_pd(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        c_nationkey="int64", n_customers="int64") \
+        .groupby("c_nationkey", as_index=False)["n_customers"].sum()
+    total = int(counts["n_customers"].sum())
+    counts["base"] = [int(n) * 1000 // total for n in
+                      counts["n_customers"]]
+    counts["rem"] = [int(n) * 1000 % total for n in
+                     counts["n_customers"]]
+    leftover = 1000 - int(counts["base"].sum())
+    counts = counts.sort_values(["rem", "c_nationkey"],
+                                ascending=[False, True]) \
+        .reset_index(drop=True)
+    counts["bonus"] = (counts.index < leftover).astype("int64")
+    counts["seats"] = counts["base"] + counts["bonus"]
+    out = counts.sort_values("c_nationkey")
+    return typed_table(out[["c_nationkey", "n_customers", "seats"]],
+                       c_nationkey=pa.int64(), n_customers=pa.int64(),
+                       seats=pa.int64())
+
+
+SQL_APPORTIONMENT = """
+WITH c AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         count(*) AS n_customers
+  FROM customer GROUP BY 1),
+t AS (SELECT CAST(sum(n_customers) AS BIGINT) AS total FROM c),
+b AS (
+  SELECT c_nationkey, n_customers,
+         n_customers * 1000 // total AS base,
+         n_customers * 1000 % total AS rem
+  FROM c, t),
+r AS (
+  SELECT c_nationkey, n_customers, base,
+         row_number() OVER (ORDER BY rem DESC, c_nationkey) AS rk,
+         1000 - sum(base) OVER () AS leftover
+  FROM b)
+SELECT c_nationkey, n_customers,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS seats
+FROM r"""
+
+
+def q_rolling_median(sf_dir: str) -> pa.Table:
+    """Trailing 7-row rolling median of the daily revenue series
+    (present days, day order): the robust smoother next to
+    ewma_revenue's mean — median of 7 ints = the 4th order statistic,
+    no averaging, so the output is exact int64.  Rows with fewer than
+    7 trailing days are omitted (full windows only).  Calendar-bounded
+    driver final over the folded daily series (theil_sen scale class);
+    the oracle sorts the same 7-element window lists."""
+    daily = _daily_revenue_cents(sf_dir)
+    vals = daily["cents"].to_list()
+    days = daily["d"].to_list()
+    rows = []
+    for i in range(6, len(vals)):
+        w = sorted(int(x) for x in vals[i - 6:i + 1])
+        rows.append((int(days[i]), int(vals[i]), w[3]))
+    out = pd.DataFrame(rows, columns=["d", "cents", "med7_cents"])
+    return typed_table(out, d=pa.int64(), cents=pa.int64(),
+                       med7_cents=pa.int64())
+
+
+SQL_ROLLING_MEDIAN = f"""
+WITH b AS ({_SQL_DAILY_REVENUE}),
+w AS (
+  SELECT d, cents,
+         count(*) OVER win AS nw,
+         list_sort(list(cents) OVER win)[4] AS med7_cents
+  FROM b WINDOW win AS (ORDER BY d ROWS BETWEEN 6 PRECEDING
+                        AND CURRENT ROW))
+SELECT d, cents, CAST(med7_cents AS BIGINT) AS med7_cents
+FROM w WHERE nw = 7"""
+
+
+QUERIES.update({
+    "apportionment": q_apportionment,
+    "rolling_median": q_rolling_median,
+})
+ORACLES.update({
+    "apportionment": SQL_APPORTIONMENT,
+    "rolling_median": SQL_ROLLING_MEDIAN,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -15489,7 +15597,7 @@ _DRIVER_FRONT = [
     "js_divergence", "threshold_crossings", "pq_codes", "cramers_v2",
     "ab_test_lift", "lorenz_deciles", "fifo_allocation", "skyline_parts",
     "best_split", "odds_ratio", "nation_parity", "hist_equalize",
-    "segment_migration", "cohort_ltv",
+    "segment_migration", "cohort_ltv", "apportionment", "rolling_median",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

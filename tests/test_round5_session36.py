@@ -773,3 +773,31 @@ def test_cohort_ltv_week_offsets():
     wk = (t - pd.Timestamp("1970-01-01")).days // 7
     assert out[["cohort_week", "offset", "n_users", "rev_cents"]] \
         .values.tolist() == [[wk, 0, 1, 1000], [wk, 2, 1, 500]]
+
+
+def test_apportionment_largest_remainder():
+    # counts 3,3,1 of 7 -> quotas 428.57,428.57,142.86; bases
+    # 428,428,142 = 998; two leftover seats to the largest remainders:
+    # rem are 4/7,4/7,6/7 scaled -> nation 2 (rem 857..) first, then
+    # tie 571 between nations 0,1 -> smaller key wins
+    cust = [(i, nk, 0.0) for i, nk in
+            enumerate([0, 0, 0, 1, 1, 1, 2], start=1)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_customer_bal(d, cust)
+        out = q.QUERIES["apportionment"](d).to_pandas() \
+            .sort_values("c_nationkey").reset_index(drop=True)
+    assert out["seats"].to_list() == [429, 428, 143]
+    assert out["seats"].sum() == 1000
+
+
+def test_rolling_median_order_statistic():
+    # 8 days of revenue 5,1,9,3,7,2,8,4 -> full windows at d7 (med of
+    # 5,1,9,3,7,2,8 = 5) and d8 (med of 1,9,3,7,2,8,4 = 4)
+    vals = [5, 1, 9, 3, 7, 2, 8, 4]
+    rows = [(i + 1, 1, f"2024-01-{i+1:02d}", float(v))
+            for i, v in enumerate(vals)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_orders36_money(d, rows)
+        out = q.QUERIES["rolling_median"](d).to_pandas() \
+            .sort_values("d").reset_index(drop=True)
+    assert out["med7_cents"].to_list() == [500, 400]
