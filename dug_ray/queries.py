@@ -15531,6 +15531,151 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Robust outlier census (median/MAD), dense dimension grid fill
+# ---------------------------------------------------------------------------
+
+def q_robust_outliers(sf_dir: str) -> pa.Table:
+    """Per-event-type robust outlier census: lower median, lower-median
+    MAD, and the count of values beyond 3 x MAD — the data-quality
+    gate that survives heavy tails where a z-score saturates.  All
+    selections are k-th order statistics over the folded (type, cent
+    value, count) HISTOGRAM (price_mad's weight-histogram discipline),
+    so the corpus collapses to the value domain per type before any
+    driver work; exact ints throughout."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["v"] = (df["value"] * 100).round().astype("int64")
+        g = df.groupby(["event_type", "v"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return typed_table(g, event_type=pa.string(), v=pa.int64(),
+                           c=pa.int64())
+
+    hist = _collect_pd(
+        bucketed_group_apply(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None),
+            ["event_type", "v"],
+            lambda df: df.groupby(["event_type", "v"],
+                                  as_index=False)["c"].sum(), 8),
+        event_type="object", v="int64", c="int64")
+
+    def kth(vals: np.ndarray, cnts: np.ndarray, k: int) -> int:
+        order = np.argsort(vals, kind="mergesort")
+        cum = np.cumsum(cnts[order])
+        return int(vals[order][np.searchsorted(cum, k)])
+
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        v = g["v"].to_numpy()
+        c = g["c"].to_numpy()
+        n = int(c.sum())
+        k = (n + 1) // 2
+        med = kth(v, c, k)
+        dv = np.abs(v - med)
+        dd = pd.DataFrame({"dv": dv, "c": c}).groupby(
+            "dv", as_index=False)["c"].sum()
+        mad = kth(dd["dv"].to_numpy(), dd["c"].to_numpy(), k)
+        n_out = int(c[dv > 3 * mad].sum())
+        rows.append((et, n, med, mad, n_out))
+    out = pd.DataFrame(rows, columns=["event_type", "n_events",
+                                      "median_c", "mad_c", "n_outliers"])
+    return typed_table(out.sort_values("event_type"),
+                       event_type=pa.string(), n_events=pa.int64(),
+                       median_c=pa.int64(), mad_c=pa.int64(),
+                       n_outliers=pa.int64())
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH h AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+medc AS (
+  SELECT event_type, min(v) AS med FROM (
+    SELECT h.event_type, v,
+           sum(c) OVER (PARTITION BY h.event_type ORDER BY v) AS cum,
+           n.n
+    FROM h JOIN n USING (event_type))
+  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+dev AS (SELECT h.event_type, abs(v - med) AS dv, c
+        FROM h JOIN medc USING (event_type)),
+devh AS (SELECT event_type, dv, CAST(sum(c) AS BIGINT) AS c
+         FROM dev GROUP BY 1, 2),
+madc AS (
+  SELECT event_type, min(dv) AS mad FROM (
+    SELECT devh.event_type, dv,
+           sum(c) OVER (PARTITION BY devh.event_type ORDER BY dv) AS cum,
+           n.n
+    FROM devh JOIN n USING (event_type))
+  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+o AS (SELECT d.event_type,
+             CAST(sum(CASE WHEN d.dv > 3 * madc.mad THEN d.c ELSE 0 END)
+               AS BIGINT) AS n_outliers
+      FROM dev d JOIN madc USING (event_type) GROUP BY 1)
+SELECT n.event_type, n.n AS n_events, CAST(medc.med AS BIGINT) AS median_c,
+       CAST(madc.mad AS BIGINT) AS mad_c, o.n_outliers
+FROM n JOIN medc USING (event_type) JOIN madc USING (event_type)
+JOIN o USING (event_type)"""
+
+
+def q_grid_fill(sf_dir: str) -> pa.Table:
+    """Dense (source x lang) reporting grid with zero-filled absent
+    cells — the dashboard-export shape a plain groupby cannot produce
+    (absent combinations vanish).  Both dimension domains come from
+    the data itself (distinct folds); the cross product and the
+    left-join fill run on the driver over |sources| x |langs| rows
+    (bounded dimensions), with the observed counts folded
+    distributed."""
+    docs = read_documents(sf_dir, columns=["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["source", "lang"], as_index=False).size() \
+            .rename(columns={"size": "n_docs"})
+        return typed_table(g, source=pa.string(), lang=pa.string(),
+                           n_docs=pa.int64())
+
+    counts = _collect_pd(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None),
+        source="object", lang="object", n_docs="int64") \
+        .groupby(["source", "lang"], as_index=False)["n_docs"].sum()
+    sources = sorted(counts["source"].unique())
+    langs = sorted(counts["lang"].unique())
+    grid = pd.MultiIndex.from_product([sources, langs],
+                                      names=["source", "lang"]) \
+        .to_frame(index=False)
+    out = grid.merge(counts, on=["source", "lang"], how="left")
+    out["n_docs"] = out["n_docs"].fillna(0).astype("int64")
+    return typed_table(out, source=pa.string(), lang=pa.string(),
+                       n_docs=pa.int64())
+
+
+SQL_GRID_FILL = """
+WITH c AS (SELECT source, lang, count(*) AS n_docs
+           FROM documents GROUP BY 1, 2),
+s AS (SELECT DISTINCT source FROM c),
+l AS (SELECT DISTINCT lang FROM c)
+SELECT s.source, l.lang,
+       CAST(coalesce(c.n_docs, 0) AS BIGINT) AS n_docs
+FROM s CROSS JOIN l
+LEFT JOIN c ON c.source = s.source AND c.lang = l.lang"""
+
+
+QUERIES.update({
+    "robust_outliers": q_robust_outliers,
+    "grid_fill": q_grid_fill,
+})
+ORACLES.update({
+    "robust_outliers": SQL_ROBUST_OUTLIERS,
+    "grid_fill": SQL_GRID_FILL,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -15598,6 +15743,7 @@ _DRIVER_FRONT = [
     "ab_test_lift", "lorenz_deciles", "fifo_allocation", "skyline_parts",
     "best_split", "odds_ratio", "nation_parity", "hist_equalize",
     "segment_migration", "cohort_ltv", "apportionment", "rolling_median",
+    "robust_outliers", "grid_fill",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

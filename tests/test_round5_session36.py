@@ -801,3 +801,34 @@ def test_rolling_median_order_statistic():
         out = q.QUERIES["rolling_median"](d).to_pandas() \
             .sort_values("d").reset_index(drop=True)
     assert out["med7_cents"].to_list() == [500, 400]
+
+
+def test_robust_outliers_median_mad():
+    t = pd.Timestamp("2024-01-01")
+    # 'view' values: 1,2,3,4,100 -> n=5, k=3, median 3; deviations
+    # 2,1,0,1,97 -> sorted 0,1,1,2,97, MAD = 1; outliers: dv > 3 -> 100
+    vals = [1.00, 2.00, 3.00, 4.00, 100.00]
+    rows = [(i + 1, 1, t, "view", v) for i, v in enumerate(vals)]
+    with tempfile.TemporaryDirectory() as d:
+        import tests.test_round5_session34 as s34
+        s34._write_events(d, rows)
+        out = q.QUERIES["robust_outliers"](d).to_pandas()
+    r = out.iloc[0]
+    assert (r["n_events"], r["median_c"], r["mad_c"],
+            r["n_outliers"]) == (5, 300, 100, 1)
+
+
+def test_grid_fill_zero_cells():
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": "x", "n_chars": 1,
+        "lang": ["en", "de", "en"],
+        "source": ["s1", "s1", "s2"]})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(docs),
+                       os.path.join(d, "documents.parquet"))
+        out = q.QUERIES["grid_fill"](d).to_pandas()
+    got = {(s, l): int(n) for s, l, n in out.values}
+    # (s2, de) is the absent cell filled with 0
+    assert got == {("s1", "de"): 1, ("s1", "en"): 1,
+                   ("s2", "de"): 0, ("s2", "en"): 1}
