@@ -15676,6 +15676,156 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Directional containment pairs, consistent-hash ring rebalance
+# ---------------------------------------------------------------------------
+
+def q_containment_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Directional shingle containment for near-dup candidate pairs —
+    the SUBSET detector Jaccard hides (a 50-word quote inside a
+    5000-word doc has tiny Jaccard but containment ~1e6).  Reuses the
+    inverted-index pair generator (stages/dedup._pairs_from_inverted:
+    set sizes ride the index rows, one shingle-bucketed exchange) and
+    reports both directions in exact ppm (1e6 * inter // n_side);
+    pairs kept when either direction >= 0.5."""
+    from dug_ray.stages.dedup import _pairs_from_inverted, shingles
+    pairs = _pairs_from_inverted(
+        shingles(read_documents(sf_dir, columns=["doc_id", "text"])))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["inter"] >= 2]
+        df["cont_a_ppm"] = 1_000_000 * df["inter"] // df["n_a"]
+        df["cont_b_ppm"] = 1_000_000 * df["inter"] // df["n_b"]
+        df = df[(df["cont_a_ppm"] >= 500_000)
+                | (df["cont_b_ppm"] >= 500_000)]
+        return typed_table(df[["doc_id_a", "doc_id_b", "inter",
+                               "cont_a_ppm", "cont_b_ppm"]],
+                           doc_id_a=pa.int64(), doc_id_b=pa.int64(),
+                           inter=pa.int64(), cont_a_ppm=pa.int64(),
+                           cont_b_ppm=pa.int64())
+
+    return pairs.map_batches(fin, batch_format="pyarrow",
+                             batch_size=None)
+
+
+SQL_CONTAINMENT_PAIRS = _with(SQL_TOKS, SQL_SHINGLES) + """,
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b, inter,
+       CAST(1000000 * inter // ca.n AS BIGINT) AS cont_a_ppm,
+       CAST(1000000 * inter // cb.n AS BIGINT) AS cont_b_ppm
+FROM pairs
+JOIN cnt ca ON ca.doc_id = doc_id_a
+JOIN cnt cb ON cb.doc_id = doc_id_b
+WHERE inter >= 2
+  AND (1000000 * inter // ca.n >= 500000
+       OR 1000000 * inter // cb.n >= 500000)"""
+
+
+def _ring_positions(n_nodes: int) -> list[tuple[int, str]]:
+    """Deterministic ring positions: md5('node-<i>') hex — identical in
+    hashlib and DuckDB (the hashing.py bridge), compared as STRINGS
+    (lexicographic == numeric for fixed-width hex)."""
+    import hashlib
+    return [(i, hashlib.md5(f"node-{i}".encode()).hexdigest())
+            for i in range(n_nodes)]
+
+
+def q_ring_rebalance(sf_dir: str) -> pa.Table:
+    """Resharding-cost audit, 16 -> 17 shards: how many documents move
+    under naive modulo placement vs a consistent-hash ring (md5
+    positions, first node clockwise).  Ring positions are baked
+    literals on both engines; key positions are md5(doc_id) hex
+    compared lexicographically — no hex->int parsing anywhere.
+    Zero-shuffle: per-batch vectorized searchsorted against the
+    broadcast sorted ring + int partials, driver fold.  The expected
+    contrast (mod moves ~16/17 of keys, ring ~1/17) is the reason
+    consistent hashing exists; this query pins it exactly."""
+    from dug_ray.hashing import md5_hex
+    r16 = sorted(h for _, h in _ring_positions(16))
+    r17 = sorted(h for _, h in _ring_positions(17))
+    r16_ref, r17_ref = ray.put(np.array(r16)), ray.put(np.array(r17))
+
+    docs = read_documents(sf_dir, columns=["doc_id"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ring16, ring17 = ray.get(r16_ref), ray.get(r17_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        kp = md5_hex(ids.astype("int64"))
+
+        def assign(ring: np.ndarray) -> np.ndarray:
+            idx = np.searchsorted(ring, kp, side="left")
+            return np.where(idx == len(ring), 0, idx) \
+                .astype("int64")  # wrap to the ring's first node
+
+        s16 = assign(ring16)
+        s17 = assign(ring17)
+        moved_ring = int((np.asarray(ring16)[s16]
+                          != np.asarray(ring17)[s17]).sum())
+        moved_mod = int(((ids % 16) != (ids % 17)).sum())
+        out = pd.DataFrame({"n": [len(ids)], "mm": [moved_mod],
+                            "mr": [moved_ring]})
+        return typed_table(out, n=pa.int64(), mm=pa.int64(),
+                           mr=pa.int64())
+
+    parts = _collect_pd(docs.map_batches(per_batch,
+                                         batch_format="pyarrow",
+                                         batch_size=None),
+                        n="int64", mm="int64", mr="int64")
+    n = int(parts["n"].sum())
+    mm, mr = int(parts["mm"].sum()), int(parts["mr"].sum())
+    out = pd.DataFrame({
+        "n_keys": [n], "moved_mod": [mm], "moved_ring": [mr],
+        "moved_mod_ppm": [1_000_000 * mm // n if n else 0],
+        "moved_ring_ppm": [1_000_000 * mr // n if n else 0]})
+    return typed_table(out, n_keys=pa.int64(), moved_mod=pa.int64(),
+                       moved_ring=pa.int64(), moved_mod_ppm=pa.int64(),
+                       moved_ring_ppm=pa.int64())
+
+
+def _sql_ring_rebalance() -> str:
+    n16 = ", ".join(f"('{h}')" for h in
+                    sorted(h for _, h in _ring_positions(16)))
+    n17 = ", ".join(f"('{h}')" for h in
+                    sorted(h for _, h in _ring_positions(17)))
+    return f"""
+WITH n16(pos) AS (VALUES {n16}),
+n17(pos) AS (VALUES {n17}),
+k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS kp FROM documents),
+a AS (
+  SELECT doc_id,
+         coalesce((SELECT min(pos) FROM n16 WHERE pos >= k.kp),
+                  (SELECT min(pos) FROM n16)) AS p16,
+         coalesce((SELECT min(pos) FROM n17 WHERE pos >= k.kp),
+                  (SELECT min(pos) FROM n17)) AS p17,
+         CASE WHEN doc_id % 16 <> doc_id % 17 THEN 1 ELSE 0 END AS mm
+  FROM k),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(mm) AS BIGINT) AS moved_mod,
+             CAST(sum(CASE WHEN p16 <> p17 THEN 1 ELSE 0 END) AS BIGINT)
+               AS moved_ring
+      FROM a)
+SELECT n_keys, moved_mod, moved_ring,
+       CAST(1000000 * moved_mod // n_keys AS BIGINT) AS moved_mod_ppm,
+       CAST(1000000 * moved_ring // n_keys AS BIGINT) AS moved_ring_ppm
+FROM s"""
+
+
+QUERIES.update({
+    "containment_pairs": q_containment_pairs,
+    "ring_rebalance": q_ring_rebalance,
+})
+ORACLES.update({
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "ring_rebalance": _sql_ring_rebalance(),
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -15743,7 +15893,7 @@ _DRIVER_FRONT = [
     "ab_test_lift", "lorenz_deciles", "fifo_allocation", "skyline_parts",
     "best_split", "odds_ratio", "nation_parity", "hist_equalize",
     "segment_migration", "cohort_ltv", "apportionment", "rolling_median",
-    "robust_outliers", "grid_fill",
+    "robust_outliers", "grid_fill", "containment_pairs", "ring_rebalance",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

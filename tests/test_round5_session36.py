@@ -832,3 +832,51 @@ def test_grid_fill_zero_cells():
     # (s2, de) is the absent cell filled with 0
     assert got == {("s1", "de"): 1, ("s1", "en"): 1,
                    ("s2", "de"): 0, ("s2", "en"): 1}
+
+
+def test_containment_direction():
+    # doc 1 = 4 tokens -> 2 shingles, both inside doc 2 (6 tokens, 4
+    # shingles): cont_a = 1e6, cont_b = 500000; doc 3 shares nothing
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d", "a b c d e f", "x y z w v"],
+        "lang": "en", "source": "s", "n_chars": 7})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(docs),
+                       os.path.join(d, "documents.parquet"))
+        out = q.QUERIES["containment_pairs"](d).to_pandas()
+    assert out[["doc_id_a", "doc_id_b", "inter", "cont_a_ppm",
+                "cont_b_ppm"]].values.tolist() == [[1, 2, 2, 1_000_000,
+                                                    500_000]]
+
+
+def test_ring_rebalance_vs_mod():
+    import hashlib
+    docs = pd.DataFrame({"doc_id": list(range(1, 201)), "text": "x",
+                         "lang": "en", "source": "s", "n_chars": 1})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(docs),
+                       os.path.join(d, "documents.parquet"))
+        out = q.QUERIES["ring_rebalance"](d).to_pandas()
+    r = out.iloc[0]
+    assert r["n_keys"] == 200
+    # modulo: a key stays only when id%16 == id%17, i.e. id % 272 < 16
+    expect_mod = sum(1 for i in range(1, 201) if i % 16 != i % 17)
+    assert r["moved_mod"] == expect_mod
+    # ring: recompute the reference assignment directly
+    r16 = sorted(hashlib.md5(f"node-{i}".encode()).hexdigest()
+                 for i in range(16))
+    r17 = sorted(hashlib.md5(f"node-{i}".encode()).hexdigest()
+                 for i in range(17))
+    def assign(ring, kp):
+        for p in ring:
+            if p >= kp:
+                return p
+        return ring[0]
+    moved = sum(
+        1 for i in range(1, 201)
+        if assign(r16, hashlib.md5(str(i).encode()).hexdigest())
+        != assign(r17, hashlib.md5(str(i).encode()).hexdigest()))
+    assert r["moved_ring"] == moved
+    # consistent hashing must move strictly fewer keys than modulo
+    assert r["moved_ring"] < r["moved_mod"]
