@@ -15826,6 +15826,193 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Weighted Jaccard between sources, Kaplan-Meier survival ledger
+# ---------------------------------------------------------------------------
+
+def q_weighted_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """Weighted (multiset) Jaccard between the four fixed sources'
+    term-count vectors: sum_t min(a,b) / sum_t max(a,b) in exact ppm —
+    the integer-only sibling of js_divergence (no logs, no floats
+    anywhere).  Same scale shape: per-batch (source, term, n)
+    combiner, ONE term-bucketed exchange where each term's counts
+    co-locate and the 6 pair partials fold vectorized, driver final
+    over 6 rows."""
+    docs = read_documents(sf_dir, columns=["source", "text"])
+
+    def pairs_tbl(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["source"], value_set=pa.array(_JS_SOURCES))
+        b = batch.filter(keep)
+        tokens = pc.split_pattern(b["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens)
+        t = pa.table({"source": pc.take(b["source"], parent),
+                      "term": tokens.flatten()})
+        return (t.group_by(["source", "term"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["source", "term", "n"]))
+
+    st = docs.map_batches(pairs_tbl, batch_format="pyarrow",
+                          batch_size=None)
+
+    def per_term_bucket(df: pd.DataFrame) -> pa.Table:
+        m = df.groupby(["term", "source"], as_index=False)["n"].sum() \
+            .pivot(index="term", columns="source", values="n") \
+            .fillna(0).astype("int64")
+        srcs = sorted(_JS_SOURCES)
+        rows = []
+        z = np.zeros(len(m), dtype="int64")
+        for i, sa in enumerate(srcs):
+            a = m[sa].to_numpy() if sa in m.columns else z
+            for sb in srcs[i + 1:]:
+                b = m[sb].to_numpy() if sb in m.columns else z
+                rows.append((sa, sb, int(np.minimum(a, b).sum()),
+                             int(np.maximum(a, b).sum()),
+                             int(a.sum()), int(b.sum())))
+        out = pd.DataFrame(rows, columns=["source_a", "source_b",
+                                          "smin", "smax", "ta", "tb"])
+        return typed_table(out, source_a=pa.string(),
+                           source_b=pa.string(), smin=pa.int64(),
+                           smax=pa.int64(), ta=pa.int64(),
+                           tb=pa.int64())
+
+    parts = _collect_pd(
+        bucketed_group_apply(st, "term", per_term_bucket, 16),
+        source_a="object", source_b="object", smin="int64",
+        smax="int64", ta="int64", tb="int64")
+    out = parts.groupby(["source_a", "source_b"], as_index=False).agg(
+        sum_min=("smin", "sum"), sum_max=("smax", "sum"),
+        ta=("ta", "sum"), tb=("tb", "sum"))
+    # pair exists only when BOTH sources occur in the corpus (the
+    # oracle pairs DISTINCT present sources)
+    out = out[(out["ta"] > 0) & (out["tb"] > 0)] \
+        .drop(columns=["ta", "tb"]).reset_index(drop=True)
+    out["wj_ppm"] = [1_000_000 * int(a) // int(b) if b else 0
+                     for a, b in zip(out["sum_min"], out["sum_max"])]
+    return ray.data.from_arrow(typed_table(
+        out, source_a=pa.string(), source_b=pa.string(),
+        sum_min=pa.int64(), sum_max=pa.int64(), wj_ppm=pa.int64()))
+
+
+SQL_WEIGHTED_JACCARD = _with(SQL_TOKS) + """,
+st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n FROM toks
+       WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1, 2),
+srcs AS (SELECT DISTINCT source FROM st),
+pr AS (SELECT a.source AS sa, b.source AS sb
+       FROM srcs a JOIN srcs b ON a.source < b.source),
+terms AS (SELECT DISTINCT term FROM st),
+grid AS (
+  SELECT p.sa, p.sb, coalesce(x.n, 0) AS a, coalesce(y.n, 0) AS b
+  FROM pr p CROSS JOIN terms t
+  LEFT JOIN st x ON x.source = p.sa AND x.term = t.term
+  LEFT JOIN st y ON y.source = p.sb AND y.term = t.term
+  WHERE coalesce(x.n, 0) + coalesce(y.n, 0) > 0)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(sum(least(a, b)) AS BIGINT) AS sum_min,
+       CAST(sum(greatest(a, b)) AS BIGINT) AS sum_max,
+       CAST(1000000 * sum(least(a, b)) // sum(greatest(a, b)) AS BIGINT)
+         AS wj_ppm
+FROM grid GROUP BY 1, 2"""
+
+
+def q_km_survival(sf_dir: str) -> pa.Table:
+    """Kaplan-Meier survival ledger over user lifetimes (first->last
+    event day): per distinct lifetime t, the at-risk count, deaths,
+    censored (users still active in the final 3 days), and the
+    cumulative log-survival in integer micro-nats — the product-limit
+    estimator kept as a SUM of floored ln((n-d)/n) terms so the two
+    engines never multiply floats (one libm ln per death time,
+    corpus_kl's discipline).  Corpus work = per-user (first, last)
+    fold; the ledger runs on the driver over the bounded LIFETIME
+    domain."""
+    import math as _math
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        g = pd.DataFrame({"user_id": df["user_id"], "day": day}) \
+            .groupby("user_id", as_index=False).agg(f=("day", "min"),
+                                                    l=("day", "max"))
+        return typed_table(g, user_id=pa.int64(), f=pa.int64(),
+                           l=pa.int64())
+
+    users = _collect_pd(
+        bucketed_group_apply(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None),
+            "user_id",
+            lambda df: df.groupby("user_id", as_index=False).agg(
+                f=("f", "min"), l=("l", "max")), 16),
+        user_id="int64", f="int64", l="int64")
+    m = int(users["l"].max())
+    users["t"] = users["l"] - users["f"]
+    users["cens"] = (users["l"] >= m - 2).astype("int64")
+    g = users.groupby("t", as_index=False).agg(
+        deaths=("cens", lambda s: int((1 - s).sum())),
+        censored=("cens", "sum")).sort_values("t").reset_index(drop=True)
+    g["deaths"] = g["deaths"].astype("int64")
+    total = int((g["deaths"] + g["censored"]).sum())
+    rows = []
+    cum_log = 0
+    remaining = total
+    for t, d, c in zip(g["t"], g["deaths"], g["censored"]):
+        n = remaining
+        d, c = int(d), int(c)
+        if d > 0 and n > d:
+            cum_log += int(_math.floor(
+                _math.log((n - d) / n) * 1_000_000))
+        rows.append((int(t), n, d, c, cum_log))
+        remaining -= d + c
+    out = pd.DataFrame(rows, columns=["t", "n_at_risk", "deaths",
+                                      "censored", "log_km_micro"])
+    return typed_table(out, t=pa.int64(), n_at_risk=pa.int64(),
+                       deaths=pa.int64(), censored=pa.int64(),
+                       log_km_micro=pa.int64())
+
+
+SQL_KM_SURVIVAL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS f,
+         CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS l
+  FROM events GROUP BY 1),
+mx AS (SELECT max(l) AS m FROM u),
+lt AS (SELECT l - f AS t,
+              CASE WHEN l >= m - 2 THEN 1 ELSE 0 END AS cens
+       FROM u, mx),
+g AS (SELECT t, CAST(sum(1 - cens) AS BIGINT) AS deaths,
+             CAST(sum(cens) AS BIGINT) AS censored
+      FROM lt GROUP BY 1),
+r AS (SELECT t, deaths, censored,
+             CAST(sum(deaths + censored)
+                  OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk
+      FROM g),
+w AS (SELECT t, n_at_risk, deaths, censored,
+             CASE WHEN deaths > 0 AND n_at_risk > deaths
+                  THEN CAST(floor(ln(CAST(n_at_risk - deaths AS DOUBLE)
+                                     / CAST(n_at_risk AS DOUBLE))
+                                  * 1000000) AS BIGINT)
+                  ELSE 0 END AS term
+      FROM r)
+SELECT t, n_at_risk, deaths, censored,
+       CAST(sum(term) OVER (ORDER BY t) AS BIGINT) AS log_km_micro
+FROM w"""
+
+
+QUERIES.update({
+    "weighted_jaccard": q_weighted_jaccard,
+    "km_survival": q_km_survival,
+})
+ORACLES.update({
+    "weighted_jaccard": SQL_WEIGHTED_JACCARD,
+    "km_survival": SQL_KM_SURVIVAL,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -15894,6 +16081,7 @@ _DRIVER_FRONT = [
     "best_split", "odds_ratio", "nation_parity", "hist_equalize",
     "segment_migration", "cohort_ltv", "apportionment", "rolling_median",
     "robust_outliers", "grid_fill", "containment_pairs", "ring_rebalance",
+    "weighted_jaccard", "km_survival",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
