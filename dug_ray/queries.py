@@ -16013,6 +16013,233 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Bounded-APSP centrality, Markov stationary distribution, n-gram novelty
+# ---------------------------------------------------------------------------
+
+def q_graph_centrality(sf_dir: str) -> ray.data.Dataset:
+    """Bounded all-pairs-BFS centrality profile (reach / eccentricity /
+    sum-of-distances / integer-ppm harmonic centrality within 4 hops)
+    over the concept co-annotation graph — the hub/periphery census a
+    KG curation pass runs (stages/graph.apsp_centrality: size-gated
+    driver sweep with a distributed multi-source frontier-loop
+    fallback, both pinned equal by pytest)."""
+    from dug_ray.stages.graph import apsp_centrality, concept_cooccurrence
+    cooc = concept_cooccurrence(kg.linked_mentions_cached(sf_dir))
+    return apsp_centrality(cooc)
+
+
+def _apsp_sql(max_level: int = 4) -> str:
+    frags = []
+    for i in range(1, max_level + 1):
+        anti = "\n          AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM ap_l{j} v "
+            f"WHERE v.src = f.src AND v.node = e.v)"
+            for j in range(i))
+        frags.append(f""",
+ap_l{i} AS MATERIALIZED (
+  SELECT DISTINCT f.src, e.v AS node
+  FROM ap_l{i - 1} f JOIN ap_adj e ON e.u = f.node
+  WHERE {anti})""")
+    dist_union = "\n  UNION ALL ".join(
+        f"SELECT src, node, {i} AS dist FROM ap_l{i}"
+        for i in range(1, max_level + 1))
+    return "".join(frags) + f""",
+ap_d AS ({dist_union})
+SELECT src AS node, CAST(count(*) AS BIGINT) AS reach,
+       CAST(max(dist) AS BIGINT) AS ecc,
+       CAST(sum(dist) AS BIGINT) AS sum_dist,
+       CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+FROM ap_d GROUP BY 1"""
+
+
+SQL_GRAPH_CENTRALITY = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+cooc AS MATERIALIZED (
+  SELECT a.canonical_curie AS subj, b.canonical_curie AS obj
+  FROM dm a JOIN dm b USING (element_id)
+  WHERE a.canonical_curie < b.canonical_curie
+  GROUP BY 1, 2),
+ap_adj AS MATERIALIZED (SELECT subj AS u, obj AS v FROM cooc
+                        UNION SELECT obj, subj FROM cooc),
+ap_l0 AS MATERIALIZED (SELECT DISTINCT u AS src, u AS node FROM ap_adj)""" \
+    + _apsp_sql()
+
+
+_MARKOV_ITERS = 10
+
+
+def q_markov_stationary(sf_dir: str) -> ray.data.Dataset:
+    """Stationary distribution of the event-type Markov chain by
+    integer fixed-point power iteration: mass starts uniform in exact
+    micro units over the states WITH outgoing transitions, and each of
+    the 10 steps moves ``(mass(i) * n(i,j)) // n(i)`` to j — truncated
+    division per (i, j) term, summed in int64, so every iterate is
+    bit-exact across engines and partitionings (the pagerank
+    discipline; mass lost to truncation or to sink states is part of
+    the pinned semantics, not noise).  Corpus work is the transition
+    count exchange (stages/sequence.event_transitions — per-user
+    pairing in one bucket, |types|^2 partials out); the iteration runs
+    on the driver over the type-domain-bounded matrix, the same
+    marginal-broadcast justification as cooccurrence_pmi."""
+    from dug_ray.stages.sequence import event_transitions
+    tm = event_transitions(
+        _events_ds(sf_dir, ["user_id", "ts", "event_id", "event_type"])) \
+        .to_pandas()
+    row_n = {s: int(v) for s, v in
+             tm.groupby("prev_type")["n"].sum().items()}
+    trans = [(p, nx, int(n)) for p, nx, n in
+             zip(tm["prev_type"], tm["next_type"], tm["n"])]
+    states = sorted(row_n)
+    pi = {s: 1_000_000 // len(states) for s in states}
+    for _ in range(_MARKOV_ITERS):
+        new: dict[str, int] = {}
+        for src, dst, n in trans:
+            m = pi.get(src)
+            if m is not None:
+                new[dst] = new.get(dst, 0) + (m * n) // row_n[src]
+        pi = new
+    out = pd.DataFrame(sorted(pi.items()),
+                       columns=["state", "mass_micro"])
+    return ray.data.from_arrow(typed_table(
+        out, state=pa.string(), mass_micro=pa.int64()))
+
+
+def _markov_sql(iters: int = _MARKOV_ITERS) -> str:
+    frags = []
+    for k in range(1, iters + 1):
+        frags.append(f""",
+pi{k} AS (SELECT t.dst AS state,
+                 CAST(sum(p.mass * t.n // t.row_n) AS BIGINT) AS mass
+          FROM pi{k - 1} p JOIN mk_t t ON t.src = p.state GROUP BY 1)""")
+    return f"""
+WITH mk_s AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+mk_tm AS (SELECT prev_type AS src, next_type AS dst,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM mk_s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+mk_rn AS (SELECT src, CAST(sum(n) AS BIGINT) AS row_n
+          FROM mk_tm GROUP BY 1),
+mk_t AS (SELECT mk_tm.src, mk_tm.dst, mk_tm.n, mk_rn.row_n
+         FROM mk_tm JOIN mk_rn USING (src)),
+mk_ns AS (SELECT count(DISTINCT src) AS n_states FROM mk_tm),
+pi0 AS (SELECT src AS state,
+               CAST(1000000 // mk_ns.n_states AS BIGINT) AS mass
+        FROM (SELECT DISTINCT src FROM mk_tm), mk_ns)""" \
+        + "".join(frags) + f"""
+SELECT state, mass AS mass_micro FROM pi{iters}"""
+
+
+SQL_MARKOV_STATIONARY = _markov_sql()
+
+_NOVELTY_N = 5
+
+
+def q_ngram_novelty(sf_dir: str) -> ray.data.Dataset:
+    """Per-document n-gram novelty — the train-set-leakage signal: for
+    each doc, how many of its distinct word 5-grams already appear in
+    any EARLIER doc (min doc_id < this doc), and the novelty share in
+    exact integer ppm.  Docs shorter than 5 tokens have no grams and
+    are absent (the SQL contract).
+
+    Scale shape: grams are built vectorized from the flat token buffer
+    (shifted-parent compare, no Python row loop), deduped per doc
+    map-side (a doc never splits across rows, so per-batch dedup IS the
+    global (doc, gram) distinct — zero exchange), and md5-keyed so the
+    gram exchange ships 32-byte keys instead of raw 5-gram text.  ONE
+    gram-bucketed exchange computes each gram's first-doc and folds
+    per-doc partial (n_grams, n_stale) counts in-bucket; one bounded
+    doc-keyed exchange merges the partials.  No floats anywhere."""
+    from dug_ray.hashing import md5_hex
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    sep = "\x1f"
+
+    def grams(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+        empty = typed_table(pd.DataFrame({"doc_id": [], "gh": []}),
+                            doc_id=pa.int64(), gh=pa.string())
+        if len(flat) < _NOVELTY_N:
+            return empty
+        ok = parent[:-4] == parent[4:]
+        if not ok.any():
+            return empty
+        g = (flat[:-4] + sep + flat[1:-3] + sep + flat[2:-2] + sep
+             + flat[3:-1] + sep + flat[4:])[ok]
+        did = pc.take(batch["doc_id"],
+                      pa.array(parent[:-4][ok])).to_pandas().to_numpy()
+        df = pd.DataFrame({"doc_id": did, "gram": g}).drop_duplicates()
+        df["gh"] = md5_hex(df["gram"].to_numpy())
+        return typed_table(df[["doc_id", "gh"]], doc_id=pa.int64(),
+                           gh=pa.string())
+
+    dg = docs.map_batches(grams, batch_format="pyarrow", batch_size=None)
+
+    def per_gram_bucket(df: pd.DataFrame) -> pa.Table:
+        fmin = df.groupby("gh")["doc_id"].transform("min")
+        part = pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "stale": (fmin < df["doc_id"]).astype("int64")})
+        g = part.groupby("doc_id", as_index=False).agg(
+            png=("stale", "size"), pns=("stale", "sum"))
+        return typed_table(g, doc_id=pa.int64(), png=pa.int64(),
+                           pns=pa.int64())
+
+    partials = bucketed_group_apply(dg, "gh", per_gram_bucket, 32)
+
+    def per_doc(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_grams=("png", "sum"), n_stale=("pns", "sum"))
+        g["novelty_ppm"] = [
+            1_000_000 * (int(a) - int(b)) // int(a)
+            for a, b in zip(g["n_grams"], g["n_stale"])]
+        return typed_table(g, doc_id=pa.int64(), n_grams=pa.int64(),
+                           n_stale=pa.int64(), novelty_ppm=pa.int64())
+
+    return bucketed_group_apply(partials, "doc_id", per_doc, 32)
+
+
+SQL_NGRAM_NOVELTY = _with(SQL_TOKS) + """,
+g5 AS (SELECT a.doc_id,
+              a.term || chr(31) || b.term || chr(31) || c.term
+              || chr(31) || d.term || chr(31) || e.term AS gram
+       FROM toks a
+       JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+       JOIN toks d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+       JOIN toks e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+dg AS (SELECT DISTINCT doc_id, gram FROM g5),
+fd AS (SELECT gram, min(doc_id) AS fdoc FROM dg GROUP BY 1)
+SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN fd.fdoc < dg.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stale,
+       CAST(1000000 * (count(*)
+            - sum(CASE WHEN fd.fdoc < dg.doc_id THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM dg JOIN fd USING (gram) GROUP BY 1"""
+
+
+QUERIES.update({
+    "graph_centrality": q_graph_centrality,
+    "markov_stationary": q_markov_stationary,
+    "ngram_novelty": q_ngram_novelty,
+})
+ORACLES.update({
+    "graph_centrality": SQL_GRAPH_CENTRALITY,
+    "markov_stationary": SQL_MARKOV_STATIONARY,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -16081,7 +16308,8 @@ _DRIVER_FRONT = [
     "best_split", "odds_ratio", "nation_parity", "hist_equalize",
     "segment_migration", "cohort_ltv", "apportionment", "rolling_median",
     "robust_outliers", "grid_fill", "containment_pairs", "ring_rebalance",
-    "weighted_jaccard", "km_survival",
+    "weighted_jaccard", "km_survival", "graph_centrality",
+    "markov_stationary", "ngram_novelty",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

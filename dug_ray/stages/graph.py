@@ -1668,3 +1668,173 @@ def truss_support(edges: ray.data.Dataset,
 
     return bucketed_group_apply(partials.union(zero), ["subj", "obj"],
                                 _final, num_buckets)
+
+
+def apsp_centrality(edges: ray.data.Dataset,
+                    max_level: int = 4,
+                    num_buckets: int = 32,
+                    max_driver_edges: int = 5_000_000) -> ray.data.Dataset:
+    """Bounded all-pairs-BFS centrality profile over the undirected
+    concept co-annotation graph: for every node, over the set of OTHER
+    nodes within ``max_level`` hops —
+
+    - ``reach``          count of nodes reached (dist 1..max_level)
+    - ``ecc``            eccentricity within the cap (max dist reached)
+    - ``sum_dist``       sum of hop distances
+    - ``harmonic_micro`` sum of floor(1e6 / dist) — harmonic centrality
+                         in exact integer ppm (1/1 = 1000000, 1/2 =
+                         500000, 1/3 = 333333, ...), so the operator is
+                         bit-exact across engines with zero floats.
+
+    The hop cap makes the semantics identical on both engines whatever
+    the true diameter is (the SQL oracle unrolls exactly ``max_level``
+    frontier levels); it is also what makes the operator sane at scale —
+    unbounded APSP over a 10^12-triple KG is not a thing, but "profile
+    everything within k hops" is the standard curation sweep (reference
+    serves only point lookups: src/dug/core/async_search.py).
+
+    Scale shape: node domain here is canonical CURIEs (ontology-bounded,
+    NOT corpus-bounded) so the distinct edge list is reduced
+    distributedly first and the sweep gates to the driver when it fits
+    (``max_driver_edges`` — same discipline as ``bfs_levels`` /
+    ``connected_components``).  Above the gate the distributed path runs
+    the same multi-source frontier loop as ``bfs_levels`` with the
+    composite (src, node) key: one partitioned hash join (frontier |><|
+    edges on the node column) + one fused distinct/anti-visited
+    set-difference exchange per level, frontiers coalesced between
+    levels (the bfs block-count discipline).  Both paths are pinned
+    equal by a gate-forced pytest."""
+    from dug_ray.shuffle import hash_join
+
+    coalesce_blocks = max(2, num_buckets // 8)
+    frontier_buckets = max(coalesce_blocks, num_buckets // 4)
+    base = distinct_rows(edges.select_columns(["subj", "obj"]),
+                         ["subj", "obj"], num_buckets).materialize()
+
+    def _profile_rows(dists: pd.DataFrame) -> pa.Table:
+        """(src, dist>=1) rows -> per-src profile."""
+        g = dists.groupby("src")
+        out = pd.DataFrame({
+            "node": [k for k, _ in g],
+            "reach": g.size().to_numpy(),
+            "ecc": g["dist"].max().to_numpy(),
+            "sum_dist": g["dist"].sum().to_numpy(),
+            "harmonic_micro": g["dist"].apply(
+                lambda s: int((1_000_000 // s.to_numpy()).sum()))
+            .to_numpy(),
+        })
+        return typed_table(out.sort_values("node"), node=pa.string(),
+                           reach=pa.int64(), ecc=pa.int64(),
+                           sum_dist=pa.int64(), harmonic_micro=pa.int64())
+
+    if base.count() <= max_driver_edges:
+        from collections import defaultdict, deque
+        pdf = base.to_pandas()
+        if not {"subj", "obj"} <= set(pdf.columns):  # edge-free graph
+            pdf = pd.DataFrame({"subj": [], "obj": []})
+        adj: dict[str, list[str]] = defaultdict(list)
+        for a, b in zip(pdf["subj"], pdf["obj"]):
+            adj[a].append(b)
+            adj[b].append(a)
+        rows = []
+        for s in adj:
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                if dist[u] == max_level:
+                    continue
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        q.append(v)
+            for n, d in dist.items():
+                if d >= 1:
+                    rows.append((s, d))
+        dists = pd.DataFrame(rows, columns=["src", "dist"])
+        return ray.data.from_arrow(_profile_rows(dists))
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({
+            "u": pd.concat([df["subj"], df["obj"]], ignore_index=True),
+            "v": pd.concat([df["obj"], df["subj"]], ignore_index=True)})
+        return typed_table(out, u=pa.string(), v=pa.string())
+
+    sym = base.map_batches(_sym, batch_format="pyarrow",
+                           batch_size=None).materialize()
+
+    def _diag(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["node"]]
+        df["src"] = df["node"]
+        return typed_table(df[["src", "node"]], src=pa.string(),
+                           node=pa.string())
+
+    nodes = distinct_rows(
+        sym.map_batches(
+            lambda t: t.select(["u"]).rename_columns(["node"]),
+            batch_format="pyarrow", batch_size=None),
+        ["node"], frontier_buckets)
+
+    def _tag(side: str, src_col: str, node_col: str):
+        def _t(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            out = pd.DataFrame({"src": df[src_col],
+                                "node": df[node_col]}).drop_duplicates()
+            out["side"] = side
+            return typed_table(out, src=pa.string(), node=pa.string(),
+                               side=pa.string())
+        return _t
+
+    def _minus(df: pd.DataFrame) -> pa.Table:
+        seen = set(map(tuple, df.loc[df["side"] == "s",
+                                     ["src", "node"]].itertuples(
+                                         index=False, name=None)))
+        cand = df.loc[df["side"] == "c",
+                      ["src", "node"]].drop_duplicates()
+        keep = [t not in seen for t in cand.itertuples(index=False,
+                                                       name=None)]
+        out = cand[np.asarray(keep, dtype=bool)] if len(cand) else cand
+        return typed_table(out, src=pa.string(), node=pa.string())
+
+    frontier = nodes.map_batches(_diag, batch_format="pyarrow",
+                                 batch_size=None) \
+        .repartition(coalesce_blocks).materialize()
+    frontiers = [frontier]
+    for _level in range(1, max_level + 1):
+        hops = hash_join(
+            frontier.map_batches(
+                lambda t: t.rename_columns(["fsrc", "fnode"]),
+                batch_format="pyarrow", batch_size=None),
+            sym, "fnode", "u", num_buckets)
+        cand = hops.map_batches(_tag("c", "fsrc", "v"),
+                                batch_format="pyarrow", batch_size=None)
+        seen = [f.map_batches(_tag("s", "src", "node"),
+                              batch_format="pyarrow", batch_size=None)
+                for f in frontiers]
+        new = bucketed_group_apply(cand.union(*seen), ["src", "node"],
+                                   _minus, frontier_buckets)
+        frontier = new.repartition(coalesce_blocks).materialize()
+        if frontier.count() == 0:
+            break
+        frontiers.append(frontier)
+
+    def _dist(level: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "dist", pa.nulls(len(batch), pa.int64()).fill_null(level))
+        return _t
+
+    leveled = [f.map_batches(_dist(i), batch_format="pyarrow",
+                             batch_size=None)
+               for i, f in enumerate(frontiers) if i >= 1]
+    if not leveled:
+        return ray.data.from_arrow(typed_table(
+            pd.DataFrame({"node": [], "reach": [], "ecc": [],
+                          "sum_dist": [], "harmonic_micro": []}),
+            node=pa.string(), reach=pa.int64(), ecc=pa.int64(),
+            sum_dist=pa.int64(), harmonic_micro=pa.int64()))
+    dists = leveled[0] if len(leveled) == 1 else \
+        ray.data.Dataset.union(*leveled)
+    return bucketed_group_apply(dists, "src", _profile_rows,
+                                frontier_buckets)

@@ -72,3 +72,87 @@ def test_km_survival_product_limit_ledger():
     t4 = math.floor(math.log(2 / 3) * 1_000_000)
     t5 = math.floor(math.log(1 / 2) * 1_000_000)
     assert df["log_km_micro"].tolist() == [0, t4, t4 + t5, t4 + t5]
+
+
+def test_apsp_centrality_chain_pins_and_gate_equality():
+    import ray.data
+
+    from dug_ray.stages.graph import apsp_centrality
+
+    # chain a-b-c-d-e-f with the 4-hop cap binding (f is 5 hops from a)
+    edges = ray.data.from_items(
+        [{"subj": a, "obj": b} for a, b in
+         [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")]])
+    driver = apsp_centrality(edges).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    dist = apsp_centrality(edges, max_driver_edges=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(driver, dist)  # gate-forced equality
+    a = driver.set_index("node").loc["a"]
+    assert (a["reach"], a["ecc"], a["sum_dist"]) == (4, 4, 10)
+    assert a["harmonic_micro"] == 1_000_000 + 500_000 + 333_333 + 250_000
+    c = driver.set_index("node").loc["c"]
+    # c: b,d at 1; a,e at 2; f at 3 -> reach 5, ecc 3, sum 1+1+2+2+3
+    assert (c["reach"], c["ecc"], c["sum_dist"]) == (5, 3, 9)
+
+
+def test_markov_stationary_periodic_and_truncation():
+    # periodic 2-cycle: masses swap exactly, stay 500000/500000
+    rows = [(1, "2024-01-01 00:00:00", "A"),
+            (1, "2024-01-01 00:01:00", "B"),
+            (1, "2024-01-01 00:02:00", "A"),
+            (1, "2024-01-01 00:03:00", "B"),
+            (1, "2024-01-01 00:04:00", "A")]
+    with tempfile.TemporaryDirectory() as d:
+        _write_typed_events(d, rows)
+        out = q.QUERIES["markov_stationary"](d).to_pandas()
+    got = out.set_index("state")["mass_micro"].to_dict()
+    assert got == {"A": 500_000, "B": 500_000}
+
+    # asymmetric A,A,B,A: transitions A->A, A->B, B->A; true stationary
+    # (2/3, 1/3); pin the 10-step truncated-integer iterate exactly
+    rows = [(1, "2024-01-01 00:00:00", "A"),
+            (1, "2024-01-01 00:01:00", "A"),
+            (1, "2024-01-01 00:02:00", "B"),
+            (1, "2024-01-01 00:03:00", "A")]
+    with tempfile.TemporaryDirectory() as d:
+        _write_typed_events(d, rows)
+        out = q.QUERIES["markov_stationary"](d).to_pandas()
+    got = out.set_index("state")["mass_micro"].to_dict()
+    pi = {"A": 500_000, "B": 500_000}
+    for _ in range(10):
+        new = {}
+        for s, t, n, rn in [("A", "A", 1, 2), ("A", "B", 1, 2),
+                            ("B", "A", 1, 1)]:
+            if s in pi:
+                new[t] = new.get(t, 0) + (pi[s] * n) // rn
+        pi = new
+    assert got == pi
+    assert abs(got["A"] - 666_667) < 2_000 and abs(got["B"] - 333_333) < 2_000
+
+
+def _write_typed_events(d, rows):
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["event_id"] = range(len(df))
+    df["value"] = 1.0
+    df["props"] = ""
+    df["ts"] = pd.to_datetime(df["ts"])
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "events.parquet"))
+
+
+def test_ngram_novelty_stale_grams_pinned():
+    # doc0: grams {a b c d e, b c d e f} both first-seen -> novelty 1e6
+    # doc1: "a b c d e" stale (doc0), "b c d e x" new -> 500000
+    # doc2: 3 tokens, no 5-grams -> absent
+    rows = [("src0", "a b c d e f"),
+            ("src0", "a b c d e x"),
+            ("src0", "a b c")]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, rows)
+        out = q.QUERIES["ngram_novelty"](d).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_grams"].tolist() == [2, 2]
+    assert out["n_stale"].tolist() == [0, 1]
+    assert out["novelty_ppm"].tolist() == [1_000_000, 500_000]
