@@ -16240,6 +16240,219 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Kruskal-Wallis rank test, daily peak detection, RAKE keyword scores
+# ---------------------------------------------------------------------------
+
+def q_kruskal_wallis(sf_dir: str) -> ray.data.Dataset:
+    """Kruskal-Wallis H across languages on doc length — the k-group
+    generalization of mann_whitney, kept fully integer: tied ranks are
+    carried DOUBLED (2x the midrank = 2*below + count + 1, always an
+    integer), each group's H term is an exact big-int floor
+    ``3e6 * rs2^2 // (n_g * N * (N+1))`` (Python unbounded ints ==
+    DuckDB HUGEINT), and ``h_micro`` = sum(terms) - 3e6*(N+1).  Scale
+    shape: the exchange carries O(langs x distinct lengths) count rows
+    (the lang_quantiles histogram discipline), never per-doc values;
+    the rank ledger runs on the driver over that bounded domain."""
+    ds = read_documents(sf_dir, columns=["lang", "n_chars"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch["lang"], "val": batch["n_chars"]})
+        return (t.group_by(["lang", "val"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["lang", "val", "c"]))
+
+    parts = _collect_pd(
+        bucketed_group_apply(
+            ds.map_batches(cnt, batch_format="pyarrow", batch_size=None),
+            "val",
+            lambda df: df.groupby(["lang", "val"], as_index=False)
+            ["c"].sum(), 16),
+        lang="object", val="int64", c="int64")
+    d = parts.groupby("val", as_index=False)["c"].sum() \
+        .sort_values("val").reset_index(drop=True)
+    d["below"] = d["c"].cumsum() - d["c"]
+    d["r2"] = 2 * d["below"] + d["c"] + 1
+    m = parts.merge(d[["val", "r2"]], on="val")
+    m["prod"] = m["c"] * m["r2"]
+    g = m.groupby("lang", as_index=False).agg(
+        n_docs=("c", "sum"), rank_sum_x2=("prod", "sum"))
+    n = int(g["n_docs"].sum())
+    terms = [(3_000_000 * int(r) * int(r)) // (int(ng) * n * (n + 1))
+             for ng, r in zip(g["n_docs"], g["rank_sum_x2"])]
+    h = sum(terms) - 3_000_000 * (n + 1)
+    g["h_micro"] = h
+    return ray.data.from_arrow(typed_table(
+        g, lang=pa.string(), n_docs=pa.int64(), rank_sum_x2=pa.int64(),
+        h_micro=pa.int64()))
+
+
+SQL_KRUSKAL_WALLIS = """
+WITH v AS (SELECT lang, n_chars AS val FROM documents),
+d AS (SELECT val, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+cum AS (SELECT val, c,
+               CAST(sum(c) OVER (ORDER BY val) - c AS BIGINT) AS below
+        FROM d),
+r AS (SELECT lang, (2 * cum.below + cum.c + 1) AS r2
+      FROM v JOIN cum USING (val)),
+g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(r2) AS BIGINT) AS rank_sum_x2
+      FROM r GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM g),
+t AS (SELECT lang, n_docs, rank_sum_x2,
+             CAST(CAST(3000000 AS HUGEINT) * rank_sum_x2 * rank_sum_x2
+                  // (CAST(n_docs AS HUGEINT) * n * (n + 1)) AS BIGINT)
+               AS term
+      FROM g, tot)
+SELECT lang, n_docs, rank_sum_x2,
+       CAST(sum(term) OVER ()
+            - 3000000 * (SELECT n + 1 FROM tot) AS BIGINT) AS h_micro
+FROM t"""
+
+
+def q_daily_peaks(sf_dir: str) -> ray.data.Dataset:
+    """Local maxima in the daily event-count series: observed days whose
+    count strictly exceeds BOTH observed-day neighbors (endpoints
+    excluded) — the burst-day detector.  Per-batch (day, c) combiner,
+    one day-bucketed merge; the neighbor compare runs on the driver
+    over the bounded day domain (daily_actives discipline)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        t = pa.table({"day": day})
+        return (t.group_by(["day"]).aggregate([([], "count_all")])
+                .rename_columns(["day", "c"]))
+
+    parts = _collect_pd(
+        bucketed_group_apply(
+            ds.map_batches(cnt, batch_format="pyarrow", batch_size=None),
+            "day", lambda df: df.groupby("day", as_index=False)
+            ["c"].sum(), 8),
+        day="int64", c="int64")
+    d = parts.groupby("day", as_index=False)["c"].sum() \
+        .sort_values("day").reset_index(drop=True)
+    d["prev_n"] = d["c"].shift(1)
+    d["next_n"] = d["c"].shift(-1)
+    out = d[(d["prev_n"].notna()) & (d["next_n"].notna())
+            & (d["c"] > d["prev_n"]) & (d["c"] > d["next_n"])].copy()
+    out = out.rename(columns={"c": "n_events"})
+    out["prev_n"] = out["prev_n"].astype("int64")
+    out["next_n"] = out["next_n"].astype("int64")
+    return ray.data.from_arrow(typed_table(
+        out[["day", "n_events", "prev_n", "next_n"]], day=pa.int64(),
+        n_events=pa.int64(), prev_n=pa.int64(), next_n=pa.int64()))
+
+
+SQL_DAILY_PEAKS = """
+WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+           FROM events),
+c AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+w AS (SELECT day, n, lag(n) OVER (ORDER BY day) AS prev_n,
+             lead(n) OVER (ORDER BY day) AS next_n
+      FROM c)
+SELECT day, n AS n_events, CAST(prev_n AS BIGINT) AS prev_n,
+       CAST(next_n AS BIGINT) AS next_n
+FROM w
+WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+  AND n > prev_n AND n > next_n"""
+
+
+_RAKE_STOP = ("a", "data", "row", "the")
+
+
+def q_rake_keywords(sf_dir: str) -> ray.data.Dataset:
+    """RAKE keyword scores: documents split into candidate phrases at
+    stopwords, each content word scored ``deg/freq`` where ``deg`` sums
+    the lengths of the phrases it appears in and ``freq`` counts its
+    occurrences — top 20 by (score_milli DESC, word ASC), exact integer
+    milli.  Phrase ids come from a cumsum over the stopword mask on the
+    flat token buffer (a GLOBAL cumsum — phrases never span docs because
+    the key is (doc, pid) and pid is monotone), so the per-batch stage
+    is fully vectorized; the exchange carries per-word (freq, deg)
+    partials; each word lives in ONE bucket so scores and the per-bucket
+    top-20 fold in place, and the driver merges the bounded
+    buckets x 20 candidates."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = toks.flatten()
+        sw = pc.is_in(flat, value_set=pa.array(_RAKE_STOP)).to_numpy(
+            zero_copy_only=False).astype("int64")
+        pid = np.cumsum(sw)
+        df = pd.DataFrame({"doc": parent, "pid": pid,
+                           "word": flat.to_pandas()})
+        df = df[sw == 0]
+        if not len(df):
+            return typed_table(pd.DataFrame(
+                {"word": [], "freq": [], "deg": []}),
+                word=pa.string(), freq=pa.int64(), deg=pa.int64())
+        plen = df.groupby(["doc", "pid"])["word"].transform("size")
+        g = pd.DataFrame({"word": df["word"], "plen": plen}) \
+            .groupby("word", as_index=False).agg(freq=("plen", "size"),
+                                                 deg=("plen", "sum"))
+        return typed_table(g, word=pa.string(), freq=pa.int64(),
+                           deg=pa.int64())
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+
+    def per_word_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("word", as_index=False).agg(freq=("freq", "sum"),
+                                                   deg=("deg", "sum"))
+        g["score_milli"] = (1000 * g["deg"]) // g["freq"]
+        g = g.sort_values(["score_milli", "word"],
+                          ascending=[False, True], kind="mergesort")
+        return typed_table(g.head(20), word=pa.string(), freq=pa.int64(),
+                           deg=pa.int64(), score_milli=pa.int64())
+
+    cand = _collect_pd(
+        bucketed_group_apply(parts, "word", per_word_bucket, 16),
+        word="object", freq="int64", deg="int64", score_milli="int64")
+    out = cand.sort_values(["score_milli", "word"],
+                           ascending=[False, True],
+                           kind="mergesort").head(20)
+    return ray.data.from_arrow(typed_table(
+        out, word=pa.string(), freq=pa.int64(), deg=pa.int64(),
+        score_milli=pa.int64()))
+
+
+SQL_RAKE_KEYWORDS = _with(SQL_TOKS) + f""",
+rk AS (SELECT doc_id, term, pos,
+              CASE WHEN term IN {_RAKE_STOP!r} THEN 1 ELSE 0 END AS sw
+       FROM toks),
+rp AS (SELECT doc_id, term, sw,
+              CAST(sum(sw) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS BIGINT) AS pid
+       FROM rk),
+ph AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+       FROM rp WHERE sw = 0 GROUP BY 1, 2),
+wd AS (SELECT r.term AS word, CAST(count(*) AS BIGINT) AS freq,
+              CAST(sum(p.plen) AS BIGINT) AS deg
+       FROM rp r JOIN ph p ON p.doc_id = r.doc_id AND p.pid = r.pid
+       WHERE r.sw = 0 GROUP BY 1)
+SELECT word, freq, deg, CAST(1000 * deg // freq AS BIGINT) AS score_milli
+FROM wd ORDER BY score_milli DESC, word LIMIT 20"""
+
+
+QUERIES.update({
+    "kruskal_wallis": q_kruskal_wallis,
+    "daily_peaks": q_daily_peaks,
+    "rake_keywords": q_rake_keywords,
+})
+ORACLES.update({
+    "kruskal_wallis": SQL_KRUSKAL_WALLIS,
+    "daily_peaks": SQL_DAILY_PEAKS,
+    "rake_keywords": SQL_RAKE_KEYWORDS,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -16309,7 +16522,8 @@ _DRIVER_FRONT = [
     "segment_migration", "cohort_ltv", "apportionment", "rolling_median",
     "robust_outliers", "grid_fill", "containment_pairs", "ring_rebalance",
     "weighted_jaccard", "km_survival", "graph_centrality",
-    "markov_stationary", "ngram_novelty",
+    "markov_stationary", "ngram_novelty", "kruskal_wallis",
+    "daily_peaks", "rake_keywords",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -156,3 +156,51 @@ def test_ngram_novelty_stale_grams_pinned():
     assert out["n_grams"].tolist() == [2, 2]
     assert out["n_stale"].tolist() == [0, 1]
     assert out["novelty_ppm"].tolist() == [1_000_000, 500_000]
+
+
+def test_kruskal_wallis_midranks_exact():
+    # en lengths [1,2], fr [2,3]: doubled midranks 2,5,5,8 ->
+    # rs2 en=7 fr=13; terms 3e6*49//40=3675000, 3e6*169//40=12675000;
+    # h = 16350000 - 15000000 = 1350000 (true H = 1.35)
+    df = pd.DataFrame({"doc_id": range(4),
+                       "text": ["x", "xy", "ab", "abc"],
+                       "source": "src0",
+                       "lang": ["en", "en", "fr", "fr"],
+                       "n_chars": [1, 2, 2, 3]})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "documents.parquet"))
+        out = q.QUERIES["kruskal_wallis"](d).to_pandas()
+    got = out.set_index("lang")
+    assert got.loc["en", "rank_sum_x2"] == 7
+    assert got.loc["fr", "rank_sum_x2"] == 13
+    assert set(out["h_micro"]) == {1_350_000}
+
+
+def test_daily_peaks_strict_local_maxima():
+    # day counts: d0=1, d1=3, d2=2, d3=2 -> only d1 is a strict peak
+    rows = []
+    for day, n in [(0, 1), (1, 3), (2, 2), (3, 2)]:
+        for i in range(n):
+            rows.append((1, pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=day, minutes=i)))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["daily_peaks"](d).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["n_events"], r["prev_n"], r["next_n"]) == (3, 1, 2)
+
+
+def test_rake_keywords_phrase_degree_scores():
+    # "big sort the big sort merge": phrases [big sort], [big sort merge]
+    # freq big=2 sort=2 merge=1; deg big=5 sort=5 merge=3
+    # scores: merge 3000, big 2500, sort 2500
+    rows = [("src0", "big sort the big sort merge")]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, rows)
+        out = q.QUERIES["rake_keywords"](d).to_pandas()
+    assert out["word"].tolist() == ["merge", "big", "sort"]
+    assert out["score_milli"].tolist() == [3000, 2500, 2500]
+    assert out.set_index("word")["deg"].to_dict() == {
+        "merge": 3, "big": 5, "sort": 5}
