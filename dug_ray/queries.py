@@ -16453,6 +16453,262 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Wilcoxon signed-rank, Holt double-exponential smoothing, Gram power
+# iteration
+# ---------------------------------------------------------------------------
+
+def _tdiv(a: int, b: int) -> int:
+    """SQL-style TRUNCATED integer division (DuckDB ``//`` truncates
+    toward zero; Python ``//`` floors — they differ on negative
+    quotients)."""
+    return a // b if (a >= 0) == (b > 0) else -((-a) // b)
+
+
+def q_wilcoxon_signed(sf_dir: str) -> ray.data.Dataset:
+    """Wilcoxon signed-rank sufficient statistics for the paired
+    weekday-vs-weekend activity test: per user, diff = weekday events -
+    weekend events; zero diffs drop; |diff| ranked with DOUBLED midranks
+    (2*below + count + 1, always integer); W+ and W- carried x2.  One
+    row out — all integers, bit-exact.  Scale shape: per-batch
+    (user, is_weekend, c) combiner, one user-bucketed fold into per-user
+    diffs reduced IN-BUCKET to (|diff|, sign) counts, driver ledger over
+    that bounded histogram (the kruskal_wallis discipline)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        day = us // 86_400_000_000
+        we = (((day + 3) % 7 + 1) >= 6).astype("int64")  # isodow >= 6
+        t = pa.table({"user_id": batch["user_id"],
+                      "we": pa.array(we)})
+        return (t.group_by(["user_id", "we"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["user_id", "we", "c"]))
+
+    def per_user_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["user_id", "we"], as_index=False)["c"].sum() \
+            .pivot(index="user_id", columns="we", values="c") \
+            .reindex(columns=[0, 1]).fillna(0).astype("int64")
+        diff = g[0] - g[1]
+        diff = diff[diff != 0]
+        h = pd.DataFrame({"ad": diff.abs(),
+                          "pos": (diff > 0).astype("int64")}) \
+            .groupby(["ad", "pos"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return typed_table(h, ad=pa.int64(), pos=pa.int64(),
+                           c=pa.int64())
+
+    parts = _collect_pd(
+        bucketed_group_apply(
+            ds.map_batches(cnt, batch_format="pyarrow", batch_size=None),
+            "user_id", per_user_bucket, 16),
+        ad="int64", pos="int64", c="int64")
+    h = parts.groupby(["ad", "pos"], as_index=False)["c"].sum()
+    d = h.groupby("ad", as_index=False)["c"].sum() \
+        .sort_values("ad").reset_index(drop=True)
+    d["below"] = d["c"].cumsum() - d["c"]
+    d["r2"] = 2 * d["below"] + d["c"] + 1
+    m = h.merge(d[["ad", "r2"]], on="ad")
+    n_pairs = int(m["c"].sum())
+    w_plus = int((m.loc[m["pos"] == 1, "c"]
+                  * m.loc[m["pos"] == 1, "r2"]).sum())
+    w_minus = int((m.loc[m["pos"] == 0, "c"]
+                   * m.loc[m["pos"] == 0, "r2"]).sum())
+    return ray.data.from_arrow(pa.table({
+        "n_pairs": pa.array([n_pairs], pa.int64()),
+        "w_plus_x2": pa.array([w_plus], pa.int64()),
+        "w_minus_x2": pa.array([w_minus], pa.int64())}))
+
+
+SQL_WILCOXON_SIGNED = """
+WITH e AS (SELECT user_id,
+                  CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS we
+           FROM events),
+pu AS (SELECT user_id, CAST(sum(1 - we) AS BIGINT) AS wd,
+              CAST(sum(we) AS BIGINT) AS wen
+       FROM e GROUP BY 1),
+dd AS (SELECT wd - wen AS diff FROM pu WHERE wd <> wen),
+a AS (SELECT abs(diff) AS ad,
+             CASE WHEN diff > 0 THEN 1 ELSE 0 END AS pos FROM dd),
+d AS (SELECT ad, CAST(count(*) AS BIGINT) AS c FROM a GROUP BY 1),
+cum AS (SELECT ad, c,
+               CAST(sum(c) OVER (ORDER BY ad) - c AS BIGINT) AS below
+        FROM d),
+r AS (SELECT a.pos, (2 * cum.below + cum.c + 1) AS r2
+      FROM a JOIN cum USING (ad))
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(CASE WHEN pos = 1 THEN r2 END), 0) AS BIGINT)
+         AS w_plus_x2,
+       CAST(coalesce(sum(CASE WHEN pos = 0 THEN r2 END), 0) AS BIGINT)
+         AS w_minus_x2
+FROM r"""
+
+_HOLT_A, _HOLT_B = 300, 200  # alpha/beta in milli
+
+
+def q_holt_trend(sf_dir: str) -> ray.data.Dataset:
+    """Holt double-exponential smoothing of the daily event-count
+    series, exact integer fixed point: level s and trend b in whole
+    events, alpha = 0.3 and beta = 0.2 as milli-weights with truncated
+    division per step (SQL ``//`` semantics — ``_tdiv`` on the Python
+    side because the trend term goes negative on declines).  First
+    observed day initializes (s = y, b = 0).  The recurrence is
+    inherently sequential, so the corpus work is the distributed daily
+    count exchange and the ledger runs on the driver over the bounded
+    day domain (km_survival discipline); the oracle is a genuine
+    RECURSIVE CTE stepping the same integers."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        return (pa.table({"day": day}).group_by(["day"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["day", "c"]))
+
+    parts = _collect_pd(
+        bucketed_group_apply(
+            ds.map_batches(cnt, batch_format="pyarrow", batch_size=None),
+            "day", lambda df: df.groupby("day", as_index=False)
+            ["c"].sum(), 8),
+        day="int64", c="int64")
+    d = parts.groupby("day", as_index=False)["c"].sum() \
+        .sort_values("day").reset_index(drop=True)
+    rows = []
+    s = b = 0
+    for i, (day, y) in enumerate(zip(d["day"], d["c"])):
+        day, y = int(day), int(y)
+        if i == 0:
+            s, b = y, 0
+        else:
+            s_new = _tdiv(_HOLT_A * y + (1000 - _HOLT_A) * (s + b), 1000)
+            b = _tdiv(_HOLT_B * (s_new - s) + (1000 - _HOLT_B) * b, 1000)
+            s = s_new
+        rows.append((day, y, s, b))
+    out = pd.DataFrame(rows, columns=["day", "n_events", "level_s",
+                                      "trend_b"])
+    return ray.data.from_arrow(typed_table(
+        out, day=pa.int64(), n_events=pa.int64(), level_s=pa.int64(),
+        trend_b=pa.int64()))
+
+
+SQL_HOLT_TREND = f"""
+WITH RECURSIVE e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day FROM events),
+c AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+o AS (SELECT day, n,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+      FROM c),
+h AS (
+  SELECT rn, day, n, n AS s, CAST(0 AS BIGINT) AS b
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.day, o.n,
+         ({_HOLT_A} * o.n + {1000 - _HOLT_A} * (h.s + h.b)) // 1000,
+         ({_HOLT_B} * (({_HOLT_A} * o.n + {1000 - _HOLT_A} * (h.s + h.b))
+                       // 1000 - h.s) + {1000 - _HOLT_B} * h.b) // 1000
+  FROM h JOIN o ON o.rn = h.rn + 1)
+SELECT day, n AS n_events, CAST(s AS BIGINT) AS level_s,
+       CAST(b AS BIGINT) AS trend_b
+FROM h"""
+
+_POWER_ITERS = 8
+
+
+def q_gram_power_iter(sf_dir: str) -> ray.data.Dataset:
+    """Dominant eigenvector of the embedding Gram matrix (the top PCA
+    direction, uncentered) by integer fixed-point power iteration: the
+    Gram is the exact int64 matmul of milli-quantized embeddings
+    (embedding_gram's quantization), v0 = 1e6 on every dim, and each of
+    the 8 steps is w = G v in unbounded ints followed by truncated
+    renormalization v = w * 1e6 // max(|w|) — every iterate bit-exact
+    across engines (markov_stationary's discipline; the oracle unrolls
+    the same steps over HUGEINTs).  Corpus work = the O(dims^2 x blocks)
+    Gram partial exchange — nothing row-shaped moves; the 64x64
+    iteration runs on the driver."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from dug_ray.stages.similarity import _matrix
+        m = _matrix(batch)
+        qm = np.floor(m.astype("float64") * 1e3).astype("int64")
+        g = qm.T @ qm
+        ii, jj = np.meshgrid(np.arange(g.shape[0]), np.arange(g.shape[1]),
+                             indexing="ij")
+        out = pd.DataFrame({"di": ii.ravel() + 1, "dj": jj.ravel() + 1,
+                            "g": g.ravel()})
+        return typed_table(out, di=pa.int64(), dj=pa.int64(),
+                           g=pa.int64())
+
+    parts = _collect_pd(
+        bucketed_group_apply(
+            emb.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None),
+            "di", lambda df: df.groupby(["di", "dj"], as_index=False)
+            ["g"].sum(), 8),
+        di="int64", dj="int64", g="int64")
+    g = parts.groupby(["di", "dj"], as_index=False)["g"].sum()
+    dims = sorted(g["di"].unique())
+    gm = {(int(a), int(b)): int(v)
+          for a, b, v in zip(g["di"], g["dj"], g["g"])}
+    v = {d: 1_000_000 for d in dims}
+    for _ in range(_POWER_ITERS):
+        w = {i: sum(gm.get((i, j), 0) * v[j] for j in dims)
+             for i in dims}
+        m = max(abs(x) for x in w.values())
+        if m == 0:
+            break
+        v = {i: _tdiv(w[i] * 1_000_000, m) for i in dims}
+    out = pd.DataFrame(sorted(v.items()), columns=["dim", "v_micro"])
+    return ray.data.from_arrow(typed_table(
+        out, dim=pa.int64(), v_micro=pa.int64()))
+
+
+def _power_sql(iters: int = _POWER_ITERS) -> str:
+    frags = []
+    for k in range(1, iters + 1):
+        frags.append(f""",
+w{k} AS MATERIALIZED (SELECT g.di AS dim, sum(g.g * v.val) AS w
+         FROM gr g JOIN v{k - 1} v ON v.dim = g.dj GROUP BY 1),
+m{k} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w{k}),
+v{k} AS MATERIALIZED (SELECT dim, w * 1000000 // m{k}.m AS val
+                      FROM w{k}, m{k})""")
+    return f"""
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+           AS q
+  FROM embeddings),
+gr AS MATERIALIZED (
+  SELECT CAST(a.dim AS BIGINT) AS di, CAST(b.dim AS BIGINT) AS dj,
+              CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS g
+       FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2),
+v0 AS (SELECT DISTINCT di AS dim, CAST(1000000 AS HUGEINT) AS val
+       FROM gr)""" + "".join(frags) + f"""
+SELECT CAST(dim AS BIGINT) AS dim, CAST(val AS BIGINT) AS v_micro
+FROM v{iters}"""
+
+
+SQL_GRAM_POWER_ITER = _power_sql()
+
+
+QUERIES.update({
+    "wilcoxon_signed": q_wilcoxon_signed,
+    "holt_trend": q_holt_trend,
+    "gram_power_iter": q_gram_power_iter,
+})
+ORACLES.update({
+    "wilcoxon_signed": SQL_WILCOXON_SIGNED,
+    "holt_trend": SQL_HOLT_TREND,
+    "gram_power_iter": SQL_GRAM_POWER_ITER,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -16523,7 +16779,8 @@ _DRIVER_FRONT = [
     "robust_outliers", "grid_fill", "containment_pairs", "ring_rebalance",
     "weighted_jaccard", "km_survival", "graph_centrality",
     "markov_stationary", "ngram_novelty", "kruskal_wallis",
-    "daily_peaks", "rake_keywords",
+    "daily_peaks", "rake_keywords", "wilcoxon_signed", "holt_trend",
+    "gram_power_iter",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -204,3 +204,71 @@ def test_rake_keywords_phrase_degree_scores():
     assert out["score_milli"].tolist() == [3000, 2500, 2500]
     assert out.set_index("word")["deg"].to_dict() == {
         "merge": 3, "big": 5, "sort": 5}
+
+
+def test_wilcoxon_signed_doubled_midranks():
+    # 2024-01-01 Mon .. 2024-01-06 Sat; diffs: u1 +2, u2 -1, u3 0
+    # (dropped), u4 +3 -> |d| 1,2,3 distinct -> r2 2,4,6;
+    # W+ = 4+6 = 10, W- = 2, n_pairs = 3
+    mon, sat = "2024-01-01", "2024-01-06"
+    rows = []
+    for u, wd, we in [(1, 3, 1), (2, 1, 2), (3, 2, 2), (4, 4, 1)]:
+        for i in range(wd):
+            rows.append((u, pd.Timestamp(mon) + pd.Timedelta(minutes=i)))
+        for i in range(we):
+            rows.append((u, pd.Timestamp(sat) + pd.Timedelta(minutes=i)))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["wilcoxon_signed"](d).to_pandas()
+    r = out.iloc[0]
+    assert (r["n_pairs"], r["w_plus_x2"], r["w_minus_x2"]) == (3, 10, 2)
+
+
+def test_holt_trend_truncated_negative_step():
+    # counts [10,50,10,5,0,0]: hand-stepped integers; the last step's
+    # trend numerator is -1600 -> TRUNCATED -1 (floor would be -2)
+    rows = []
+    for day, n in enumerate([10, 50, 10, 5, 0, 0]):
+        for i in range(n):
+            rows.append((1, pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=day, minutes=i)))
+        if n == 0:  # a day with zero events is absent; keep 1 marker
+            rows.append((1, pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=day)))
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["holt_trend"](d).to_pandas() \
+            .sort_values("day").reset_index(drop=True)
+    # zero-days became 1-event days (events must exist to observe a day)
+    # recompute by hand with y = [10,50,10,5,1,1]:
+    # d0 (10,10,0); d1 s=(15000+7000)//1000=22 b=(200*12)//1000=2
+    # d2 s=(3000+700*24)//1000=19 b=(-600+1600)//1000=1
+    # d3 s=(1500+700*20)//1000=15 b=(-800+800)//1000=0
+    # d4 s=(300+700*15)//1000=10 b=(200*(10-15)+0)//1000=trunc(-1000/1000)=-1
+    # d5 s=(300+700*9)//1000=6 b=(200*(6-10)+800*(-1))//1000=trunc(-1.6)=-1
+    assert out["level_s"].tolist() == [10, 22, 19, 15, 10, 6]
+    assert out["trend_b"].tolist() == [0, 2, 1, 0, -1, -1]
+
+
+def test_gram_power_iter_golden_ratio_direction():
+    # vectors (1,0) and (1,1): gram [[2e6,1e6],[1e6,1e6]] whose dominant
+    # eigenvector ratio is (sqrt(5)-1)/2; pin the exact 8-step integer
+    # iterate via the same truncated arithmetic
+    emb = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [1.0, 1.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0], pa.int32())})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(emb, os.path.join(d, "embeddings.parquet"))
+        out = q.QUERIES["gram_power_iter"](d).to_pandas() \
+            .sort_values("dim").reset_index(drop=True)
+    gm = {(1, 1): 2_000_000, (1, 2): 1_000_000,
+          (2, 1): 1_000_000, (2, 2): 1_000_000}
+    v = {1: 1_000_000, 2: 1_000_000}
+    for _ in range(8):
+        w = {i: sum(gm[(i, j)] * v[j] for j in (1, 2)) for i in (1, 2)}
+        m = max(abs(x) for x in w.values())
+        v = {i: (w[i] * 1_000_000) // m for i in (1, 2)}
+    assert out["v_micro"].tolist() == [v[1], v[2]]
+    assert v[1] == 1_000_000 and abs(v[2] - 618_034) < 200
