@@ -16709,6 +16709,262 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Daily dispersion index, class weights, CURIE prefix census, zone-map
+# pruning
+# ---------------------------------------------------------------------------
+
+def q_daily_dispersion(sf_dir: str) -> ray.data.Dataset:
+    """Poisson overdispersion index of the daily event-count series:
+    variance-to-mean ratio in exact integer ppm —
+    ``1e6 * (n*S2 - S1^2) // (n*S1)`` over observed days (population
+    variance; numerator nonnegative by Cauchy-Schwarz so truncation ==
+    floor).  A Poisson arrival process gives ~1e6; bursty traffic blows
+    past it.  Per-batch (day, c) combiner, one bounded day exchange,
+    scalar ledger on the driver."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        return (pa.table({"day": day}).group_by(["day"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["day", "c"]))
+
+    parts = _collect_pd(
+        bucketed_group_apply(
+            ds.map_batches(cnt, batch_format="pyarrow", batch_size=None),
+            "day", lambda df: df.groupby("day", as_index=False)
+            ["c"].sum(), 8),
+        day="int64", c="int64")
+    d = parts.groupby("day", as_index=False)["c"].sum()
+    n = len(d)
+    s1 = int(d["c"].sum())
+    s2 = int((d["c"] * d["c"]).sum())
+    disp = 1_000_000 * (n * s2 - s1 * s1) // (n * s1)
+    return ray.data.from_arrow(pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "sum_y": pa.array([s1], pa.int64()),
+        "sum_y2": pa.array([s2], pa.int64()),
+        "dispersion_ppm": pa.array([disp], pa.int64())}))
+
+
+SQL_DAILY_DISPERSION = """
+WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+           FROM events),
+c AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS s1,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM c)
+SELECT n_days, s1 AS sum_y, s2 AS sum_y2,
+       CAST(1000000 * (n_days * s2 - s1 * s1) // (n_days * s1) AS BIGINT)
+         AS dispersion_ppm
+FROM s"""
+
+
+def q_class_weights(sf_dir: str) -> ray.data.Dataset:
+    """Inverse-frequency class weights over the embedding labels — the
+    standard imbalanced-training reweighting ``N / (k * n_c)`` in exact
+    integer micro units.  Per-batch (label, c) combiner; the class
+    domain is bounded, so the final fold is one bounded exchange."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        return (pa.table({"label": pc.cast(batch["label"], pa.int64())})
+                .group_by(["label"]).aggregate([([], "count_all")])
+                .rename_columns(["label", "c"]))
+
+    parts = _collect_pd(
+        bucketed_group_apply(
+            ds.map_batches(cnt, batch_format="pyarrow", batch_size=None),
+            "label", lambda df: df.groupby("label", as_index=False)
+            ["c"].sum(), 4),
+        label="int64", c="int64")
+    g = parts.groupby("label", as_index=False)["c"].sum() \
+        .sort_values("label").reset_index(drop=True)
+    n_total = int(g["c"].sum())
+    k = len(g)
+    g["weight_micro"] = [(n_total * 1_000_000) // (k * int(c))
+                         for c in g["c"]]
+    g = g.rename(columns={"c": "n"})
+    return ray.data.from_arrow(typed_table(
+        g, label=pa.int64(), n=pa.int64(), weight_micro=pa.int64()))
+
+
+SQL_CLASS_WEIGHTS = """
+WITH g AS (SELECT CAST(label AS BIGINT) AS label,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM embeddings GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS k FROM g)
+SELECT label, n,
+       CAST(tot * 1000000 // (k * n) AS BIGINT) AS weight_micro
+FROM g, t"""
+
+
+def q_curie_prefixes(sf_dir: str) -> ray.data.Dataset:
+    """CURIE namespace census over the linked-mention table: per
+    ontology prefix (MONDO, HP, CHEBI, ...), total mentions, distinct
+    canonical concepts and distinct annotated elements — the
+    KG-composition profile a curation pass reads before deciding
+    normalization priorities.  Mentions fold in per-batch combiners;
+    the two distinct counts ride the existing exact bucketed dedup
+    (distinct_rows), and only prefix-keyed bounded partials reach the
+    driver."""
+    from dug_ray.shuffle import distinct_rows
+    linked = kg.linked_mentions_cached(sf_dir)
+
+    def men(batch: pa.Table) -> pa.Table:
+        pre = pc.split_pattern(batch["canonical_curie"], ":",
+                               max_splits=1)
+        t = pa.table({"prefix": pc.list_element(pre, 0)})
+        return (t.group_by(["prefix"]).aggregate([([], "count_all")])
+                .rename_columns(["prefix", "c"]))
+
+    mentions = _collect_pd(
+        bucketed_group_apply(
+            linked.map_batches(men, batch_format="pyarrow",
+                               batch_size=None),
+            "prefix", lambda df: df.groupby("prefix", as_index=False)
+            ["c"].sum(), 4),
+        prefix="object", c="int64") \
+        .groupby("prefix", as_index=False)["c"].sum() \
+        .rename(columns={"c": "n_mentions"})
+
+    def _prefix_count(ds, col, out_name):
+        def f(batch: pa.Table) -> pa.Table:
+            pre = pc.split_pattern(batch["canonical_curie"], ":",
+                                   max_splits=1)
+            t = pa.table({"prefix": pc.list_element(pre, 0)})
+            return (t.group_by(["prefix"]).aggregate([([], "count_all")])
+                    .rename_columns(["prefix", "c"]))
+        return _collect_pd(
+            bucketed_group_apply(
+                ds.map_batches(f, batch_format="pyarrow",
+                               batch_size=None),
+                "prefix", lambda df: df.groupby("prefix", as_index=False)
+                ["c"].sum(), 4),
+            prefix="object", c="int64") \
+            .groupby("prefix", as_index=False)["c"].sum() \
+            .rename(columns={"c": out_name})
+
+    concepts = _prefix_count(
+        distinct_rows(linked.select_columns(["canonical_curie"]),
+                      ["canonical_curie"], 8),
+        "canonical_curie", "n_concepts")
+
+    def pe(batch: pa.Table) -> pa.Table:
+        pre = pc.split_pattern(batch["canonical_curie"], ":",
+                               max_splits=1)
+        t = pa.table({"prefix": pc.list_element(pre, 0),
+                      "element_id": batch["element_id"]})
+        return t
+
+    elements_pairs = distinct_rows(
+        linked.map_batches(pe, batch_format="pyarrow", batch_size=None),
+        ["prefix", "element_id"], 8)
+
+    def cnt_pref(batch: pa.Table) -> pa.Table:
+        return (batch.select(["prefix"]).group_by(["prefix"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["prefix", "c"]))
+
+    elements = _collect_pd(
+        bucketed_group_apply(
+            elements_pairs.map_batches(cnt_pref, batch_format="pyarrow",
+                                       batch_size=None),
+            "prefix", lambda df: df.groupby("prefix", as_index=False)
+            ["c"].sum(), 4),
+        prefix="object", c="int64") \
+        .groupby("prefix", as_index=False)["c"].sum() \
+        .rename(columns={"c": "n_elements"})
+    out = mentions.merge(concepts, on="prefix").merge(elements,
+                                                      on="prefix")
+    return ray.data.from_arrow(typed_table(
+        out, prefix=pa.string(), n_mentions=pa.int64(),
+        n_concepts=pa.int64(), n_elements=pa.int64()))
+
+
+SQL_CURIE_PREFIXES = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls"),
+    SQL_TOKS, SQL_LINKED) + """
+SELECT split_part(canonical_curie, ':', 1) AS prefix,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT canonical_curie) AS BIGINT) AS n_concepts,
+       CAST(count(DISTINCT element_id) AS BIGINT) AS n_elements
+FROM linked_full GROUP BY 1"""
+
+_ZONE_BLOCK, _ZONE_LO, _ZONE_HI = 1000, 50_000_00, 150_000_00
+
+
+def q_zone_map_prune(sf_dir: str) -> ray.data.Dataset:
+    """Zone-map (min/max statistics) pruning audit: orders bucketed
+    into key-range blocks of 1000 order keys; per block the row count
+    and the total-price min/max in integer cents, plus whether a
+    ``BETWEEN 50000.00 AND 150000.00`` price predicate could SKIP the
+    block entirely (max < lo or min > hi) — the Parquet row-group /
+    Lance fragment skipping calculus made explicit.  Pure per-batch
+    combiner + one bounded block-keyed merge."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["block_id"] = df["o_orderkey"] // _ZONE_BLOCK
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        g = df.groupby("block_id", as_index=False).agg(
+            n_rows=("cents", "size"), min_cents=("cents", "min"),
+            max_cents=("cents", "max"))
+        return typed_table(g, block_id=pa.int64(), n_rows=pa.int64(),
+                           min_cents=pa.int64(), max_cents=pa.int64())
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("block_id", as_index=False).agg(
+            n_rows=("n_rows", "sum"), min_cents=("min_cents", "min"),
+            max_cents=("max_cents", "max"))
+        g["prunable"] = ((g["max_cents"] < _ZONE_LO)
+                         | (g["min_cents"] > _ZONE_HI)).astype("int64")
+        return typed_table(g, block_id=pa.int64(), n_rows=pa.int64(),
+                           min_cents=pa.int64(), max_cents=pa.int64(),
+                           prunable=pa.int64())
+
+    return bucketed_group_apply(
+        ds.map_batches(part, batch_format="pyarrow", batch_size=None),
+        "block_id", merge, 8)
+
+
+SQL_ZONE_MAP_PRUNE = f"""
+WITH b AS (SELECT o_orderkey // {_ZONE_BLOCK} AS block_id,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+g AS (SELECT block_id, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(cents) AS BIGINT) AS min_cents,
+             CAST(max(cents) AS BIGINT) AS max_cents
+      FROM b GROUP BY 1)
+SELECT block_id, n_rows, min_cents, max_cents,
+       CAST(CASE WHEN max_cents < {_ZONE_LO} OR min_cents > {_ZONE_HI}
+                 THEN 1 ELSE 0 END AS BIGINT) AS prunable
+FROM g"""
+
+
+QUERIES.update({
+    "daily_dispersion": q_daily_dispersion,
+    "class_weights": q_class_weights,
+    "curie_prefixes": q_curie_prefixes,
+    "zone_map_prune": q_zone_map_prune,
+})
+ORACLES.update({
+    "daily_dispersion": SQL_DAILY_DISPERSION,
+    "class_weights": SQL_CLASS_WEIGHTS,
+    "curie_prefixes": SQL_CURIE_PREFIXES,
+    "zone_map_prune": SQL_ZONE_MAP_PRUNE,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -16780,7 +17036,8 @@ _DRIVER_FRONT = [
     "weighted_jaccard", "km_survival", "graph_centrality",
     "markov_stationary", "ngram_novelty", "kruskal_wallis",
     "daily_peaks", "rake_keywords", "wilcoxon_signed", "holt_trend",
-    "gram_power_iter",
+    "gram_power_iter", "daily_dispersion", "class_weights",
+    "curie_prefixes", "zone_map_prune",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -272,3 +272,47 @@ def test_gram_power_iter_golden_ratio_direction():
         v = {i: (w[i] * 1_000_000) // m for i in (1, 2)}
     assert out["v_micro"].tolist() == [v[1], v[2]]
     assert v[1] == 1_000_000 and abs(v[2] - 618_034) < 200
+
+
+def test_daily_dispersion_exact_ratio():
+    # day counts [1,3]: disp = 1e6*(2*10-16)//(2*4) = 500000
+    rows = [(1, pd.Timestamp("2024-01-01"))]
+    rows += [(1, pd.Timestamp("2024-01-02") + pd.Timedelta(minutes=i))
+             for i in range(3)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, rows)
+        out = q.QUERIES["daily_dispersion"](d).to_pandas()
+    r = out.iloc[0]
+    assert (r["n_days"], r["sum_y"], r["sum_y2"],
+            r["dispersion_ppm"]) == (2, 4, 10, 500_000)
+
+
+def test_class_weights_inverse_frequency():
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array([[0.0]] * 4, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0, 1], pa.int32())})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(emb, os.path.join(d, "embeddings.parquet"))
+        out = q.QUERIES["class_weights"](d).to_pandas()
+    got = out.set_index("label")["weight_micro"].to_dict()
+    assert got == {0: 666_666, 1: 2_000_000}
+
+
+def test_zone_map_prune_skip_decision():
+    df = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 1500],
+        "o_custkey": 1, "o_orderstatus": "O",
+        "o_totalprice": [100.0, 120.0, 90.0, 70000.0],
+        "o_orderdate": pd.to_datetime("1996-01-01"),
+        "o_orderpriority": "3-MEDIUM"})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "orders.parquet"))
+        out = q.QUERIES["zone_map_prune"](d).to_pandas() \
+            .sort_values("block_id").reset_index(drop=True)
+    b0 = out.iloc[0]
+    assert (b0["n_rows"], b0["min_cents"], b0["max_cents"],
+            b0["prunable"]) == (3, 9_000, 12_000, 1)
+    b1 = out.iloc[1]
+    assert (b1["n_rows"], b1["prunable"]) == (1, 0)
