@@ -16965,6 +16965,242 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Eigenvector centrality, langid calibration bins, per-source KMV union
+# ---------------------------------------------------------------------------
+
+_EIGEN_ITERS = 8
+
+
+def q_eigencentrality(sf_dir: str) -> ray.data.Dataset:
+    """Weighted eigenvector centrality of the concept co-annotation
+    graph by integer fixed-point power iteration: adjacency weight =
+    shared-element count, v0 = 1e6 everywhere, each of the 8 steps is
+    w = A v in unbounded ints then v = w * 1e6 // max(w) (all
+    nonnegative — truncation == floor), so every iterate is bit-exact
+    (gram_power_iter's discipline on the graph instead of the Gram).
+    Corpus work = the co-occurrence exchange; the iteration runs on the
+    driver over the ontology-bounded edge list (the cooccurrence_pmi
+    marginal-broadcast justification)."""
+    from dug_ray.stages.graph import concept_cooccurrence
+    cooc = concept_cooccurrence(kg.linked_mentions_cached(sf_dir)) \
+        .to_pandas()
+    adj: dict[str, list] = {}
+    for s, o, w in zip(cooc["subj"], cooc["obj"], cooc["n_elements"]):
+        adj.setdefault(s, []).append((o, int(w)))
+        adj.setdefault(o, []).append((s, int(w)))
+    nodes = sorted(adj)
+    v = {n: 1_000_000 for n in nodes}
+    for _ in range(_EIGEN_ITERS):
+        w = {n: sum(wt * v[m] for m, wt in adj[n]) for n in nodes}
+        mx = max(w.values(), default=0)
+        if mx == 0:
+            break
+        v = {n: (w[n] * 1_000_000) // mx for n in nodes}
+    out = pd.DataFrame(sorted(v.items()), columns=["node", "ev_micro"])
+    return ray.data.from_arrow(typed_table(
+        out, node=pa.string(), ev_micro=pa.int64()))
+
+
+def _eigen_sql(iters: int = _EIGEN_ITERS) -> str:
+    frags = []
+    for k in range(1, iters + 1):
+        frags.append(f""",
+ew{k} AS MATERIALIZED (
+  SELECT a.u AS node, sum(a.w * v.val) AS w
+  FROM eadj a JOIN ev{k - 1} v ON v.node = a.v GROUP BY 1),
+em{k} AS MATERIALIZED (SELECT max(w) AS m FROM ew{k}),
+ev{k} AS MATERIALIZED (SELECT node, w * 1000000 // em{k}.m AS val
+                       FROM ew{k}, em{k})""")
+    return "".join(frags) + f"""
+SELECT node, CAST(val AS BIGINT) AS ev_micro FROM ev{iters}"""
+
+
+SQL_EIGENCENTRALITY = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+ecooc AS MATERIALIZED (
+  SELECT a.canonical_curie AS subj, b.canonical_curie AS obj,
+         CAST(count(*) AS HUGEINT) AS w
+  FROM dm a JOIN dm b USING (element_id)
+  WHERE a.canonical_curie < b.canonical_curie
+  GROUP BY 1, 2),
+eadj AS MATERIALIZED (SELECT subj AS u, obj AS v, w FROM ecooc
+                      UNION ALL SELECT obj, subj, w FROM ecooc),
+ev0 AS MATERIALIZED (SELECT DISTINCT u AS node,
+                            CAST(1000000 AS HUGEINT) AS val
+                     FROM eadj)""" + _eigen_sql()
+
+
+def q_calibration_bins(sf_dir: str) -> ray.data.Dataset:
+    """Reliability diagram for the trigram language identifier: docs
+    bucketed by confidence margin (bin = min(margin, 9)); per bin
+    the doc count, how many predictions matched the actual ``lang``
+    label, and the accuracy in exact integer ppm — the calibration
+    audit that decides whether margin is a usable routing signal.
+    Same trigram state and (score DESC, lang ASC) tie rule as langid;
+    one actor map + one bounded bin fold."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+
+    from dug_ray.stages.textstats import _LANG_PROFILES
+
+    class Calib:
+        def __init__(self):
+            self.profiles = {lang: set(t) for lang, t in
+                             _LANG_PROFILES.items()}
+            self.langs = sorted(self.profiles)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = []
+            for t, actual in zip(batch["text"].to_pylist(),
+                                 batch["lang"].to_pylist()):
+                tris = {t[i:i + 3] for i in range(len(t) - 2)}
+                scored = sorted(
+                    ((len(tris & self.profiles[lg]), lg)
+                     for lg in self.langs),
+                    key=lambda x: (-x[0], x[1]))
+                (s1, l1), (s2, _) = scored[0], scored[1]
+                b = min(s1 - s2, 9)
+                rows.append((b, 1, int(l1 == actual)))
+            g = pd.DataFrame(rows, columns=["bin", "n", "ok"]) \
+                .groupby("bin", as_index=False).sum()
+            return typed_table(g, bin=pa.int64(), n=pa.int64(),
+                               ok=pa.int64())
+
+    parts = _collect_pd(
+        docs.map_batches(Calib, batch_format="pyarrow",
+                         batch_size=None, concurrency=(1, 4)),
+        bin="int64", n="int64", ok="int64")
+    g = parts.groupby("bin", as_index=False).sum() \
+        .sort_values("bin").reset_index(drop=True)
+    g = g.rename(columns={"n": "n_docs", "ok": "n_correct"})
+    g["acc_ppm"] = [1_000_000 * int(c) // int(n)
+                    for c, n in zip(g["n_correct"], g["n_docs"])]
+    return ray.data.from_arrow(typed_table(
+        g, bin=pa.int64(), n_docs=pa.int64(), n_correct=pa.int64(),
+        acc_ppm=pa.int64()))
+
+
+SQL_CALIBRATION_BINS = ("WITH " + _langid_profiles_cte() + """,
+tris AS (
+  SELECT DISTINCT doc_id, substr(text, i, 3) AS tri
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(text) - 2, 0)))
+      AS i) t),
+scores AS (
+  SELECT d.doc_id, l.lang, count(p.tri) AS s
+  FROM documents d
+  CROSS JOIN (SELECT DISTINCT lang FROM profiles) l
+  LEFT JOIN tris tr ON tr.doc_id = d.doc_id
+  LEFT JOIN profiles p ON p.lang = l.lang AND p.tri = tr.tri
+  GROUP BY d.doc_id, l.lang),
+ranked AS (
+  SELECT doc_id, lang, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, lang) AS rn
+  FROM scores),
+pm AS (SELECT a.doc_id, a.lang AS pred_lang,
+              CAST(a.s - b.s AS BIGINT) AS margin
+       FROM ranked a JOIN ranked b
+         ON b.doc_id = a.doc_id AND a.rn = 1 AND b.rn = 2),
+binned AS (
+  SELECT least(pm.margin, 9) AS bin,
+         CASE WHEN pm.pred_lang = d.lang THEN 1 ELSE 0 END AS ok
+  FROM pm JOIN documents d USING (doc_id))
+SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ok) AS BIGINT) AS n_correct,
+       CAST(1000000 * sum(ok) // count(*) AS BIGINT) AS acc_ppm
+FROM binned GROUP BY 1""")
+
+_KMV_UNION_K = 64
+
+
+def q_kmv_union(sf_dir: str) -> ray.data.Dataset:
+    """Per-source K-minimum-values vocabulary sketches (k = 64) plus
+    their MERGED union estimate — the mergeability audit that makes KMV
+    usable as a distributed combiner: the union sketch is exactly the k
+    smallest of the per-source sketch hashes (order statistics compose),
+    so the 'ALL' row is a pure fold of the per-source rows, never a
+    second corpus pass.  Fixed-width md5 hex sorts like the integer it
+    encodes; under k distinct values the sketch is exact.  Per-batch
+    (source, k-smallest) partials are KBs regardless of corpus size."""
+    docs = read_documents(sf_dir, columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from dug_ray.hashing import md5_hex
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens)
+        df = pd.DataFrame({
+            "source": pc.take(batch["source"], parent).to_pandas(),
+            "term": tokens.flatten().to_pandas()}).drop_duplicates()
+        df["hx"] = md5_hex(pa.array(df["term"], pa.string()), 15)
+        df = df.drop(columns=["term"]).drop_duplicates() \
+            .sort_values(["source", "hx"], kind="mergesort")
+        df = df.groupby("source", as_index=False).head(_KMV_UNION_K)
+        return typed_table(df[["source", "hx"]], source=pa.string(),
+                           hx=pa.string())
+
+    parts = _collect_pd(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None),
+        source="object", hx="object")
+
+    def sketch_row(scope: str, hxs: np.ndarray):
+        uniq = np.unique(hxs)[:_KMV_UNION_K]
+        n = len(uniq)
+        if n < _KMV_UNION_K:
+            est = n
+        else:
+            est = ((_KMV_UNION_K - 1) * (1 << 60)) // int(uniq[-1], 16)
+        return (scope, n, str(uniq[-1]) if n else "", est)
+
+    rows = [sketch_row(src, g["hx"].to_numpy())
+            for src, g in parts.groupby("source")]
+    # union sketch = k smallest of the per-source sketch hashes only
+    rows.append(sketch_row("ALL", parts["hx"].to_numpy()))
+    out = pd.DataFrame(rows, columns=["scope", "k", "kth_hex",
+                                      "est_distinct"])
+    return ray.data.from_arrow(typed_table(
+        out, scope=pa.string(), k=pa.int64(), kth_hex=pa.string(),
+        est_distinct=pa.int64()))
+
+
+SQL_KMV_UNION = _with(SQL_TOKS) + f""",
+h AS (SELECT DISTINCT source, substr(md5(term), 1, 15) AS hx FROM toks),
+ks AS (SELECT source, hx,
+              row_number() OVER (PARTITION BY source ORDER BY hx) AS rn
+       FROM h),
+sk AS (SELECT source AS scope, hx FROM ks WHERE rn <= {_KMV_UNION_K}),
+uh AS (SELECT DISTINCT hx FROM sk),
+uk AS (SELECT hx FROM uh ORDER BY hx LIMIT {_KMV_UNION_K}),
+allrows AS (
+  SELECT scope, hx FROM sk
+  UNION ALL SELECT 'ALL' AS scope, hx FROM uk)
+SELECT scope, CAST(count(*) AS BIGINT) AS k, max(hx) AS kth_hex,
+       CASE WHEN count(*) < {_KMV_UNION_K} THEN CAST(count(*) AS BIGINT)
+            ELSE CAST((CAST({_KMV_UNION_K} - 1 AS HUGEINT)
+                       * (1::HUGEINT << 60))
+                      // CAST(('0x' || max(hx)) AS BIGINT)
+                      AS BIGINT) END AS est_distinct
+FROM allrows GROUP BY 1"""
+
+
+QUERIES.update({
+    "eigencentrality": q_eigencentrality,
+    "calibration_bins": q_calibration_bins,
+    "kmv_union": q_kmv_union,
+})
+ORACLES.update({
+    "eigencentrality": SQL_EIGENCENTRALITY,
+    "calibration_bins": SQL_CALIBRATION_BINS,
+    "kmv_union": SQL_KMV_UNION,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -17037,7 +17273,8 @@ _DRIVER_FRONT = [
     "markov_stationary", "ngram_novelty", "kruskal_wallis",
     "daily_peaks", "rake_keywords", "wilcoxon_signed", "holt_trend",
     "gram_power_iter", "daily_dispersion", "class_weights",
-    "curie_prefixes", "zone_map_prune",
+    "curie_prefixes", "zone_map_prune", "eigencentrality",
+    "calibration_bins", "kmv_union",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

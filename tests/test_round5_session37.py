@@ -316,3 +316,29 @@ def test_zone_map_prune_skip_decision():
             b0["prunable"]) == (3, 9_000, 12_000, 1)
     b1 = out.iloc[1]
     assert (b1["n_rows"], b1["prunable"]) == (1, 0)
+
+
+def test_kmv_union_exact_under_k():
+    # under k=64 distinct values the sketch is exact: per-source counts
+    # and the merged union row are plain distinct counts
+    rows = [("src0", "a b c"), ("src1", "b c d e")]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, rows)
+        out = q.QUERIES["kmv_union"](d).to_pandas()
+    got = out.set_index("scope")["est_distinct"].to_dict()
+    assert got == {"src0": 3, "src1": 4, "ALL": 5}
+    assert out.set_index("scope")["k"].to_dict() == {
+        "src0": 3, "src1": 4, "ALL": 5}
+
+
+def test_calibration_bins_structure():
+    rows = [("src0", "the quick brown fox jumps over the lazy dog"),
+            ("src0", "completely different words entirely here now")]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, rows)  # lang column is 'en' for all fixture docs
+        out = q.QUERIES["calibration_bins"](d).to_pandas()
+    assert int(out["n_docs"].sum()) == 2
+    assert ((out["n_correct"] >= 0) & (out["n_correct"]
+                                       <= out["n_docs"])).all()
+    assert (out["acc_ppm"] == 1_000_000 * out["n_correct"]
+            // out["n_docs"]).all()
