@@ -17201,6 +17201,245 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Entity-resolution clusters, MOSS winnowing, A-ES weighted reservoir
+# ---------------------------------------------------------------------------
+
+def q_er_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Entity-resolution clusters over part names: blocked Levenshtein
+    match edges (dist <= 2, stages/resolve.editdist_edges) folded by
+    min-label transitive closure — every part labeled with the smallest
+    partkey reachable through match edges (singletons label
+    themselves).  Scale shape: pair generation stays inside the block
+    bucket, only match EDGES reach the driver (orders of magnitude
+    sparser than the records — the dedup_clusters gate argument); the
+    assignment map covers only matched nodes and broadcasts via
+    ray.put, the corpus maps once."""
+    import ray as _ray
+    from dug_ray.stages.resolve import editdist_edges
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                  columns=["p_partkey", "p_name"])
+    edges = editdist_edges(parts, "p_partkey", "p_name",
+                           max_dist=2).to_pandas()
+    lbl: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while lbl.get(r, r) != r:
+            r = lbl[r]
+        while lbl.get(x, x) != x:
+            lbl[x], x = r, lbl[x]
+        return r
+
+    if len(edges):
+        for a, b in zip(edges["key_a"], edges["key_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                lbl[hi] = lo
+    assign = {x: find(x) for x in list(lbl)}
+    ref = _ray.put(assign)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        amap = _ray.get(ref)
+        df = batch.to_pandas()
+        df["cluster_id"] = df["p_partkey"].map(
+            lambda k: amap.get(int(k), int(k))).astype("int64")
+        return typed_table(df[["p_partkey", "cluster_id"]],
+                           p_partkey=pa.int64(), cluster_id=pa.int64())
+
+    return parts.map_batches(tag, batch_format="pyarrow",
+                             batch_size=None)
+
+
+SQL_ER_CLUSTERS = """
+WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+           FROM part),
+e AS (SELECT a.p_partkey AS s, b.p_partkey AS o
+      FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2),
+ed AS (SELECT s, o FROM e UNION SELECT o, s FROM e)
+SELECT v AS p_partkey, CAST(min(t) AS BIGINT) AS cluster_id FROM (
+  WITH RECURSIVE r(v, t) AS (
+    SELECT p_partkey, p_partkey FROM p
+    UNION
+    SELECT r.v, e.o FROM r JOIN ed e ON e.s = r.t)
+  SELECT v, t FROM r)
+GROUP BY v"""
+
+_WINNOW_W = 4  # window of 4 consecutive 3-gram hashes
+
+
+def q_winnowing(sf_dir: str) -> ray.data.Dataset:
+    """MOSS-style winnowing fingerprints per document: word 3-grams
+    hashed to 60-bit md5 ints, then in every window of 4 consecutive
+    gram hashes the minimal hash is selected (ties -> rightmost
+    position, the classic winnowing rule), and the distinct selected
+    positions are the doc's fingerprints.  Guarantees at least one
+    shared fingerprint for any match of >= w+k-1 tokens — the
+    plagiarism/near-dup detector with a DENSITY guarantee that min-k
+    (``fingerprints``) lacks.  Output per doc: gram count, selected
+    fingerprint count, distinct fingerprint hashes, and the smallest
+    fingerprint hex.  Docs with fewer than 4 grams (< 6 tokens) have no
+    window and are absent.  Entirely map-side: one row per doc out,
+    gram hashing via the vectorized DuckDB md5 bridge, window minima as
+    a shifted-matrix argmin (tie rule folded into an integer key
+    h*4 + (3-off), so no per-row Python)."""
+    from dug_ray.hashing import md5_hex
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    sep = "\x1f"
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+        empty = typed_table(
+            pd.DataFrame({"doc_id": [], "n_grams": [], "n_selected": [],
+                          "n_fp_hashes": [], "min_fp_hex": []}),
+            doc_id=pa.int64(), n_grams=pa.int64(), n_selected=pa.int64(),
+            n_fp_hashes=pa.int64(), min_fp_hex=pa.string())
+        if len(flat) < 3:
+            return empty
+        ok = parent[:-2] == parent[2:]
+        if not ok.any():
+            return empty
+        grams = (flat[:-2] + sep + flat[1:-1] + sep + flat[2:])[ok]
+        gdoc = parent[:-2][ok]
+        hx = md5_hex(pa.array(grams, pa.string()), 15)
+        h = np.array([int(x, 16) for x in hx], dtype=np.int64)
+        rows = []
+        for did in np.unique(gdoc):
+            hh = h[gdoc == did]
+            n = len(hh)
+            if n < _WINNOW_W:
+                continue
+            # windows x offsets matrix; key = h*4 + (3-off): min key ->
+            # min hash, ties -> largest offset == rightmost position
+            m = np.stack([hh[o:n - _WINNOW_W + 1 + o] * 4
+                          + (_WINNOW_W - 1 - o)
+                          for o in range(_WINNOW_W)])
+            off = np.argmin(m, axis=0)
+            sel_pos = np.unique(off + np.arange(len(off)))
+            sel_h = hh[sel_pos]
+            doc_id = int(batch["doc_id"][int(did)].as_py())
+            rows.append((doc_id, n, len(sel_pos),
+                         len(np.unique(sel_h)),
+                         format(int(sel_h.min()), "015x")))
+        out = pd.DataFrame(rows, columns=["doc_id", "n_grams",
+                                          "n_selected", "n_fp_hashes",
+                                          "min_fp_hex"])
+        return typed_table(out, doc_id=pa.int64(), n_grams=pa.int64(),
+                           n_selected=pa.int64(), n_fp_hashes=pa.int64(),
+                           min_fp_hex=pa.string())
+
+    return docs.map_batches(per_doc, batch_format="pyarrow",
+                            batch_size=None)
+
+
+SQL_WINNOWING = _with(SQL_TOKS) + f""",
+g3 AS (SELECT a.doc_id, a.pos,
+              CAST(('0x' || substr(md5(a.term || chr(31) || b.term
+                                        || chr(31) || c.term), 1, 15))
+                   AS BIGINT) AS h,
+              row_number() OVER (PARTITION BY a.doc_id
+                                 ORDER BY a.pos) AS gi
+       FROM toks a
+       JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+gc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+       FROM g3 GROUP BY 1),
+wr AS (SELECT g.doc_id, g.gi - off.o AS wid, g.gi, g.h
+       FROM g3 g, (VALUES (0), (1), (2), (3)) off(o)
+       WHERE g.gi - off.o >= 1),
+wb AS (SELECT w.doc_id, w.wid, w.gi, w.h,
+              row_number() OVER (PARTITION BY w.doc_id, w.wid
+                                 ORDER BY w.h, w.gi DESC) AS rk
+       FROM wr w JOIN gc ON gc.doc_id = w.doc_id
+       WHERE w.wid <= gc.n_grams - {_WINNOW_W - 1}),
+sel AS (SELECT DISTINCT doc_id, gi, h FROM wb WHERE rk = 1)
+SELECT s.doc_id, gc.n_grams,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(count(DISTINCT s.h) AS BIGINT) AS n_fp_hashes,
+       lpad(format('{{:x}}', min(s.h)), 15, '0') AS min_fp_hex
+FROM sel s JOIN gc ON gc.doc_id = s.doc_id
+GROUP BY 1, 2"""
+
+_RESERVOIR_K = 10
+
+
+def q_weighted_reservoir(sf_dir: str) -> ray.data.Dataset:
+    """A-ES (Efraimidis-Spirakis) weighted reservoir sample of 10 docs
+    with weight = n_chars: each doc draws u = md5(doc_id)/2^60 and the
+    k largest u^(1/w) win — realized as the integer score
+    ``floor(ln(u) * 1e6) * 1e6 // w`` (one libm ln per doc, floored
+    once, then TRUNCATED division — li is negative), ranked (score
+    DESC, doc_id ASC).  The deterministic md5 draw is what makes a
+    weighted sample reproducible across engines and partitionings — the
+    mixture_sample discipline upgraded to weights.  Per-batch local
+    top-k partials; the driver merges the bounded candidates."""
+    import math as _math
+    from dug_ray.hashing import md5_hex
+    docs = read_documents(sf_dir, columns=["doc_id", "n_chars"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        hx = md5_hex(pa.array(df["doc_id"].astype(str), pa.string()), 15)
+        u = np.array([int(x, 16) for x in hx], dtype=np.int64)
+        li = np.fromiter(
+            (_math.floor(_math.log(x / 1152921504606846976.0)
+                         * 1_000_000) for x in u),
+            dtype=np.int64, count=len(u))
+        score = np.array([_tdiv(int(v) * 1_000_000, int(w))
+                          for v, w in zip(li, df["n_chars"])],
+                         dtype=np.int64)
+        out = pd.DataFrame({"doc_id": df["doc_id"], "u60": u,
+                            "weight": df["n_chars"].astype("int64"),
+                            "score": score}) \
+            .sort_values(["score", "doc_id"],
+                         ascending=[False, True]).head(_RESERVOIR_K)
+        return typed_table(out, doc_id=pa.int64(), u60=pa.int64(),
+                           weight=pa.int64(), score=pa.int64())
+
+    cand = _collect_pd(
+        docs.map_batches(part, batch_format="pyarrow", batch_size=None),
+        doc_id="int64", u60="int64", weight="int64", score="int64")
+    out = cand.sort_values(["score", "doc_id"],
+                           ascending=[False, True]).head(_RESERVOIR_K)
+    return ray.data.from_arrow(typed_table(
+        out, doc_id=pa.int64(), u60=pa.int64(), weight=pa.int64(),
+        score=pa.int64()))
+
+
+SQL_WEIGHTED_RESERVOIR = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS u60,
+         CAST(n_chars AS BIGINT) AS weight
+  FROM documents),
+s AS (SELECT doc_id, u60, weight,
+             CAST(floor(ln(CAST(u60 AS DOUBLE) / 1152921504606846976.0)
+                        * 1000000) AS BIGINT) * 1000000 // weight
+               AS score
+      FROM d)
+SELECT doc_id, u60, weight, score
+FROM s ORDER BY score DESC, doc_id LIMIT {_RESERVOIR_K}"""
+
+
+QUERIES.update({
+    "er_clusters": q_er_clusters,
+    "winnowing": q_winnowing,
+    "weighted_reservoir": q_weighted_reservoir,
+})
+ORACLES.update({
+    "er_clusters": SQL_ER_CLUSTERS,
+    "winnowing": SQL_WINNOWING,
+    "weighted_reservoir": SQL_WEIGHTED_RESERVOIR,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -17274,7 +17513,8 @@ _DRIVER_FRONT = [
     "daily_peaks", "rake_keywords", "wilcoxon_signed", "holt_trend",
     "gram_power_iter", "daily_dispersion", "class_weights",
     "curie_prefixes", "zone_map_prune", "eigencentrality",
-    "calibration_bins", "kmv_union",
+    "calibration_bins", "kmv_union", "er_clusters", "winnowing",
+    "weighted_reservoir",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",

@@ -118,3 +118,68 @@ def editdist_histogram(ds: ray.data.Dataset, key_col: str, name_col: str,
                            n_pairs=pa.int64())
 
     return bucketed_group_apply(blocked, "blk", per_bucket, num_buckets)
+
+
+def _block_pair_edges(keys: np.ndarray, names: list[str],
+                      max_dist: int) -> list[tuple[int, int, int]]:
+    """(key_a, key_b, dist) for one block's pairs with dist <= max_dist
+    (key_a < key_b) — same banded, shape-batched DP as the histogram."""
+    n = len(names)
+    if n < 2:
+        return []
+    lens = np.fromiter((len(s) for s in names), dtype=np.int64, count=n)
+    L = int(lens.max())
+    mat = np.zeros((n, L), dtype=np.uint32)
+    for i, s in enumerate(names):
+        mat[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                        dtype=np.uint32)
+    ia, ib = np.triu_indices(n, k=1)
+    band = np.abs(lens[ia] - lens[ib]) <= max_dist
+    ia, ib = ia[band], ib[band]
+    out: list[tuple[int, int, int]] = []
+    shape_key = lens[ia] * (L + 1) + lens[ib]
+    order = np.argsort(shape_key, kind="stable")
+    ia, ib, shape_key = ia[order], ib[order], shape_key[order]
+    for start, stop in zip(*_runs(shape_key)):
+        sa, sb = ia[start:stop], ib[start:stop]
+        la, lb = int(lens[sa[0]]), int(lens[sb[0]])
+        d = _levenshtein_batch(mat[sa, :la], mat[sb, :lb])
+        hit = d <= max_dist
+        for i, j, dist in zip(keys[sa[hit]], keys[sb[hit]], d[hit]):
+            a, b = (int(i), int(j)) if i < j else (int(j), int(i))
+            out.append((a, b, int(dist)))
+    return out
+
+
+def editdist_edges(ds: ray.data.Dataset, key_col: str, name_col: str,
+                   max_dist: int = 2,
+                   num_buckets: int = 8) -> ray.data.Dataset:
+    """(key_a, key_b, dist) match edges for all same-block pairs with
+    Levenshtein distance <= ``max_dist`` — the verify stage of a
+    record-linkage pipeline kept as an edge stream (feed to a
+    connected-components fold for entity clusters).  Same blocking
+    contract and scale shape as ``editdist_histogram``: one row per
+    record crosses the exchange, pairs are generated in the block's
+    bucket."""
+
+    def add_block(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key_col: batch[key_col].to_pandas(),
+                           name_col: batch[name_col].to_pandas()})
+        df["blk"] = df[name_col].str.split(" ", n=1).str[0]
+        return typed_table(df[["blk", key_col, name_col]],
+                           blk=pa.string(),
+                           **{key_col: pa.int64(), name_col: pa.string()})
+
+    blocked = ds.map_batches(add_block, batch_format="pyarrow",
+                             batch_size=None)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        rows: list[tuple[int, int, int]] = []
+        for _, g in df.groupby("blk", sort=False):
+            rows.extend(_block_pair_edges(g[key_col].to_numpy(),
+                                          g[name_col].tolist(), max_dist))
+        out = pd.DataFrame(rows, columns=["key_a", "key_b", "dist"])
+        return typed_table(out, key_a=pa.int64(), key_b=pa.int64(),
+                           dist=pa.int64())
+
+    return bucketed_group_apply(blocked, "blk", per_bucket, num_buckets)

@@ -342,3 +342,54 @@ def test_calibration_bins_structure():
                                        <= out["n_docs"])).all()
     assert (out["acc_ppm"] == 1_000_000 * out["n_correct"]
             // out["n_docs"]).all()
+
+
+def test_er_clusters_transitive_min_label():
+    # block 'widget': 1-2 dist 1, 2-4 dist 1, 3 far; block 'gizmo': 5
+    df = pd.DataFrame({
+        "p_partkey": [1, 2, 3, 4, 5],
+        "p_name": ["widget alpha", "widget alphb", "widget gamma!!",
+                   "widget alphc", "gizmo x"],
+        "p_brand": "Brand#1", "p_type": "t", "p_size": 1,
+        "p_retailprice": 1.0})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "part.parquet"))
+        out = q.QUERIES["er_clusters"](d).to_pandas()
+    got = out.set_index("p_partkey")["cluster_id"].to_dict()
+    assert got == {1: 1, 2: 1, 3: 3, 4: 1, 5: 5}
+
+
+def test_winnowing_rightmost_tie_rule():
+    # 7 identical tokens -> 5 identical-hash grams, 2 windows; the
+    # rightmost-min rule selects gram positions 3 and 4 -> 2 selected
+    # fingerprints over 1 distinct hash
+    rows = [("src0", "a a a a a a a"),
+            ("src0", "w x")]                 # < 3 tokens -> absent
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, rows)
+        out = q.QUERIES["winnowing"](d).to_pandas()
+    assert out["doc_id"].tolist() == [0]
+    r = out.iloc[0]
+    assert (r["n_grams"], r["n_selected"], r["n_fp_hashes"]) == (5, 2, 1)
+
+
+def test_weighted_reservoir_aes_ranking():
+    import hashlib
+
+    texts = ["x" * n for n in (5, 50, 500, 17, 170)]
+    rows = [("src0", t) for t in texts]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, rows)
+        out = q.QUERIES["weighted_reservoir"](d).to_pandas()
+    exp = []
+    for did, t in enumerate(texts):
+        u = int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16)
+        li = math.floor(math.log(u / 1152921504606846976.0) * 1_000_000)
+        num = li * 1_000_000
+        w = len(t)
+        score = num // w if num >= 0 else -((-num) // w)
+        exp.append((did, u, w, score))
+    exp.sort(key=lambda r: (-r[3], r[0]))
+    assert list(map(tuple, out[["doc_id", "u60", "weight",
+                                "score"]].itertuples(index=False))) == exp
