@@ -17440,6 +17440,242 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Co-annotation modularity, front-coding estimate, dictionary-encoding audit
+# ---------------------------------------------------------------------------
+
+def q_cooc_modularity(sf_dir: str) -> ray.data.Dataset:
+    """Newman modularity of the CURIE-prefix partition over the concept
+    co-annotation graph, kept exactly rational: with m distinct edges,
+    per community c the intra-edge count e_c and degree sum d_c, Q =
+    sum_c (e_c/m - (d_c/2m)^2) = sum_c (4m*e_c - d_c^2) / (4m^2) — the
+    numerator is an exact integer, so ``q_ppm = tdiv(1e6 * num, 4m^2)``
+    is bit-exact (negative Q possible: truncated division on both
+    engines).  Answers 'do ontology namespaces form real co-annotation
+    communities?'.  Output: one row per prefix (nodes, intra edges,
+    degree sum) with the global q_ppm as a constant column (the
+    kruskal_wallis h_micro convention).  Corpus work = the cooccurrence
+    exchange; the fold is ontology-bounded."""
+    from dug_ray.stages.graph import concept_cooccurrence
+    cooc = concept_cooccurrence(kg.linked_mentions_cached(sf_dir)) \
+        .to_pandas()
+    pa_ = cooc["subj"].str.split(":", n=1).str[0]
+    pb_ = cooc["obj"].str.split(":", n=1).str[0]
+    m = len(cooc)
+    deg = pd.concat([
+        pd.DataFrame({"prefix": pa_, "node": cooc["subj"]}),
+        pd.DataFrame({"prefix": pb_, "node": cooc["obj"]})],
+        ignore_index=True)
+    g = deg.groupby("prefix").agg(
+        n_nodes=("node", "nunique"), degree_sum=("node", "size"))
+    intra = pd.DataFrame({"prefix": pa_[pa_ == pb_]}) \
+        .groupby("prefix").size()
+    g["intra_edges"] = intra.reindex(g.index).fillna(0).astype("int64")
+    num = sum(4 * m * int(e) - int(d) * int(d)
+              for e, d in zip(g["intra_edges"], g["degree_sum"]))
+    q_ppm = _tdiv(1_000_000 * num, 4 * m * m) if m else 0
+    out = g.reset_index()[["prefix", "n_nodes", "intra_edges",
+                           "degree_sum"]].sort_values("prefix")
+    out["q_ppm"] = q_ppm
+    return ray.data.from_arrow(typed_table(
+        out, prefix=pa.string(), n_nodes=pa.int64(),
+        intra_edges=pa.int64(), degree_sum=pa.int64(), q_ppm=pa.int64()))
+
+
+SQL_COOC_MODULARITY = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+mcooc AS MATERIALIZED (
+  SELECT a.canonical_curie AS subj, b.canonical_curie AS obj
+  FROM dm a JOIN dm b USING (element_id)
+  WHERE a.canonical_curie < b.canonical_curie
+  GROUP BY 1, 2),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM mcooc),
+ends AS (SELECT split_part(subj, ':', 1) AS prefix, subj AS node
+         FROM mcooc
+         UNION ALL
+         SELECT split_part(obj, ':', 1), obj FROM mcooc),
+cg AS (SELECT prefix, CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+              CAST(count(*) AS BIGINT) AS degree_sum
+       FROM ends GROUP BY 1),
+ie AS (SELECT split_part(subj, ':', 1) AS prefix,
+              CAST(count(*) AS BIGINT) AS intra_edges
+       FROM mcooc
+       WHERE split_part(subj, ':', 1) = split_part(obj, ':', 1)
+       GROUP BY 1),
+j AS (SELECT cg.prefix, cg.n_nodes,
+             coalesce(ie.intra_edges, 0) AS intra_edges, cg.degree_sum
+      FROM cg LEFT JOIN ie USING (prefix))
+SELECT prefix, n_nodes, CAST(intra_edges AS BIGINT) AS intra_edges,
+       degree_sum,
+       CAST(1000000 * sum(4 * mm.m * intra_edges
+                          - degree_sum * degree_sum) OVER ()
+            // (4 * mm.m * mm.m) AS BIGINT) AS q_ppm
+FROM j, mm"""
+
+
+def q_front_coding(sf_dir: str) -> ray.data.Dataset:
+    """Front-coding (incremental prefix) dictionary-size estimate over
+    the sorted corpus vocabulary: per first-letter group, the term
+    count, total characters, characters saved by sharing each term's
+    common prefix with its sorted predecessor, and the savings in exact
+    ppm — the storage calculus behind every sorted term dictionary
+    (Lucene/Parquet delta-encoded dictionaries).  Vocabulary is reduced
+    distributedly first (exact bucketed distinct); groups are
+    first-letter buckets so the sorted-predecessor scan is local to one
+    bucket task."""
+    from dug_ray.shuffle import distinct_rows
+    docs = read_documents(sf_dir, columns=["text"])
+
+    def terms(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        return pa.table({"term": tokens.flatten().unique()})
+
+    vocab = distinct_rows(
+        docs.map_batches(terms, batch_format="pyarrow", batch_size=None),
+        ["term"], 8)
+
+    def add_g(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["g"] = df["term"].str[:1]
+        return typed_table(df[["g", "term"]], g=pa.string(),
+                           term=pa.string())
+
+    def per_group(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for gv, gg in df.groupby("g", sort=False):
+            ts = sorted(gg["term"])
+            total = sum(len(t) for t in ts)
+            saved = 0
+            for prev, cur in zip(ts, ts[1:]):
+                i = 0
+                while (i < len(prev) and i < len(cur)
+                       and prev[i] == cur[i]):
+                    i += 1
+                saved += i
+            rows.append((gv, len(ts), total, saved,
+                         1_000_000 * saved // total if total else 0))
+        out = pd.DataFrame(rows, columns=["g", "n_terms", "total_chars",
+                                          "saved_chars", "savings_ppm"])
+        return typed_table(out, g=pa.string(), n_terms=pa.int64(),
+                           total_chars=pa.int64(), saved_chars=pa.int64(),
+                           savings_ppm=pa.int64())
+
+    return bucketed_group_apply(
+        vocab.map_batches(add_g, batch_format="pyarrow",
+                          batch_size=None),
+        "g", per_group, 8)
+
+
+SQL_FRONT_CODING = _with(SQL_TOKS) + """,
+v AS (SELECT DISTINCT term FROM toks),
+w AS (SELECT substr(term, 1, 1) AS g, term,
+             lag(term) OVER (PARTITION BY substr(term, 1, 1)
+                             ORDER BY term) AS prev
+      FROM v),
+mx AS (SELECT max(length(term)) AS l FROM v),
+ser AS (SELECT unnest(generate_series(1, l)) AS i FROM mx),
+cp AS (SELECT g, term,
+              CASE WHEN prev IS NULL THEN 0 ELSE coalesce((
+                SELECT max(s.i) FROM ser s
+                WHERE s.i <= least(length(w.term), length(w.prev))
+                  AND substr(w.term, 1, CAST(s.i AS INT))
+                      = substr(w.prev, 1, CAST(s.i AS INT))), 0) END
+                AS cpl
+       FROM w)
+SELECT g, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(length(term)) AS BIGINT) AS total_chars,
+       CAST(sum(cpl) AS BIGINT) AS saved_chars,
+       CAST(1000000 * sum(cpl) // sum(length(term)) AS BIGINT)
+         AS savings_ppm
+FROM cp GROUP BY g"""
+
+
+def q_dict_encoding(sf_dir: str) -> ray.data.Dataset:
+    """Dictionary-encoding benefit audit for the low-cardinality
+    document columns (source, lang): per column the row count, distinct
+    count, index width in bits (= binary digits of k-1, the integer-
+    exact ceil(log2 k)), raw byte total, encoded size (dictionary
+    chars + packed indexes) and savings in exact ppm — the encoding
+    decision every columnar writer makes, surfaced as an operator.
+    Per-batch (col, value, n) combiners; the value domains are bounded,
+    so the fold is one small exchange."""
+    docs = read_documents(sf_dir, columns=["source", "lang"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        frames = []
+        for col in ("source", "lang"):
+            t = (pa.table({"value": batch[col]}).group_by(["value"])
+                 .aggregate([([], "count_all")])
+                 .rename_columns(["value", "n"]))
+            frames.append(t.to_pandas().assign(col=col))
+        out = pd.concat(frames, ignore_index=True)
+        return typed_table(out[["col", "value", "n"]], col=pa.string(),
+                           value=pa.string(), n=pa.int64())
+
+    parts = _collect_pd(
+        bucketed_group_apply(
+            docs.map_batches(cnt, batch_format="pyarrow",
+                             batch_size=None),
+            ["col", "value"],
+            lambda df: df.groupby(["col", "value"], as_index=False)
+            ["n"].sum(), 4),
+        col="object", value="object", n="int64")
+    rows = []
+    for col, g in parts.groupby("col"):
+        g = g.groupby("value", as_index=False)["n"].sum()
+        n = int(g["n"].sum())
+        k = len(g)
+        bits = len(format(k - 1, "b"))
+        raw = int((g["value"].str.len() * g["n"]).sum())
+        dict_bytes = int(g["value"].str.len().sum()) + (n * bits + 7) // 8
+        rows.append((col, n, k, bits, raw, dict_bytes,
+                     _tdiv(1_000_000 * (raw - dict_bytes), raw)))
+    out = pd.DataFrame(rows, columns=["col", "n", "k", "bits",
+                                      "raw_bytes", "dict_bytes",
+                                      "savings_ppm"])
+    return ray.data.from_arrow(typed_table(
+        out, col=pa.string(), n=pa.int64(), k=pa.int64(),
+        bits=pa.int64(), raw_bytes=pa.int64(), dict_bytes=pa.int64(),
+        savings_ppm=pa.int64()))
+
+
+SQL_DICT_ENCODING = """
+WITH vals AS (
+  SELECT 'source' AS col, source AS value FROM documents
+  UNION ALL SELECT 'lang', lang FROM documents),
+g AS (SELECT col, value, CAST(count(*) AS BIGINT) AS n
+      FROM vals GROUP BY 1, 2),
+s AS (SELECT col, CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(length(format('{:b}', count(*) - 1)) AS BIGINT)
+               AS bits,
+             CAST(sum(length(value) * n) AS BIGINT) AS raw_bytes,
+             CAST(sum(length(value)) AS BIGINT) AS dict_chars
+      FROM g GROUP BY 1)
+SELECT col, n, k, bits, raw_bytes,
+       CAST(dict_chars + (n * bits + 7) // 8 AS BIGINT) AS dict_bytes,
+       CAST(1000000 * (raw_bytes - (dict_chars + (n * bits + 7) // 8))
+            // raw_bytes AS BIGINT) AS savings_ppm
+FROM s"""
+
+
+QUERIES.update({
+    "cooc_modularity": q_cooc_modularity,
+    "front_coding": q_front_coding,
+    "dict_encoding": q_dict_encoding,
+})
+ORACLES.update({
+    "cooc_modularity": SQL_COOC_MODULARITY,
+    "front_coding": SQL_FRONT_CODING,
+    "dict_encoding": SQL_DICT_ENCODING,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -17514,7 +17750,8 @@ _DRIVER_FRONT = [
     "gram_power_iter", "daily_dispersion", "class_weights",
     "curie_prefixes", "zone_map_prune", "eigencentrality",
     "calibration_bins", "kmv_union", "er_clusters", "winnowing",
-    "weighted_reservoir",
+    "weighted_reservoir", "cooc_modularity", "front_coding",
+    "dict_encoding",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
