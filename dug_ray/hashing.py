@@ -60,6 +60,14 @@ def md5_int(values) -> np.ndarray:
         values, "CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT)").to_numpy()
 
 
+def md5_u60(values) -> np.ndarray:
+    """First 15 hex chars of md5 as int64 — a 60-bit uniform draw
+    (``int(hexdigest()[:15], 16)``, the A-ES / bootstrap form: 60 bits
+    keeps every value exactly representable in both BIGINT and float64)."""
+    return _md5_col(
+        values, "CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT)").to_numpy()
+
+
 def md5_uint64(values) -> np.ndarray:
     """First 8 md5 BYTES big-endian as uint64 (the sketch form:
     ``int.from_bytes(digest()[:8], 'big')`` == first 16 hex chars)."""

@@ -17676,6 +17676,231 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Postings compression audit, phonetic blocking census, Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+_POW2 = np.array([1 << i for i in range(63)], dtype=np.int64)
+
+
+def _bitlen(arr: np.ndarray) -> np.ndarray:
+    """Exact integer bit length (== int.bit_length == length of the
+    binary digits) for positive int64 values — searchsorted over the
+    power-of-two ladder, no float log2 boundary risk."""
+    return np.searchsorted(_POW2, arr, side="right").astype(np.int64)
+
+
+def q_rice_postings(sf_dir: str) -> ray.data.Dataset:
+    """Postings-list compression audit: per term, the d-gap sequence of
+    its sorted posting list (first gap = doc_id + 1, i.e. delta from
+    -1), the LEB128/varint byte total (ceil(bitlen(gap)/7) per gap),
+    the Golomb-Rice parameter k = bitlen(mean gap) - 1 chosen from the
+    integer mean gap, and the Rice-coded bit total
+    sum((gap-1) >> k) + df * (k + 1) — the size calculus behind every
+    inverted-index posting format (Lucene, PISA).  All integers, bit
+    exact.  Scale shape: per-batch distinct (term, doc_id) combiner,
+    one term-bucketed exchange, per-bucket vectorized fold — gaps never
+    leave the bucket task."""
+    from dug_ray.shuffle import distinct_rows
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy()
+        doc = np.repeat(batch["doc_id"].to_numpy(), n)
+        t = pa.table({"term": toks.flatten(),
+                      "doc_id": pa.array(doc, pa.int64())})
+        return t.group_by(["term", "doc_id"]).aggregate([])
+
+    d = distinct_rows(
+        docs.map_batches(pairs, batch_format="pyarrow", batch_size=None),
+        ["term", "doc_id"], 8)
+
+    def per_term(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "doc_id"])
+        g = df.groupby("term", sort=False)
+        gap = (df["doc_id"] - g["doc_id"].shift(1))
+        first = g.cumcount() == 0
+        gap[first] = df.loc[first, "doc_id"] + 1
+        gap = gap.astype("int64").to_numpy()
+        vb = (_bitlen(gap) + 6) // 7
+        w = pd.DataFrame({"term": df["term"].to_numpy(), "gap": gap,
+                          "vb": vb})
+        agg = w.groupby("term", as_index=False).agg(
+            df=("gap", "size"), gap_sum=("gap", "sum"),
+            varint_bytes=("vb", "sum"))
+        agg["rice_k"] = _bitlen(
+            (agg["gap_sum"] // agg["df"]).to_numpy()) - 1
+        w = w.merge(agg[["term", "rice_k"]], on="term")
+        w["rice_part"] = ((w["gap"] - 1).to_numpy()
+                          >> w["rice_k"].to_numpy())
+        rb = w.groupby("term", as_index=False)["rice_part"].sum()
+        out = agg.merge(rb, on="term")
+        out["rice_bits"] = (out["rice_part"]
+                            + out["df"] * (out["rice_k"] + 1))
+        return out[["term", "df", "gap_sum", "varint_bytes", "rice_k",
+                    "rice_bits"]].astype(
+            {c: "int64" for c in ("df", "gap_sum", "varint_bytes",
+                                  "rice_k", "rice_bits")})
+
+    return bucketed_group_apply(d, "term", per_term, 8)
+
+
+SQL_RICE_POSTINGS = _with(SQL_TOKS) + """,
+d AS (SELECT DISTINCT term, doc_id FROM toks),
+g AS (SELECT term, doc_id,
+             doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+                                                 ORDER BY doc_id),
+                               -1) AS gap
+      FROM d),
+a AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(gap) AS BIGINT) AS gap_sum,
+             CAST(sum((length(format('{:b}', gap)) + 6) // 7) AS BIGINT)
+               AS varint_bytes
+      FROM g GROUP BY term),
+k AS (SELECT *, CAST(length(format('{:b}', gap_sum // df)) - 1 AS BIGINT)
+               AS rice_k
+      FROM a)
+SELECT k.term, k.df, k.gap_sum, k.varint_bytes, k.rice_k,
+       CAST(sum((g.gap - 1) >> k.rice_k)
+            + k.df * (k.rice_k + 1) AS BIGINT) AS rice_bits
+FROM k JOIN g ON g.term = k.term
+GROUP BY k.term, k.df, k.gap_sum, k.varint_bytes, k.rice_k"""
+
+
+def q_phonetic_blocking(sf_dir: str) -> ray.data.Dataset:
+    """Phonetic blocking-key census for entity resolution: the key is
+    the first token of the lowercased part name reduced to its
+    consonant-prefix skeleton (first char + first 3 post-vowel-strip
+    chars of the remainder — a soundex-like, RE2-safe reduction that
+    both engines express identically).  Output per key: row count,
+    distinct first tokens (collision width), and distinct part keys —
+    the block-size profile that decides whether a pairwise ER pass is
+    affordable per block.  Per-batch (key, tok) combiner; one bounded
+    exchange."""
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                  columns=["p_partkey", "p_name"])
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        tok = df["p_name"].str.lower().str.split(" ").str[0]
+        pkey = tok.str[:1] + tok.str[1:].str.replace(
+            "[aeiouy]", "", regex=True).str[:3]
+        g = (pd.DataFrame({"pkey": pkey, "tok": tok})
+             .groupby(["pkey", "tok"], as_index=False)
+             .agg(n_rows=("tok", "size")))
+        return g
+
+    partial = parts.map_batches(keys, batch_format="pandas",
+                                batch_size=None)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("pkey", as_index=False).agg(
+            n_rows=("n_rows", "sum"), n_tokens=("tok", "nunique"))
+        return out.astype({"n_rows": "int64", "n_tokens": "int64"})
+
+    return bucketed_group_apply(partial, "pkey", fold, 4)
+
+
+SQL_PHONETIC_BLOCKING = """
+WITH t AS (SELECT lower(split_part(p_name, ' ', 1)) AS tok FROM part),
+k AS (SELECT tok, substr(tok, 1, 1) ||
+             substr(regexp_replace(substr(tok, 2), '[aeiouy]', '', 'g'),
+                    1, 3) AS pkey
+      FROM t)
+SELECT pkey, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens
+FROM k GROUP BY pkey"""
+
+
+#: cumulative Poisson(1) thresholds scaled to 2^60, floor'd — pasted as
+#: literals in BOTH engines so the draw k = #(thresholds <= u60) is the
+#: same integer everywhere (floats never cross the engine boundary)
+_POIS1_T = (424136118829305344, 848272237658610688, 1060340297073263360,
+            1131029650211480960, 1148701988496035328, 1152236456152946176,
+            1152825534095764608, 1152909688087595776, 1152920207336574720)
+
+
+def q_bootstrap_ci(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic Poisson bootstrap of mean order revenue: replicate
+    b in 0..15 draws each order with weight k ~ Poisson(1) via
+    u60 = md5(orderkey || '-' || b) compared against fixed integer
+    thresholds (the online-bootstrap trick — per-row independent draws,
+    no resampling shuffle needed).  Output per replicate: effective n,
+    weighted cent sum, and mean in milli-cents (truncated division).
+    The spread across replicates IS the CI.  Scale shape: per-batch
+    (b, n, s) combiner — 16 partial rows per batch, driver folds a
+    bounded ledger."""
+    from dug_ray.hashing import md5_u60
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_totalprice"])
+    ts = np.array(_POIS1_T, dtype=np.int64)
+
+    def draw(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["o_totalprice"] * 100).round().astype("int64").to_numpy()
+        keys = (df["o_orderkey"].astype(str) + "-").to_numpy()
+        rows = []
+        for b in range(16):
+            u = md5_u60(np.array([s + str(b) for s in keys]))
+            k = np.searchsorted(ts, u, side="right").astype(np.int64)
+            rows.append((b, int(k.sum()), int((k * cents).sum())))
+        return pd.DataFrame(rows, columns=["b", "n_eff", "sum_cents"])
+
+    parts = _collect_pd(
+        orders.map_batches(draw, batch_format="pandas", batch_size=None),
+        b="int64", n_eff="int64", sum_cents="int64")
+    out = parts.groupby("b", as_index=False).sum()
+    out["mean_milli"] = [
+        _tdiv(1000 * int(s), int(n)) if n else 0
+        for s, n in zip(out["sum_cents"], out["n_eff"])]
+    return ray.data.from_arrow(typed_table(
+        out, b=pa.int64(), n_eff=pa.int64(), sum_cents=pa.int64(),
+        mean_milli=pa.int64()))
+
+
+SQL_BOOTSTRAP_CI = """
+WITH reps AS (SELECT unnest(generate_series(0, 15)) AS b),
+u AS (SELECT r.b,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+                                      || '-' || CAST(r.b AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS u60
+      FROM orders o, reps r),
+k AS (SELECT b, cents,
+             CASE WHEN u60 < 424136118829305344 THEN 0
+                  WHEN u60 < 848272237658610688 THEN 1
+                  WHEN u60 < 1060340297073263360 THEN 2
+                  WHEN u60 < 1131029650211480960 THEN 3
+                  WHEN u60 < 1148701988496035328 THEN 4
+                  WHEN u60 < 1152236456152946176 THEN 5
+                  WHEN u60 < 1152825534095764608 THEN 6
+                  WHEN u60 < 1152909688087595776 THEN 7
+                  WHEN u60 < 1152920207336574720 THEN 8
+                  ELSE 9 END AS k
+      FROM u),
+a AS (SELECT b, CAST(sum(k) AS BIGINT) AS n_eff,
+             CAST(sum(k * cents) AS BIGINT) AS sum_cents
+      FROM k GROUP BY b)
+SELECT b, n_eff, sum_cents,
+       CASE WHEN n_eff = 0 THEN 0
+            ELSE CAST(1000 * sum_cents // n_eff AS BIGINT) END
+         AS mean_milli
+FROM a"""
+
+
+QUERIES.update({
+    "rice_postings": q_rice_postings,
+    "phonetic_blocking": q_phonetic_blocking,
+    "bootstrap_ci": q_bootstrap_ci,
+})
+ORACLES.update({
+    "rice_postings": SQL_RICE_POSTINGS,
+    "phonetic_blocking": SQL_PHONETIC_BLOCKING,
+    "bootstrap_ci": SQL_BOOTSTRAP_CI,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -17751,7 +17976,8 @@ _DRIVER_FRONT = [
     "curie_prefixes", "zone_map_prune", "eigencentrality",
     "calibration_bins", "kmv_union", "er_clusters", "winnowing",
     "weighted_reservoir", "cooc_modularity", "front_coding",
-    "dict_encoding",
+    "dict_encoding", "rice_postings", "phonetic_blocking",
+    "bootstrap_ci",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
