@@ -17901,6 +17901,349 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Term-frequency-spectrum statistics: Good-Turing, Chao1, Heaps' law,
+# BLEU-style clipped n-gram precision
+# ---------------------------------------------------------------------------
+
+
+def _term_count_partials(sf_dir: str) -> ray.data.Dataset:
+    """Per-batch (term, n) partial counts over the whitespace toks
+    contract — the map-side combiner shared by the spectrum queries
+    (only (term, partial-count) rows ever enter the exchange, never
+    raw token streams)."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        t = pa.table({"term": toks.flatten()})
+        g = t.group_by("term").aggregate([([], "count_all")])
+        return g.rename_columns(["term", "n"])
+
+    return docs.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def q_good_turing(sf_dir: str) -> ray.data.Dataset:
+    """Good-Turing frequency-of-frequency spectrum over corpus term
+    counts: for every observed frequency r, the species count N_r and
+    the Turing discount r* = (r+1) * N_{r+1} / N_r in integer milli
+    (0 where N_{r+1} is absent) — the smoothing ledger behind
+    Katz/Good-Turing LM backoff and unseen-mass estimates.  Scale
+    shape: per-batch term-count combiner, ONE term-bucketed exchange;
+    each bucket emits its own bounded (r, n_r) histogram, and the
+    driver folds only histograms (#distinct r rows, never terms).
+    Python-int arithmetic on the driver — 1000*(r+1)*N_{r+1} cannot
+    wrap where int64 would."""
+    partials = _term_count_partials(sf_dir)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.groupby("term")["n"].sum()
+        ff = f.value_counts()
+        return pd.DataFrame({"r": ff.index.astype("int64"),
+                             "n_r": ff.to_numpy().astype("int64")})
+
+    parts = _collect_pd(bucketed_group_apply(partials, "term",
+                                             per_bucket, 8),
+                        r="int64", n_r="int64")
+    ff = parts.groupby("r", as_index=False).sum().sort_values("r")
+    nr = {int(r): int(n) for r, n in zip(ff["r"], ff["n_r"])}
+    rows = [(r, n, (1000 * (r + 1) * nr.get(r + 1, 0)) // n)
+            for r, n in sorted(nr.items())]
+    out = pd.DataFrame(rows, columns=["r", "n_r", "r_star_milli"])
+    return ray.data.from_arrow(typed_table(
+        out, r=pa.int64(), n_r=pa.int64(), r_star_milli=pa.int64()))
+
+
+SQL_GOOD_TURING = _with(SQL_TOKS) + """,
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+ff AS (SELECT f AS r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY 1)
+SELECT ff.r, ff.n_r,
+       CAST(1000 * (ff.r + 1) * coalesce(f2.n_r, 0) // ff.n_r AS BIGINT)
+         AS r_star_milli
+FROM ff LEFT JOIN ff f2 ON f2.r = ff.r + 1"""
+
+
+def q_chao1_richness(sf_dir: str) -> ray.data.Dataset:
+    """Chao1 species-richness estimate of each source's vocabulary:
+    observed distinct terms D plus the bias-corrected singleton/
+    doubleton term f1*(f1-1) / (2*(f2+1)) — the ecology estimator
+    reused for "how much vocabulary has this crawl NOT seen yet".
+    Exact integer output.  Scale shape: per-batch (source, term, n)
+    combiner, one term-bucketed exchange (a term's global per-source
+    count is complete inside its bucket), bounded per-source partials
+    to the driver."""
+    docs = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy()
+        src = np.repeat(batch["source"].to_numpy(zero_copy_only=False), n)
+        t = pa.table({"source": pa.array(src, pa.string()),
+                      "term": toks.flatten()})
+        g = t.group_by(["source", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "term", "n"])
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.groupby(["source", "term"], as_index=False)["n"].sum()
+        out = f.groupby("source", as_index=False).agg(
+            n_types=("n", "size"),
+            f1=("n", lambda s: int((s == 1).sum())),
+            f2=("n", lambda s: int((s == 2).sum())))
+        return out.astype({"n_types": "int64", "f1": "int64",
+                           "f2": "int64"})
+
+    parts = _collect_pd(bucketed_group_apply(partials, "term",
+                                             per_bucket, 8),
+                        source="object", n_types="int64", f1="int64",
+                        f2="int64")
+    agg = parts.groupby("source", as_index=False).sum()
+    agg["chao1"] = [
+        int(d) + (int(a) * (int(a) - 1)) // (2 * (int(b) + 1))
+        for d, a, b in zip(agg["n_types"], agg["f1"], agg["f2"])]
+    return ray.data.from_arrow(typed_table(
+        agg, source=pa.string(), n_types=pa.int64(), f1=pa.int64(),
+        f2=pa.int64(), chao1=pa.int64()))
+
+
+SQL_CHAO1_RICHNESS = _with(SQL_TOKS) + """,
+tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS f
+       FROM toks GROUP BY 1, 2),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM tf GROUP BY 1)
+SELECT source, n_types, f1, f2,
+       CAST(n_types + f1 * (f1 - 1) // (2 * (f2 + 1)) AS BIGINT) AS chao1
+FROM a"""
+
+
+def q_heaps_law(sf_dir: str) -> ray.data.Dataset:
+    """Heaps'-law vocabulary-growth curve: docs are cut into ten
+    doc_id deciles; per decile, cumulative token count, cumulative
+    vocabulary (terms whose FIRST document falls at or before the
+    decile) and the running Heaps exponent beta = ln(V)/ln(N) in
+    floored milli (libm ln both engines, composed token-for-token
+    identically).  Scale shape: one cheap max(doc_id) pass, then a
+    token-decile combiner (<=10 rows per batch) plus a term-bucketed
+    min(doc_id) exchange whose buckets emit 10-row first-seen
+    histograms — the driver folds two bounded ledgers."""
+    import math
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    mx = int(docs.max("doc_id"))
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy().astype("int64")
+        d = (batch["doc_id"].to_numpy() * 10) // (mx + 1)
+        g = pd.DataFrame({"decile": d, "n_tok": n}).groupby(
+            "decile", as_index=False).sum()
+        return typed_table(g, decile=pa.int64(), n_tok=pa.int64())
+
+    tok_hist = _collect_pd(
+        docs.map_batches(tok_partial, batch_format="pyarrow",
+                         batch_size=None),
+        decile="int64", n_tok="int64").groupby(
+            "decile", as_index=False).sum()
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy()
+        doc = np.repeat(batch["doc_id"].to_numpy(), n)
+        t = pa.table({"term": toks.flatten(),
+                      "doc_id": pa.array(doc, pa.int64())})
+        return t.group_by("term").aggregate([("doc_id", "min")]) \
+                .rename_columns(["term", "fdoc"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.groupby("term")["fdoc"].min()
+        d = (f.to_numpy().astype("int64") * 10) // (mx + 1)
+        h = pd.Series(d).value_counts()
+        return pd.DataFrame({"decile": h.index.astype("int64"),
+                             "n_new": h.to_numpy().astype("int64")})
+
+    vocab_hist = _collect_pd(
+        bucketed_group_apply(
+            docs.map_batches(first_partial, batch_format="pyarrow",
+                             batch_size=None),
+            "term", per_bucket, 8),
+        decile="int64", n_new="int64").groupby(
+            "decile", as_index=False).sum()
+
+    tok_map = dict(zip(tok_hist["decile"], tok_hist["n_tok"]))
+    voc_map = dict(zip(vocab_hist["decile"], vocab_hist["n_new"]))
+    rows, cum_n, cum_v = [], 0, 0
+    for d in range(10):
+        cum_n += int(tok_map.get(d, 0))
+        cum_v += int(voc_map.get(d, 0))
+        if cum_n >= 2 and cum_v >= 1:
+            beta = math.floor(
+                1000 * math.log(float(cum_v)) / math.log(float(cum_n)))
+        else:
+            beta = 0
+        rows.append((d, cum_n, cum_v, beta))
+    out = pd.DataFrame(rows, columns=["decile", "cum_tokens",
+                                      "cum_vocab", "beta_milli"])
+    return ray.data.from_arrow(typed_table(
+        out, decile=pa.int64(), cum_tokens=pa.int64(),
+        cum_vocab=pa.int64(), beta_milli=pa.int64()))
+
+
+SQL_HEAPS_LAW = _with(SQL_TOKS) + """,
+mx AS (SELECT max(doc_id) AS m FROM documents),
+td AS (SELECT CAST(t.doc_id * 10 // (mx.m + 1) AS BIGINT) AS decile,
+              CAST(count(*) AS BIGINT) AS n_tok
+       FROM toks t, mx GROUP BY 1),
+fd AS (SELECT term, min(doc_id) AS fdoc FROM toks GROUP BY 1),
+vd AS (SELECT CAST(fd.fdoc * 10 // (mx.m + 1) AS BIGINT) AS decile,
+              CAST(count(*) AS BIGINT) AS n_new
+       FROM fd, mx GROUP BY 1),
+d AS (SELECT unnest(generate_series(0, 9)) AS decile),
+c AS (SELECT d.decile,
+             CAST(coalesce((SELECT sum(n_tok) FROM td
+                            WHERE td.decile <= d.decile), 0) AS BIGINT)
+               AS cum_tokens,
+             CAST(coalesce((SELECT sum(n_new) FROM vd
+                            WHERE vd.decile <= d.decile), 0) AS BIGINT)
+               AS cum_vocab
+      FROM d)
+SELECT decile, cum_tokens, cum_vocab,
+       CASE WHEN cum_tokens >= 2 AND cum_vocab >= 1
+            THEN CAST(floor(1000 * ln(CAST(cum_vocab AS DOUBLE))
+                            / ln(CAST(cum_tokens AS DOUBLE))) AS BIGINT)
+            ELSE 0 END AS beta_milli
+FROM c"""
+
+
+def q_bleu_precision(sf_dir: str) -> ray.data.Dataset:
+    """BLEU-style modified n-gram precision between every ordered pair
+    of sources (candidate vs reference corpus, n = 1 and 2): clipped
+    matches sum(min(count_cand(g), count_ref(g))), candidate gram
+    total, and precision in integer ppm — the corpus-overlap score a
+    decontamination / style-transfer audit reads.  Scale shape: the
+    gram is the ONLY exchange key; each gram's per-source counts
+    complete inside its bucket, so clipped sums reduce to per-bucket
+    (cand, ref, n) partials and source-level totals — the driver folds
+    ledgers bounded by sources^2, never grams."""
+    docs = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = df["text"].str.split(" ")
+        ex = df[["source"]].assign(g=toks).explode("g")
+        idx = pd.Series(ex.index)
+        same = (idx.shift(-1) == idx).to_numpy()
+        nxt = ex["g"].shift(-1)
+        uni = ex.groupby(["source", "g"], as_index=False).size() \
+                .rename(columns={"size": "c"})
+        uni["n"] = 1
+        bg = pd.DataFrame({
+            "source": ex["source"].to_numpy()[same],
+            "g": (ex["g"].to_numpy()[same].astype(object)
+                  + " " + nxt.to_numpy()[same].astype(object))})
+        big = bg.groupby(["source", "g"], as_index=False).size() \
+                .rename(columns={"size": "c"})
+        big["n"] = 2
+        out = pd.concat([uni, big], ignore_index=True)
+        return typed_table(out, source=pa.string(), g=pa.string(),
+                           c=pa.int64(), n=pa.int64())
+
+    partials = docs.map_batches(grams, batch_format="pyarrow",
+                                batch_size=None)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby(["source", "g", "n"], as_index=False)["c"].sum()
+        m = cnt.merge(cnt, on=["g", "n"], suffixes=("_a", "_b"))
+        m = m[m["source_a"] != m["source_b"]]
+        m["clipped"] = np.minimum(m["c_a"], m["c_b"])
+        clip = m.groupby(["source_a", "source_b", "n"],
+                         as_index=False)["clipped"].sum() \
+                .rename(columns={"source_a": "cand",
+                                 "source_b": "ref", "clipped": "val"})
+        clip["kind"] = "clip"
+        tot = cnt.groupby(["source", "n"], as_index=False)["c"].sum() \
+                 .rename(columns={"source": "cand", "c": "val"})
+        tot["ref"] = ""
+        tot["kind"] = "tot"
+        out = pd.concat([clip, tot[["cand", "ref", "n", "val", "kind"]]],
+                        ignore_index=True)
+        return out.astype({"n": "int64", "val": "int64"})
+
+    parts = _collect_pd(bucketed_group_apply(partials, "g",
+                                             per_bucket, 8),
+                        cand="object", ref="object", n="int64",
+                        val="int64", kind="object")
+    tot = parts[parts["kind"] == "tot"].groupby(
+        ["cand", "n"], as_index=False)["val"].sum()
+    clip = parts[parts["kind"] == "clip"].groupby(
+        ["cand", "ref", "n"], as_index=False)["val"].sum()
+    clip_map = {(c, r, int(n)): int(v) for c, r, n, v in
+                zip(clip["cand"], clip["ref"], clip["n"], clip["val"])}
+    sources = sorted(set(tot["cand"]))
+    rows = []
+    for cand, n, total in zip(tot["cand"], tot["n"], tot["val"]):
+        for ref in sources:
+            if ref == cand:
+                continue
+            cl = clip_map.get((cand, ref, int(n)), 0)
+            rows.append((cand, ref, int(n), cl, int(total),
+                         (1_000_000 * cl) // int(total)))
+    out = pd.DataFrame(rows, columns=["cand", "ref", "n", "clipped",
+                                      "total_cand", "prec_ppm"])
+    return ray.data.from_arrow(typed_table(
+        out, cand=pa.string(), ref=pa.string(), n=pa.int64(),
+        clipped=pa.int64(), total_cand=pa.int64(), prec_ppm=pa.int64()))
+
+
+SQL_BLEU_PRECISION = _with(SQL_TOKS) + """,
+u AS (SELECT source, term AS g, CAST(1 AS BIGINT) AS n FROM toks),
+b AS (SELECT a.source, a.term || ' ' || c.term AS g, CAST(2 AS BIGINT) AS n
+      FROM toks a JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1),
+g AS (SELECT * FROM u UNION ALL SELECT * FROM b),
+cnt AS (SELECT source, g, n, CAST(count(*) AS BIGINT) AS c
+        FROM g GROUP BY 1, 2, 3),
+tot AS (SELECT source, n, CAST(sum(c) AS BIGINT) AS total
+        FROM cnt GROUP BY 1, 2),
+srcs AS (SELECT DISTINCT source FROM documents),
+clip AS (SELECT a.source AS cand, b.source AS ref, a.n,
+                CAST(sum(LEAST(a.c, b.c)) AS BIGINT) AS clipped
+         FROM cnt a JOIN cnt b ON a.g = b.g AND a.n = b.n
+                                AND a.source <> b.source
+         GROUP BY 1, 2, 3)
+SELECT t.source AS cand, s.source AS ref, t.n,
+       coalesce(cl.clipped, 0) AS clipped, t.total AS total_cand,
+       CAST(1000000 * coalesce(cl.clipped, 0) // t.total AS BIGINT)
+         AS prec_ppm
+FROM tot t JOIN srcs s ON s.source <> t.source
+LEFT JOIN clip cl ON cl.cand = t.source AND cl.ref = s.source
+                  AND cl.n = t.n"""
+
+
+QUERIES.update({
+    "good_turing": q_good_turing,
+    "chao1_richness": q_chao1_richness,
+    "heaps_law": q_heaps_law,
+    "bleu_precision": q_bleu_precision,
+})
+ORACLES.update({
+    "good_turing": SQL_GOOD_TURING,
+    "chao1_richness": SQL_CHAO1_RICHNESS,
+    "heaps_law": SQL_HEAPS_LAW,
+    "bleu_precision": SQL_BLEU_PRECISION,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -17977,7 +18320,8 @@ _DRIVER_FRONT = [
     "calibration_bins", "kmv_union", "er_clusters", "winnowing",
     "weighted_reservoir", "cooc_modularity", "front_coding",
     "dict_encoding", "rice_postings", "phonetic_blocking",
-    "bootstrap_ci",
+    "bootstrap_ci", "good_turing", "chao1_richness", "heaps_law",
+    "bleu_precision",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
