@@ -18244,6 +18244,351 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Weisfeiler-Lehman refinement, Elias code audit, MASE forecast error,
+# Fellegi-Sunter linkage-weight census
+# ---------------------------------------------------------------------------
+
+
+def q_wl_labels(sf_dir: str) -> ray.data.Dataset:
+    """Two rounds of Weisfeiler-Lehman color refinement over the concept
+    co-annotation graph, reported as the final label census (label,
+    n_nodes) — the structural-equivalence fingerprint behind WL graph
+    kernels and GNN expressiveness tests.  label_0 = degree as string;
+    label_{k+1} = md5(own || '|' || sorted neighbor labels joined by
+    ',') with the md5 bridged bit-exactly (hashlib == DuckDB md5).
+    Scale shape: fully distributed — per round one partitioned hash
+    join (neighbor label lookup) plus one node-bucketed re-label; the
+    census folds per-bucket label partials, so nothing node- or
+    edge-sized ever lands on the driver."""
+    import hashlib
+
+    from dug_ray.shuffle import distinct_rows, hash_join
+    from dug_ray.stages.graph import concept_cooccurrence
+
+    linked = kg.linked_mentions_cached(sf_dir)
+    dm = distinct_rows(
+        linked.select_columns(["element_id", "canonical_curie"]),
+        ["element_id", "canonical_curie"], 8).materialize()
+    cooc = concept_cooccurrence(linked, 8, distinct_mentions=dm) \
+        .materialize()
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = pa.table({"node": batch["subj"], "nb": batch["obj"]})
+        b = pa.table({"node": batch["obj"], "nb": batch["subj"]})
+        return pa.concat_tables([a, b])
+
+    sym = cooc.map_batches(symmetrize, batch_format="pyarrow",
+                           batch_size=None).materialize()
+
+    # label_0 = degree (isolated concepts -> 0), as a string label
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("node").aggregate([([], "count_all")])
+        return g.rename_columns(["gnode", "c"])
+
+    deg_parts = _collect_pd(sym.map_batches(
+        deg_partial, batch_format="pyarrow", batch_size=None),
+        gnode="object", c="int64")
+    # the node set is ontology-bounded (one row per canonical concept) —
+    # the same documented bounded-broadcast class as the PMI marginals
+    node_df = distinct_rows(dm.select_columns(["canonical_curie"]),
+                            ["canonical_curie"], 8).to_pandas()
+    deg = deg_parts.groupby("gnode")["c"].sum() if len(deg_parts) else {}
+    lab0 = pd.DataFrame({
+        "node": node_df["canonical_curie"],
+        "lab": [str(int(deg.get(n, 0)))
+                for n in node_df["canonical_curie"]]})
+    labels = ray.data.from_arrow(typed_table(
+        lab0, node=pa.string(), lab=pa.string()))
+
+    def relabel(df: pd.DataFrame) -> pd.DataFrame:
+        own = df[df["kind"] == "s"].set_index("node")["lab"]
+        nbl = df[df["kind"] == "n"].sort_values(["node", "lab"]) \
+            .groupby("node")["lab"].agg(",".join)
+        sig = own + "|" + nbl.reindex(own.index, fill_value="")
+        return pd.DataFrame({
+            "node": sig.index,
+            "lab": [hashlib.md5(s.encode()).hexdigest() for s in sig]})
+
+    for _ in range(2):
+        rl = labels.map_batches(
+            lambda b: pa.table({"lnode": b["node"], "nlab": b["lab"]}),
+            batch_format="pyarrow", batch_size=None)
+        nb_lab = hash_join(sym, rl, "nb", "lnode", 8)
+        selfd = labels.map_batches(
+            lambda b: pa.table({
+                "node": b["node"], "lab": b["lab"],
+                "kind": pa.array(["s"] * len(b))}),
+            batch_format="pyarrow", batch_size=None)
+        nbd = nb_lab.map_batches(
+            lambda b: pa.table({
+                "node": b["node"], "lab": b["nlab"],
+                "kind": pa.array(["n"] * len(b))}),
+            batch_format="pyarrow", batch_size=None)
+        labels = bucketed_group_apply(selfd.union(nbd), "node",
+                                      relabel, 8).materialize()
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lab", as_index=False).size() \
+            .rename(columns={"lab": "label", "size": "n_nodes"})
+        return out.astype({"n_nodes": "int64"})
+
+    parts = _collect_pd(bucketed_group_apply(labels, "lab", census, 8),
+                        label="object", n_nodes="int64")
+    out = parts.groupby("label", as_index=False)["n_nodes"].sum()
+    return ray.data.from_arrow(typed_table(
+        out, label=pa.string(), n_nodes=pa.int64()))
+
+
+SQL_WL_LABELS = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+cooc AS MATERIALIZED (
+  SELECT a.canonical_curie AS s, b.canonical_curie AS o
+  FROM dm a JOIN dm b USING (element_id)
+  WHERE a.canonical_curie < b.canonical_curie
+  GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT canonical_curie AS node FROM dm),
+sym AS (SELECT s AS node, o AS nb FROM cooc
+        UNION ALL SELECT o AS node, s AS nb FROM cooc),
+dg AS (SELECT n.node, CAST(coalesce(c.c, 0) AS BIGINT) AS d
+       FROM nodes n LEFT JOIN (SELECT node, count(*) AS c FROM sym
+                               GROUP BY 1) c USING (node)),
+l0 AS (SELECT node, CAST(d AS VARCHAR) AS lab FROM dg),
+l1 AS (SELECT l.node,
+              md5(l.lab || '|' ||
+                  coalesce(string_agg(n2.lab, ',' ORDER BY n2.lab), ''))
+                AS lab
+       FROM l0 l LEFT JOIN sym s ON s.node = l.node
+                 LEFT JOIN l0 n2 ON n2.node = s.nb
+       GROUP BY l.node, l.lab),
+l2 AS (SELECT l.node,
+              md5(l.lab || '|' ||
+                  coalesce(string_agg(n2.lab, ',' ORDER BY n2.lab), ''))
+                AS lab
+       FROM l1 l LEFT JOIN sym s ON s.node = l.node
+                 LEFT JOIN l1 n2 ON n2.node = s.nb
+       GROUP BY l.node, l.lab)
+SELECT lab AS label, CAST(count(*) AS BIGINT) AS n_nodes
+FROM l2 GROUP BY 1"""
+
+
+def q_elias_codes(sf_dir: str) -> ray.data.Dataset:
+    """Elias gamma/delta code-size audit of per-user event-timestamp
+    d-gaps (the universal-code sibling of rice_postings' Golomb
+    audit): per user with >= 2 events, gaps g = us-diff + 1 over (ts,
+    event_id) order; gamma bits = 2*bitlen(g) - 1, delta bits =
+    bitlen(g) + 2*bitlen(bitlen(g)) - 2, vs the 64-bit fixed baseline.
+    Exact integer bit lengths via the power-of-two ladder (no float
+    log2 boundary risk).  One user-bucketed exchange, vectorized fold."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        uid = df["user_id"].to_numpy()
+        d1 = us.groupby(uid).diff()
+        keep = d1.notna()
+        g = (d1[keep] + 1).astype("int64").to_numpy()
+        bl = _bitlen(g)
+        w = pd.DataFrame({"user_id": df["user_id"][keep],
+                          "gap": g,
+                          "gamma": 2 * bl - 1,
+                          "delta": bl + 2 * _bitlen(bl) - 2})
+        out = w.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), gap_sum=("gap", "sum"),
+            gamma_bits=("gamma", "sum"), delta_bits=("delta", "sum"))
+        out["fixed_bits"] = 64 * out["n_gaps"]
+        return typed_table(out, user_id=pa.int64(), n_gaps=pa.int64(),
+                           gap_sum=pa.int64(), gamma_bits=pa.int64(),
+                           delta_bits=pa.int64(), fixed_bits=pa.int64())
+
+    return bucketed_group_apply(ds, "user_id", per_bucket, 16)
+
+
+SQL_ELIAS_CODES = """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT)
+           - lag(CAST(epoch_us(ts) AS BIGINT), 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) + 1 AS g
+  FROM events),
+b AS (SELECT user_id, g,
+             CAST(length(format('{:b}', g)) AS BIGINT) AS bl
+      FROM e WHERE g IS NOT NULL)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(g) AS BIGINT) AS gap_sum,
+       CAST(sum(2 * bl - 1) AS BIGINT) AS gamma_bits,
+       CAST(sum(bl + 2 * length(format('{:b}', bl)) - 2) AS BIGINT)
+         AS delta_bits,
+       CAST(64 * count(*) AS BIGINT) AS fixed_bits
+FROM b GROUP BY user_id"""
+
+
+def q_mase_forecast(sf_dir: str) -> ray.data.Dataset:
+    """MASE (mean absolute scaled error) of the seasonal-naive weekly
+    forecast over the zero-filled daily revenue spine: numerator =
+    sum |y_t - y_{t-7}|, denominator = sum |y_t - y_{t-1}| over the
+    same scored window (t >= day 8) — the scale-free forecast-quality
+    ratio in integer ppm.  The corpus-sized work is the distributed
+    daily fold (_daily_revenue_cents); the spine compare is
+    calendar-bounded driver arithmetic in Python ints."""
+    daily = _daily_revenue_cents(sf_dir)
+    lo, hi = int(daily["d"].min()), int(daily["d"].max())
+    spine = {int(d): int(c) for d, c in zip(daily["d"], daily["cents"])}
+    y = [spine.get(d, 0) for d in range(lo, hi + 1)]
+    num = sum(abs(y[t] - y[t - 7]) for t in range(7, len(y)))
+    den = sum(abs(y[t] - y[t - 1]) for t in range(7, len(y)))
+    n_days = max(0, len(y) - 7)
+    out = pd.DataFrame({
+        "n_days": [n_days], "sum_abs_seasonal": [num],
+        "sum_abs_naive": [den],
+        "mase_ppm": [(1_000_000 * num) // den if den else 0]})
+    return ray.data.from_arrow(typed_table(
+        out, n_days=pa.int64(), sum_abs_seasonal=pa.int64(),
+        sum_abs_naive=pa.int64(), mase_ppm=pa.int64()))
+
+
+SQL_MASE_FORECAST = f"""
+WITH r AS ({_SQL_DAILY_REVENUE}),
+mx AS (SELECT min(d) AS lo, max(d) AS hi FROM r),
+sp AS (SELECT unnest(generate_series(mx.lo, mx.hi)) AS d FROM mx),
+y AS (SELECT sp.d, CAST(coalesce(r.cents, 0) AS BIGINT) AS y
+      FROM sp LEFT JOIN r USING (d)),
+l AS (SELECT d, y, lag(y, 1) OVER (ORDER BY d) AS y1,
+             lag(y, 7) OVER (ORDER BY d) AS y7
+      FROM y),
+s AS (SELECT * FROM l WHERE y7 IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(coalesce(sum(abs(y - y7)), 0) AS BIGINT) AS sum_abs_seasonal,
+       CAST(coalesce(sum(abs(y - y1)), 0) AS BIGINT) AS sum_abs_naive,
+       CASE WHEN coalesce(sum(abs(y - y1)), 0) = 0 THEN 0
+            ELSE CAST(1000000 * sum(abs(y - y7)) // sum(abs(y - y1))
+                      AS BIGINT) END AS mase_ppm
+FROM s"""
+
+
+#: Fellegi-Sunter field weights in integer micro-nats — floor(1e6 *
+#: ln(m/u)) / floor(1e6 * ln((1-m)/(1-u))) for (m, u) = brand (0.9,
+#: 0.04), type (0.8, 0.025), size (0.85, 0.02).  Pasted as literals in
+#: BOTH engines so no log is ever taken at runtime.
+_FS_W = {"brand": (3113515, -2261764),
+         "type": (3465735, -1584121),
+         "size": (3749504, -1876918)}
+
+
+def q_fellegi_sunter(sf_dir: str) -> ray.data.Dataset:
+    """Fellegi-Sunter record-linkage weight census over blocked part
+    pairs: blocks = first p_name token; fields = brand / type / size
+    equality; every pair's match weight is the sum of fixed integer
+    micro-nat field weights (_FS_W), so pairs collapse to the 8
+    agreement-pattern rows.  Scale shape: NO pair enumeration — per
+    block, pattern counts come from group-size combinatorics
+    (inclusion-exclusion over the 8 field subsets: A_T = sum C(n,2)
+    of the block's T-key groups, then Moebius down-correction), one
+    block-bucketed exchange, 8-row driver ledger."""
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size"])
+
+    FIELDS = ("p_brand", "p_type", "p_size")
+    SUBSETS = [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
+
+    def block_key(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["blk"] = df["p_name"].str.lower().str.split(" ").str[0]
+        return typed_table(df[["blk", "p_brand", "p_type", "p_size"]],
+                           blk=pa.string(), p_brand=pa.string(),
+                           p_type=pa.string(), p_size=pa.int64())
+
+    keyed = parts.map_batches(block_key, batch_format="pyarrow",
+                              batch_size=None)
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for blk, g in df.groupby("blk"):
+            a = {}
+            for sub in SUBSETS:
+                cols = [FIELDS[i] for i in range(3) if sub[i]]
+                if cols:
+                    sizes = g.groupby(cols).size().to_numpy()
+                else:
+                    sizes = np.array([len(g)])
+                a[sub] = int((sizes * (sizes - 1) // 2).sum())
+            exact = {}
+            for sub in sorted(SUBSETS, key=sum, reverse=True):
+                over = sum(exact[t] for t in SUBSETS
+                           if t != sub and all(
+                               t[i] >= sub[i] for i in range(3)))
+                exact[sub] = a[sub] - over
+            for sub, n in exact.items():
+                if n:
+                    rows.append((*sub, n))
+        return pd.DataFrame(rows, columns=[
+            "agree_brand", "agree_type", "agree_size", "n_pairs"]) \
+            .astype("int64")
+
+    parts_df = _collect_pd(bucketed_group_apply(keyed, "blk",
+                                                per_block, 8),
+                           agree_brand="int64", agree_type="int64",
+                           agree_size="int64", n_pairs="int64")
+    agg = parts_df.groupby(["agree_brand", "agree_type", "agree_size"],
+                           as_index=False)["n_pairs"].sum()
+    w = [_FS_W["brand"], _FS_W["type"], _FS_W["size"]]
+    agg["weight_micro"] = [
+        sum(w[i][0] if f else w[i][1]
+            for i, f in enumerate((b, t, s)))
+        for b, t, s in zip(agg["agree_brand"], agg["agree_type"],
+                           agg["agree_size"])]
+    return ray.data.from_arrow(typed_table(
+        agg, agree_brand=pa.int64(), agree_type=pa.int64(),
+        agree_size=pa.int64(), n_pairs=pa.int64(),
+        weight_micro=pa.int64()))
+
+
+SQL_FELLEGI_SUNTER = f"""
+WITH p AS (SELECT p_partkey, lower(split_part(p_name, ' ', 1)) AS blk,
+                  p_brand, p_type, p_size
+           FROM part),
+pr AS (SELECT CAST(CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END
+                   AS BIGINT) AS agree_brand,
+              CAST(CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END
+                   AS BIGINT) AS agree_type,
+              CAST(CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END
+                   AS BIGINT) AS agree_size
+       FROM p a JOIN p b ON a.blk = b.blk
+                         AND a.p_partkey < b.p_partkey)
+SELECT agree_brand, agree_type, agree_size,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(agree_brand * ({_FS_W['brand'][0]})
+            + (1 - agree_brand) * ({_FS_W['brand'][1]})
+            + agree_type * ({_FS_W['type'][0]})
+            + (1 - agree_type) * ({_FS_W['type'][1]})
+            + agree_size * ({_FS_W['size'][0]})
+            + (1 - agree_size) * ({_FS_W['size'][1]}) AS BIGINT)
+         AS weight_micro
+FROM pr GROUP BY 1, 2, 3"""
+
+
+QUERIES.update({
+    "wl_labels": q_wl_labels,
+    "elias_codes": q_elias_codes,
+    "mase_forecast": q_mase_forecast,
+    "fellegi_sunter": q_fellegi_sunter,
+})
+ORACLES.update({
+    "wl_labels": SQL_WL_LABELS,
+    "elias_codes": SQL_ELIAS_CODES,
+    "mase_forecast": SQL_MASE_FORECAST,
+    "fellegi_sunter": SQL_FELLEGI_SUNTER,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -18321,7 +18666,8 @@ _DRIVER_FRONT = [
     "weighted_reservoir", "cooc_modularity", "front_coding",
     "dict_encoding", "rice_postings", "phonetic_blocking",
     "bootstrap_ci", "good_turing", "chao1_richness", "heaps_law",
-    "bleu_precision",
+    "bleu_precision", "wl_labels", "elias_codes", "mase_forecast",
+    "fellegi_sunter",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
