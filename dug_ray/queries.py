@@ -18589,6 +18589,368 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Cross-source LM cross-entropy, physical-sortedness audit, rich-club
+# coefficient
+# ---------------------------------------------------------------------------
+
+
+def q_lm_crossent(sf_dir: str) -> ray.data.Dataset:
+    """Cross-source bigram-LM cross-entropy: train an add-1-smoothed
+    bigram model on each source, evaluate every OTHER source's bigram
+    stream under it — per (train, eval) pair the eval bigram count and
+    total/mean surprisal floor(1e6 * ln((c_train(prev)+V_train) /
+    (c_train(prev,next)+1))) in integer micro-nats (the domain-shift
+    score a mixture curator reads; low = stylistically close).  Scale
+    shape: prev is the ONLY exchange key — a prev bucket holds every
+    source's counts for its prevs, so matched bigrams reduce in-bucket
+    and UNMATCHED eval mass collapses to one shared per-(train, prev)
+    surprisal times a count difference (never a sources x bigrams
+    cross join).  One libm ln per distinct (num, den) ratio; the
+    driver folds a sources^2 ledger."""
+    import math
+
+    from dug_ray.shuffle import distinct_rows
+
+    docs = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = df["text"].str.split(" ")
+        ex = df[["source"]].assign(g=toks).explode("g")
+        idx = pd.Series(ex.index)
+        same = (idx.shift(-1) == idx).to_numpy()
+        nxt = ex["g"].shift(-1)
+        bg = pd.DataFrame({
+            "source": ex["source"].to_numpy()[same],
+            "prev": ex["g"].to_numpy()[same],
+            "nxt": nxt.to_numpy()[same]})
+        out = bg.groupby(["source", "prev", "nxt"], as_index=False) \
+                .size().rename(columns={"size": "c"})
+        return typed_table(out, source=pa.string(), prev=pa.string(),
+                           nxt=pa.string(), c=pa.int64())
+
+    partials = docs.map_batches(bigram_partial, batch_format="pyarrow",
+                                batch_size=None)
+
+    # per-source vocabulary size (add-1 denominator), a bounded ledger
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy()
+        src = np.repeat(batch["source"].to_numpy(zero_copy_only=False), n)
+        t = pa.table({"source": pa.array(src, pa.string()),
+                      "term": toks.flatten()})
+        return t.group_by(["source", "term"]).aggregate([])
+
+    vocab = _collect_pd(
+        bucketed_group_apply(
+            docs.map_batches(vocab_partial, batch_format="pyarrow",
+                             batch_size=None),
+            "term",
+            lambda df: df.drop_duplicates()
+                         .groupby("source", as_index=False)
+                         .size().rename(columns={"size": "v"}),
+            8),
+        source="object", v="int64").groupby("source",
+                                            as_index=False)["v"].sum()
+    V = {s: int(v) for s, v in zip(vocab["source"], vocab["v"])}
+    sources = sorted(V)
+
+    def _surprisal(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+        # one libm ln per distinct (num, den) — the tfidf discipline;
+        # composed as ln(num/den) exactly like the SQL expression
+        key = num.astype("float64") / den.astype("float64")
+        uniq, inv = np.unique(key, return_inverse=True)
+        vals = np.fromiter(
+            (math.floor(1_000_000 * math.log(x)) for x in uniq),
+            dtype=np.int64, count=len(uniq))
+        return vals[inv]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby(["source", "prev", "nxt"],
+                         as_index=False)["c"].sum()
+        ptot = cnt.groupby(["source", "prev"], as_index=False)["c"] \
+                  .sum().rename(columns={"c": "tot"})
+        rows = []
+        for a in sources:
+            ta = ptot[ptot["source"] == a][["prev", "tot"]]
+            ca = cnt[cnt["source"] == a][["prev", "nxt", "c"]] \
+                .rename(columns={"c": "cbg"})
+            va = V[a]
+            ev = cnt[cnt["source"] != a]
+            # matched eval bigrams: exact (cap, cbg) surprisal
+            m = ev.merge(ca, on=["prev", "nxt"], how="inner") \
+                  .merge(ta, on="prev", how="left")
+            m["tot"] = m["tot"].fillna(0).astype("int64")
+            if len(m):
+                m["sp"] = _surprisal(
+                    (m["tot"] + va).to_numpy(),
+                    (m["cbg"] + 1).to_numpy())
+                m["mass"] = m["c"] * m["sp"]
+            # unmatched mass shares one per-(eval-prev) baseline
+            eb = ev.groupby(["source", "prev"], as_index=False)["c"] \
+                   .sum().rename(columns={"c": "nb"})
+            mb = m.groupby(["source", "prev"], as_index=False)["c"] \
+                  .sum().rename(columns={"c": "nm"}) if len(m) else \
+                pd.DataFrame({"source": pd.Series(dtype=object),
+                              "prev": pd.Series(dtype=object),
+                              "nm": pd.Series(dtype="int64")})
+            u = eb.merge(mb, on=["source", "prev"], how="left")
+            u["nm"] = u["nm"].fillna(0).astype("int64")
+            u = u.merge(ta, on="prev", how="left")
+            u["tot"] = u["tot"].fillna(0).astype("int64")
+            u["sp0"] = _surprisal((u["tot"] + va).to_numpy(),
+                                  np.ones(len(u), dtype="int64"))
+            u["mass0"] = (u["nb"] - u["nm"]) * u["sp0"]
+            g = u.groupby("source", as_index=False).agg(
+                n=("nb", "sum"), m0=("mass0", "sum"))
+            gm = m.groupby("source", as_index=False)["mass"].sum() \
+                if len(m) else pd.DataFrame(
+                    {"source": pd.Series(dtype=object),
+                     "mass": pd.Series(dtype="int64")})
+            g = g.merge(gm, on="source", how="left")
+            g["mass"] = g["mass"].fillna(0).astype("int64")
+            for s, n, m0, ms in zip(g["source"], g["n"], g["m0"],
+                                    g["mass"]):
+                rows.append((a, s, int(n), int(m0) + int(ms)))
+        return pd.DataFrame(rows, columns=["train_src", "eval_src",
+                                           "n_bigrams", "total_micro"])
+
+    parts = _collect_pd(bucketed_group_apply(partials, "prev",
+                                             per_bucket, 8),
+                        train_src="object", eval_src="object",
+                        n_bigrams="int64", total_micro="int64")
+    agg = parts.groupby(["train_src", "eval_src"], as_index=False).sum()
+    agg["mean_micro"] = [int(t) // int(n) if n else 0
+                         for t, n in zip(agg["total_micro"],
+                                         agg["n_bigrams"])]
+    return ray.data.from_arrow(typed_table(
+        agg, train_src=pa.string(), eval_src=pa.string(),
+        n_bigrams=pa.int64(), total_micro=pa.int64(),
+        mean_micro=pa.int64()))
+
+
+SQL_LM_CROSSENT = _with(SQL_TOKS) + """,
+bg AS (SELECT a.source, a.term AS prev, c.term AS nxt
+       FROM toks a JOIN toks c ON a.doc_id = c.doc_id
+                               AND c.pos = a.pos + 1),
+cnt AS (SELECT source, prev, nxt, CAST(count(*) AS BIGINT) AS c
+        FROM bg GROUP BY 1, 2, 3),
+ptot AS (SELECT source, prev, CAST(sum(c) AS BIGINT) AS tot
+         FROM cnt GROUP BY 1, 2),
+v AS (SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS v
+      FROM toks GROUP BY 1),
+x AS (SELECT s.source AS train_src, e.source AS eval_src, e.c AS cb,
+             coalesce(tc.c, 0) AS cbg, coalesce(tp.tot, 0) AS cap,
+             s.v AS va
+      FROM cnt e JOIN v s ON s.source <> e.source
+      LEFT JOIN cnt tc ON tc.source = s.source AND tc.prev = e.prev
+                       AND tc.nxt = e.nxt
+      LEFT JOIN ptot tp ON tp.source = s.source AND tp.prev = e.prev)
+SELECT train_src, eval_src, CAST(sum(cb) AS BIGINT) AS n_bigrams,
+       CAST(sum(cb * CAST(floor(1000000 * ln(CAST(cap + va AS DOUBLE)
+                                             / CAST(cbg + 1 AS DOUBLE)))
+                          AS BIGINT)) AS BIGINT) AS total_micro,
+       CAST(sum(cb * CAST(floor(1000000 * ln(CAST(cap + va AS DOUBLE)
+                                             / CAST(cbg + 1 AS DOUBLE)))
+                          AS BIGINT)) // sum(cb) AS BIGINT) AS mean_micro
+FROM x GROUP BY 1, 2"""
+
+
+def q_sortedness_audit(sf_dir: str) -> ray.data.Dataset:
+    """Physical-order audit: is the orders table date-sorted in
+    o_orderkey order?  Per orderkey decile: rows, adjacent pairs
+    (a pair belongs to its LEFT row's decile), date descents, and the
+    sorted fraction in ppm — the layout signal that decides whether a
+    merge path can skip a sort (the zone_map_prune sibling for ORDER,
+    not range).  Scale shape: pairs inside a decile are local to its
+    bucket task (sort within bucket); the ONLY cross-bucket pairs are
+    the <=9 decile boundaries, stitched from each bucket's bounded
+    (first, last) summary rows on the driver."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"])
+    mx = int(orders.max("o_orderkey"))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = df["o_orderdate"].astype("datetime64[us]") \
+            .astype("int64") // 86_400_000_000
+        k = df["o_orderkey"].astype("int64")
+        return typed_table(
+            pd.DataFrame({"decile": (k * 10) // (mx + 1),
+                          "k": k, "day": day}),
+            decile=pa.int64(), k=pa.int64(), day=pa.int64())
+
+    def per_decile(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for dec, g in df.groupby("decile"):
+            g = g.sort_values("k")
+            day = g["day"].to_numpy()
+            desc = int((day[1:] < day[:-1]).sum())
+            rows.append((int(dec), len(g), len(g) - 1, desc,
+                         int(day[0]), int(day[-1])))
+        return pd.DataFrame(rows, columns=[
+            "decile", "n_rows", "n_pairs", "n_descents",
+            "first_day", "last_day"]).astype("int64")
+
+    parts = _collect_pd(
+        bucketed_group_apply(
+            orders.map_batches(keyed, batch_format="pyarrow",
+                               batch_size=None),
+            "decile", per_decile, 8),
+        decile="int64", n_rows="int64", n_pairs="int64",
+        n_descents="int64", first_day="int64", last_day="int64") \
+        .sort_values("decile").reset_index(drop=True)
+
+    # stitch boundary pairs: (last of d_i, first of d_{i+1}) -> d_i
+    for i in range(len(parts) - 1):
+        parts.loc[i, "n_pairs"] += 1
+        if parts.loc[i + 1, "first_day"] < parts.loc[i, "last_day"]:
+            parts.loc[i, "n_descents"] += 1
+    parts["sorted_ppm"] = [
+        1_000_000 if p == 0
+        else (1_000_000 * (int(p) - int(dd))) // int(p)
+        for p, dd in zip(parts["n_pairs"], parts["n_descents"])]
+    out = parts[["decile", "n_rows", "n_pairs", "n_descents",
+                 "sorted_ppm"]]
+    return ray.data.from_arrow(typed_table(
+        out, decile=pa.int64(), n_rows=pa.int64(), n_pairs=pa.int64(),
+        n_descents=pa.int64(), sorted_ppm=pa.int64()))
+
+
+SQL_SORTEDNESS_AUDIT = """
+WITH o AS (SELECT o_orderkey AS k,
+                  CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                       AS BIGINT) // 86400000000 AS day
+           FROM orders),
+mx AS (SELECT max(k) AS m FROM o),
+l AS (SELECT CAST(o.k * 10 // (mx.m + 1) AS BIGINT) AS decile, o.day,
+             lead(o.day) OVER (ORDER BY o.k) AS nday
+      FROM o, mx),
+p AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(nday) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN nday < day THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_descents
+      FROM l GROUP BY 1)
+SELECT decile, n_rows, n_pairs, n_descents,
+       CASE WHEN n_pairs = 0 THEN 1000000
+            ELSE CAST(1000000 * (n_pairs - n_descents) // n_pairs
+                      AS BIGINT) END AS sorted_ppm
+FROM p"""
+
+
+def q_rich_club(sf_dir: str) -> ray.data.Dataset:
+    """Rich-club coefficient curve of the concept co-annotation graph:
+    for k in {0} + distinct degrees, phi(k) = 2*E_k / (N_k*(N_k-1)) in
+    ppm, where N_k = nodes with degree > k and E_k = edges with BOTH
+    endpoints above k — do the hubs co-annotate each other more than
+    chance (the KG-skew signal canonicalize's salting plans against).
+    Scale shape: the degree census is ontology-bounded (broadcast once,
+    ray.put-style closure); each edge batch folds to a min-endpoint-
+    degree HISTOGRAM, so E_k is a cumulative sum over a bounded ledger
+    — no edge list ever reaches the driver."""
+    from dug_ray.shuffle import distinct_rows
+    from dug_ray.stages.graph import concept_cooccurrence
+
+    linked = kg.linked_mentions_cached(sf_dir)
+    dm = distinct_rows(
+        linked.select_columns(["element_id", "canonical_curie"]),
+        ["element_id", "canonical_curie"], 8).materialize()
+    cooc = concept_cooccurrence(linked, 8, distinct_mentions=dm) \
+        .materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        s = pa.table({"node": batch["subj"]})
+        o = pa.table({"node": batch["obj"]})
+        g = pa.concat_tables([s, o]).group_by("node") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["node", "c"])
+
+    deg_parts = _collect_pd(cooc.map_batches(
+        deg_partial, batch_format="pyarrow", batch_size=None),
+        node="object", c="int64")
+    node_df = distinct_rows(dm.select_columns(["canonical_curie"]),
+                            ["canonical_curie"], 8).to_pandas()
+    dsum = deg_parts.groupby("node")["c"].sum() if len(deg_parts) \
+        else pd.Series(dtype="int64")
+    deg = {n: int(dsum.get(n, 0)) for n in node_df["canonical_curie"]}
+
+    def min_deg_hist(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        md = np.minimum(df["subj"].map(deg).to_numpy(),
+                        df["obj"].map(deg).to_numpy()).astype("int64")
+        h = pd.Series(md).value_counts()
+        return typed_table(
+            pd.DataFrame({"m": h.index.astype("int64"),
+                          "n": h.to_numpy().astype("int64")}),
+            m=pa.int64(), n=pa.int64())
+
+    hist = _collect_pd(cooc.map_batches(
+        min_deg_hist, batch_format="pyarrow", batch_size=None),
+        m="int64", n="int64").groupby("m", as_index=False).sum()
+    mhist = {int(m): int(n) for m, n in zip(hist["m"], hist["n"])}
+
+    degs = sorted(deg.values())
+    ks = sorted({0} | set(degs))
+    rows = []
+    for k in ks:
+        n_k = sum(1 for d in degs if d > k)
+        if n_k < 2:
+            continue
+        e_k = sum(n for m, n in mhist.items() if m > k)
+        rows.append((k, n_k, e_k,
+                     (2_000_000 * e_k) // (n_k * (n_k - 1))))
+    out = pd.DataFrame(rows, columns=["k", "n_k", "e_k", "phi_ppm"])
+    return ray.data.from_arrow(typed_table(
+        out, k=pa.int64(), n_k=pa.int64(), e_k=pa.int64(),
+        phi_ppm=pa.int64()))
+
+
+SQL_RICH_CLUB = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+dm AS (SELECT DISTINCT element_id, canonical_curie FROM linked_full),
+cooc AS MATERIALIZED (
+  SELECT a.canonical_curie AS s, b.canonical_curie AS o
+  FROM dm a JOIN dm b USING (element_id)
+  WHERE a.canonical_curie < b.canonical_curie
+  GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT canonical_curie AS node FROM dm),
+sym AS (SELECT s AS node FROM cooc UNION ALL SELECT o FROM cooc),
+dg AS (SELECT n.node, CAST(coalesce(c.c, 0) AS BIGINT) AS d
+       FROM nodes n LEFT JOIN (SELECT node, count(*) AS c FROM sym
+                               GROUP BY 1) c USING (node)),
+ks AS (SELECT CAST(0 AS BIGINT) AS k UNION SELECT DISTINCT d FROM dg),
+nk AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_k
+       FROM ks JOIN dg ON dg.d > ks.k GROUP BY 1),
+ed AS (SELECT a.d AS da, b.d AS db
+       FROM cooc JOIN dg a ON a.node = cooc.s
+                 JOIN dg b ON b.node = cooc.o),
+ek AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS e_k
+       FROM ks JOIN ed ON least(ed.da, ed.db) > ks.k GROUP BY 1)
+SELECT nk.k, nk.n_k, coalesce(ek.e_k, 0) AS e_k,
+       CAST(2000000 * coalesce(ek.e_k, 0) // (nk.n_k * (nk.n_k - 1))
+            AS BIGINT) AS phi_ppm
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+WHERE nk.n_k >= 2"""
+
+
+QUERIES.update({
+    "lm_crossent": q_lm_crossent,
+    "sortedness_audit": q_sortedness_audit,
+    "rich_club": q_rich_club,
+})
+ORACLES.update({
+    "lm_crossent": SQL_LM_CROSSENT,
+    "sortedness_audit": SQL_SORTEDNESS_AUDIT,
+    "rich_club": SQL_RICH_CLUB,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -18667,7 +19029,7 @@ _DRIVER_FRONT = [
     "dict_encoding", "rice_postings", "phonetic_blocking",
     "bootstrap_ci", "good_turing", "chao1_richness", "heaps_law",
     "bleu_precision", "wl_labels", "elias_codes", "mase_forecast",
-    "fellegi_sunter",
+    "fellegi_sunter", "lm_crossent", "sortedness_audit", "rich_club",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
