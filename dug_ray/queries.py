@@ -18951,6 +18951,237 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# AMS F2 sketch, BPE first-merge census, link-threshold sweep,
+# normalization fan-in histogram
+# ---------------------------------------------------------------------------
+
+
+def q_ams_f2(sf_dir: str) -> ray.data.Dataset:
+    """AMS (Alon-Matias-Szegedy) F2 second-moment sketch over corpus
+    term frequencies: 16 independent +/-1 hash sketches s_j = sum over
+    terms of sign_j(term) * count(term), the classic linear sketch for
+    join-size / self-join-size estimation.  sign_j = parity of
+    md5(term || '#' || j) — bridged bit-exactly (hashing.md5_int ==
+    DuckDB's substr-cast).  Output per j: sketch, its square, the
+    16-sketch mean estimate, and the exact F2 for comparison.  Scale
+    shape: the sketch is LINEAR, so each batch contributes a 16-row
+    partial directly from its local term counts (no global counts
+    needed); exact F2 reuses the term-count combiner + one bucketed
+    sum-of-squares.  Driver folds two bounded ledgers."""
+    from dug_ray.hashing import md5_int
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = pd.Series(toks.flatten().to_numpy(zero_copy_only=False)) \
+            .value_counts()
+        terms = vc.index.to_numpy(dtype=object)
+        c = vc.to_numpy().astype("int64")
+        rows = []
+        for j in range(16):
+            h = md5_int(np.array([t + "#" + str(j) for t in terms],
+                                 dtype=object))
+            sign = 2 * (h % 2) - 1
+            rows.append((j, int((sign * c).sum())))
+        return typed_table(pd.DataFrame(rows, columns=["j", "sketch"]),
+                           j=pa.int64(), sketch=pa.int64())
+
+    sk = _collect_pd(docs.map_batches(sketch_partial,
+                                      batch_format="pyarrow",
+                                      batch_size=None),
+                     j="int64", sketch="int64") \
+        .groupby("j", as_index=False).sum()
+
+    # exact F2 = sum c^2 over global term counts (term-bucketed)
+    def sq_partial(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.groupby("term")["n"].sum()
+        return pd.DataFrame({"sq": [sum(int(x) * int(x) for x in f)]})
+
+    f2 = int(_collect_pd(
+        bucketed_group_apply(_term_count_partials(sf_dir), "term",
+                             sq_partial, 8),
+        sq="int64")["sq"].sum())
+
+    sk = sk.sort_values("j").reset_index(drop=True)
+    sk["sketch_sq"] = [int(s) * int(s) for s in sk["sketch"]]
+    est = int(sk["sketch_sq"].sum()) // 16
+    sk["est_f2"] = est
+    sk["exact_f2"] = f2
+    return ray.data.from_arrow(typed_table(
+        sk, j=pa.int64(), sketch=pa.int64(), sketch_sq=pa.int64(),
+        est_f2=pa.int64(), exact_f2=pa.int64()))
+
+
+SQL_AMS_F2 = _with(SQL_TOKS) + """,
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+j AS (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS j),
+s AS (SELECT j.j,
+             CAST(sum((2 * (CAST(('0x' || substr(
+                      md5(tf.term || '#' || CAST(j.j AS VARCHAR)),
+                      1, 8)) AS BIGINT) % 2) - 1) * tf.c) AS BIGINT)
+               AS sketch
+      FROM j, tf GROUP BY 1),
+x AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2 FROM tf),
+e AS (SELECT CAST(sum(sketch * sketch) // 16 AS BIGINT) AS est FROM s)
+SELECT s.j, s.sketch, CAST(s.sketch * s.sketch AS BIGINT) AS sketch_sq,
+       e.est AS est_f2, x.f2 AS exact_f2
+FROM s, e, x"""
+
+
+def q_bpe_first_merge(sf_dir: str) -> ray.data.Dataset:
+    """First BPE merge-candidate ranking: the top-20 adjacent CHARACTER
+    pairs inside tokens, weighted by corpus token frequency (count
+    DESC, pair ASC — a total order) — step one of byte-pair-encoding
+    tokenizer training.  Scale shape: term counts reduce through the
+    term-bucketed combiner first, so pair extraction runs over the
+    VOCABULARY (distinct terms), not the corpus; the char-pair ledger
+    is alphabet^2-bounded and folds on the driver."""
+    partials = _term_count_partials(sf_dir)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.groupby("term", as_index=False)["n"].sum()
+        pairs, weights = [], []
+        for t, c in zip(f["term"], f["n"]):
+            for i in range(len(t) - 1):
+                pairs.append(t[i:i + 2])
+                weights.append(int(c))
+        if not pairs:
+            return pd.DataFrame({"pair": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.DataFrame({"pair": pairs, "n": weights}) \
+            .groupby("pair", as_index=False)["n"].sum()
+
+    parts = _collect_pd(bucketed_group_apply(partials, "term",
+                                             per_bucket, 8),
+                        pair="object", n="int64")
+    agg = parts.groupby("pair", as_index=False)["n"].sum() \
+        .sort_values(["n", "pair"], ascending=[False, True]) \
+        .head(20).reset_index(drop=True)
+    return ray.data.from_arrow(typed_table(
+        agg, pair=pa.string(), n=pa.int64()))
+
+
+SQL_BPE_FIRST_MERGE = _with(SQL_TOKS) + """,
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+p AS (SELECT substr(tf.term, i.i, 2) AS pair, tf.c
+      FROM tf, LATERAL (SELECT unnest(generate_series(
+                          1, length(tf.term) - 1)) AS i) i),
+a AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p GROUP BY 1)
+SELECT pair, n FROM a ORDER BY n DESC, pair ASC LIMIT 20"""
+
+
+def q_link_threshold_sweep(sf_dir: str) -> ray.data.Dataset:
+    """Linker-threshold sensitivity sweep: for score cutoffs {0.80,
+    0.85, 0.90, 0.95} (integer milli), the NER candidate mentions that
+    survive, plus the distinct surviving terms and CURIEs — the curve
+    that justifies (or indicts) the pipeline's fixed 0.8 gate
+    (stages/link.py M5/M6).  Cutoffs with zero survivors are omitted
+    on both engines.  Scale shape: mention counts fold per batch into
+    a score-milli histogram and a lexicon-bounded (score, term, curie)
+    distinct set — two bounded ledgers, no exchange at all."""
+    ds = annotate_elements(parse_elements(read_interleaved(sf_dir)))
+    ds = ds.select_columns(["term", "curie", "score"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["sm"] = (df["score"] * 1000).round().astype("int64")
+        g = df.groupby(["sm", "term", "curie"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return typed_table(g, sm=pa.int64(), term=pa.string(),
+                           curie=pa.string(), n=pa.int64())
+
+    parts = _collect_pd(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=None),
+                        sm="int64", term="object", curie="object",
+                        n="int64")
+    agg = parts.groupby(["sm", "term", "curie"], as_index=False)["n"] \
+        .sum()
+    rows = []
+    for th in (800, 850, 900, 950):
+        live = agg[agg["sm"] >= th]
+        n = int(live["n"].sum())
+        if n == 0:
+            continue
+        rows.append((th, n, live["term"].nunique(),
+                     live["curie"].nunique()))
+    out = pd.DataFrame(rows, columns=["th", "n_mentions", "n_terms",
+                                      "n_curies"])
+    return ray.data.from_arrow(typed_table(
+        out, th=pa.int64(), n_mentions=pa.int64(), n_terms=pa.int64(),
+        n_curies=pa.int64()))
+
+
+SQL_LINK_THRESHOLD_SWEEP = _with(
+    ontology.sql_cte("lexicon"), SQL_TOKS) + """,
+m AS (SELECT k.term, l.curie,
+             CAST(round(l.score * 1000, 0) AS BIGINT) AS sm
+      FROM toks k JOIN lexicon l USING (term)),
+th AS (SELECT CAST(unnest([800, 850, 900, 950]) AS BIGINT) AS th)
+SELECT th.th, CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT m.term) AS BIGINT) AS n_terms,
+       CAST(count(DISTINCT m.curie) AS BIGINT) AS n_curies
+FROM th JOIN m ON m.sm >= th.th
+GROUP BY 1"""
+
+
+def q_norm_fanin(sf_dir: str) -> ray.data.Dataset:
+    """Canonicalization fan-in histogram: how many RAW CURIEs collapse
+    into each canonical concept (distinct (canonical, raw) pairs per
+    canonical), reported as (n_raw, n_canonicals) — the merge-pressure
+    census of the node-normalizer stage (a fan-in of 1 means the
+    normalizer did nothing; heavy fan-in concepts are the hot keys the
+    salting plan targets).  Scale shape: distinct-pair combiner, one
+    canonical-bucketed exchange, bounded histogram fold."""
+    from dug_ray.shuffle import distinct_rows
+
+    linked = kg.linked_mentions_cached(sf_dir)
+    d = distinct_rows(linked.select_columns(["canonical_curie", "curie"]),
+                      ["canonical_curie", "curie"], 8)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.drop_duplicates().groupby("canonical_curie").size()
+        h = f.value_counts()
+        return pd.DataFrame({"n_raw": h.index.astype("int64"),
+                             "n_canonicals":
+                                 h.to_numpy().astype("int64")})
+
+    parts = _collect_pd(bucketed_group_apply(d, "canonical_curie",
+                                             per_bucket, 8),
+                        n_raw="int64", n_canonicals="int64")
+    agg = parts.groupby("n_raw", as_index=False)["n_canonicals"].sum()
+    return ray.data.from_arrow(typed_table(
+        agg, n_raw=pa.int64(), n_canonicals=pa.int64()))
+
+
+SQL_NORM_FANIN = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls"),
+    SQL_TOKS, SQL_LINKED) + """,
+d AS (SELECT DISTINCT canonical_curie, curie FROM linked_full),
+f AS (SELECT canonical_curie, CAST(count(*) AS BIGINT) AS n_raw
+      FROM d GROUP BY 1)
+SELECT n_raw, CAST(count(*) AS BIGINT) AS n_canonicals
+FROM f GROUP BY 1"""
+
+
+QUERIES.update({
+    "ams_f2": q_ams_f2,
+    "bpe_first_merge": q_bpe_first_merge,
+    "link_threshold_sweep": q_link_threshold_sweep,
+    "norm_fanin": q_norm_fanin,
+})
+ORACLES.update({
+    "ams_f2": SQL_AMS_F2,
+    "bpe_first_merge": SQL_BPE_FIRST_MERGE,
+    "link_threshold_sweep": SQL_LINK_THRESHOLD_SWEEP,
+    "norm_fanin": SQL_NORM_FANIN,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -19030,6 +19261,7 @@ _DRIVER_FRONT = [
     "bootstrap_ci", "good_turing", "chao1_richness", "heaps_law",
     "bleu_precision", "wl_labels", "elias_codes", "mase_forecast",
     "fellegi_sunter", "lm_crossent", "sortedness_audit", "rich_club",
+    "ams_f2", "bpe_first_merge", "link_threshold_sweep", "norm_fanin",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
