@@ -19182,6 +19182,288 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Dirichlet query-likelihood retrieval, t-closeness EMD, order-status
+# consistency audit
+# ---------------------------------------------------------------------------
+
+
+def q_qlm_topk(sf_dir: str) -> ray.data.Dataset:
+    """Dirichlet-smoothed query-likelihood retrieval (mu = 2000): for
+    each pinned query term, the top-5 docs CONTAINING it by
+
+        ln((tf + 2000.0 * (cf / n_tokens)) / (dl + 2000.0))
+
+    — the LM-retrieval scoring family next to bm25_topk (same serving
+    shape, different probability model; candidates are tf>0 docs, the
+    background-only tail is rank-irrelevant and skipped on both
+    engines).  Every float is ONE mirrored expression over exact ints,
+    libm ln once per distinct (tf, dl) pair per term.  Scale shape:
+    one corpus pass emitting candidate rows for |Q| terms with dl
+    riding along (no doc join), cf/n_tokens as tiny tree-reduces, a
+    |Q|-bucket ranking exchange."""
+    import math
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    probe_set = pa.array(sorted(set(_BM25_TERMS)), pa.string())
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        flat = tokens.flatten()
+        dl = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hit = pc.is_in(flat, value_set=probe_set).to_numpy(
+            zero_copy_only=False)
+        hf = pd.DataFrame({
+            "doc_id": ids[parent[hit]],
+            "dl": dl[parent[hit]].astype("int64"),
+            "term": flat.to_pandas().to_numpy(dtype=object)[hit]})
+        g = hf.groupby(["term", "doc_id", "dl"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        return typed_table(g, term=pa.string(), doc_id=pa.int64(),
+                           dl=pa.int64(), tf=pa.int64())
+
+    cands = docs.map_batches(per_batch, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    def len_partial(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        n = int(pc.sum(pc.list_value_length(tokens)).as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    n_tokens = int(docs.map_batches(len_partial, batch_format="pyarrow",
+                                    batch_size=None).sum("n"))
+    cf_df = _collect_pd(cands, term="object", doc_id="int64",
+                        dl="int64", tf="int64") \
+        .groupby("term")["tf"].sum()
+    cf = {t: int(v) for t, v in cf_df.items()}
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for term, g in df.groupby("term"):
+            g = g.groupby(["doc_id", "dl"], as_index=False)["tf"].sum()
+            p = 2000.0 * (float(cf[term]) / float(n_tokens))
+            key = ((g["tf"].to_numpy().astype("float64") + p)
+                   / (g["dl"].to_numpy().astype("float64") + 2000.0))
+            uniq, inv = np.unique(key, return_inverse=True)
+            logs = np.fromiter((math.log(x) for x in uniq),
+                               dtype=np.float64, count=len(uniq))
+            g["score"] = logs[inv]
+            g = g.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(5)
+            g["term"] = term
+            g["rank"] = range(1, len(g) + 1)
+            outs.append(g)
+        return pd.concat(outs, ignore_index=True)[
+            ["term", "doc_id", "tf", "dl", "score", "rank"]] \
+            .astype({"rank": "int64"})
+
+    return bucketed_group_apply(cands, "term", rank, 4)
+
+
+SQL_QLM_TOPK = _with(SQL_TOKS) + f""",
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+tf AS (SELECT t.term, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM toks t JOIN q USING (term) GROUP BY 1, 2),
+dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         FROM toks GROUP BY 1),
+cf AS (SELECT t.term, CAST(count(*) AS BIGINT) AS cf
+       FROM toks t JOIN q USING (term) GROUP BY 1),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks),
+s AS (SELECT tf.term, tf.doc_id, tf.tf, dlen.dl,
+             ln((CAST(tf.tf AS DOUBLE)
+                 + 2000.0 * (CAST(cf.cf AS DOUBLE)
+                             / CAST(g.n_tokens AS DOUBLE)))
+                / (CAST(dlen.dl AS DOUBLE) + 2000.0)) AS score
+      FROM tf JOIN cf USING (term) JOIN dlen USING (doc_id), g),
+r AS (SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM s)
+SELECT term, doc_id, tf, dl, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5"""
+
+
+def q_t_closeness(sf_dir: str) -> ray.data.Dataset:
+    """t-closeness audit (the third of the privacy trio next to
+    k_anonymity / l_diversity): per customer-nation group, the
+    normalized ordered-EMD between the group's order-priority
+    distribution and the global one,
+
+        t = sum_i |CumG(i)/n_g - Cum(i)/N| / (k - 1)
+
+    in exact integer ppm (cross-multiplied, never a float).  Scale
+    shape: one partitioned orders-customer hash join, per-batch
+    (nation, priority) count combiners, then a 25x5-bounded driver
+    ledger — Python ints so the cum*N cross products cannot wrap."""
+    from dug_ray.shuffle import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"])
+    j = hash_join(orders, cust, "o_custkey", "c_custkey", 16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["c_nationkey", "o_orderpriority"],
+                       as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return g.astype({"n": "int64"})
+
+    cnt = _collect_pd(
+        j.map_batches(partial, batch_format="pandas", batch_size=None),
+        c_nationkey="int64", o_orderpriority="object", n="int64") \
+        .groupby(["c_nationkey", "o_orderpriority"],
+                 as_index=False)["n"].sum()
+
+    prs = sorted(cnt["o_orderpriority"].unique())
+    k = len(prs)
+    N = int(cnt["n"].sum())
+    gl = cnt.groupby("o_orderpriority")["n"].sum()
+    rows = []
+    for nk, g in cnt.groupby("c_nationkey"):
+        cm = {p: int(v) for p, v in
+              zip(g["o_orderpriority"], g["n"])}
+        ng = sum(cm.values())
+        cg = ca = emd = 0
+        for p in prs:
+            cg += cm.get(p, 0)
+            ca += int(gl[p])
+            emd += abs(cg * N - ca * ng)
+        rows.append((int(nk), ng,
+                     (1_000_000 * emd) // (ng * N * (k - 1))))
+    out = pd.DataFrame(rows, columns=["nationkey", "n_rows", "t_ppm"])
+    return ray.data.from_arrow(typed_table(
+        out, nationkey=pa.int64(), n_rows=pa.int64(), t_ppm=pa.int64()))
+
+
+SQL_T_CLOSENESS = """
+WITH j AS (SELECT c.c_nationkey AS nk, o.o_orderpriority AS pr
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+cnt AS (SELECT nk, pr, CAST(count(*) AS BIGINT) AS n
+        FROM j GROUP BY 1, 2),
+nks AS (SELECT nk, CAST(sum(n) AS BIGINT) AS ng FROM cnt GROUP BY 1),
+prs AS (SELECT pr, CAST(sum(n) AS BIGINT) AS np FROM cnt GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cnt),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM prs),
+f AS (SELECT nks.nk, nks.ng, prs.pr, prs.np,
+             coalesce(cnt.n, 0) AS n
+      FROM nks CROSS JOIN prs
+      LEFT JOIN cnt ON cnt.nk = nks.nk AND cnt.pr = prs.pr),
+cum AS (SELECT nk, ng,
+               sum(n) OVER (PARTITION BY nk ORDER BY pr) AS cg,
+               sum(np) OVER (PARTITION BY nk ORDER BY pr) AS ca
+        FROM f),
+e AS (SELECT nk, ng,
+             CAST(sum(abs(cg * tot.n - ca * ng)) AS BIGINT) AS emd
+      FROM cum, tot GROUP BY 1, 2, tot.n)
+SELECT CAST(e.nk AS BIGINT) AS nationkey, e.ng AS n_rows,
+       CAST(CAST(1000000 AS HUGEINT) * e.emd
+            // (CAST(e.ng AS HUGEINT) * (SELECT n FROM tot)
+                * ((SELECT k FROM kk) - 1)) AS BIGINT) AS t_ppm
+FROM e"""
+
+
+def q_order_status_audit(sf_dir: str) -> ray.data.Dataset:
+    """Order-status/lineitem-status consistency census: per
+    (o_orderstatus, consistency class) the order count, where
+    'consistent' means F-orders have no open lines, O-orders no
+    finished lines, P-orders both; 'no_lines' flags childless orders —
+    the referential state-machine audit next to fk_audit/kg_integrity.
+    Scale shape: lineitem collapses through a per-batch (orderkey,
+    n_f, n_o) combiner before the partitioned LEFT join with orders;
+    the census is a bounded per-batch fold."""
+    from dug_ray.shuffle import hash_left_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"])
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus"])
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["f"] = (df["l_linestatus"] == "F").astype("int64")
+        df["o"] = (df["l_linestatus"] == "O").astype("int64")
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            nf=("f", "sum"), no=("o", "sum"))
+        return typed_table(g, l_orderkey=pa.int64(), nf=pa.int64(),
+                           no=pa.int64())
+
+    la_partial = lines.map_batches(line_partial, batch_format="pyarrow",
+                                   batch_size=None)
+    la = bucketed_group_apply(
+        la_partial, "l_orderkey",
+        lambda df: df.groupby("l_orderkey", as_index=False).sum(),
+        16)
+    j = hash_left_join(orders, la, "o_orderkey", "l_orderkey", 16)
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        nf = df["nf"].fillna(-1).astype("int64")
+        no = df["no"].fillna(-1).astype("int64")
+        st = df["o_orderstatus"]
+        cls = np.where(
+            nf < 0, "no_lines",
+            np.where((st == "F") & (no == 0), "consistent",
+                     np.where((st == "O") & (nf == 0), "consistent",
+                              np.where((st == "P") & (nf > 0) & (no > 0),
+                                       "consistent", "violating"))))
+        g = pd.DataFrame({"status": st, "class": cls}) \
+            .groupby(["status", "class"], as_index=False).size() \
+            .rename(columns={"size": "n_orders"})
+        return g.astype({"n_orders": "int64"})
+
+    parts = _collect_pd(
+        j.map_batches(census, batch_format="pandas", batch_size=None),
+        status="object", **{"class": "object"}, n_orders="int64")
+    agg = parts.groupby(["status", "class"], as_index=False) \
+        ["n_orders"].sum()
+    return ray.data.from_arrow(typed_table(
+        agg, status=pa.string(), **{"class": pa.string()},
+        n_orders=pa.int64()))
+
+
+SQL_ORDER_STATUS_AUDIT = """
+WITH la AS (SELECT l_orderkey,
+                   CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0
+                            END) AS BIGINT) AS nf,
+                   CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0
+                            END) AS BIGINT) AS no
+            FROM lineitem GROUP BY 1),
+c AS (SELECT o.o_orderstatus AS status,
+             CASE WHEN la.l_orderkey IS NULL THEN 'no_lines'
+                  WHEN o.o_orderstatus = 'F' AND la.no = 0
+                    THEN 'consistent'
+                  WHEN o.o_orderstatus = 'O' AND la.nf = 0
+                    THEN 'consistent'
+                  WHEN o.o_orderstatus = 'P' AND la.nf > 0 AND la.no > 0
+                    THEN 'consistent'
+                  ELSE 'violating' END AS class
+      FROM orders o LEFT JOIN la ON la.l_orderkey = o.o_orderkey)
+SELECT status, class, CAST(count(*) AS BIGINT) AS n_orders
+FROM c GROUP BY 1, 2"""
+
+
+QUERIES.update({
+    "qlm_topk": q_qlm_topk,
+    "t_closeness": q_t_closeness,
+    "order_status_audit": q_order_status_audit,
+})
+ORACLES.update({
+    "qlm_topk": SQL_QLM_TOPK,
+    "t_closeness": SQL_T_CLOSENESS,
+    "order_status_audit": SQL_ORDER_STATUS_AUDIT,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -19262,6 +19544,7 @@ _DRIVER_FRONT = [
     "bleu_precision", "wl_labels", "elias_codes", "mase_forecast",
     "fellegi_sunter", "lm_crossent", "sortedness_audit", "rich_club",
     "ams_f2", "bpe_first_merge", "link_threshold_sweep", "norm_fanin",
+    "qlm_topk", "t_closeness", "order_status_audit",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
