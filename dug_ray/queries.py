@@ -19464,6 +19464,286 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Triplet ranking-violation census, Theil inequality index, mutual
+# information contingency
+# ---------------------------------------------------------------------------
+
+
+def q_triplet_violations(sf_dir: str) -> ray.data.Dataset:
+    """Triplet-loss ranking-violation census over the labeled embedding
+    table: per anchor, the hardest positive (MIN cosine, same label,
+    self excluded) and hardest negative (MAX cosine, other labels); a
+    violation is neg_max >= pos_min — the metric-learning health check
+    run before mining triplets for contrastive training.  Census per
+    label: anchors scored (those with >=1 positive and >=1 negative)
+    and violations.  Scale shape: the neardup block-pair pattern
+    (similarity.py:133-165) — each vec replicates to n_blocks sorted
+    block-pair groups, every group emits per-anchor PARTIAL min/max
+    rows from its two blocks, one anchor-bucketed fold combines them;
+    cos ordering (not values) crosses engines, same contract as
+    ann_topk/embed_neardup."""
+    from dug_ray.stages.similarity import _normalize, _stack
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"])
+    n_blocks = 4
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        blk = (vid % n_blocks).astype(np.int64)
+        tables = []
+        for other in range(n_blocks):
+            lo = np.minimum(blk, other)
+            hi = np.maximum(blk, other)
+            key = pa.array(lo * n_blocks + hi, pa.int64())
+            tables.append(batch.append_column("blk", pa.array(blk))
+                          .append_column("pair_key", key))
+        return pa.concat_tables(tables)
+
+    rep = emb.map_batches(replicate, batch_format="pyarrow",
+                          batch_size=None)
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, g in df.groupby("pair_key", sort=False):
+            i, j = divmod(int(key), n_blocks)
+            gi = g[g["blk"] == i].drop_duplicates(subset=["vec_id"])
+            gj = g[g["blk"] == j].drop_duplicates(subset=["vec_id"])
+            if not len(gi) or not len(gj):
+                continue
+            mi = _normalize(_stack(gi["embedding"]))
+            mj = mi if i == j else _normalize(_stack(gj["embedding"]))
+            vi = gi["vec_id"].to_numpy()
+            vj = gj["vec_id"].to_numpy()
+            li = gi["label"].to_numpy()
+            lj = gj["label"].to_numpy()
+            sims = mi @ mj.T
+            for (anc, other, va, la, s) in (
+                    (gi, gj, vi, li, sims),
+                    *(() if i == j else ((gj, gi, vj, lj, sims.T),))):
+                ol = (lj if anc is gi else li)
+                ov = (vj if anc is gi else vi)
+                same = la[:, None] == ol[None, :]
+                notself = va[:, None] != ov[None, :]
+                pos = np.where(same & notself, s, np.inf)
+                neg = np.where(~same, s, -np.inf)
+                outs.append(pd.DataFrame({
+                    "aid": va, "albl": la.astype("int64"),
+                    "pos_min": pos.min(axis=1),
+                    "neg_max": neg.max(axis=1)}))
+        if not outs:
+            return pd.DataFrame({
+                "aid": pd.Series(dtype="int64"),
+                "albl": pd.Series(dtype="int64"),
+                "pos_min": pd.Series(dtype="float64"),
+                "neg_max": pd.Series(dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    parts = bucketed_group_apply(rep, "pair_key", per_group, 8)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["aid", "albl"], as_index=False).agg(
+            pos_min=("pos_min", "min"), neg_max=("neg_max", "max"))
+        g = g[np.isfinite(g["pos_min"]) & np.isfinite(g["neg_max"])]
+        g["viol"] = (g["neg_max"] >= g["pos_min"]).astype("int64")
+        out = g.groupby("albl", as_index=False).agg(
+            n_anchors=("viol", "size"), n_violations=("viol", "sum"))
+        return out.astype({"n_anchors": "int64",
+                           "n_violations": "int64"})
+
+    res = _collect_pd(bucketed_group_apply(parts, "aid", fold, 8),
+                      albl="int64", n_anchors="int64",
+                      n_violations="int64") \
+        .groupby("albl", as_index=False).sum() \
+        .rename(columns={"albl": "label"})
+    return ray.data.from_arrow(typed_table(
+        res, label=pa.int64(), n_anchors=pa.int64(),
+        n_violations=pa.int64()))
+
+
+SQL_TRIPLET_VIOLATIONS = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+p AS (SELECT a.vec_id AS aid, a.label AS albl,
+             min(list_cosine_similarity(a.v, b.v)) AS pos_min
+      FROM e a JOIN e b ON b.label = a.label AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2),
+n AS (SELECT a.vec_id AS aid,
+             max(list_cosine_similarity(a.v, b.v)) AS neg_max
+      FROM e a JOIN e b ON b.label <> a.label GROUP BY 1)
+SELECT CAST(p.albl AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(sum(CASE WHEN n.neg_max >= p.pos_min THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations
+FROM p JOIN n USING (aid)
+GROUP BY 1"""
+
+
+def q_theil_index(sf_dir: str) -> ray.data.Dataset:
+    """Theil-T inequality index of customer revenue within each nation:
+    T = (1/X) * sum_i x_i * ln(x_i * n / X) with x_i = customer's
+    order-revenue cents — the entropy-based inequality measure next to
+    revenue_gini/lorenz_deciles (decomposable across groups, which Gini
+    is not).  Each customer's term is floored to integer micro BEFORE
+    summing (floor(1e6 * (x * ln(x*n/X)) / X), one libm ln per distinct
+    x), so the nation total is an exact integer fold — float summation
+    order can never diverge.  Scale shape: custkey-bucketed revenue
+    combiner, partitioned customer join, nation-bucketed term fold."""
+    import math
+
+    from dug_ray.shuffle import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"])
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(
+            cents=(df["o_totalprice"] * 100).round().astype("int64")) \
+            .groupby("o_custkey", as_index=False)["cents"].sum()
+        return g
+
+    rev_p = orders.map_batches(rev_partial, batch_format="pandas",
+                               batch_size=None)
+    rev = bucketed_group_apply(
+        rev_p, "o_custkey",
+        lambda df: df.groupby("o_custkey", as_index=False).sum(), 16)
+    j = hash_join(rev, cust, "o_custkey", "c_custkey", 16)
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nk, g in df.groupby("c_nationkey"):
+            x = g["cents"].to_numpy().astype("int64")
+            n, X = len(x), int(x.sum())
+            ratio = (x.astype("float64") * float(n)) / float(X)
+            uniq, inv = np.unique(
+                np.stack([x.astype("float64"), ratio], axis=1),
+                axis=0, return_inverse=True)
+            terms = np.fromiter(
+                (math.floor(1_000_000 * (u[0] * math.log(u[1]))
+                            / float(X)) for u in uniq),
+                dtype=np.int64, count=len(uniq))
+            rows.append((int(nk), n, X, int(terms[inv].sum())))
+        return pd.DataFrame(rows, columns=[
+            "nationkey", "n_customers", "total_cents", "theil_micro"]) \
+            .astype("int64")
+
+    parts = _collect_pd(bucketed_group_apply(j, "c_nationkey",
+                                             per_nation, 8),
+                        nationkey="int64", n_customers="int64",
+                        total_cents="int64", theil_micro="int64")
+    return ray.data.from_arrow(typed_table(
+        parts.sort_values("nationkey"), nationkey=pa.int64(),
+        n_customers=pa.int64(), total_cents=pa.int64(),
+        theil_micro=pa.int64()))
+
+
+SQL_THEIL_INDEX = """
+WITH r AS (SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+j AS (SELECT c.c_nationkey AS nk, r.cents AS x
+      FROM r JOIN customer c ON r.o_custkey = c.c_custkey),
+g AS (SELECT nk, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS xx
+      FROM j GROUP BY 1)
+SELECT CAST(g.nk AS BIGINT) AS nationkey, g.n AS n_customers,
+       g.xx AS total_cents,
+       CAST(sum(CAST(floor(1000000 * (CAST(j.x AS DOUBLE)
+                    * ln(CAST(j.x AS DOUBLE) * CAST(g.n AS DOUBLE)
+                         / CAST(g.xx AS DOUBLE)))
+                    / CAST(g.xx AS DOUBLE)) AS BIGINT)) AS BIGINT)
+         AS theil_micro
+FROM j JOIN g USING (nk)
+GROUP BY 1, 2, 3"""
+
+
+def q_mi_contingency(sf_dir: str) -> ray.data.Dataset:
+    """Mutual-information contingency decomposition between customer
+    market segment and order priority: per cell, the joint count and
+    its MI contribution floor(1e6 * (n_ij/N) * ln(n_ij*N/(n_i*n_j)))
+    in integer micro-nats — the information-theoretic sibling of
+    cramers_v2/odds_ratio (summing term_micro gives the floored MI).
+    Each cell's term is floored before any sum, one libm ln per cell;
+    the 5x5 contingency is a bounded ledger behind one partitioned
+    orders-customer join."""
+    import math
+
+    from dug_ray.shuffle import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"])
+    j = hash_join(orders, cust, "o_custkey", "c_custkey", 16)
+
+    cnt = _collect_pd(
+        j.map_batches(
+            lambda df: df.groupby(["c_mktsegment", "o_orderpriority"],
+                                  as_index=False).size()
+            .rename(columns={"size": "n"}).astype({"n": "int64"}),
+            batch_format="pandas", batch_size=None),
+        c_mktsegment="object", o_orderpriority="object", n="int64") \
+        .groupby(["c_mktsegment", "o_orderpriority"],
+                 as_index=False)["n"].sum()
+
+    N = int(cnt["n"].sum())
+    ni = cnt.groupby("c_mktsegment")["n"].sum()
+    nj = cnt.groupby("o_orderpriority")["n"].sum()
+    rows = []
+    for seg, pr, n in zip(cnt["c_mktsegment"], cnt["o_orderpriority"],
+                          cnt["n"]):
+        n = int(n)
+        term = math.floor(
+            1_000_000 * (float(n) / float(N))
+            * math.log(float(n) * float(N)
+                       / (float(ni[seg]) * float(nj[pr]))))
+        rows.append((seg, pr, n, term))
+    out = pd.DataFrame(rows, columns=["segment", "priority", "n",
+                                      "term_micro"])
+    return ray.data.from_arrow(typed_table(
+        out, segment=pa.string(), priority=pa.string(), n=pa.int64(),
+        term_micro=pa.int64()))
+
+
+SQL_MI_CONTINGENCY = """
+WITH j AS (SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pr
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+cnt AS (SELECT seg, pr, CAST(count(*) AS BIGINT) AS n
+        FROM j GROUP BY 1, 2),
+ni AS (SELECT seg, CAST(sum(n) AS BIGINT) AS n_i FROM cnt GROUP BY 1),
+nj AS (SELECT pr, CAST(sum(n) AS BIGINT) AS n_j FROM cnt GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cnt)
+SELECT cnt.seg AS segment, cnt.pr AS priority, cnt.n,
+       CAST(floor(1000000 * (CAST(cnt.n AS DOUBLE)
+                             / CAST(tot.nn AS DOUBLE))
+                  * ln(CAST(cnt.n AS DOUBLE) * CAST(tot.nn AS DOUBLE)
+                       / (CAST(ni.n_i AS DOUBLE)
+                          * CAST(nj.n_j AS DOUBLE)))) AS BIGINT)
+         AS term_micro
+FROM cnt JOIN ni USING (seg) JOIN nj USING (pr), tot"""
+
+
+QUERIES.update({
+    "triplet_violations": q_triplet_violations,
+    "theil_index": q_theil_index,
+    "mi_contingency": q_mi_contingency,
+})
+ORACLES.update({
+    "triplet_violations": SQL_TRIPLET_VIOLATIONS,
+    "theil_index": SQL_THEIL_INDEX,
+    "mi_contingency": SQL_MI_CONTINGENCY,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -19545,6 +19825,7 @@ _DRIVER_FRONT = [
     "fellegi_sunter", "lm_crossent", "sortedness_audit", "rich_club",
     "ams_f2", "bpe_first_merge", "link_threshold_sweep", "norm_fanin",
     "qlm_topk", "t_closeness", "order_status_audit",
+    "triplet_violations", "theil_index", "mi_contingency",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
