@@ -19744,6 +19744,308 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Gries term dispersion, Roaring container audit, SimHash-vs-exact eval
+# ---------------------------------------------------------------------------
+
+
+def q_term_dispersion(sf_dir: str) -> ray.data.Dataset:
+    """Gries' DP (deviation of proportions) dispersion for the pinned
+    query terms: DP = sum over ALL docs of |tf_i/F - dl_i/S| / 2 — is
+    the term spread evenly across the corpus or clumped in few docs
+    (burstiness' corpus-level sibling; DP ~ 0 = even, ~ 1 = one doc).
+    Exact integer ppm via cross-multiplied |tf_i*S - dl_i*F| (never a
+    float).  Terms absent from the corpus are omitted.  Scale shape:
+    pass 1 folds F per term and S (tiny ledgers); pass 2 is a pure
+    per-batch combiner of |..| partial sums with (F, S) in the task
+    closure — no exchange carries doc rows."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    probe_set = pa.array(sorted(set(_BM25_TERMS)), pa.string())
+
+    def fs_partial(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = tokens.flatten()
+        s = len(flat)
+        hit = pc.is_in(flat, value_set=probe_set).to_numpy(
+            zero_copy_only=False)
+        vc = pd.Series(flat.to_numpy(zero_copy_only=False)[hit]) \
+            .value_counts()
+        out = pd.DataFrame({"term": vc.index.astype(object),
+                            "f": vc.to_numpy().astype("int64")})
+        out.loc[len(out)] = ["", s]
+        return typed_table(out, term=pa.string(), f=pa.int64())
+
+    fs = _collect_pd(docs.map_batches(fs_partial, batch_format="pyarrow",
+                                      batch_size=None),
+                     term="object", f="int64") \
+        .groupby("term", as_index=False)["f"].sum()
+    S = int(fs[fs["term"] == ""]["f"].sum())
+    F = {t: int(v) for t, v in zip(fs["term"], fs["f"]) if t}
+    terms = sorted(F)
+
+    def num_partial(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        flat = tokens.flatten()
+        dl = pc.list_value_length(tokens).to_numpy(zero_copy_only=False) \
+            .astype("int64")
+        rows = []
+        fl = flat.to_numpy(zero_copy_only=False)
+        for t in terms:
+            tf = np.zeros(len(dl), dtype="int64")
+            np.add.at(tf, parent[fl == t], 1)
+            num = int(np.abs(tf * S - dl * F[t]).sum())
+            rows.append((t, num))
+        return typed_table(pd.DataFrame(rows, columns=["term", "num"]),
+                           term=pa.string(), num=pa.int64())
+
+    nums = _collect_pd(docs.map_batches(num_partial,
+                                        batch_format="pyarrow",
+                                        batch_size=None),
+                       term="object", num="int64") \
+        .groupby("term", as_index=False)["num"].sum()
+    nums["f"] = [F[t] for t in nums["term"]]
+    nums["dp_ppm"] = [
+        (1_000_000 * int(n)) // (2 * int(f) * S)
+        for n, f in zip(nums["num"], nums["f"])]
+    return ray.data.from_arrow(typed_table(
+        nums[["term", "f", "dp_ppm"]], term=pa.string(), f=pa.int64(),
+        dp_ppm=pa.int64()))
+
+
+SQL_TERM_DISPERSION = _with(SQL_TOKS) + f""",
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         FROM toks GROUP BY 1),
+s AS (SELECT CAST(count(*) AS BIGINT) AS s FROM toks),
+tf AS (SELECT q.term, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM toks t JOIN q USING (term) GROUP BY 1, 2),
+ftot AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY 1),
+x AS (SELECT f.term, d.doc_id, d.dl, coalesce(tf.tf, 0) AS tf, f.f
+      FROM ftot f CROSS JOIN dlen d
+      LEFT JOIN tf ON tf.term = f.term AND tf.doc_id = d.doc_id),
+n AS (SELECT x.term, x.f,
+             CAST(sum(abs(x.tf * s.s - x.dl * x.f)) AS BIGINT) AS num
+      FROM x, s GROUP BY 1, 2)
+SELECT n.term, n.f,
+       CAST(1000000 * n.num // (2 * n.f * s.s) AS BIGINT) AS dp_ppm
+FROM n, s"""
+
+
+#: scaled-down Roaring container span (real Roaring uses 2^16; the
+#: synthetic user-id domain is ~150, so span 64 exercises all three
+#: container types) and the byte-cost model: array = 2*card,
+#: run = 2 + 4*runs, bitmap = span/8; run wins ties, then array.
+_ROARING_SPAN = 64
+
+
+def q_roaring_audit(sf_dir: str) -> ray.data.Dataset:
+    """Roaring-bitmap container-type audit of the per-event-type user-id
+    sets: each container (user_id // span) picks the cheapest encoding
+    of array (2 bytes/id), run (2 + 4 bytes/run over the sorted gaps),
+    or fixed bitmap — the storage calculus behind Roaring/Judy bitmap
+    indexes, reported per event type as container counts by chosen
+    type plus total bytes.  Scale shape: distinct (type, user)
+    combiner, one (type, container)-bucketed exchange, sorted-diff run
+    count inside the bucket, bounded census fold."""
+    span = _ROARING_SPAN
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        df["cont"] = (df["user_id"] // span).astype("int64")
+        return typed_table(df, event_type=pa.string(),
+                           user_id=pa.int64(), cont=pa.int64())
+
+    keyed = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (et, cont), g in df.groupby(["event_type", "cont"]):
+            ids = np.sort(g["user_id"].unique())
+            card = len(ids)
+            runs = 1 + int((np.diff(ids) > 1).sum()) if card else 0
+            a_cost, r_cost, b_cost = 2 * card, 2 + 4 * runs, span // 8
+            if r_cost <= a_cost and r_cost <= b_cost:
+                typ, cost = "run", r_cost
+            elif a_cost <= b_cost:
+                typ, cost = "array", a_cost
+            else:
+                typ, cost = "bitmap", b_cost
+            rows.append((et, typ, cost))
+        out = pd.DataFrame(rows, columns=["event_type", "ctype",
+                                          "bytes"])
+        g = out.groupby(["event_type", "ctype"], as_index=False).agg(
+            n_containers=("bytes", "size"), total_bytes=("bytes", "sum"))
+        return g.astype({"n_containers": "int64",
+                         "total_bytes": "int64"})
+
+    parts = _collect_pd(
+        bucketed_group_apply(keyed, ["event_type", "cont"],
+                             per_bucket, 8),
+        event_type="object", ctype="object", n_containers="int64",
+        total_bytes="int64")
+    agg = parts.groupby(["event_type", "ctype"], as_index=False).sum()
+    return ray.data.from_arrow(typed_table(
+        agg, event_type=pa.string(), ctype=pa.string(),
+        n_containers=pa.int64(), total_bytes=pa.int64()))
+
+
+SQL_ROARING_AUDIT = f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+k AS (SELECT event_type, user_id,
+             CAST(user_id // {_ROARING_SPAN} AS BIGINT) AS cont
+      FROM d),
+r AS (SELECT event_type, cont, user_id,
+             CASE WHEN user_id - lag(user_id) OVER
+                    (PARTITION BY event_type, cont ORDER BY user_id) = 1
+                  THEN 0 ELSE 1 END AS newrun
+      FROM k),
+c AS (SELECT event_type, cont, CAST(count(*) AS BIGINT) AS card,
+             CAST(sum(newrun) AS BIGINT) AS runs
+      FROM r GROUP BY 1, 2),
+t AS (SELECT event_type,
+             CASE WHEN 2 + 4 * runs <= 2 * card
+                   AND 2 + 4 * runs <= {_ROARING_SPAN // 8}
+                  THEN 'run'
+                  WHEN 2 * card <= {_ROARING_SPAN // 8} THEN 'array'
+                  ELSE 'bitmap' END AS ctype,
+             CASE WHEN 2 + 4 * runs <= 2 * card
+                   AND 2 + 4 * runs <= {_ROARING_SPAN // 8}
+                  THEN 2 + 4 * runs
+                  WHEN 2 * card <= {_ROARING_SPAN // 8} THEN 2 * card
+                  ELSE {_ROARING_SPAN // 8} END AS bytes
+      FROM c)
+SELECT event_type, ctype, CAST(count(*) AS BIGINT) AS n_containers,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes
+FROM t GROUP BY 1, 2"""
+
+
+def q_simhash_eval(sf_dir: str) -> ray.data.Dataset:
+    """Precision/recall of the SimHash near-dup detector against exact
+    n-gram-Jaccard ground truth: predictions = hamming <= 3 pairs
+    (stages/dedup.simhash_pairs), truth = pairs with shingle Jaccard
+    >= 0.5 (integer cross-multiplied: 3*inter >= n_a + n_b) — the
+    approximation-quality eval a dedup pipeline publishes next to its
+    recall pytests.  One row: tp / fp / fn and precision/recall ppm
+    (0 when the denominator is empty).  Scale shape: both pair sets
+    come from banded/inverted-index generation (never all-pairs); the
+    set compare is a pair-keyed bucketed exchange; the driver folds a
+    3-counter ledger."""
+    from dug_ray.stages.dedup import (_pairs_from_inverted, shingles,
+                                      simhash_pairs)
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    pred = simhash_pairs(docs)
+
+    def truth_fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[3 * df["inter"] >= df["n_a"] + df["n_b"]]
+        return typed_table(df[["doc_id_a", "doc_id_b"]],
+                           doc_id_a=pa.int64(), doc_id_b=pa.int64())
+
+    truth = _pairs_from_inverted(shingles(docs)).map_batches(
+        truth_fin, batch_format="pyarrow", batch_size=None)
+
+    def tag_pred(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": pc.binary_join_element_wise(
+                pc.cast(batch["doc_a"], pa.string()),
+                pc.cast(batch["doc_b"], pa.string()), "-"),
+            "side": pa.array(["p"] * len(batch))})
+
+    def tag_truth(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": pc.binary_join_element_wise(
+                pc.cast(batch["doc_id_a"], pa.string()),
+                pc.cast(batch["doc_id_b"], pa.string()), "-"),
+            "side": pa.array(["t"] * len(batch))})
+
+    u = pred.map_batches(tag_pred, batch_format="pyarrow",
+                         batch_size=None).union(
+        truth.map_batches(tag_truth, batch_format="pyarrow",
+                          batch_size=None))
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pk")["side"].agg(set)
+        tp = int(sum(1 for s in g if s == {"p", "t"}))
+        fp = int(sum(1 for s in g if s == {"p"}))
+        fn = int(sum(1 for s in g if s == {"t"}))
+        return pd.DataFrame({"tp": [tp], "fp": [fp], "fn": [fn]})
+
+    parts = _collect_pd(bucketed_group_apply(u, "pk", count, 8),
+                        tp="int64", fp="int64", fn="int64")
+    tp, fp, fn = (int(parts["tp"].sum()), int(parts["fp"].sum()),
+                  int(parts["fn"].sum()))
+    out = pd.DataFrame({
+        "tp": [tp], "fp": [fp], "fn": [fn],
+        "precision_ppm": [(1_000_000 * tp) // (tp + fp)
+                          if tp + fp else 0],
+        "recall_ppm": [(1_000_000 * tp) // (tp + fn)
+                       if tp + fn else 0]})
+    return ray.data.from_arrow(typed_table(
+        out, tp=pa.int64(), fp=pa.int64(), fn=pa.int64(),
+        precision_ppm=pa.int64(), recall_ppm=pa.int64()))
+
+
+SQL_SIMHASH_EVAL = _with(SQL_TOKS, SQL_SHINGLES) + """,
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+jp AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       FROM sh a JOIN sh b USING (shingle)
+       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+truth AS (SELECT da, db FROM jp
+          JOIN cnt ca ON ca.doc_id = da
+          JOIN cnt cb ON cb.doc_id = db
+          WHERE 3 * inter >= ca.n + cb.n),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+bits AS (
+  SELECT doc_id, d.d,
+         CASE WHEN sum(strpos('0123456789abcdef',
+                              substr(md5(term), d.d + 1, 1))
+                      - 1 - 7.5) > 0 THEN 1 ELSE 0 END AS bit
+  FROM dt CROSS JOIN generate_series(0, 15) AS d(d)
+  GROUP BY doc_id, d.d),
+fp_ AS (SELECT doc_id,
+               CAST(sum(bit * (CAST(1 AS BIGINT) << d)) AS BIGINT) AS f
+        FROM bits GROUP BY doc_id),
+pred AS (SELECT a.doc_id AS da, b.doc_id AS db
+         FROM fp_ a JOIN fp_ b ON b.doc_id > a.doc_id
+         WHERE bit_count(xor(a.f, b.f)) <= 3),
+m AS (SELECT CAST(count(*) AS BIGINT) AS tp
+      FROM pred JOIN truth USING (da, db)),
+cts AS (SELECT m.tp,
+               (SELECT CAST(count(*) AS BIGINT) FROM pred) - m.tp AS fp,
+               (SELECT CAST(count(*) AS BIGINT) FROM truth) - m.tp AS fn
+        FROM m)
+SELECT tp, fp, fn,
+       CASE WHEN tp + fp = 0 THEN 0
+            ELSE CAST(1000000 * tp // (tp + fp) AS BIGINT) END
+         AS precision_ppm,
+       CASE WHEN tp + fn = 0 THEN 0
+            ELSE CAST(1000000 * tp // (tp + fn) AS BIGINT) END
+         AS recall_ppm
+FROM cts"""
+
+
+QUERIES.update({
+    "term_dispersion": q_term_dispersion,
+    "roaring_audit": q_roaring_audit,
+    "simhash_eval": q_simhash_eval,
+})
+ORACLES.update({
+    "term_dispersion": SQL_TERM_DISPERSION,
+    "roaring_audit": SQL_ROARING_AUDIT,
+    "simhash_eval": SQL_SIMHASH_EVAL,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -19826,6 +20128,7 @@ _DRIVER_FRONT = [
     "ams_f2", "bpe_first_merge", "link_threshold_sweep", "norm_fanin",
     "qlm_topk", "t_closeness", "order_status_audit",
     "triplet_violations", "theil_index", "mi_contingency",
+    "term_dispersion", "roaring_audit", "simhash_eval",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
