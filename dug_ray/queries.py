@@ -20046,6 +20046,210 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Learned-index error audit, cross-source duplicate span, decayed
+# popularity
+# ---------------------------------------------------------------------------
+
+
+def q_learned_index_audit(sf_dir: str) -> ray.data.Dataset:
+    """Learned-index (RMI/PGM-style) interpolation-error audit: per
+    o_orderkey decile, anchor a line through the segment's (first,
+    last) keys and report the MAX absolute rank error of linear
+    interpolation — the epsilon that bounds a learned index's binary-
+    search window over this segment.  Exact integers by cross-
+    multiplication: err_num_i = |i*(k_hi - k_lo) - (key_i - k_lo)*
+    (n-1)|, eps = ceil(max_i err_num / (k_hi - k_lo)).  Scale shape:
+    decile-bucketed exchange, in-bucket sort + vectorized residuals,
+    10-row output."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey"])
+    mx = int(orders.max("o_orderkey"))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype("int64")
+        return typed_table(
+            pd.DataFrame({"decile": (k * 10) // (mx + 1), "k": k}),
+            decile=pa.int64(), k=pa.int64())
+
+    def per_decile(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for dec, g in df.groupby("decile"):
+            k = np.sort(g["k"].unique())
+            n = len(k)
+            lo, hi = int(k[0]), int(k[-1])
+            if n < 2 or hi == lo:
+                rows.append((int(dec), n, lo, hi, 0))
+                continue
+            i = np.arange(n, dtype="int64")
+            num = np.abs(i * (hi - lo) - (k - lo) * (n - 1))
+            m = int(num.max())
+            rows.append((int(dec), n, lo, hi,
+                         -((-m) // (hi - lo))))
+        return pd.DataFrame(rows, columns=[
+            "decile", "n_keys", "key_lo", "key_hi", "eps"]) \
+            .astype("int64")
+
+    out = _collect_pd(
+        bucketed_group_apply(
+            orders.map_batches(keyed, batch_format="pyarrow",
+                               batch_size=None),
+            "decile", per_decile, 8),
+        decile="int64", n_keys="int64", key_lo="int64",
+        key_hi="int64", eps="int64").sort_values("decile")
+    return ray.data.from_arrow(typed_table(
+        out, decile=pa.int64(), n_keys=pa.int64(), key_lo=pa.int64(),
+        key_hi=pa.int64(), eps=pa.int64()))
+
+
+SQL_LEARNED_INDEX_AUDIT = """
+WITH o AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+mx AS (SELECT max(k) AS m FROM o),
+d AS (SELECT CAST(o.k * 10 // (mx.m + 1) AS BIGINT) AS decile, o.k,
+             row_number() OVER (PARTITION BY o.k * 10 // (mx.m + 1)
+                                ORDER BY o.k) - 1 AS i
+      FROM o, mx),
+b AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(k) AS BIGINT) AS lo, CAST(max(k) AS BIGINT) AS hi
+      FROM d GROUP BY 1),
+e AS (SELECT d.decile, b.n, b.lo, b.hi,
+             CAST(max(abs(d.i * (b.hi - b.lo)
+                          - (d.k - b.lo) * (b.n - 1))) AS BIGINT) AS m
+      FROM d JOIN b USING (decile) GROUP BY 1, 2, 3, 4)
+SELECT decile, n AS n_keys, lo AS key_lo, hi AS key_hi,
+       CASE WHEN n < 2 OR hi = lo THEN 0
+            ELSE CAST(-((-m) // (hi - lo)) AS BIGINT) END AS eps
+FROM e"""
+
+
+def q_cross_source_dups(sf_dir: str) -> ray.data.Dataset:
+    """Cross-source duplicate-span census: exact-duplicate text groups
+    (md5 content hash) histogrammed by how many DISTINCT sources they
+    span — the syndication/mirror signal dup_rate (per-source KPI)
+    cannot see.  Output per (span, size-class) where size-class is the
+    group's doc count: number of groups.  Scale shape: (hash, source)
+    distinct combiner + doc counts, one hash-bucketed exchange,
+    bounded histogram fold."""
+    from dug_ray.hashing import md5_hex
+
+    docs = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["h"] = md5_hex(df["text"].to_numpy(dtype=object))
+        g = df.groupby(["h", "source"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return typed_table(g, h=pa.string(), source=pa.string(),
+                           n=pa.int64())
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["h", "source"], as_index=False)["n"].sum()
+        f = g.groupby("h").agg(span=("source", "nunique"),
+                               n_docs=("n", "sum"))
+        h = f.groupby(["span", "n_docs"]).size() \
+            .rename("n_groups").reset_index()
+        return h.astype({"span": "int64", "n_docs": "int64",
+                         "n_groups": "int64"})
+
+    parts2 = _collect_pd(bucketed_group_apply(parts, "h",
+                                              per_bucket, 8),
+                         span="int64", n_docs="int64",
+                         n_groups="int64")
+    agg = parts2.groupby(["span", "n_docs"], as_index=False) \
+        ["n_groups"].sum()
+    return ray.data.from_arrow(typed_table(
+        agg, span=pa.int64(), n_docs=pa.int64(), n_groups=pa.int64()))
+
+
+SQL_CROSS_SOURCE_DUPS = """
+WITH h AS (SELECT md5(text) AS h, source FROM documents),
+g AS (SELECT h, CAST(count(DISTINCT source) AS BIGINT) AS span,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM h GROUP BY 1)
+SELECT span, n_docs, CAST(count(*) AS BIGINT) AS n_groups
+FROM g GROUP BY 1, 2"""
+
+
+def q_decayed_popularity(sf_dir: str) -> ray.data.Dataset:
+    """Time-decayed popularity per event type: each event weighs
+    w(age) where w(0) = 1e6 micro and w(k+1) = 7*w(k) // 8 (integer
+    half-life ~5.2 days, floor at every step, age = days before the
+    corpus max day) — the trending-now score with a deterministic
+    integer decay ladder instead of float exp.  Output per type: raw
+    count and decayed micro score.  Scale shape: per-batch (type, day)
+    count combiners fold under the day bucket; the decay ladder is
+    calendar-bounded driver arithmetic; oracle = recursive CTE
+    marching the identical recurrence."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = df["ts"].astype("datetime64[us]").astype("int64") \
+            // 86_400_000_000
+        g = pd.DataFrame({"event_type": df["event_type"], "d": day}) \
+            .groupby(["event_type", "d"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return typed_table(g, event_type=pa.string(), d=pa.int64(),
+                           n=pa.int64())
+
+    cnt = _collect_pd(
+        bucketed_group_apply(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None),
+            "d",
+            lambda df: df.groupby(["event_type", "d"],
+                                  as_index=False)["n"].sum(),
+            8),
+        event_type="object", d="int64", n="int64") \
+        .groupby(["event_type", "d"], as_index=False)["n"].sum()
+
+    mx = int(cnt["d"].max())
+    max_age = mx - int(cnt["d"].min())
+    w = [1_000_000]
+    for _ in range(max_age):
+        w.append(7 * w[-1] // 8)
+    cnt["score"] = [int(n) * w[mx - int(d)]
+                    for n, d in zip(cnt["n"], cnt["d"])]
+    agg = cnt.groupby("event_type", as_index=False).agg(
+        n_events=("n", "sum"), decayed_micro=("score", "sum"))
+    return ray.data.from_arrow(typed_table(
+        agg, event_type=pa.string(), n_events=pa.int64(),
+        decayed_micro=pa.int64()))
+
+
+SQL_DECAYED_POPULARITY = """
+WITH RECURSIVE c AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+mx AS (SELECT max(d) AS m, max(d) - min(d) AS max_age FROM c),
+w AS (SELECT 0 AS age, CAST(1000000 AS BIGINT) AS w
+      UNION ALL
+      SELECT age + 1, CAST(7 * w // 8 AS BIGINT)
+      FROM w, mx WHERE age < mx.max_age)
+SELECT c.event_type, CAST(sum(c.n) AS BIGINT) AS n_events,
+       CAST(sum(c.n * w.w) AS BIGINT) AS decayed_micro
+FROM c CROSS JOIN mx JOIN w ON w.age = mx.m - c.d
+GROUP BY 1"""
+
+
+QUERIES.update({
+    "learned_index_audit": q_learned_index_audit,
+    "cross_source_dups": q_cross_source_dups,
+    "decayed_popularity": q_decayed_popularity,
+})
+ORACLES.update({
+    "learned_index_audit": SQL_LEARNED_INDEX_AUDIT,
+    "cross_source_dups": SQL_CROSS_SOURCE_DUPS,
+    "decayed_popularity": SQL_DECAYED_POPULARITY,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -20129,6 +20333,7 @@ _DRIVER_FRONT = [
     "qlm_topk", "t_closeness", "order_status_audit",
     "triplet_violations", "theil_index", "mi_contingency",
     "term_dispersion", "roaring_audit", "simhash_eval",
+    "learned_index_audit", "cross_source_dups", "decayed_popularity",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
