@@ -20250,6 +20250,234 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Best-snippet windows, curriculum quintiles, median-of-medians error
+# ---------------------------------------------------------------------------
+
+
+def q_best_snippet(sf_dir: str) -> ray.data.Dataset:
+    """Snippet selection: per document containing any pinned query
+    term, the 8-token window (anchored at a hit) with the most query-
+    term hits — max hits, earliest anchor on ties — the KWIC successor
+    a result page renders.  Entirely doc-local (docs never split
+    across batches): hit positions -> searchsorted sliding count, no
+    exchange at all."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    probe_set = pa.array(sorted(set(_BM25_TERMS)), pa.string())
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(batch["text"], " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        parent = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        flat = tokens.flatten()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hit = pc.is_in(flat, value_set=probe_set).to_numpy(
+            zero_copy_only=False)
+        # 1-based positions within each doc (the toks contract)
+        pos = np.arange(len(flat), dtype="int64")
+        first = np.searchsorted(parent, np.arange(len(batch)))
+        pos = pos - first[parent] + 1
+        rows = []
+        hp = parent[hit]
+        hpos = pos[hit]
+        for did in np.unique(hp):
+            p = np.sort(hpos[hp == did])
+            n = np.searchsorted(p, p + 8, side="left") \
+                - np.arange(len(p))
+            best = int(n.max())
+            rows.append((int(ids[did]), int(p[np.argmax(n)]), best))
+        out = pd.DataFrame(rows, columns=["doc_id", "win_start",
+                                          "n_hits"])
+        return typed_table(out, doc_id=pa.int64(), win_start=pa.int64(),
+                           n_hits=pa.int64())
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            batch_size=None)
+
+
+SQL_BEST_SNIPPET = _with(SQL_TOKS) + f""",
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+h AS (SELECT t.doc_id, t.pos FROM toks t JOIN q USING (term)),
+w AS (SELECT a.doc_id, a.pos AS start, CAST(count(*) AS BIGINT)
+        AS n_hits
+      FROM h a JOIN h b ON b.doc_id = a.doc_id AND b.pos >= a.pos
+                        AND b.pos <= a.pos + 7
+      GROUP BY 1, 2),
+r AS (SELECT doc_id, start, n_hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n_hits DESC, start) AS rn
+      FROM w)
+SELECT doc_id, CAST(start AS BIGINT) AS win_start, n_hits
+FROM r WHERE rn = 1"""
+
+
+def q_curriculum_buckets(sf_dir: str) -> ray.data.Dataset:
+    """Curriculum-learning stage assignment: docs scored by TTR milli
+    (1000 * n_types // n_tokens), split into 5 quintile stages by the
+    exact boundary rule b_q = smallest score with cumcount >=
+    ceil(q*N/5); equal scores share a stage.  Output per stage: docs,
+    token total, mean score milli — the easy-to-hard schedule a
+    curriculum trainer consumes.  Scale shape: the score domain is
+    [0, 1000], so per-batch doc scores fold into a bounded
+    (score -> n_docs, sum_tokens) ledger; boundaries, stages and the
+    final rollup are all driver arithmetic over that ledger — one
+    corpus pass, no exchange."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = df["text"].str.split(" ")
+        rows = []
+        for ts in toks:
+            n_tok = len(ts)
+            sc = (1000 * len(set(ts))) // n_tok
+            rows.append((sc, n_tok))
+        g = pd.DataFrame(rows, columns=["sc", "n_tok"]) \
+            .groupby("sc", as_index=False).agg(
+                n_docs=("n_tok", "size"), sum_tok=("n_tok", "sum"))
+        return typed_table(g, sc=pa.int64(), n_docs=pa.int64(),
+                           sum_tok=pa.int64())
+
+    led = _collect_pd(docs.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=None),
+                      sc="int64", n_docs="int64", sum_tok="int64") \
+        .groupby("sc", as_index=False).sum().sort_values("sc") \
+        .reset_index(drop=True)
+    N = int(led["n_docs"].sum())
+    cum = led["n_docs"].cumsum()
+    bounds = []
+    for qq in range(1, 6):
+        need = (qq * N + 4) // 5
+        bounds.append(int(led["sc"][cum >= need].iloc[0]))
+    rows = {}
+    for sc, nd, st_tok in zip(led["sc"], led["n_docs"], led["sum_tok"]):
+        stage = 1 + sum(1 for b in bounds if b < sc)
+        d = rows.setdefault(stage, [0, 0, 0])
+        d[0] += int(nd)
+        d[1] += int(st_tok)
+        d[2] += int(sc) * int(nd)
+    out = pd.DataFrame(
+        [(s, v[0], v[1], v[2] // v[0]) for s, v in sorted(rows.items())],
+        columns=["stage", "n_docs", "sum_tokens", "mean_score_milli"])
+    return ray.data.from_arrow(typed_table(
+        out, stage=pa.int64(), n_docs=pa.int64(), sum_tokens=pa.int64(),
+        mean_score_milli=pa.int64()))
+
+
+SQL_CURRICULUM_BUCKETS = _with(SQL_TOKS) + """,
+a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(count(DISTINCT term) AS BIGINT) AS n_typ
+      FROM toks GROUP BY 1),
+s AS (SELECT doc_id, n_tok,
+             CAST(1000 * n_typ // n_tok AS BIGINT) AS sc
+      FROM a),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+h AS (SELECT sc, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1),
+cum AS (SELECT sc, sum(c) OVER (ORDER BY sc) AS cc FROM h),
+b AS (SELECT qq.q, CAST(min(cum.sc) AS BIGINT) AS bq
+      FROM (SELECT unnest([1, 2, 3, 4, 5]) AS q) qq
+      CROSS JOIN n
+      JOIN cum ON cum.cc >= (qq.q * n.n + 4) // 5
+      GROUP BY 1),
+st AS (SELECT s.doc_id, s.n_tok, s.sc,
+              1 + (SELECT count(*) FROM b WHERE b.bq < s.sc) AS stage
+       FROM s)
+SELECT CAST(stage AS BIGINT) AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(sum(sc) // count(*) AS BIGINT) AS mean_score_milli
+FROM st GROUP BY 1"""
+
+
+def q_median_of_medians(sf_dir: str) -> ray.data.Dataset:
+    """Median-of-medians approximation error: the true corpus median of
+    order cents (exact histogram-descent selection, k = ceil(N/2))
+    vs the median of the 10 orderkey-decile medians (each k =
+    ceil(n/2) in-bucket) — how far the classic two-level sketch lands
+    from truth on this distribution.  One row: true, approx, abs err.
+    Scale shape: the true median never sorts the corpus
+    (stages/selection.exact_quantiles descends bounded histograms);
+    decile medians sort only their bucket."""
+    from dug_ray.stages.selection import exact_quantiles
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"])
+    mx = int(orders.max("o_orderkey"))
+
+    def cents_tbl(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        k = df["o_orderkey"].astype("int64")
+        return typed_table(pd.DataFrame({
+            "decile": (k * 10) // (mx + 1),
+            "cents": (df["o_totalprice"] * 100).round().astype("int64")
+        }), decile=pa.int64(), cents=pa.int64())
+
+    keyed = orders.map_batches(cents_tbl, batch_format="pyarrow",
+                               batch_size=None).materialize()
+    true_df = exact_quantiles(keyed, "cents", [500]).to_pandas()
+    true_med = int(true_df["value"].iloc[0])
+
+    def per_decile(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for dec, g in df.groupby("decile"):
+            v = np.sort(g["cents"].to_numpy())
+            rows.append((int(dec), int(v[(len(v) - 1) // 2])))
+        return pd.DataFrame(rows, columns=["decile", "med"]) \
+            .astype("int64")
+
+    meds = _collect_pd(bucketed_group_apply(keyed, "decile",
+                                            per_decile, 8),
+                       decile="int64", med="int64")
+    mv = np.sort(meds["med"].to_numpy())
+    mom = int(mv[(len(mv) - 1) // 2])
+    out = pd.DataFrame({"true_median": [true_med], "mom": [mom],
+                        "abs_err": [abs(true_med - mom)]})
+    return ray.data.from_arrow(typed_table(
+        out, true_median=pa.int64(), mom=pa.int64(),
+        abs_err=pa.int64()))
+
+
+SQL_MEDIAN_OF_MEDIANS = """
+WITH o AS (SELECT o_orderkey AS k,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+mx AS (SELECT max(k) AS m FROM o),
+d AS (SELECT CAST(o.k * 10 // (mx.m + 1) AS BIGINT) AS decile, o.cents
+      FROM o, mx),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+t AS (SELECT cents FROM o CROSS JOIN n ORDER BY cents
+      LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM n)),
+r AS (SELECT decile, cents,
+             row_number() OVER (PARTITION BY decile
+                                ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY decile) AS cnt
+      FROM d),
+dm AS (SELECT decile, cents AS med FROM r WHERE rn = (cnt + 1) // 2),
+mm AS (SELECT med FROM (
+         SELECT med, row_number() OVER (ORDER BY med) AS rn,
+                count(*) OVER () AS cnt
+         FROM dm) WHERE rn = (cnt + 1) // 2)
+SELECT CAST((SELECT cents FROM t) AS BIGINT) AS true_median,
+       CAST((SELECT med FROM mm) AS BIGINT) AS mom,
+       CAST(abs((SELECT cents FROM t) - (SELECT med FROM mm))
+            AS BIGINT) AS abs_err"""
+
+
+QUERIES.update({
+    "best_snippet": q_best_snippet,
+    "curriculum_buckets": q_curriculum_buckets,
+    "median_of_medians": q_median_of_medians,
+})
+ORACLES.update({
+    "best_snippet": SQL_BEST_SNIPPET,
+    "curriculum_buckets": SQL_CURRICULUM_BUCKETS,
+    "median_of_medians": SQL_MEDIAN_OF_MEDIANS,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -20334,6 +20562,7 @@ _DRIVER_FRONT = [
     "triplet_violations", "theil_index", "mi_contingency",
     "term_dispersion", "roaring_audit", "simhash_eval",
     "learned_index_audit", "cross_source_dups", "decayed_popularity",
+    "best_snippet", "curriculum_buckets", "median_of_medians",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
