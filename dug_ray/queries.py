@@ -20478,6 +20478,232 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Churn label generation, GDPR erasure cascade, HLL-vs-exact eval
+# ---------------------------------------------------------------------------
+
+
+def q_churn_labels(sf_dir: str) -> ray.data.Dataset:
+    """Churn-label generation census: the event span splits at its
+    midpoint day m = (lo + hi + 1) // 2; per user active in the first
+    half, churned = no activity in the second half.  Output per
+    first-half active-day count: churned vs retained users — the
+    label-balance table a churn model trains against.  Scale shape:
+    distinct (user, day) combiner, the day ledger (calendar-bounded)
+    fixes the midpoint, one user-bucketed fold, bounded census."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["d"] = df["ts"].astype("datetime64[us]").astype("int64") \
+            // 86_400_000_000
+        return typed_table(df[["user_id", "d"]].drop_duplicates(),
+                           user_id=pa.int64(), d=pa.int64())
+
+    ud = ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None).materialize()
+    lo, hi = int(ud.min("d")), int(ud.max("d"))
+    mid = (lo + hi + 1) // 2
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        g = df.groupby("user_id").agg(
+            d1=("d", lambda s: int((s < mid).sum())),
+            d2=("d", lambda s: int((s >= mid).sum())))
+        g = g[g["d1"] > 0]
+        g["churned"] = (g["d2"] == 0).astype("int64")
+        out = g.groupby("d1").agg(
+            churned=("churned", "sum"),
+            retained=("churned", lambda s: int((s == 0).sum())))
+        return out.rename_axis("h1_days").reset_index() \
+            .astype("int64")
+
+    parts = _collect_pd(bucketed_group_apply(ud, "user_id",
+                                             per_user, 8),
+                        h1_days="int64", churned="int64",
+                        retained="int64")
+    agg = parts.groupby("h1_days", as_index=False).sum()
+    return ray.data.from_arrow(typed_table(
+        agg, h1_days=pa.int64(), churned=pa.int64(),
+        retained=pa.int64()))
+
+
+SQL_CHURN_LABELS = """
+WITH e AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d
+           FROM events),
+mx AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+u AS (SELECT e.user_id,
+             CAST(sum(CASE WHEN e.d < (mx.lo + mx.hi + 1) // 2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN e.d >= (mx.lo + mx.hi + 1) // 2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d2
+      FROM e, mx GROUP BY 1)
+SELECT d1 AS h1_days,
+       CAST(sum(CASE WHEN d2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS churned,
+       CAST(sum(CASE WHEN d2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS retained
+FROM u WHERE d1 > 0 GROUP BY 1"""
+
+
+def q_erasure_cascade(sf_dir: str) -> ray.data.Dataset:
+    """GDPR right-to-erasure cascade audit: the delete set is the ~2%
+    of customers with md5(custkey) % 1e6 < 20000 (a pure function of
+    the key, so every task re-derives membership with NO delete-list
+    shuffle); count the rows each table must tombstone — customers,
+    their orders, and those orders' lineitems.  Scale shape: customer
+    and orders filter map-side via the md5 rule; only the lineitem
+    cascade needs an exchange (partitioned semi-join on orderkey,
+    carrying just deleted orderkeys)."""
+    from dug_ray.hashing import md5_int
+    from dug_ray.shuffle import hash_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    lines = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                  columns=["l_orderkey"])
+
+    def _del_mask(keys: np.ndarray) -> np.ndarray:
+        return (md5_int(keys.astype(str).astype(object))
+                % 1_000_000) < 20_000
+
+    def cust_del(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy()
+        return pa.table({"n": pa.array([int(_del_mask(k).sum())],
+                                       pa.int64())})
+
+    n_cust = int(cust.map_batches(cust_del, batch_format="pyarrow",
+                                  batch_size=None).sum("n"))
+
+    def order_del(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keep = _del_mask(df["o_custkey"].to_numpy())
+        return typed_table(df[keep][["o_orderkey"]],
+                           o_orderkey=pa.int64())
+
+    del_orders = orders.map_batches(order_del, batch_format="pyarrow",
+                                    batch_size=None).materialize()
+    n_orders = del_orders.count()
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).size() \
+            .rename(columns={"size": "nl"})
+        return typed_table(g, l_orderkey=pa.int64(), nl=pa.int64())
+
+    lp = lines.map_batches(line_partial, batch_format="pyarrow",
+                           batch_size=None)
+    j = hash_join(del_orders, lp, "o_orderkey", "l_orderkey", 16)
+    jn = _collect_pd(
+        j.map_batches(
+            lambda df: pd.DataFrame({"nl": [int(df["nl"].sum())]}),
+            batch_format="pandas", batch_size=None),
+        nl="int64")
+    n_lines = int(jn["nl"].sum())
+    out = pd.DataFrame({"n_customers": [n_cust],
+                        "n_orders": [int(n_orders)],
+                        "n_lineitems": [n_lines]})
+    return ray.data.from_arrow(typed_table(
+        out, n_customers=pa.int64(), n_orders=pa.int64(),
+        n_lineitems=pa.int64()))
+
+
+SQL_ERASURE_CASCADE = """
+WITH delc AS (SELECT c_custkey FROM customer
+              WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                         1, 8)) AS BIGINT)
+                    % 1000000 < 20000),
+delo AS (SELECT o_orderkey FROM orders
+         WHERE CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                    1, 8)) AS BIGINT)
+               % 1000000 < 20000)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM delc) AS n_customers,
+       (SELECT CAST(count(*) AS BIGINT) FROM delo) AS n_orders,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        JOIN delo ON l_orderkey = o_orderkey) AS n_lineitems"""
+
+
+def q_hll_eval(sf_dir: str) -> ray.data.Dataset:
+    """HLL estimation-error eval per source: the pinned HLL estimate
+    (hll_distinct) against the exact distinct term count, with the
+    relative error in floored ppm — completing the approximation-eval
+    suite (simhash_eval for dedup, median_of_medians for quantiles,
+    ams_f2 for moments).  Scale shape: the sketch merge is O(sources x
+    1KB); the exact side is the chao1-style term-bucketed distinct."""
+    import math
+
+    from dug_ray.stages.sketch import hll_distinct_tokens
+
+    docs = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+    hll = hll_distinct_tokens(docs, by="source")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy()
+        src = np.repeat(batch["source"].to_numpy(zero_copy_only=False), n)
+        t = pa.table({"source": pa.array(src, pa.string()),
+                      "term": toks.flatten()})
+        return t.group_by(["source", "term"]).aggregate([])
+
+    exact = _collect_pd(
+        bucketed_group_apply(
+            docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None),
+            "term",
+            lambda df: df.drop_duplicates()
+                         .groupby("source", as_index=False)
+                         .size().rename(columns={"size": "d"}),
+            8),
+        source="object", d="int64").groupby("source",
+                                            as_index=False)["d"].sum()
+    ex = {s: int(v) for s, v in zip(exact["source"], exact["d"])}
+    rows = []
+    for k, a in zip(hll["key"], hll["approx_distinct"]):
+        d = ex[k]
+        rows.append((k, d, float(a),
+                     math.floor(1_000_000 * abs(a - float(d))
+                                / float(d))))
+    out = pd.DataFrame(rows, columns=["source", "exact_distinct",
+                                      "approx_distinct", "err_ppm"])
+    return ray.data.from_arrow(typed_table(
+        out, source=pa.string(), exact_distinct=pa.int64(),
+        approx_distinct=pa.float64(), err_ppm=pa.int64()))
+
+
+SQL_HLL_EVAL = f"""
+WITH hh AS ({SQL_HLL_DISTINCT}),
+tt AS (SELECT d.source, t.term
+       FROM documents d, LATERAL (
+         SELECT unnest(string_split(d.text, ' ')) AS term) t),
+ex AS (SELECT source, CAST(count(DISTINCT term) AS BIGINT)
+         AS exact_distinct
+       FROM tt GROUP BY 1)
+SELECT ex.source, ex.exact_distinct, hh.approx_distinct,
+       CAST(floor(1000000 * abs(hh.approx_distinct
+                                - CAST(ex.exact_distinct AS DOUBLE))
+                  / CAST(ex.exact_distinct AS DOUBLE)) AS BIGINT)
+         AS err_ppm
+FROM ex JOIN hh ON hh.key = ex.source"""
+
+
+QUERIES.update({
+    "churn_labels": q_churn_labels,
+    "erasure_cascade": q_erasure_cascade,
+    "hll_eval": q_hll_eval,
+})
+ORACLES.update({
+    "churn_labels": SQL_CHURN_LABELS,
+    "erasure_cascade": SQL_ERASURE_CASCADE,
+    "hll_eval": SQL_HLL_EVAL,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -20563,6 +20789,7 @@ _DRIVER_FRONT = [
     "term_dispersion", "roaring_audit", "simhash_eval",
     "learned_index_audit", "cross_source_dups", "decayed_popularity",
     "best_snippet", "curriculum_buckets", "median_of_medians",
+    "churn_labels", "erasure_cascade", "hll_eval",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
