@@ -20704,6 +20704,200 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Prefix autocomplete, SymSpell candidates, shard-key skew audit
+# ---------------------------------------------------------------------------
+
+
+def q_autocomplete_top(sf_dir: str) -> ray.data.Dataset:
+    """Query-autocomplete index: per 2-char term prefix, the top-3
+    corpus terms by frequency (n DESC, term ASC — total order) — the
+    typeahead table a search box serves.  Scale shape: term counts
+    complete inside their term bucket; each bucket emits only its
+    per-prefix top-3 PARTIAL candidates, so the driver folds at most
+    buckets x prefixes x 3 rows, never the vocabulary."""
+    partials = _term_count_partials(sf_dir)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.groupby("term", as_index=False)["n"].sum()
+        f["prefix"] = f["term"].str[:2]
+        f = f.sort_values(["prefix", "n", "term"],
+                          ascending=[True, False, True])
+        return f.groupby("prefix").head(3)[["prefix", "term", "n"]]
+
+    parts = _collect_pd(bucketed_group_apply(partials, "term",
+                                             per_bucket, 8),
+                        prefix="object", term="object", n="int64")
+    out = parts.sort_values(["prefix", "n", "term"],
+                            ascending=[True, False, True]) \
+        .groupby("prefix").head(3)
+    return ray.data.from_arrow(typed_table(
+        out, prefix=pa.string(), term=pa.string(), n=pa.int64()))
+
+
+SQL_AUTOCOMPLETE_TOP = _with(SQL_TOKS) + """,
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+r AS (SELECT substr(term, 1, 2) AS prefix, term, n,
+             row_number() OVER (PARTITION BY substr(term, 1, 2)
+                                ORDER BY n DESC, term ASC) AS rn
+      FROM tf)
+SELECT prefix, term, n FROM r WHERE rn <= 3"""
+
+
+#: pinned misspellings probed against the corpus vocabulary
+_SYMSPELL_TYPOS = ["mrge", "joi", "sorrt", "batc", "zzzzz"]
+
+
+def q_symspell_candidates(sf_dir: str) -> ray.data.Dataset:
+    """SymSpell distance-1 spell-correction candidates: vocabulary
+    terms that match a pinned typo under the delete-1 rule (equal, one
+    side is a single-delete of the other, or the delete-1 variant sets
+    intersect) with each candidate's corpus frequency — the
+    precomputed-deletes trick that makes edit-distance lookup an exact
+    hash join instead of a scan.  Scale shape: variants are generated
+    per VOCABULARY term inside the term bucket (corpus counts already
+    folded); the typo variant set is a tiny broadcast literal."""
+    typo_vars = {}
+    for s in _SYMSPELL_TYPOS:
+        vs = {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+        typo_vars[s] = vs
+
+    partials = _term_count_partials(sf_dir)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.groupby("term", as_index=False)["n"].sum()
+        rows = []
+        for t, n in zip(f["term"], f["n"]):
+            tv = {t} | {t[:i] + t[i + 1:] for i in range(len(t))}
+            for s, sv in typo_vars.items():
+                if tv & sv:
+                    rows.append((s, t, int(n)))
+        if not rows:
+            return pd.DataFrame({"typo": pd.Series(dtype=object),
+                                 "term": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.DataFrame(rows, columns=["typo", "term", "n"])
+
+    parts = _collect_pd(bucketed_group_apply(partials, "term",
+                                             per_bucket, 8),
+                        typo="object", term="object", n="int64")
+    return ray.data.from_arrow(typed_table(
+        parts, typo=pa.string(), term=pa.string(), n=pa.int64()))
+
+
+SQL_SYMSPELL_CANDIDATES = _with(SQL_TOKS) + f""",
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+tv AS (SELECT term, substr(term, 1, i.i - 1) || substr(term, i.i + 1)
+         AS var
+       FROM tf, LATERAL (SELECT unnest(generate_series(
+                           1, length(term))) AS i) i
+       UNION SELECT term, term FROM tf),
+q(typo) AS (VALUES {", ".join(f"('{t}')" for t in _SYMSPELL_TYPOS)}),
+qv AS (SELECT typo, substr(typo, 1, i.i - 1) || substr(typo, i.i + 1)
+         AS var
+       FROM q, LATERAL (SELECT unnest(generate_series(
+                          1, length(typo))) AS i) i
+       UNION SELECT typo, typo FROM q),
+cand AS (SELECT DISTINCT qv.typo, tv.term
+         FROM tv JOIN qv ON tv.var = qv.var)
+SELECT cand.typo, cand.term, tf.n
+FROM cand JOIN tf USING (term)"""
+
+
+#: candidate shard keys audited over orders (name -> how the key value
+#: is rendered before md5; day = epoch-day of o_orderdate)
+_SHARD_BUCKETS = 64
+
+
+def q_shard_key_audit(sf_dir: str) -> ray.data.Dataset:
+    """Shard-key selection audit: for each candidate partition key of
+    the orders table (custkey, orderkey, order day, priority), hash
+    rows into 64 md5 buckets and report buckets hit, the largest
+    bucket, and its row share in ppm — the skew evidence behind
+    choosing ONE partitioning key and reusing it across stages.  Pure
+    per-batch 64-slot histogram combiners; the driver folds a
+    4 x 64 ledger."""
+    from dug_ray.hashing import md5_int
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = df["o_orderdate"].astype("datetime64[us]") \
+            .astype("int64") // 86_400_000_000
+        keys = {
+            "custkey": df["o_custkey"].astype(str),
+            "orderkey": df["o_orderkey"].astype(str),
+            "day": day.astype(str),
+            "priority": df["o_orderpriority"].astype(str),
+        }
+        rows = []
+        for name, vals in keys.items():
+            b = md5_int(vals.to_numpy(dtype=object)) % _SHARD_BUCKETS
+            h = pd.Series(b).value_counts()
+            rows.extend((name, int(i), int(v)) for i, v in h.items())
+        return typed_table(
+            pd.DataFrame(rows, columns=["key", "bucket", "n"]),
+            key=pa.string(), bucket=pa.int64(), n=pa.int64())
+
+    parts = _collect_pd(orders.map_batches(partial,
+                                           batch_format="pyarrow",
+                                           batch_size=None),
+                        key="object", bucket="int64", n="int64") \
+        .groupby(["key", "bucket"], as_index=False)["n"].sum()
+    rows = []
+    for name, g in parts.groupby("key"):
+        total = int(g["n"].sum())
+        mx = int(g["n"].max())
+        rows.append((name, total, len(g), mx,
+                     (1_000_000 * mx) // total))
+    out = pd.DataFrame(rows, columns=["key", "n_rows", "buckets_hit",
+                                      "max_bucket_rows",
+                                      "max_bucket_ppm"])
+    return ray.data.from_arrow(typed_table(
+        out, key=pa.string(), n_rows=pa.int64(), buckets_hit=pa.int64(),
+        max_bucket_rows=pa.int64(), max_bucket_ppm=pa.int64()))
+
+
+SQL_SHARD_KEY_AUDIT = f"""
+WITH o AS (SELECT CAST(o_custkey AS VARCHAR) AS custkey,
+                  CAST(o_orderkey AS VARCHAR) AS orderkey,
+                  CAST(CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                            AS BIGINT) // 86400000000 AS VARCHAR) AS day,
+                  o_orderpriority AS priority
+           FROM orders),
+u AS (SELECT 'custkey' AS key, custkey AS v FROM o
+      UNION ALL SELECT 'orderkey', orderkey FROM o
+      UNION ALL SELECT 'day', day FROM o
+      UNION ALL SELECT 'priority', priority FROM o),
+b AS (SELECT key,
+             CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT)
+               % {_SHARD_BUCKETS} AS bucket
+      FROM u),
+h AS (SELECT key, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2)
+SELECT key, CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS buckets_hit,
+       CAST(max(n) AS BIGINT) AS max_bucket_rows,
+       CAST(1000000 * max(n) // sum(n) AS BIGINT) AS max_bucket_ppm
+FROM h GROUP BY 1"""
+
+
+QUERIES.update({
+    "autocomplete_top": q_autocomplete_top,
+    "symspell_candidates": q_symspell_candidates,
+    "shard_key_audit": q_shard_key_audit,
+})
+ORACLES.update({
+    "autocomplete_top": SQL_AUTOCOMPLETE_TOP,
+    "symspell_candidates": SQL_SYMSPELL_CANDIDATES,
+    "shard_key_audit": SQL_SHARD_KEY_AUDIT,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -20790,6 +20984,7 @@ _DRIVER_FRONT = [
     "learned_index_audit", "cross_source_dups", "decayed_popularity",
     "best_snippet", "curriculum_buckets", "median_of_medians",
     "churn_labels", "erasure_cascade", "hll_eval",
+    "autocomplete_top", "symspell_candidates", "shard_key_audit",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
