@@ -20898,6 +20898,236 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# ANOVA lead-time decomposition, predicate cardinality classes, OOV rate
+# ---------------------------------------------------------------------------
+
+
+def q_anova_leadtime(sf_dir: str) -> ray.data.Dataset:
+    """One-way ANOVA decomposition of order-to-ship lead time (days)
+    across supplier nations: between/within sums of squares in integer
+    milli (each group term floored as 1000*s_g^2 // n_g before
+    summing) and the F statistic in milli — does supplier geography
+    explain shipping latency.  Scale shape: lineitem joins orders via
+    the partitioned orderkey hash join; the supplier -> nation map is
+    the canonical small-side broadcast; per-batch (nation, n, sum,
+    sumsq) combiners fold to a 25-row driver ledger (Python ints for
+    the s^2 cross terms)."""
+    from dug_ray.shuffle import hash_join
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"])
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nk_map = dict(zip(supp["s_suppkey"].astype("int64"),
+                      supp["s_nationkey"].astype("int64")))
+
+    j = hash_join(lines, orders, "l_orderkey", "o_orderkey", 16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].astype("datetime64[us]").astype("int64") \
+            // 86_400_000_000
+        od = df["o_orderdate"].astype("datetime64[us]").astype("int64") \
+            // 86_400_000_000
+        x = (sd - od).astype("int64")
+        nk = df["l_suppkey"].astype("int64").map(nk_map).astype("int64")
+        g = pd.DataFrame({"nk": nk, "x": x, "x2": x * x}) \
+            .groupby("nk", as_index=False).agg(
+                n=("x", "size"), s=("x", "sum"), q=("x2", "sum"))
+        return g.astype("int64")
+
+    led = _collect_pd(
+        j.map_batches(partial, batch_format="pandas", batch_size=None),
+        nk="int64", n="int64", s="int64", q="int64") \
+        .groupby("nk", as_index=False).sum()
+
+    k = len(led)
+    N = int(led["n"].sum())
+    S = int(led["s"].sum())
+    Q = int(led["q"].sum())
+    sb = sum((1000 * int(s) * int(s)) // int(n)
+             for s, n in zip(led["s"], led["n"]))
+    ssb = sb - (1000 * S * S) // N
+    ssw = 1000 * Q - sb
+    f = ((1000 * ssb * (N - k)) // (ssw * (k - 1))
+         if k > 1 and ssw > 0 else 0)
+    out = pd.DataFrame({"k_groups": [k], "n": [N], "ssb_milli": [ssb],
+                        "ssw_milli": [ssw], "f_milli": [f]})
+    return ray.data.from_arrow(typed_table(
+        out, k_groups=pa.int64(), n=pa.int64(), ssb_milli=pa.int64(),
+        ssw_milli=pa.int64(), f_milli=pa.int64()))
+
+
+SQL_ANOVA_LEADTIME = """
+WITH j AS (SELECT s.s_nationkey AS nk,
+                  CAST(epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+                       AS BIGINT) // 86400000000
+                  - CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                         AS BIGINT) // 86400000000 AS x
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey),
+g AS (SELECT nk, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS q
+      FROM j GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s) AS BIGINT) AS ss,
+             CAST(sum(q) AS BIGINT) AS qq,
+             CAST(sum(1000 * s * s // n) AS BIGINT) AS sb
+      FROM g)
+SELECT k AS k_groups, nn AS n,
+       CAST(sb - 1000 * ss * ss // nn AS BIGINT) AS ssb_milli,
+       CAST(1000 * qq - sb AS BIGINT) AS ssw_milli,
+       CASE WHEN k > 1 AND 1000 * qq - sb > 0
+            THEN CAST(1000 * (sb - 1000 * ss * ss // nn) * (nn - k)
+                      // ((1000 * qq - sb) * (k - 1)) AS BIGINT)
+            ELSE 0 END AS f_milli
+FROM t"""
+
+
+def q_pred_cardinality(sf_dir: str) -> ray.data.Dataset:
+    """Predicate cardinality-class census over the KG triple table:
+    per predicate, max objects per subject (out), max subjects per
+    object (in), classified 1:1 / 1:N / N:1 / N:M — the schema-shape
+    audit an ontology modeler reads next to pred_paths.  Scale shape:
+    distinct-triple combiner, (pred, subj)- and (pred, obj)-bucketed
+    count folds, predicate-bounded driver final."""
+    from dug_ray.shuffle import distinct_rows
+
+    tr = distinct_rows(
+        kg.kg_triples_cached(sf_dir).select_columns(
+            ["subj", "pred", "obj"]),
+        ["subj", "pred", "obj"], 16).materialize()
+
+    def side_max(cols: list[str]) -> pd.DataFrame:
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            c = df.drop_duplicates().groupby(cols).size() \
+                .rename("c").reset_index()
+            m = c.groupby("pred", as_index=False)["c"].max() \
+                .rename(columns={"c": "m"})
+            return m.astype({"m": "int64"})
+        return _collect_pd(
+            bucketed_group_apply(tr, cols, per_bucket, 8),
+            pred="object", m="int64").groupby("pred",
+                                              as_index=False)["m"].max()
+
+    mo = side_max(["pred", "subj"]).rename(columns={"m": "max_out"})
+    mi = side_max(["pred", "obj"]).rename(columns={"m": "max_in"})
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("pred").aggregate([([], "count_all")])
+        return g.rename_columns(["pred", "n"])
+
+    nt = _collect_pd(tr.map_batches(count_partial,
+                                    batch_format="pyarrow",
+                                    batch_size=None),
+                     pred="object", n="int64") \
+        .groupby("pred", as_index=False)["n"].sum()
+
+    out = nt.merge(mo, on="pred").merge(mi, on="pred")
+    out["card_class"] = [
+        ("1" if o == 1 else "N") + ":" + ("1" if i == 1 else
+                                          ("N" if o == 1 else "M"))
+        for o, i in zip(out["max_out"], out["max_in"])]
+    return ray.data.from_arrow(typed_table(
+        out.rename(columns={"n": "n_triples"}),
+        pred=pa.string(), n_triples=pa.int64(), max_out=pa.int64(),
+        max_in=pa.int64(), card_class=pa.string()))
+
+
+SQL_PRED_CARDINALITY = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls", "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + """,
+tr AS (SELECT DISTINCT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM expansion
+  UNION ALL
+  SELECT DISTINCT canonical_curie AS subj, 'dug:annotates' AS pred,
+         element_id AS obj
+  FROM linked_full)),
+po AS (SELECT pred, CAST(max(c) AS BIGINT) AS max_out FROM (
+         SELECT pred, subj, count(*) AS c FROM tr GROUP BY 1, 2)
+       GROUP BY 1),
+pi AS (SELECT pred, CAST(max(c) AS BIGINT) AS max_in FROM (
+         SELECT pred, obj, count(*) AS c FROM tr GROUP BY 1, 2)
+       GROUP BY 1),
+a AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_triples
+      FROM tr GROUP BY 1)
+SELECT a.pred, a.n_triples, po.max_out, pi.max_in,
+       (CASE WHEN po.max_out = 1 THEN '1' ELSE 'N' END) || ':' ||
+       (CASE WHEN pi.max_in = 1 THEN '1'
+             WHEN po.max_out = 1 THEN 'N' ELSE 'M' END) AS card_class
+FROM a JOIN po USING (pred) JOIN pi USING (pred)"""
+
+
+def q_oov_rate(sf_dir: str) -> ray.data.Dataset:
+    """Out-of-vocabulary rate per source: the share of corpus tokens
+    not in the annotation lexicon, in exact ppm — the coverage ceiling
+    of the dictionary-NER stage per feed (a high-OOV source needs a
+    lexicon expansion before its mentions mean anything).  The lexicon
+    term set is the ontology-bounded broadcast; counts are pure
+    per-batch combiners."""
+    lex_terms = set(ontology.lexicon_df()["term"])
+    docs = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy()
+        src = np.repeat(batch["source"].to_numpy(zero_copy_only=False), n)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        iv = pd.Series(flat).isin(lex_terms).to_numpy()
+        g = pd.DataFrame({"source": src, "oov": (~iv).astype("int64")}) \
+            .groupby("source", as_index=False).agg(
+                n_tokens=("oov", "size"), n_oov=("oov", "sum"))
+        return typed_table(g, source=pa.string(), n_tokens=pa.int64(),
+                           n_oov=pa.int64())
+
+    parts = _collect_pd(docs.map_batches(partial,
+                                         batch_format="pyarrow",
+                                         batch_size=None),
+                        source="object", n_tokens="int64",
+                        n_oov="int64") \
+        .groupby("source", as_index=False).sum()
+    parts["oov_ppm"] = [
+        (1_000_000 * int(o)) // int(n)
+        for o, n in zip(parts["n_oov"], parts["n_tokens"])]
+    return ray.data.from_arrow(typed_table(
+        parts, source=pa.string(), n_tokens=pa.int64(),
+        n_oov=pa.int64(), oov_ppm=pa.int64()))
+
+
+SQL_OOV_RATE = _with(ontology.sql_cte("lexicon"), SQL_TOKS) + """,
+lex AS (SELECT DISTINCT term FROM lexicon),
+x AS (SELECT t.source,
+             CASE WHEN lex.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN lex ON lex.term = t.term)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST(1000000 * sum(oov) // count(*) AS BIGINT) AS oov_ppm
+FROM x GROUP BY 1"""
+
+
+QUERIES.update({
+    "anova_leadtime": q_anova_leadtime,
+    "pred_cardinality": q_pred_cardinality,
+    "oov_rate": q_oov_rate,
+})
+ORACLES.update({
+    "anova_leadtime": SQL_ANOVA_LEADTIME,
+    "pred_cardinality": SQL_PRED_CARDINALITY,
+    "oov_rate": SQL_OOV_RATE,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -20985,6 +21215,7 @@ _DRIVER_FRONT = [
     "best_snippet", "curriculum_buckets", "median_of_medians",
     "churn_labels", "erasure_cascade", "hll_eval",
     "autocomplete_top", "symspell_candidates", "shard_key_audit",
+    "anova_leadtime", "pred_cardinality", "oov_rate",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
