@@ -21128,6 +21128,241 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Typed metapath instances, per-source dataset card, top-1% revenue share
+# ---------------------------------------------------------------------------
+
+
+def q_metapath_instances(sf_dir: str) -> ray.data.Dataset:
+    """Typed 2-hop metapath INSTANCES a-[has_phenotype]->p-[phenotype_of]->b
+    over the expansion triples (distinct endpoints per mid) — the
+    instance-level companion to pred_paths' census: which disease
+    pairs share a phenotype bridge (the classic similarity motif).
+    Scale shape: both legs filter map-side to one predicate, then ONE
+    mid-keyed partitioned hash join; distinct via the pair-keyed
+    combiner."""
+    from dug_ray.shuffle import distinct_rows, hash_join
+
+    triples = kg.kg_triples_cached(sf_dir)
+
+    def leg(pred: str, out_cols: tuple[str, str]) -> ray.data.Dataset:
+        def f(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch["pred"], pred)
+            t = batch.filter(keep)
+            return pa.table({out_cols[0]: t["subj"],
+                             out_cols[1]: t["obj"]})
+        return triples.map_batches(f, batch_format="pyarrow",
+                                   batch_size=None)
+
+    l1 = leg("biolink:has_phenotype", ("a", "mid1"))
+    l2 = leg("biolink:phenotype_of", ("mid2", "b"))
+    j = hash_join(l1, l2, "mid1", "mid2", 8)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return typed_table(
+            df.rename(columns={"mid1": "mid"})[["a", "mid", "b"]],
+            a=pa.string(), mid=pa.string(), b=pa.string())
+
+    return distinct_rows(
+        j.map_batches(fin, batch_format="pyarrow", batch_size=None),
+        ["a", "mid", "b"], 8)
+
+
+SQL_METAPATH_INSTANCES = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls", "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + """
+SELECT DISTINCT e1.subj AS a, e1.obj AS mid, e2.obj AS b
+FROM expansion e1
+JOIN expansion e2 ON e2.subj = e1.obj
+WHERE e1.pred = 'biolink:has_phenotype'
+  AND e2.pred = 'biolink:phenotype_of'"""
+
+
+def q_source_card(sf_dir: str) -> ray.data.Dataset:
+    """Per-source dataset card: docs, whitespace tokens, distinct
+    langs, exact-duplicate docs (beyond each content group's first)
+    with the dup share in ppm, and mean chars in milli — the one-table
+    summary a corpus datasheet leads with.  Scale shape: one corpus
+    pass of per-batch combiners plus a (source, hash)-bucketed dup
+    fold; everything reaching the driver is per-source bounded."""
+    from dug_ray.hashing import md5_hex
+
+    docs = read_documents(sf_dir,
+                          columns=["doc_id", "source", "text", "lang",
+                                   "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = df["text"].str.split(" ").str.len().astype("int64")
+        g = df.assign(n_tok=toks).groupby("source", as_index=False) \
+            .agg(n_docs=("doc_id", "size"), n_tokens=("n_tok", "sum"),
+                 sum_chars=("n_chars", "sum"))
+        langs = df[["source", "lang"]].drop_duplicates()
+        g = g.merge(
+            langs.groupby("source", as_index=False).size()
+            .rename(columns={"size": "partial_langs"}), on="source")
+        return typed_table(g, source=pa.string(), n_docs=pa.int64(),
+                           n_tokens=pa.int64(), sum_chars=pa.int64(),
+                           partial_langs=pa.int64())
+
+    base = _collect_pd(docs.map_batches(partial, batch_format="pyarrow",
+                                        batch_size=None),
+                       source="object", n_docs="int64",
+                       n_tokens="int64", sum_chars="int64",
+                       partial_langs="int64") \
+        .groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"),
+            sum_chars=("sum_chars", "sum"))
+
+    # distinct langs need a global dedup (batch partials overcount)
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["source", "lang"]].drop_duplicates()
+        return typed_table(df, source=pa.string(), lang=pa.string())
+
+    langs = _collect_pd(docs.map_batches(lang_partial,
+                                         batch_format="pyarrow",
+                                         batch_size=None),
+                        source="object", lang="object") \
+        .drop_duplicates().groupby("source", as_index=False).size() \
+        .rename(columns={"size": "n_langs"})
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["h"] = md5_hex(df["text"].to_numpy(dtype=object))
+        g = df.groupby(["source", "h"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return typed_table(g, source=pa.string(), h=pa.string(),
+                           n=pa.int64())
+
+    def dup_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "h"], as_index=False)["n"].sum()
+        g["dups"] = g["n"] - 1
+        out = g.groupby("source", as_index=False)["dups"].sum()
+        return out.astype({"dups": "int64"})
+
+    dups = _collect_pd(
+        bucketed_group_apply(
+            docs.map_batches(hash_partial, batch_format="pyarrow",
+                             batch_size=None),
+            ["source", "h"], dup_fold, 8),
+        source="object", dups="int64") \
+        .groupby("source", as_index=False)["dups"].sum()
+
+    out = base.merge(langs, on="source").merge(dups, on="source")
+    out["dup_ppm"] = [(1_000_000 * int(d)) // int(n)
+                      for d, n in zip(out["dups"], out["n_docs"])]
+    out["mean_chars_milli"] = [
+        (1000 * int(c)) // int(n)
+        for c, n in zip(out["sum_chars"], out["n_docs"])]
+    out = out[["source", "n_docs", "n_tokens", "n_langs", "dups",
+               "dup_ppm", "mean_chars_milli"]].astype(
+        {"n_langs": "int64"})
+    return ray.data.from_arrow(typed_table(
+        out, source=pa.string(), n_docs=pa.int64(), n_tokens=pa.int64(),
+        n_langs=pa.int64(), dups=pa.int64(), dup_ppm=pa.int64(),
+        mean_chars_milli=pa.int64()))
+
+
+SQL_SOURCE_CARD = """
+WITH t AS (SELECT source, doc_id, lang, n_chars,
+                  CAST(length(string_split(text, ' ')) AS BIGINT)
+                    AS n_tok,
+                  md5(text) AS h
+           FROM documents),
+g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM t GROUP BY 1),
+d AS (SELECT source,
+             CAST(sum(c - 1) AS BIGINT) AS dups
+      FROM (SELECT source, h, count(*) AS c FROM t GROUP BY 1, 2)
+      GROUP BY 1)
+SELECT g.source, g.n_docs, g.n_tokens, g.n_langs, d.dups,
+       CAST(1000000 * d.dups // g.n_docs AS BIGINT) AS dup_ppm,
+       CAST(1000 * g.sum_chars // g.n_docs AS BIGINT)
+         AS mean_chars_milli
+FROM g JOIN d USING (source)"""
+
+
+def q_top1pct_share(sf_dir: str) -> ray.data.Dataset:
+    """Revenue concentration in the top 1% of orders: threshold = the
+    k-th LARGEST order value (k = ceil(N/100), found by histogram-
+    descent selection, never a full sort), share = revenue of orders
+    at or above it in ppm (ties included on both engines).  One row:
+    n, k, threshold cents, total and top revenue, share ppm."""
+    from dug_ray.stages.selection import kth_value
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_totalprice"])
+
+    def cents_tbl(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return typed_table(pd.DataFrame({
+            "cents": (df["o_totalprice"] * 100).round().astype("int64")
+        }), cents=pa.int64())
+
+    cents = orders.map_batches(cents_tbl, batch_format="pyarrow",
+                               batch_size=None).materialize()
+    n = cents.count()
+    k = (n + 99) // 100
+    # k-th largest = (n - k + 1)-th smallest, by histogram descent
+    thr = kth_value(cents, "cents", n - k + 1,
+                    int(cents.min("cents")), int(cents.max("cents")))
+
+    def sums(batch: pa.Table) -> pa.Table:
+        v = batch["cents"].to_numpy()
+        return pa.table({
+            "tot": pa.array([int(v.sum())], pa.int64()),
+            "top": pa.array([int(v[v >= thr].sum())], pa.int64())})
+
+    s = _collect_pd(cents.map_batches(sums, batch_format="pyarrow",
+                                      batch_size=None),
+                    tot="int64", top="int64")
+    tot, top = int(s["tot"].sum()), int(s["top"].sum())
+    out = pd.DataFrame({
+        "n_orders": [n], "k": [k], "threshold_cents": [thr],
+        "rev_total": [tot], "rev_top": [top],
+        "share_ppm": [(1_000_000 * top) // tot]})
+    return ray.data.from_arrow(typed_table(
+        out, n_orders=pa.int64(), k=pa.int64(),
+        threshold_cents=pa.int64(), rev_total=pa.int64(),
+        rev_top=pa.int64(), share_ppm=pa.int64()))
+
+
+SQL_TOP1PCT_SHARE = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             AS cents
+           FROM orders),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+kk AS (SELECT (n + 99) // 100 AS k, n FROM n),
+t AS (SELECT cents FROM c CROSS JOIN kk ORDER BY cents
+      LIMIT 1 OFFSET (SELECT n - k FROM kk))
+SELECT (SELECT n FROM n) AS n_orders, (SELECT k FROM kk) AS k,
+       (SELECT cents FROM t) AS threshold_cents,
+       CAST(sum(cents) AS BIGINT) AS rev_total,
+       CAST(sum(CASE WHEN cents >= (SELECT cents FROM t)
+                     THEN cents ELSE 0 END) AS BIGINT) AS rev_top,
+       CAST(1000000 * sum(CASE WHEN cents >= (SELECT cents FROM t)
+                               THEN cents ELSE 0 END)
+            // sum(cents) AS BIGINT) AS share_ppm
+FROM c"""
+
+
+QUERIES.update({
+    "metapath_instances": q_metapath_instances,
+    "source_card": q_source_card,
+    "top1pct_share": q_top1pct_share,
+})
+ORACLES.update({
+    "metapath_instances": SQL_METAPATH_INSTANCES,
+    "source_card": SQL_SOURCE_CARD,
+    "top1pct_share": SQL_TOP1PCT_SHARE,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -21216,6 +21451,7 @@ _DRIVER_FRONT = [
     "churn_labels", "erasure_cascade", "hll_eval",
     "autocomplete_top", "symspell_candidates", "shard_key_audit",
     "anova_leadtime", "pred_cardinality", "oov_rate",
+    "metapath_instances", "source_card", "top1pct_share",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
