@@ -21363,6 +21363,282 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# PRF query expansion, inverse-predicate consistency, decile lift chart
+# ---------------------------------------------------------------------------
+
+
+def q_prf_expansion(sf_dir: str) -> ray.data.Dataset:
+    """Pseudo-relevance-feedback expansion terms (RM3-lite): for each
+    pinned query term, take its top-5 BM25 documents and rank the
+    terms of THOSE docs by total frequency (excluding the query term
+    itself) — the top-5 become expansion candidates (n DESC, term
+    ASC).  Scale shape: the feedback doc set is |Q| x 5 ids broadcast
+    into one corpus pass that only emits rows for feedback docs; the
+    per-(query, term) fold is feedback-bounded."""
+    from dug_ray.stages.text_index import bm25_topk
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    top = bm25_topk(docs, _BM25_TERMS, k=5).to_pandas()
+    fb = {}
+    for t, g in top.groupby("term"):
+        fb[t] = set(int(x) for x in g["doc_id"])
+    all_fb = sorted(set().union(*fb.values())) if fb else []
+    fb_arr = pa.array(all_fb, pa.int64())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["doc_id"], value_set=fb_arr)
+        t = batch.filter(keep)
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        ex = df[["doc_id"]].assign(term=df["text"].str.split(" ")) \
+            .explode("term")
+        g = ex.groupby(["doc_id", "term"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return typed_table(g, doc_id=pa.int64(), term=pa.string(),
+                           n=pa.int64())
+
+    tf = _collect_pd(docs.map_batches(partial, batch_format="pyarrow",
+                                      batch_size=None),
+                     doc_id="int64", term="object", n="int64") \
+        .groupby(["doc_id", "term"], as_index=False)["n"].sum()
+
+    rows = []
+    for qt in sorted(fb):
+        sub = tf[tf["doc_id"].isin(fb[qt]) & (tf["term"] != qt)]
+        agg = sub.groupby("term", as_index=False)["n"].sum() \
+            .sort_values(["n", "term"], ascending=[False, True]).head(5)
+        rows.extend((qt, t, int(n), i + 1)
+                    for i, (t, n) in enumerate(zip(agg["term"],
+                                                   agg["n"])))
+    out = pd.DataFrame(rows, columns=["query_term", "exp_term", "n",
+                                      "rank"])
+    return ray.data.from_arrow(typed_table(
+        out, query_term=pa.string(), exp_term=pa.string(),
+        n=pa.int64(), rank=pa.int64()))
+
+
+# feedback docs = the SQL_BM25_TOPK chain's rank <= 5 per term; the
+# final SELECT is swapped for the expansion-term ranking over them
+SQL_PRF_EXPANSION = SQL_BM25_TOPK[:SQL_BM25_TOPK.rindex(
+    "SELECT term, doc_id, tf, dl, score,")] + """,
+fb AS (SELECT term AS query_term, doc_id FROM r WHERE rank <= 5),
+ex AS (SELECT fb.query_term, t.term AS exp_term,
+              CAST(count(*) AS BIGINT) AS n
+       FROM fb JOIN toks t USING (doc_id)
+       WHERE t.term <> fb.query_term
+       GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_term
+                                    ORDER BY n DESC, exp_term) AS rank
+       FROM ex)
+SELECT query_term, exp_term, n, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5"""
+
+
+def q_inverse_consistency(sf_dir: str) -> ray.data.Dataset:
+    """Inverse-predicate consistency audit: every has_phenotype edge
+    (a, b) should have the phenotype_of edge (b, a) and vice versa —
+    per direction, matched and orphan counts (the KG-quality check a
+    biolink validator runs).  Scale shape: map-side predicate filters,
+    ONE pair-keyed partitioned compare (both sides tagged into the
+    same bucket), 2-row output."""
+    from dug_ray.shuffle import distinct_rows
+
+    triples = kg.kg_triples_cached(sf_dir)
+
+    def tag(pred: str, flip: bool, label: str):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["pred"], pred))
+            a, b = (t["obj"], t["subj"]) if flip else (t["subj"],
+                                                       t["obj"])
+            return pa.table({
+                "pk": pc.binary_join_element_wise(
+                    pc.cast(a, pa.string()), pc.cast(b, pa.string()),
+                    "->"),
+                "side": pa.array([label] * len(t))})
+        return triples.map_batches(f, batch_format="pyarrow",
+                                   batch_size=None)
+
+    # forward edges as (a, b); inverse edges flipped to (a, b) too
+    u = tag("biolink:has_phenotype", False, "f").union(
+        tag("biolink:phenotype_of", True, "i"))
+    u = distinct_rows(u, ["pk", "side"], 8)
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("pk")["side"].agg(set)
+        both = int(sum(1 for s in g if s == {"f", "i"}))
+        fo = int(sum(1 for s in g if s == {"f"}))
+        io = int(sum(1 for s in g if s == {"i"}))
+        return pd.DataFrame({"matched": [both], "fwd_orphan": [fo],
+                             "inv_orphan": [io]})
+
+    parts = _collect_pd(bucketed_group_apply(u, "pk", count, 8),
+                        matched="int64", fwd_orphan="int64",
+                        inv_orphan="int64")
+    out = pd.DataFrame({
+        "matched": [int(parts["matched"].sum())],
+        "fwd_orphan": [int(parts["fwd_orphan"].sum())],
+        "inv_orphan": [int(parts["inv_orphan"].sum())]})
+    return ray.data.from_arrow(typed_table(
+        out, matched=pa.int64(), fwd_orphan=pa.int64(),
+        inv_orphan=pa.int64()))
+
+
+SQL_INVERSE_CONSISTENCY = _with(
+    ontology.sql_cte("lexicon", "normalizer", "synonyms", "greenlist",
+                     "purls", "edges", "valid_prefix", "redlist"),
+    SQL_TOKS, SQL_LINKED, SQL_EXPANSION) + """,
+f AS (SELECT DISTINCT subj AS a, obj AS b FROM expansion
+      WHERE pred = 'biolink:has_phenotype'),
+i AS (SELECT DISTINCT obj AS a, subj AS b FROM expansion
+      WHERE pred = 'biolink:phenotype_of')
+SELECT (SELECT CAST(count(*) AS BIGINT)
+        FROM f JOIN i USING (a, b)) AS matched,
+       (SELECT CAST(count(*) AS BIGINT) FROM f
+        WHERE NOT EXISTS (SELECT 1 FROM i
+                          WHERE i.a = f.a AND i.b = f.b))
+         AS fwd_orphan,
+       (SELECT CAST(count(*) AS BIGINT) FROM i
+        WHERE NOT EXISTS (SELECT 1 FROM f
+                          WHERE f.a = i.a AND f.b = i.b))
+         AS inv_orphan"""
+
+
+def q_lift_chart(sf_dir: str) -> ray.data.Dataset:
+    """Decile lift chart for the classic LTV heuristic "first-order
+    value predicts repeat purchase": customers bucketed by first-order
+    cents against exact value-decile boundaries (kth_value selection,
+    b_q = the ceil(q*N/10)-th smallest; ties share the lower bucket),
+    per bucket the repeat-customer rate and its lift vs the base rate
+    in ppm.  Scale shape: custkey-bucketed (first order, n orders)
+    fold, 10 histogram-descent selections, bounded per-bucket census."""
+    from dug_ray.stages.selection import kth_value
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.assign(
+            day=df["o_orderdate"].astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000,
+            cents=(df["o_totalprice"] * 100).round().astype("int64"))
+        d = d.sort_values(["o_custkey", "day", "o_orderkey"],
+                          kind="mergesort")
+        g = d.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_orderkey", "size"), day=("day", "first"),
+            okey=("o_orderkey", "first"), cents=("cents", "first"))
+        return g.astype("int64")
+
+    per_cust = bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pandas",
+                           batch_size=None),
+        "o_custkey",
+        lambda df: df.sort_values(["o_custkey", "day", "okey"],
+                                  kind="mergesort")
+        .groupby("o_custkey", as_index=False)
+        .agg(n_orders=("n_orders", "sum"), cents=("cents", "first")),
+        16).materialize()
+
+    N = per_cust.count()
+    lo = int(per_cust.min("cents"))
+    hi = int(per_cust.max("cents"))
+    bounds = [kth_value(per_cust, "cents", (qq * N + 9) // 10, lo, hi)
+              for qq in range(1, 11)]
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.array(bounds, dtype="int64")
+        dec = 1 + (b[None, :-1]
+                   < df["cents"].to_numpy()[:, None]).sum(axis=1)
+        rep = (df["n_orders"] > 1).astype("int64")
+        g = pd.DataFrame({"bucket": dec, "rep": rep}) \
+            .groupby("bucket", as_index=False).agg(
+                n=("rep", "size"), n_repeat=("rep", "sum"))
+        return g.astype("int64")
+
+    parts = _collect_pd(
+        per_cust.map_batches(
+            lambda df: census(df), batch_format="pandas",
+            batch_size=None),
+        bucket="int64", n="int64", n_repeat="int64") \
+        .groupby("bucket", as_index=False).sum()
+    total = int(parts["n"].sum())
+    pos = int(parts["n_repeat"].sum())
+    rows = []
+    for b, n, r in zip(parts["bucket"], parts["n"],
+                       parts["n_repeat"]):
+        rate = (1_000_000 * int(r)) // int(n)
+        lift = ((1_000_000 * int(r) * total) // (int(n) * pos)
+                if pos else 0)
+        rows.append((int(b), int(n), int(r), rate, lift))
+    out = pd.DataFrame(rows, columns=["bucket", "n_customers",
+                                      "n_repeat", "repeat_ppm",
+                                      "lift_ppm"]).sort_values("bucket")
+    return ray.data.from_arrow(typed_table(
+        out, bucket=pa.int64(), n_customers=pa.int64(),
+        n_repeat=pa.int64(), repeat_ppm=pa.int64(),
+        lift_ppm=pa.int64()))
+
+
+SQL_LIFT_CHART = """
+WITH o AS (SELECT o_custkey,
+                  CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                       AS BIGINT) // 86400000000 AS day,
+                  o_orderkey,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+c AS (SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders, cents
+      FROM (SELECT o_custkey, cents,
+                   count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY day, o_orderkey) AS rn
+            FROM o)
+      WHERE rn = 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c),
+b AS (SELECT qq.q, min(r.cents) AS bq
+      FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9, 10]) AS q) qq
+      CROSS JOIN n
+      JOIN r ON r.rn >= (qq.q * n.n + 9) // 10
+      GROUP BY 1),
+st AS (SELECT c.o_custkey, c.n_orders,
+              1 + (SELECT count(*) FROM b
+                   WHERE b.q < 10 AND b.bq < c.cents) AS bucket
+       FROM c),
+g AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_repeat
+      FROM st GROUP BY 1),
+t AS (SELECT CAST(sum(n_customers) AS BIGINT) AS total,
+             CAST(sum(n_repeat) AS BIGINT) AS pos
+      FROM g)
+SELECT g.bucket, g.n_customers, g.n_repeat,
+       CAST(1000000 * g.n_repeat // g.n_customers AS BIGINT)
+         AS repeat_ppm,
+       CASE WHEN t.pos = 0 THEN 0
+            ELSE CAST(1000000 * g.n_repeat * t.total
+                      // (g.n_customers * t.pos) AS BIGINT) END
+         AS lift_ppm
+FROM g, t"""
+
+
+QUERIES.update({
+    "prf_expansion": q_prf_expansion,
+    "inverse_consistency": q_inverse_consistency,
+    "lift_chart": q_lift_chart,
+})
+ORACLES.update({
+    "prf_expansion": SQL_PRF_EXPANSION,
+    "inverse_consistency": SQL_INVERSE_CONSISTENCY,
+    "lift_chart": SQL_LIFT_CHART,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -21452,6 +21728,7 @@ _DRIVER_FRONT = [
     "autocomplete_top", "symspell_candidates", "shard_key_audit",
     "anova_leadtime", "pred_cardinality", "oov_rate",
     "metapath_instances", "source_card", "top1pct_share",
+    "prf_expansion", "inverse_consistency", "lift_chart",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
