@@ -21639,6 +21639,150 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Ranker agreement (RBO-style), quantized isotropy dots
+# ---------------------------------------------------------------------------
+
+#: exact integer RBO(p=0.9) machinery for depth 5: w_d = 10000 * 0.9^d-1
+#: (exactly integral), mult_d = 60 // d (LCM trick kills the 1/d)
+_RBO_W = [(1, 10000, 60), (2, 9000, 30), (3, 8100, 20), (4, 7290, 15),
+          (5, 6561, 12)]
+_RBO_MAX = sum(w * d * m for d, w, m in _RBO_W)
+
+
+def q_rank_agreement(sf_dir: str) -> ray.data.Dataset:
+    """Rank-biased-overlap-style agreement between the BM25 and
+    Dirichlet-QL rankers over the pinned query terms: for each depth
+    d <= 5, the top-d intersection size, weighted by the exact integer
+    RBO(p=0.9) ladder (10000, 9000, 8100, 7290, 6561) with the 1/d
+    handled by the LCM-60 multiplier — do the two scoring families
+    retrieve the same documents?  Output per term: integer score and
+    agreement ppm vs the identical-rankings maximum.  Both rankings
+    are |Q| x 5 ledgers; the compare is driver arithmetic."""
+    from dug_ray.stages.text_index import bm25_topk
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    r1 = bm25_topk(docs, _BM25_TERMS, k=5).to_pandas()
+    r2 = q_qlm_topk(sf_dir).to_pandas()
+
+    rows = []
+    for term in sorted(set(r1["term"]) & set(r2["term"])):
+        t1 = r1[r1["term"] == term].sort_values("rank")["doc_id"] \
+            .to_list()
+        t2 = r2[r2["term"] == term].sort_values("rank")["doc_id"] \
+            .to_list()
+        score = 0
+        for d, w, m in _RBO_W:
+            inter = len(set(t1[:d]) & set(t2[:d]))
+            score += w * m * inter
+        rows.append((term, score, (1_000_000 * score) // _RBO_MAX))
+    out = pd.DataFrame(rows, columns=["term", "score",
+                                      "agreement_ppm"])
+    return ray.data.from_arrow(typed_table(
+        out, term=pa.string(), score=pa.int64(),
+        agreement_ppm=pa.int64()))
+
+
+SQL_RANK_AGREEMENT = f"""
+WITH b1 AS ({SQL_BM25_TOPK}),
+b2 AS ({SQL_QLM_TOPK}),
+w(dd, wgt, mult) AS (VALUES {", ".join(f"({d}, {w}, {m})"
+                                       for d, w, m in _RBO_W)}),
+terms AS (SELECT DISTINCT term FROM b1),
+inter AS (SELECT a.term, w.dd, w.wgt, w.mult,
+                 CAST(count(*) AS BIGINT) AS inter_d
+          FROM w CROSS JOIN b1 a
+          JOIN b2 c ON c.term = a.term AND c.doc_id = a.doc_id
+          WHERE a.rank <= w.dd AND c.rank <= w.dd
+          GROUP BY 1, 2, 3, 4),
+s AS (SELECT t.term,
+             CAST(coalesce(sum(i.wgt * i.mult * i.inter_d), 0)
+                  AS BIGINT) AS score
+      FROM terms t LEFT JOIN inter i ON i.term = t.term
+      GROUP BY 1)
+SELECT term, score,
+       CAST(1000000 * score // {_RBO_MAX} AS BIGINT) AS agreement_ppm
+FROM s"""
+
+
+def q_embed_isotropy(sf_dir: str) -> ray.data.Dataset:
+    """Isotropy probe pairs: each vector paired with the one half the
+    table away (vec_b = vec_a + ceil(N/2)) and the EXACT integer-
+    quantized dot product (coordinates floored to 1e-6 grid before
+    multiplying, the kmeans_update discipline) — near-zero dots =
+    isotropic embedding space, a systematic bias shows up as a shifted
+    distribution.  Scale shape: one partitioned hash join on the
+    computed partner id; the dot is per-row vectorized int64."""
+    from dug_ray.shuffle import hash_join
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    n = emb.count()
+    h = (n + 1) // 2
+
+    def a_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["pk"] = df["vec_id"] + h
+        return typed_table(
+            df.rename(columns={"vec_id": "vec_a", "embedding": "ea"}),
+            vec_a=pa.int64(), ea=pa.list_(pa.float32()), pk=pa.int64())
+
+    def b_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return typed_table(
+            df.rename(columns={"vec_id": "vec_b", "embedding": "eb"}),
+            vec_b=pa.int64(), eb=pa.list_(pa.float32()))
+
+    j = hash_join(emb.map_batches(a_side, batch_format="pyarrow",
+                                  batch_size=None),
+                  emb.map_batches(b_side, batch_format="pyarrow",
+                                  batch_size=None),
+                  "pk", "vec_b", 8)
+
+    def dot(df: pd.DataFrame) -> pd.DataFrame:
+        qa = np.floor(np.stack(df["ea"].to_numpy())
+                      .astype("float64") * 1_000_000.0).astype("int64")
+        qb = np.floor(np.stack(df["eb"].to_numpy())
+                      .astype("float64") * 1_000_000.0).astype("int64")
+        return pd.DataFrame({
+            "vec_a": df["vec_a"].astype("int64"),
+            "vec_b": (df["vec_a"] + h).astype("int64"),
+            "dot_q": (qa * qb).sum(axis=1)})
+
+    out = j.map_batches(dot, batch_format="pandas", batch_size=None)
+    return out
+
+
+SQL_EMBED_ISOTROPY = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a CROSS JOIN n
+      JOIN embeddings b ON b.vec_id = a.vec_id + (n.n + 1) // 2),
+x AS (SELECT p.vec_a, p.vec_b,
+             CAST(floor(CAST(t.va AS DOUBLE) * 1000000.0) AS BIGINT)
+             * CAST(floor(CAST(u.vb AS DOUBLE) * 1000000.0) AS BIGINT)
+               AS prod
+      FROM p,
+      LATERAL (SELECT unnest(p.ea) AS va,
+                      generate_subscripts(p.ea, 1) AS d) t,
+      LATERAL (SELECT unnest(p.eb) AS vb,
+                      generate_subscripts(p.eb, 1) AS d2) u
+      WHERE t.d = u.d2)
+SELECT vec_a, vec_b, CAST(sum(prod) AS BIGINT) AS dot_q
+FROM x GROUP BY 1, 2"""
+
+
+QUERIES.update({
+    "rank_agreement": q_rank_agreement,
+    "embed_isotropy": q_embed_isotropy,
+})
+ORACLES.update({
+    "rank_agreement": SQL_RANK_AGREEMENT,
+    "embed_isotropy": SQL_EMBED_ISOTROPY,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -21729,6 +21873,7 @@ _DRIVER_FRONT = [
     "anova_leadtime", "pred_cardinality", "oov_rate",
     "metapath_instances", "source_card", "top1pct_share",
     "prf_expansion", "inverse_consistency", "lift_chart",
+    "rank_agreement", "embed_isotropy",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
