@@ -21783,6 +21783,269 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Hubness audit, diff-in-diff, dominant period
+# ---------------------------------------------------------------------------
+
+
+def q_hubness_audit(sf_dir: str) -> ray.data.Dataset:
+    """Hubness audit of the embedding space: each vector's 3-NN by
+    cosine (self excluded, cos DESC then vec_id), then the
+    k-occurrence histogram — how many vectors appear in 0, 1, 2, ...
+    other vectors' top-3 lists.  A heavy right tail (hubs) is the
+    classic high-dimensional ANN pathology.  Scale shape: the
+    block-pair pattern emits per-anchor top-3 PARTIALS from each
+    group; the anchor-bucketed fold merges them exactly; occurrence
+    counts ride one neighbor-keyed combiner into a bounded histogram.
+    Cos ordering (not values) crosses engines — the ann_topk
+    contract."""
+    from dug_ray.stages.similarity import _normalize, _stack
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    n_blocks = 4
+    K = 3
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        blk = (vid % n_blocks).astype(np.int64)
+        tables = []
+        for other in range(n_blocks):
+            lo = np.minimum(blk, other)
+            hi = np.maximum(blk, other)
+            key = pa.array(lo * n_blocks + hi, pa.int64())
+            tables.append(batch.append_column("blk", pa.array(blk))
+                          .append_column("pair_key", key))
+        return pa.concat_tables(tables)
+
+    rep = emb.map_batches(replicate, batch_format="pyarrow",
+                          batch_size=None)
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, g in df.groupby("pair_key", sort=False):
+            i, j = divmod(int(key), n_blocks)
+            gi = g[g["blk"] == i].drop_duplicates(subset=["vec_id"])
+            gj = g[g["blk"] == j].drop_duplicates(subset=["vec_id"])
+            if not len(gi) or not len(gj):
+                continue
+            mi = _normalize(_stack(gi["embedding"]))
+            mj = mi if i == j else _normalize(_stack(gj["embedding"]))
+            vi = gi["vec_id"].to_numpy()
+            vj = gj["vec_id"].to_numpy()
+            sims = mi @ mj.T
+            sides = [(vi, vj, sims)]
+            if i != j:
+                sides.append((vj, vi, sims.T))
+            for va, vb, s in sides:
+                self_mask = va[:, None] == vb[None, :]
+                sc = np.where(self_mask, -np.inf, s)
+                for qi in range(len(va)):
+                    row = sc[qi]
+                    order = np.lexsort((vb, -row))[:K]
+                    for nb in order:
+                        if np.isfinite(row[nb]):
+                            outs.append((int(va[qi]), int(vb[nb]),
+                                         float(row[nb])))
+        return pd.DataFrame(outs, columns=["qa", "nb", "cos"]) if outs \
+            else pd.DataFrame({"qa": pd.Series(dtype="int64"),
+                               "nb": pd.Series(dtype="int64"),
+                               "cos": pd.Series(dtype="float64")})
+
+    parts = bucketed_group_apply(rep, "pair_key", per_group, 8)
+
+    def fold_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qa", "cos", "nb"],
+                            ascending=[True, False, True])
+        return df.groupby("qa").head(K)[["qa", "nb"]]
+
+    top = bucketed_group_apply(parts, "qa", fold_top, 8)
+
+    occ = _collect_pd(
+        top.map_batches(
+            lambda df: df.groupby("nb", as_index=False).size()
+            .rename(columns={"size": "c"}).astype({"c": "int64"}),
+            batch_format="pandas", batch_size=None),
+        nb="int64", c="int64").groupby("nb", as_index=False)["c"].sum()
+    all_ids = _collect_pd(
+        emb.map_batches(lambda b: pa.table({"vec_id": b["vec_id"]}),
+                        batch_format="pyarrow", batch_size=None),
+        vec_id="int64")
+    occ_map = dict(zip(occ["nb"], occ["c"]))
+    ks = pd.Series([int(occ_map.get(v, 0))
+                    for v in all_ids["vec_id"]]).value_counts()
+    out = pd.DataFrame({"k_occ": ks.index.astype("int64"),
+                        "n_vectors": ks.to_numpy().astype("int64")}) \
+        .sort_values("k_occ")
+    return ray.data.from_arrow(typed_table(
+        out, k_occ=pa.int64(), n_vectors=pa.int64()))
+
+
+SQL_HUBNESS_AUDIT = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+s AS (SELECT a.vec_id AS qa, b.vec_id AS nb,
+             list_cosine_similarity(a.v, b.v) AS cos
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+r AS (SELECT qa, nb, row_number() OVER (PARTITION BY qa
+                                        ORDER BY cos DESC, nb) AS rn
+      FROM s),
+top AS (SELECT qa, nb FROM r WHERE rn <= 3),
+occ AS (SELECT e.vec_id, CAST(coalesce(c.c, 0) AS BIGINT) AS k_occ
+        FROM e LEFT JOIN (SELECT nb, count(*) AS c FROM top
+                          GROUP BY 1) c ON c.nb = e.vec_id)
+SELECT k_occ, CAST(count(*) AS BIGINT) AS n_vectors
+FROM occ GROUP BY 1"""
+
+
+def q_diff_in_diff(sf_dir: str) -> ray.data.Dataset:
+    """Difference-in-differences of the weekend effect across the two
+    halves of the event span: mean daily event count (milli, over the
+    ZERO-FILLED spine) for each (half, weekend) cell — weekend = epoch
+    day % 7 in {2, 3}, a pure integer rule — and did_milli = the
+    second-half weekend lift minus the first-half weekend lift.  The
+    causal-inference primitive on calendar-bounded ledgers."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].to_pandas().astype("datetime64[us]") \
+            .astype("int64") // 86_400_000_000
+        g = pd.Series(d).value_counts().rename_axis("d") \
+            .reset_index(name="x")
+        return typed_table(g, d=pa.int64(), x=pa.int64())
+
+    daily = _collect_pd(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=None),
+                        d="int64", x="int64") \
+        .groupby("d", as_index=False)["x"].sum()
+    lo, hi = int(daily["d"].min()), int(daily["d"].max())
+    mid = (lo + hi + 1) // 2
+    cnt = dict(zip(daily["d"], daily["x"]))
+    cells = {}
+    for d in range(lo, hi + 1):
+        half = 1 if d < mid else 2
+        we = 1 if d % 7 in (2, 3) else 0
+        n, s = cells.get((half, we), (0, 0))
+        cells[(half, we)] = (n + 1, s + int(cnt.get(d, 0)))
+    m = {k: (1000 * s) // n for k, (n, s) in cells.items()}
+    did = (m.get((2, 1), 0) - m.get((2, 0), 0)) \
+        - (m.get((1, 1), 0) - m.get((1, 0), 0))
+    out = pd.DataFrame({
+        "m_h1_wd": [m.get((1, 0), 0)], "m_h1_we": [m.get((1, 1), 0)],
+        "m_h2_wd": [m.get((2, 0), 0)], "m_h2_we": [m.get((2, 1), 0)],
+        "did_milli": [did]})
+    return ray.data.from_arrow(typed_table(
+        out, m_h1_wd=pa.int64(), m_h1_we=pa.int64(),
+        m_h2_wd=pa.int64(), m_h2_we=pa.int64(), did_milli=pa.int64()))
+
+
+SQL_DIFF_IN_DIFF = """
+WITH c AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+mx AS (SELECT min(d) AS lo, max(d) AS hi,
+              (min(d) + max(d) + 1) // 2 AS mid FROM c),
+sp AS (SELECT unnest(generate_series(mx.lo, mx.hi)) AS d, mx.mid
+       FROM mx),
+y AS (SELECT sp.d, sp.mid, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+      FROM sp LEFT JOIN c USING (d)),
+g AS (SELECT CASE WHEN d < mid THEN 1 ELSE 2 END AS half,
+             CASE WHEN d % 7 IN (2, 3) THEN 1 ELSE 0 END AS we,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM y GROUP BY 1, 2),
+m AS (SELECT half, we, CAST(1000 * s // n AS BIGINT) AS m FROM g)
+SELECT
+  coalesce((SELECT m FROM m WHERE half = 1 AND we = 0), 0) AS m_h1_wd,
+  coalesce((SELECT m FROM m WHERE half = 1 AND we = 1), 0) AS m_h1_we,
+  coalesce((SELECT m FROM m WHERE half = 2 AND we = 0), 0) AS m_h2_wd,
+  coalesce((SELECT m FROM m WHERE half = 2 AND we = 1), 0) AS m_h2_we,
+  (coalesce((SELECT m FROM m WHERE half = 2 AND we = 1), 0)
+   - coalesce((SELECT m FROM m WHERE half = 2 AND we = 0), 0))
+  - (coalesce((SELECT m FROM m WHERE half = 1 AND we = 1), 0)
+     - coalesce((SELECT m FROM m WHERE half = 1 AND we = 0), 0))
+    AS did_milli"""
+
+
+def q_dominant_period(sf_dir: str) -> ray.data.Dataset:
+    """Dominant seasonality period of the daily event series: the lag
+    k in 2..14 maximizing the exact integer centered autocorrelation
+    numerator sum((n*x_t - S)(n*x_{t+k} - S)) over the zero-filled
+    spine (ties -> smallest lag), with its r in truncated ppm — the
+    argmax layer over autocorr_daily's statistic (expect 7 on weekly
+    data).  Calendar-bounded driver ledger."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].to_pandas().astype("datetime64[us]") \
+            .astype("int64") // 86_400_000_000
+        g = pd.Series(d).value_counts().rename_axis("d") \
+            .reset_index(name="x")
+        return typed_table(g, d=pa.int64(), x=pa.int64())
+
+    daily = _collect_pd(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=None),
+                        d="int64", x="int64") \
+        .groupby("d", as_index=False)["x"].sum()
+    lo, hi = int(daily["d"].min()), int(daily["d"].max())
+    cnt = dict(zip(daily["d"], daily["x"]))
+    x = [int(cnt.get(d, 0)) for d in range(lo, hi + 1)]
+    n, S = len(x), sum(x)
+    cen = [n * v - S for v in x]
+    den = sum(c * c for c in cen)
+    best_lag, best_num = 0, None
+    for k in range(2, 15):
+        if k >= n:
+            break
+        num = sum(cen[t] * cen[t + k] for t in range(n - k))
+        if best_num is None or num > best_num:
+            best_lag, best_num = k, num
+    r_ppm = _tdiv(1_000_000 * best_num, den) if den and \
+        best_num is not None else 0
+    out = pd.DataFrame({"n_days": [n], "best_lag": [best_lag],
+                        "r_ppm": [r_ppm]})
+    return ray.data.from_arrow(typed_table(
+        out, n_days=pa.int64(), best_lag=pa.int64(), r_ppm=pa.int64()))
+
+
+SQL_DOMINANT_PERIOD = """
+WITH c AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+mx AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+sp AS (SELECT unnest(generate_series(mx.lo, mx.hi)) AS d FROM mx),
+y AS (SELECT sp.d, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+      FROM sp LEFT JOIN c USING (d)),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM y),
+cen AS (SELECT y.d, g.n * y.x - g.s AS c FROM y, g),
+den AS (SELECT CAST(sum(c * c) AS BIGINT) AS den FROM cen),
+ks AS (SELECT CAST(unnest(generate_series(2, 14)) AS BIGINT) AS k),
+nums AS (SELECT ks.k, CAST(sum(a.c * b.c) AS BIGINT) AS num
+         FROM ks JOIN cen a ON true
+         JOIN cen b ON b.d = a.d + ks.k
+         GROUP BY 1),
+best AS (SELECT k, num FROM nums ORDER BY num DESC, k ASC LIMIT 1)
+SELECT (SELECT n FROM g) AS n_days,
+       CAST((SELECT k FROM best) AS BIGINT) AS best_lag,
+       CASE WHEN (SELECT den FROM den) = 0 THEN 0
+            ELSE CAST((SELECT CAST(1000000 AS HUGEINT) * num FROM best)
+                      // (SELECT den FROM den) AS BIGINT) END AS r_ppm"""
+
+
+QUERIES.update({
+    "hubness_audit": q_hubness_audit,
+    "diff_in_diff": q_diff_in_diff,
+    "dominant_period": q_dominant_period,
+})
+ORACLES.update({
+    "hubness_audit": SQL_HUBNESS_AUDIT,
+    "diff_in_diff": SQL_DIFF_IN_DIFF,
+    "dominant_period": SQL_DOMINANT_PERIOD,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -21873,7 +22136,8 @@ _DRIVER_FRONT = [
     "anova_leadtime", "pred_cardinality", "oov_rate",
     "metapath_instances", "source_card", "top1pct_share",
     "prf_expansion", "inverse_consistency", "lift_chart",
-    "rank_agreement", "embed_isotropy",
+    "rank_agreement", "embed_isotropy", "hubness_audit",
+    "diff_in_diff", "dominant_period",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
