@@ -22046,6 +22046,283 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Query clarity score, blocking recall, top-terms stability
+# ---------------------------------------------------------------------------
+
+
+def q_clarity_score(sf_dir: str) -> ray.data.Dataset:
+    """Query-performance prediction via the clarity score: per pinned
+    query term, the KL divergence between its top-5-feedback-doc
+    language model and the corpus LM, sum over feedback terms of
+    c_fb(w) * floor(1e6 * ln((c_fb(w) * C) / (F * c_C(w)))) — high
+    clarity = a focused query, low = noise (Cronen-Townsend's QPP
+    measure).  Per-term contributions are floored to micro-nats
+    BEFORE the integer sum (one libm ln per distinct ratio).  Scale
+    shape: feedback tf rides the prf_expansion pass; corpus term
+    counts come from the term-bucketed combiner restricted to the
+    feedback vocabulary (broadcast probe set)."""
+    import math
+
+    from dug_ray.stages.text_index import bm25_topk
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    top = bm25_topk(docs, _BM25_TERMS, k=5).to_pandas()
+    fb = {t: set(int(x) for x in g["doc_id"])
+          for t, g in top.groupby("term")}
+    all_fb = sorted(set().union(*fb.values())) if fb else []
+    fb_arr = pa.array(all_fb, pa.int64())
+
+    def fb_tf(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["doc_id"], value_set=fb_arr)
+        t = batch.filter(keep)
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        ex = df[["doc_id"]].assign(term=df["text"].str.split(" ")) \
+            .explode("term")
+        g = ex.groupby(["doc_id", "term"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return typed_table(g, doc_id=pa.int64(), term=pa.string(),
+                           n=pa.int64())
+
+    tf = _collect_pd(docs.map_batches(fb_tf, batch_format="pyarrow",
+                                      batch_size=None),
+                     doc_id="int64", term="object", n="int64") \
+        .groupby(["doc_id", "term"], as_index=False)["n"].sum()
+
+    fb_vocab = sorted(set(tf["term"]))
+    probe = pa.array(fb_vocab, pa.string())
+
+    def corpus_tf(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        total = len(flat)
+        hit = pc.is_in(flat, value_set=probe).to_numpy(
+            zero_copy_only=False)
+        vc = pd.Series(flat.to_numpy(zero_copy_only=False)[hit]) \
+            .value_counts()
+        out = pd.DataFrame({"term": vc.index.astype(object),
+                            "n": vc.to_numpy().astype("int64")})
+        out.loc[len(out)] = ["", total]
+        return typed_table(out, term=pa.string(), n=pa.int64())
+
+    cc = _collect_pd(docs.map_batches(corpus_tf, batch_format="pyarrow",
+                                      batch_size=None),
+                     term="object", n="int64") \
+        .groupby("term", as_index=False)["n"].sum()
+    Ctot = int(cc[cc["term"] == ""]["n"].sum())
+    cmap = {t: int(n) for t, n in zip(cc["term"], cc["n"]) if t}
+
+    rows = []
+    for qt in sorted(fb):
+        sub = tf[tf["doc_id"].isin(fb[qt])]
+        agg = sub.groupby("term")["n"].sum()
+        F = int(agg.sum())
+        total = 0
+        for w, cfb in agg.items():
+            ratio = (float(int(cfb)) * float(Ctot)) \
+                / (float(F) * float(cmap[w]))
+            total += int(cfb) * math.floor(1_000_000 * math.log(ratio))
+        rows.append((qt, F, total, total // F if F else 0))
+    out = pd.DataFrame(rows, columns=["query_term", "fb_tokens",
+                                      "clarity_sum_micro",
+                                      "clarity_micro"])
+    return ray.data.from_arrow(typed_table(
+        out, query_term=pa.string(), fb_tokens=pa.int64(),
+        clarity_sum_micro=pa.int64(), clarity_micro=pa.int64()))
+
+
+SQL_CLARITY_SCORE = SQL_BM25_TOPK[:SQL_BM25_TOPK.rindex(
+    "SELECT term, doc_id, tf, dl, score,")] + """,
+fb AS (SELECT term AS query_term, doc_id FROM r WHERE rank <= 5),
+ftf AS (SELECT fb.query_term, t.term AS w,
+               CAST(count(*) AS BIGINT) AS cfb
+        FROM fb JOIN toks t USING (doc_id)
+        GROUP BY 1, 2),
+ftot AS (SELECT query_term, CAST(sum(cfb) AS BIGINT) AS f
+         FROM ftf GROUP BY 1),
+cw AS (SELECT term AS w, CAST(count(*) AS BIGINT) AS cc
+       FROM toks GROUP BY 1),
+ct AS (SELECT CAST(count(*) AS BIGINT) AS c FROM toks),
+x AS (SELECT ftf.query_term, ftf.cfb,
+             CAST(floor(1000000 * ln((CAST(ftf.cfb AS DOUBLE)
+                                      * CAST(ct.c AS DOUBLE))
+                                     / (CAST(ftot.f AS DOUBLE)
+                                        * CAST(cw.cc AS DOUBLE))))
+                  AS BIGINT) AS t_micro
+      FROM ftf JOIN ftot USING (query_term)
+      JOIN cw USING (w), ct)
+SELECT x.query_term, ftot.f AS fb_tokens,
+       CAST(sum(x.cfb * x.t_micro) AS BIGINT) AS clarity_sum_micro,
+       CAST(sum(x.cfb * x.t_micro) // ftot.f AS BIGINT)
+         AS clarity_micro
+FROM x JOIN ftot USING (query_term)
+GROUP BY 1, 2"""
+
+
+def q_blocking_recall(sf_dir: str) -> ray.data.Dataset:
+    """Blocking-recall eval of the phonetic blocker WITHOUT pair
+    enumeration: truth pairs = parts agreeing on (brand, type, size)
+    = sum of C(n,2) over those groups; captured = the same sum with
+    the phonetic block key added to the group — pure group-size
+    combinatorics on both engines.  One row: truth, captured, recall
+    ppm.  Scale shape: two bucketed group-size folds."""
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_name", "p_brand", "p_type", "p_size"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        tok = df["p_name"].str.lower().str.split(" ").str[0]
+        df["blk"] = tok.str[:1] + tok.str[1:].str.replace(
+            "[aeiouy]", "", regex=True).str[:3]
+        return typed_table(df[["blk", "p_brand", "p_type", "p_size"]],
+                           blk=pa.string(), p_brand=pa.string(),
+                           p_type=pa.string(), p_size=pa.int64())
+
+    keyed_ds = parts.map_batches(keyed, batch_format="pyarrow",
+                                 batch_size=None)
+
+    def pair_sum(cols):
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            sizes = df.groupby(cols).size().to_numpy()
+            return pd.DataFrame({
+                "p": [int((sizes * (sizes - 1) // 2).sum())]})
+        return int(_collect_pd(
+            bucketed_group_apply(keyed_ds, cols, per_bucket, 8),
+            p="int64")["p"].sum())
+
+    truth = pair_sum(["p_brand", "p_type", "p_size"])
+    captured = pair_sum(["blk", "p_brand", "p_type", "p_size"])
+    out = pd.DataFrame({
+        "truth_pairs": [truth], "captured_pairs": [captured],
+        "recall_ppm": [(1_000_000 * captured) // truth
+                       if truth else 0]})
+    return ray.data.from_arrow(typed_table(
+        out, truth_pairs=pa.int64(), captured_pairs=pa.int64(),
+        recall_ppm=pa.int64()))
+
+
+SQL_BLOCKING_RECALL = """
+WITH p AS (SELECT lower(split_part(p_name, ' ', 1)) AS tok,
+                  p_brand, p_type, p_size
+           FROM part),
+k AS (SELECT substr(tok, 1, 1) ||
+             substr(regexp_replace(substr(tok, 2), '[aeiouy]', '', 'g'),
+                    1, 3) AS blk,
+             p_brand, p_type, p_size
+      FROM p),
+t AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS truth FROM (
+        SELECT count(*) AS c FROM k
+        GROUP BY p_brand, p_type, p_size)),
+c AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS captured FROM (
+        SELECT count(*) AS c FROM k
+        GROUP BY blk, p_brand, p_type, p_size))
+SELECT t.truth AS truth_pairs, c.captured AS captured_pairs,
+       CASE WHEN t.truth = 0 THEN 0
+            ELSE CAST(1000000 * c.captured // t.truth AS BIGINT) END
+         AS recall_ppm
+FROM t, c"""
+
+
+def q_topterms_stability(sf_dir: str) -> ray.data.Dataset:
+    """Vocabulary-stability probe: the global top-10 terms (n DESC,
+    term ASC) vs each doc-id decile's local top-10 — overlap size per
+    decile, the cheap "is this corpus slice representative" check a
+    sharded ingest runs before trusting per-shard statistics.  Scale
+    shape: (decile, term) combiners fold inside term buckets; each
+    bucket emits per-decile AND global top-10 partials; the driver
+    folds buckets x 11 x 10 candidate rows."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    mx = int(docs.max("doc_id"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy()
+        doc = np.repeat(batch["doc_id"].to_numpy(), n)
+        dec = (doc * 10) // (mx + 1)
+        g = pd.DataFrame({
+            "decile": dec,
+            "term": toks.flatten().to_numpy(zero_copy_only=False)}) \
+            .groupby(["decile", "term"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return typed_table(g, decile=pa.int64(), term=pa.string(),
+                           n=pa.int64())
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.groupby(["decile", "term"], as_index=False)["n"].sum()
+        loc = f.sort_values(["decile", "n", "term"],
+                            ascending=[True, False, True]) \
+            .groupby("decile").head(10)
+        glob = f.groupby("term", as_index=False)["n"].sum()
+        glob["decile"] = -1
+        glob = glob.sort_values(["n", "term"],
+                                ascending=[False, True]).head(10)
+        return pd.concat([loc, glob[["decile", "term", "n"]]],
+                         ignore_index=True)
+
+    parts = _collect_pd(
+        bucketed_group_apply(
+            docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None),
+            "term", per_bucket, 8),
+        decile="int64", term="object", n="int64")
+    glob = parts[parts["decile"] == -1] \
+        .groupby("term", as_index=False)["n"].sum() \
+        .sort_values(["n", "term"], ascending=[False, True]).head(10)
+    gset = set(glob["term"])
+    loc = parts[parts["decile"] >= 0] \
+        .groupby(["decile", "term"], as_index=False)["n"].sum()
+    rows = []
+    for dec, g in loc.groupby("decile"):
+        t10 = set(g.sort_values(["n", "term"],
+                                ascending=[False, True])
+                  .head(10)["term"])
+        rows.append((int(dec), len(t10 & gset)))
+    out = pd.DataFrame(rows, columns=["decile", "overlap10"])
+    return ray.data.from_arrow(typed_table(
+        out, decile=pa.int64(), overlap10=pa.int64()))
+
+
+SQL_TOPTERMS_STABILITY = _with(SQL_TOKS) + """,
+mx AS (SELECT max(doc_id) AS m FROM documents),
+tf AS (SELECT CAST(t.doc_id * 10 // (mx.m + 1) AS BIGINT) AS decile,
+              t.term, CAST(count(*) AS BIGINT) AS n
+       FROM toks t, mx GROUP BY 1, 2),
+g10 AS (SELECT term FROM (
+          SELECT term, sum(n) AS n FROM tf GROUP BY 1
+          ORDER BY n DESC, term ASC LIMIT 10)),
+l AS (SELECT decile, term,
+             row_number() OVER (PARTITION BY decile
+                                ORDER BY n DESC, term ASC) AS rn
+      FROM tf)
+SELECT l.decile,
+       CAST(sum(CASE WHEN g10.term IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS overlap10
+FROM l LEFT JOIN g10 ON g10.term = l.term
+WHERE l.rn <= 10
+GROUP BY 1"""
+
+
+QUERIES.update({
+    "clarity_score": q_clarity_score,
+    "blocking_recall": q_blocking_recall,
+    "topterms_stability": q_topterms_stability,
+})
+ORACLES.update({
+    "clarity_score": SQL_CLARITY_SCORE,
+    "blocking_recall": SQL_BLOCKING_RECALL,
+    "topterms_stability": SQL_TOPTERMS_STABILITY,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -22137,7 +22414,8 @@ _DRIVER_FRONT = [
     "metapath_instances", "source_card", "top1pct_share",
     "prf_expansion", "inverse_consistency", "lift_chart",
     "rank_agreement", "embed_isotropy", "hubness_audit",
-    "diff_in_diff", "dominant_period",
+    "diff_in_diff", "dominant_period", "clarity_score",
+    "blocking_recall", "topterms_stability",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
