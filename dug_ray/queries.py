@@ -22323,6 +22323,200 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# Good-Turing missing mass, 1-D Wasserstein length distance, SimHash
+# bit-bias audit
+# ---------------------------------------------------------------------------
+
+
+def q_unseen_mass(sf_dir: str) -> ray.data.Dataset:
+    """Good-Turing missing mass per source: P(next token is an unseen
+    type) = N_1 / N in exact ppm (hapax types over token total) — the
+    "how much vocabulary is this crawl still missing" number next to
+    chao1's richness estimate.  Per-batch (source, term) combiners;
+    hapax counts complete inside the term bucket; bounded fold."""
+    docs = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy()
+        src = np.repeat(batch["source"].to_numpy(zero_copy_only=False), n)
+        t = pa.table({"source": pa.array(src, pa.string()),
+                      "term": toks.flatten()})
+        g = t.group_by(["source", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "term", "n"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.groupby(["source", "term"], as_index=False)["n"].sum()
+        out = f.groupby("source", as_index=False).agg(
+            n_tokens=("n", "sum"),
+            n_hapax=("n", lambda s: int((s == 1).sum())))
+        return out.astype({"n_tokens": "int64", "n_hapax": "int64"})
+
+    parts = _collect_pd(
+        bucketed_group_apply(
+            docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None),
+            "term", per_bucket, 8),
+        source="object", n_tokens="int64", n_hapax="int64") \
+        .groupby("source", as_index=False).sum()
+    parts["unseen_ppm"] = [
+        (1_000_000 * int(h)) // int(n)
+        for h, n in zip(parts["n_hapax"], parts["n_tokens"])]
+    return ray.data.from_arrow(typed_table(
+        parts, source=pa.string(), n_tokens=pa.int64(),
+        n_hapax=pa.int64(), unseen_ppm=pa.int64()))
+
+
+SQL_UNSEEN_MASS = _with(SQL_TOKS) + """,
+tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS f
+       FROM toks GROUP BY 1, 2),
+a AS (SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM tf GROUP BY 1)
+SELECT source, n_tokens, n_hapax,
+       CAST(1000000 * n_hapax // n_tokens AS BIGINT) AS unseen_ppm
+FROM a"""
+
+
+def q_length_emd(sf_dir: str) -> ray.data.Dataset:
+    """Exact 1-D Wasserstein (earth mover's) distance between every
+    source pair's doc token-length distributions: W1 = integral of
+    |F_A - F_B| over the length axis, computed as the exact integer
+    sum of |cumA*N_B - cumB*N_A| * gap between consecutive support
+    points, reported // (N_A * N_B) — which feeds differ in document
+    shape, in mean-length units.  Scale shape: per-batch (source,
+    length) histogram combiners; the support is length-bounded, so the
+    pairwise sweep is a driver ledger in Python ints."""
+    docs = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ln = df["text"].str.split(" ").str.len().astype("int64")
+        g = pd.DataFrame({"source": df["source"], "len": ln}) \
+            .groupby(["source", "len"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return typed_table(g, source=pa.string(), len=pa.int64(),
+                           n=pa.int64())
+
+    hist = _collect_pd(docs.map_batches(partial, batch_format="pyarrow",
+                                        batch_size=None),
+                       source="object", len="int64", n="int64") \
+        .groupby(["source", "len"], as_index=False)["n"].sum()
+
+    support = sorted(hist["len"].unique())
+    sources = sorted(hist["source"].unique())
+    cum = {}
+    tot = {}
+    for s in sources:
+        h = dict(zip(hist[hist["source"] == s]["len"],
+                     hist[hist["source"] == s]["n"]))
+        c, cs = 0, []
+        for v in support:
+            c += int(h.get(v, 0))
+            cs.append(c)
+        cum[s] = cs
+        tot[s] = c
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            num = sum(
+                abs(cum[a][t] * tot[b] - cum[b][t] * tot[a])
+                * (support[t + 1] - support[t])
+                for t in range(len(support) - 1))
+            rows.append((a, b, num // (tot[a] * tot[b])))
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "w1"])
+    return ray.data.from_arrow(typed_table(
+        out, src_a=pa.string(), src_b=pa.string(), w1=pa.int64()))
+
+
+SQL_LENGTH_EMD = """
+WITH t AS (SELECT source,
+                  CAST(length(string_split(text, ' ')) AS BIGINT)
+                    AS len
+           FROM documents),
+h AS (SELECT source, len, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2),
+sup AS (SELECT DISTINCT len FROM h),
+gaps AS (SELECT len, lead(len) OVER (ORDER BY len) - len AS gap
+         FROM sup),
+srcs AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+         FROM h GROUP BY 1),
+c AS (SELECT s.source, g.len, g.gap, s.tot,
+             CAST(coalesce((SELECT sum(n) FROM h
+                            WHERE h.source = s.source
+                              AND h.len <= g.len), 0) AS BIGINT)
+               AS cum
+      FROM srcs s CROSS JOIN gaps g WHERE g.gap IS NOT NULL)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(sum(abs(a.cum * b.tot - b.cum * a.tot) * a.gap)
+            // (a.tot * b.tot) AS BIGINT) AS w1
+FROM c a JOIN c b ON a.len = b.len AND a.source < b.source
+GROUP BY 1, 2, a.tot, b.tot"""
+
+
+def q_simhash_bitbias(sf_dir: str) -> ray.data.Dataset:
+    """SimHash sketch-health audit: per fingerprint bit, how many docs
+    have it set and the deviation from the N/2 ideal in ppm — a biased
+    bit weakens the hamming metric (the fleet-health check a dedup
+    service alarms on).  Reuses the pinned 16-bit fingerprint stage;
+    per-batch bit-count combiners, 16-row ledger."""
+    from dug_ray.stages.dedup import simhash_fingerprints
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    fp = simhash_fingerprints(docs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = batch["simhash"].to_numpy()
+        rows = [(d, int(((f >> d) & 1).sum()), len(f))
+                for d in range(16)]
+        return typed_table(
+            pd.DataFrame(rows, columns=["bit", "ones", "n"]),
+            bit=pa.int64(), ones=pa.int64(), n=pa.int64())
+
+    parts = _collect_pd(fp.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=None),
+                        bit="int64", ones="int64", n="int64") \
+        .groupby("bit", as_index=False).sum()
+    parts["bias_ppm"] = [
+        abs(2_000_000 * int(o) - 1_000_000 * int(n)) // int(n)
+        for o, n in zip(parts["ones"], parts["n"])]
+    return ray.data.from_arrow(typed_table(
+        parts.sort_values("bit"), bit=pa.int64(), ones=pa.int64(),
+        n=pa.int64(), bias_ppm=pa.int64()))
+
+
+SQL_SIMHASH_BITBIAS = _with(SQL_TOKS) + """,
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+bits AS (
+  SELECT doc_id, d.d,
+         CASE WHEN sum(strpos('0123456789abcdef',
+                              substr(md5(term), d.d + 1, 1))
+                      - 1 - 7.5) > 0 THEN 1 ELSE 0 END AS bit
+  FROM dt CROSS JOIN generate_series(0, 15) AS d(d)
+  GROUP BY doc_id, d.d)
+SELECT CAST(d AS BIGINT) AS bit, CAST(sum(bit) AS BIGINT) AS ones,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(abs(2000000 * sum(bit) - 1000000 * count(*)) // count(*)
+            AS BIGINT) AS bias_ppm
+FROM bits GROUP BY 1"""
+
+
+QUERIES.update({
+    "unseen_mass": q_unseen_mass,
+    "length_emd": q_length_emd,
+    "simhash_bitbias": q_simhash_bitbias,
+})
+ORACLES.update({
+    "unseen_mass": SQL_UNSEEN_MASS,
+    "length_emd": SQL_LENGTH_EMD,
+    "simhash_bitbias": SQL_SIMHASH_BITBIAS,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -22415,7 +22609,8 @@ _DRIVER_FRONT = [
     "prf_expansion", "inverse_consistency", "lift_chart",
     "rank_agreement", "embed_isotropy", "hubness_audit",
     "diff_in_diff", "dominant_period", "clarity_score",
-    "blocking_recall", "topterms_stability",
+    "blocking_recall", "topterms_stability", "unseen_mass",
+    "length_emd", "simhash_bitbias",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
