@@ -22517,6 +22517,291 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# session 58: ranking-evaluation metrics — NDCG@10, MAP/MRR@10, ROC-AUC
+# ---------------------------------------------------------------------------
+
+def _dcg_gain(rel: int, rank: int) -> int:
+    """One DCG contribution in exact micro units, floored BEFORE the sum
+    so the total is an order-free integer: floor(1e6*(2^rel-1)/ln(1+rank)).
+    Composed token-for-token with the SQL (libm ln, IEEE mul/div)."""
+    import math
+    return int(math.floor(
+        1000000 * (math.pow(2, rel) - 1) / math.log(1 + rank)))
+
+
+def _bm25_run(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """The shared retrieval run both eval metrics grade: the pinned
+    BM25 top-k per query term (stage already hash-pinned by bm25_topk)."""
+    from dug_ray.stages.text_index import bm25_topk
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return bm25_topk(docs, _BM25_TERMS, k=k).to_pandas()
+
+
+def _query_tf_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (term, doc_id, tf) for the query terms only — final per
+    pair (each doc is one row), so no cross-batch merge is needed."""
+    toks = pc.split_pattern(batch["text"], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = pc.list_value_length(toks).to_numpy()
+    did = np.repeat(batch["doc_id"].to_numpy(), n)
+    t = pa.table({"doc_id": pa.array(did, pa.int64()),
+                  "term": toks.flatten()})
+    t = t.filter(pc.is_in(t["term"], value_set=pa.array(_BM25_TERMS)))
+    g = t.group_by(["term", "doc_id"]).aggregate([([], "count_all")])
+    return g.rename_columns(["term", "doc_id", "tf"])
+
+
+def q_ndcg_eval(sf_dir: str) -> ray.data.Dataset:
+    """NDCG@10 of the BM25 run against graded relevance rel=min(tf,3):
+    the offline ranking-quality scorecard a search team tracks per
+    release.  Every DCG term is floored to integer micro units before
+    summation (order-free), ndcg = 1e6*dcg // idcg exact.  Scale shape:
+    the corpus pass emits only query-term rows; the ideal list is a
+    per-batch top-10 combiner merged on a bounded (batches x |Q| x 10)
+    ledger; the run itself is the already-bounded bm25_topk output."""
+    run = _bm25_run(sf_dir, k=10)
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def ideal_partial(batch: pa.Table) -> pa.Table:
+        df = _query_tf_partial(batch).to_pandas()
+        if len(df):
+            df["rel"] = df["tf"].clip(upper=3).astype("int64")
+            df = df.sort_values(["term", "rel", "doc_id"],
+                                ascending=[True, False, True],
+                                kind="mergesort") \
+                   .groupby("term", as_index=False).head(10)
+        else:
+            df["rel"] = pd.Series([], dtype="int64")
+        return typed_table(df[["term", "rel", "doc_id"]],
+                           term=pa.string(), rel=pa.int64(),
+                           doc_id=pa.int64())
+
+    ideal = _collect_pd(
+        docs.map_batches(ideal_partial, batch_format="pyarrow",
+                         batch_size=None),
+        term="object", rel="int64", doc_id="int64") \
+        .sort_values(["term", "rel", "doc_id"],
+                     ascending=[True, False, True], kind="mergesort") \
+        .groupby("term", as_index=False).head(10)
+
+    rows = []
+    for term in sorted(run["term"].unique()):
+        r = run[run["term"] == term].sort_values("rank")
+        dcg = sum(_dcg_gain(min(int(tf), 3), int(rk))
+                  for tf, rk in zip(r["tf"], r["rank"]))
+        i = ideal[ideal["term"] == term]
+        idcg = sum(_dcg_gain(int(rel), j + 1)
+                   for j, rel in enumerate(i["rel"]))
+        rows.append((term, dcg, idcg, (1_000_000 * dcg) // idcg))
+    out = pd.DataFrame(rows, columns=["term", "dcg_micro", "idcg_micro",
+                                      "ndcg_micro"])
+    return ray.data.from_arrow(typed_table(
+        out, term=pa.string(), dcg_micro=pa.int64(),
+        idcg_micro=pa.int64(), ndcg_micro=pa.int64()))
+
+
+# shared CTE prefix: the exact BM25 score expression from SQL_BM25_TOPK
+# (same float composition), ranked to depth 10
+_SQL_BM25_RUN10 = f""",
+dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         FROM toks GROUP BY 1),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+tf AS (SELECT t.term, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM toks t JOIN q USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             (SELECT CAST(count(*) AS BIGINT) FROM toks) AS n_tokens
+      FROM documents),
+s AS (SELECT tf.term, tf.doc_id, tf.tf, dlen.dl,
+             ln((CAST(g.n_docs - dft.df AS DOUBLE) + 0.5)
+                / (CAST(dft.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dlen.dl AS DOUBLE)
+                     / (CAST(g.n_tokens AS DOUBLE)
+                        / CAST(g.n_docs AS DOUBLE))))) AS score
+      FROM tf JOIN dft USING (term) JOIN dlen USING (doc_id), g),
+r AS (SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM s)"""
+
+SQL_NDCG_EVAL = _with(SQL_TOKS) + _SQL_BM25_RUN10 + """,
+run AS (SELECT term, least(tf, 3) AS rel, rank FROM r WHERE rank <= 10),
+dcg AS (SELECT term,
+               CAST(sum(CAST(floor(1000000 * (pow(2, rel) - 1)
+                                   / ln(1 + rank)) AS BIGINT))
+                    AS BIGINT) AS dcg_micro
+        FROM run GROUP BY 1),
+ideal AS (SELECT term, least(tf, 3) AS rel,
+                 row_number() OVER (PARTITION BY term
+                                    ORDER BY least(tf, 3) DESC, doc_id)
+                   AS irank
+          FROM tf),
+idcg AS (SELECT term,
+                CAST(sum(CAST(floor(1000000 * (pow(2, rel) - 1)
+                                    / ln(1 + irank)) AS BIGINT))
+                     AS BIGINT) AS idcg_micro
+         FROM ideal WHERE irank <= 10 GROUP BY 1)
+SELECT term, dcg_micro, idcg_micro,
+       CAST(1000000 * dcg_micro // idcg_micro AS BIGINT) AS ndcg_micro
+FROM dcg JOIN idcg USING (term)"""
+
+
+def q_map_mrr(sf_dir: str) -> ray.data.Dataset:
+    """MAP@10 and MRR@10 of the BM25 run with binary relevance
+    rel=(tf>=2) — exact rationals via the lcm(1..10)=2520 scaling, so
+    precision-at-hit contributions are integers: ap_scaled =
+    sum(hits_at_i * (2520 // i)); ap_micro = 1e6*ap_scaled //
+    (2520 * min(n_rel, 10)); rr_micro = 1e6 // first_rel_rank.
+    Scale shape: n_rel per term is a per-batch count combiner (each doc
+    complete in its batch); the graded run is the bounded top-10."""
+    run = _bm25_run(sf_dir, k=10)
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def nrel_partial(batch: pa.Table) -> pa.Table:
+        df = _query_tf_partial(batch).to_pandas()
+        df = df[df["tf"] >= 2].groupby("term", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return typed_table(df, term=pa.string(), n=pa.int64())
+
+    nrel = _collect_pd(
+        docs.map_batches(nrel_partial, batch_format="pyarrow",
+                         batch_size=None),
+        term="object", n="int64").groupby("term", as_index=False).sum()
+    nrel_map = dict(zip(nrel["term"], nrel["n"]))
+
+    rows = []
+    for term in sorted(run["term"].unique()):
+        r = run[run["term"] == term].sort_values("rank")
+        hits, ap_scaled, first = 0, 0, 0
+        for tf, rank in zip(r["tf"], r["rank"]):
+            if int(tf) >= 2:
+                hits += 1
+                ap_scaled += hits * (2520 // int(rank))
+                if first == 0:
+                    first = int(rank)
+        n_rel = int(nrel_map.get(term, 0))
+        ap = (1_000_000 * ap_scaled) // (2520 * min(n_rel, 10)) \
+            if n_rel > 0 else 0
+        rr = 1_000_000 // first if first > 0 else 0
+        rows.append((term, n_rel, ap, rr))
+    out = pd.DataFrame(rows, columns=["term", "n_rel", "ap_micro",
+                                      "rr_micro"])
+    return ray.data.from_arrow(typed_table(
+        out, term=pa.string(), n_rel=pa.int64(), ap_micro=pa.int64(),
+        rr_micro=pa.int64()))
+
+
+SQL_MAP_MRR = _with(SQL_TOKS) + _SQL_BM25_RUN10 + """,
+run AS (SELECT term, rank,
+               CASE WHEN tf >= 2 THEN 1 ELSE 0 END AS rel
+        FROM r WHERE rank <= 10),
+hits AS (SELECT term, rank, rel,
+                sum(rel) OVER (PARTITION BY term ORDER BY rank) AS h
+         FROM run),
+apx AS (SELECT term,
+               CAST(coalesce(sum(CASE WHEN rel = 1
+                                      THEN h * (2520 // rank) END), 0)
+                    AS BIGINT) AS ap_scaled,
+               CAST(coalesce(min(CASE WHEN rel = 1 THEN rank END), 0)
+                    AS BIGINT) AS first_rank
+        FROM hits GROUP BY 1),
+rtot AS (SELECT term, CAST(count(*) AS BIGINT) AS n_rel
+         FROM tf WHERE tf >= 2 GROUP BY 1)
+SELECT a.term, CAST(coalesce(rtot.n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(CASE WHEN coalesce(rtot.n_rel, 0) > 0
+                 THEN 1000000 * a.ap_scaled
+                      // (2520 * least(rtot.n_rel, 10))
+                 ELSE 0 END AS BIGINT) AS ap_micro,
+       CAST(CASE WHEN a.first_rank > 0 THEN 1000000 // a.first_rank
+                 ELSE 0 END AS BIGINT) AS rr_micro
+FROM apx a LEFT JOIN rtot ON a.term = rtot.term"""
+
+
+def q_roc_auc(sf_dir: str) -> ray.data.Dataset:
+    """Tie-aware ROC-AUC + Gini of "o_totalprice predicts fulfilled
+    status" via the Mann-Whitney pair count over a whole-dollar score
+    histogram: auc = (2*gt + eq) / (2*n1*n0) in exact micro units
+    (gt = concordant pairs, eq = ties at the binned score).  Scale
+    shape: per-batch (score_bin, n_pos, n_neg) combiners; the driver
+    ledger is bounded by the PRICE DOMAIN (distinct whole-dollar bins),
+    not the row count; the cumulative sweep is Python ints (no int64
+    wrap at any scale)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        score = np.floor(df["o_totalprice"].to_numpy()).astype("int64")
+        pos = (df["o_orderstatus"] == "F").astype("int64")
+        g = pd.DataFrame({"score": score, "pos": pos}) \
+            .groupby("score", as_index=False) \
+            .agg(n_pos=("pos", "sum"), n=("pos", "size"))
+        g["n_neg"] = (g["n"] - g["n_pos"]).astype("int64")
+        return typed_table(g[["score", "n_pos", "n_neg"]],
+                           score=pa.int64(), n_pos=pa.int64(),
+                           n_neg=pa.int64())
+
+    h = _collect_pd(ds.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None),
+                    score="int64", n_pos="int64", n_neg="int64") \
+        .groupby("score", as_index=False).sum().sort_values("score")
+    gt, eq, cum_neg = 0, 0, 0
+    n1 = int(h["n_pos"].sum())
+    n0 = int(h["n_neg"].sum())
+    for np_, nn in zip(h["n_pos"], h["n_neg"]):
+        gt += int(np_) * cum_neg
+        eq += int(np_) * int(nn)
+        cum_neg += int(nn)
+    auc = (1_000_000 * (2 * gt + eq)) // (2 * n1 * n0)
+    gini = (1_000_000 * (2 * gt + eq)) // (n1 * n0) - 1_000_000
+    out = pd.DataFrame([(n1, n0, auc, gini)],
+                       columns=["n_pos", "n_neg", "auc_micro",
+                                "gini_micro"])
+    return ray.data.from_arrow(typed_table(
+        out, n_pos=pa.int64(), n_neg=pa.int64(), auc_micro=pa.int64(),
+        gini_micro=pa.int64()))
+
+
+SQL_ROC_AUC = """
+WITH b AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS score,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+           FROM orders),
+h AS (SELECT score, CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+      FROM b GROUP BY 1),
+c AS (SELECT score, n_pos, n_neg,
+             CAST(coalesce(sum(n_neg) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS cum_neg
+      FROM h),
+t AS (SELECT CAST(sum(n_pos * cum_neg) AS BIGINT) AS gt,
+             CAST(sum(n_pos * n_neg) AS BIGINT) AS eq,
+             CAST(sum(n_pos) AS BIGINT) AS n1,
+             CAST(sum(n_neg) AS BIGINT) AS n0
+      FROM c)
+SELECT n1 AS n_pos, n0 AS n_neg,
+       CAST(1000000 * (2 * gt + eq) // (2 * n1 * n0) AS BIGINT)
+         AS auc_micro,
+       CAST(1000000 * (2 * gt + eq) // (n1 * n0) - 1000000 AS BIGINT)
+         AS gini_micro
+FROM t"""
+
+
+QUERIES.update({
+    "ndcg_eval": q_ndcg_eval,
+    "map_mrr": q_map_mrr,
+    "roc_auc": q_roc_auc,
+})
+ORACLES.update({
+    "ndcg_eval": SQL_NDCG_EVAL,
+    "map_mrr": SQL_MAP_MRR,
+    "roc_auc": SQL_ROC_AUC,
+})
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 # The graft driver checks a bounded window of registry entries per round
@@ -22611,6 +22896,7 @@ _DRIVER_FRONT = [
     "diff_in_diff", "dominant_period", "clarity_score",
     "blocking_recall", "topterms_stability", "unseen_mass",
     "length_emd", "simhash_bitbias",
+    "ndcg_eval", "map_mrr", "roc_auc",
     "boilerplate_scrub", "weighted_sample", "lang_pivot",
     "bfs_levels", "neighbor_jaccard", "rollup_orders", "event_gaps",
     "cube_orders", "funnel_counts", "k_core", "length_outliers",
