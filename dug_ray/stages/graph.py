@@ -134,8 +134,9 @@ class PageRankEngine:
     RANK_SCHEMA = dict(node=pa.string(), d=pa.int64(), rank_mass=pa.int64())
 
     def __init__(self, triples: ray.data.Dataset, scale: int = 10 ** 12,
-                 num_buckets: int = 32):
+                 num_buckets: int = 32, seed_prefix: str | None = None):
         self.scale = scale
+        self.seed_prefix = seed_prefix
         edges = distinct_rows(triples.select_columns(["subj", "obj"]),
                               ["subj", "obj"], num_buckets)
         edges = edges.map_batches(
@@ -171,8 +172,29 @@ class PageRankEngine:
         self.n_nodes = self.spine.count()
         if self.n_nodes == 0:
             return
-        self.init = scale // self.n_nodes
-        self.base = (15 * scale) // (100 * self.n_nodes)
+        if seed_prefix is None:
+            self.init = scale // self.n_nodes
+            self.base = (15 * scale) // (100 * self.n_nodes)
+        else:
+            # personalized variant: ALL teleport mass (init and the 15%
+            # restart share) goes to the seed set, uniformly
+            p = seed_prefix
+
+            def _seed_count(batch: pa.Table) -> pa.Table:
+                df = batch.to_pandas()
+                return pa.table({"n": pa.array(
+                    [int(df["node"].str.startswith(p).sum())],
+                    pa.int64())})
+
+            self.n_seeds = int(sum(
+                r["n"] for r in self.spine.map_batches(
+                    _seed_count, batch_format="pyarrow",
+                    batch_size=None).take_all()))
+            if self.n_seeds == 0:
+                raise ValueError(
+                    f"no seed nodes with prefix {seed_prefix!r}")
+            self.init = scale // self.n_seeds
+            self.base = (15 * scale) // (100 * self.n_seeds)
 
         MSG = dict(node=pa.string(), obj=pa.string(), rank_mass=pa.int64(),
                    d=pa.int64(), side=pa.string())
@@ -206,9 +228,14 @@ class PageRankEngine:
             node=pa.string(), rank_mass=pa.int64()))
 
     def initial_ranks(self) -> ray.data.Dataset:
-        def _init_rank(batch: pa.Table, init=self.init) -> pa.Table:
+        def _init_rank(batch: pa.Table, init=self.init,
+                       p=self.seed_prefix) -> pa.Table:
             df = batch.to_pandas()
-            df["rank_mass"] = init
+            if p is None:
+                df["rank_mass"] = init
+            else:
+                df["rank_mass"] = np.where(
+                    df["node"].str.startswith(p), init, 0)
             return typed_table(df, **self.RANK_SCHEMA)
 
         return self.spine.map_batches(_init_rank, batch_format="pyarrow",
@@ -216,7 +243,7 @@ class PageRankEngine:
 
     def step(self, ranks: ray.data.Dataset) -> ray.data.Dataset:
         """One PageRank round: two bucketed exchanges, lazy result."""
-        MSG, base = self._msg_schema, self.base
+        MSG, base, seed_p = self._msg_schema, self.base, self.seed_prefix
 
         def _rank_side(batch: pa.Table) -> pa.Table:
             df = batch.to_pandas()
@@ -241,7 +268,11 @@ class PageRankEngine:
         def _update(df: pd.DataFrame) -> pa.Table:
             g = df.groupby("node", as_index=False).agg(s=("s", "sum"),
                                                        d=("d", "max"))
-            g["rank_mass"] = base + (85 * g["s"].to_numpy()) // 100
+            if seed_p is None:
+                b = base
+            else:
+                b = np.where(g["node"].str.startswith(seed_p), base, 0)
+            g["rank_mass"] = b + (85 * g["s"].to_numpy()) // 100
             return typed_table(g, **self.RANK_SCHEMA)
 
         rank_side = ranks.map_batches(_rank_side, batch_format="pyarrow",
@@ -257,6 +288,28 @@ def pagerank(triples: ray.data.Dataset, iterations: int = 3,
     """(node, rank_mass) after ``iterations`` rounds of integer PageRank
     (see PageRankEngine for the semantics and the scale shape)."""
     eng = PageRankEngine(triples, scale, num_buckets)
+    if eng.n_nodes == 0:
+        return eng.empty_result()
+    ranks = eng.initial_ranks()
+    for i in range(iterations):
+        ranks = eng.step(ranks)
+        if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            ranks = ranks.materialize()
+    return ranks.select_columns(["node", "rank_mass"])
+
+
+def personalized_pagerank(triples: ray.data.Dataset,
+                          seed_prefix: str = "MONDO:",
+                          iterations: int = 3, scale: int = 10 ** 12,
+                          num_buckets: int = 32) -> ray.data.Dataset:
+    """Personalized PageRank: identical integer fixed-point iteration to
+    ``pagerank`` but ALL teleport mass (the initial distribution and the
+    15% restart share) goes uniformly to the nodes matching
+    ``seed_prefix`` — the "what matters around the disease concepts"
+    ranking a KG curation pass reads next to the global one.  Same scale
+    shape as pagerank: pinned edges, two bucketed exchanges per round."""
+    eng = PageRankEngine(triples, scale, num_buckets,
+                         seed_prefix=seed_prefix)
     if eng.n_nodes == 0:
         return eng.empty_result()
     ranks = eng.initial_ranks()
